@@ -1,0 +1,319 @@
+"""Typed capture conversion (reference grok/api/Converter.java).
+
+Single source of truth for `;type;format` conversion semantics, shared by the
+single-row oracle and the vectorized parse stage:
+
+- strict Java parse rules (``Integer.parseInt`` etc.): any failure yields the
+  EMPTY STRING, not null (Converter.java:58-59),
+- ``boolean`` never fails: ``Boolean.parseBoolean`` == case-insensitive
+  equality with "true",
+- ``float`` produces a float32 (``np.float32``) so Gson serialization matches
+  ``Float.toString``; ``double`` a float64,
+- ``date``/``datetime`` parse with SimpleDateFormat semantics → epoch millis
+  (int). Timezone: the reference uses the JVM default; this engine PINS UTC
+  (documented deviation — both oracle and Spark path use UTC),
+- ``json`` parses with Gson number semantics (ALL numbers → float64) and
+  returns a dict, optionally hoisting named sub-keys (Converter.java:246-269).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import re
+from typing import Any
+
+import numpy as np
+
+_INT_RE = re.compile(r"^[+-]?[0-9]+$")
+# Java Float/Double.parseDouble: optional sign, decimal or hex, optional f/F/d/D
+# suffix, leading/trailing whitespace allowed. We support the decimal subset.
+_FP_RE = re.compile(r"^[+-]?((\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|Infinity|NaN)[fFdD]?$")
+
+
+class ConversionError(ValueError):
+    pass
+
+
+def _strict_int(value: str, lo: int, hi: int) -> int:
+    if not _INT_RE.match(value):
+        raise ConversionError(value)
+    v = int(value)
+    if v < lo or v > hi:
+        raise ConversionError(value)
+    return v
+
+
+def conv_byte(value: str) -> int:
+    return _strict_int(value, -128, 127)
+
+
+def conv_short(value: str) -> int:
+    return _strict_int(value, -(2 ** 15), 2 ** 15 - 1)
+
+
+def conv_int(value: str) -> int:
+    return _strict_int(value, -(2 ** 31), 2 ** 31 - 1)
+
+
+def conv_long(value: str) -> int:
+    return _strict_int(value, -(2 ** 63), 2 ** 63 - 1)
+
+
+def conv_boolean(value: str) -> bool:
+    # Boolean.parseBoolean never throws and does NOT trim
+    return isinstance(value, str) and value.lower() == "true"
+
+
+def _java_fp(value: str) -> float:
+    s = value.strip()
+    if not _FP_RE.match(s):
+        raise ConversionError(value)
+    if s and s[-1] in "fFdD" and not s[-1:].isdigit() and not s.endswith("NaN"):
+        s = s[:-1]
+    return float(s)
+
+
+def conv_float(value: str) -> np.float32:
+    return np.float32(_java_fp(value))
+
+
+def conv_double(value: str) -> float:
+    return _java_fp(value)
+
+
+def conv_string(value: str) -> str:
+    return value
+
+
+# ---------------------------------------------------------------------------
+# SimpleDateFormat subset → tolerant parser (prefix-match, lenient numerics)
+# ---------------------------------------------------------------------------
+
+# Supported SimpleDateFormat letters and their regex fragments. Numeric fields
+# in SimpleDateFormat parsing are greedy-but-bounded; we bound by typical max
+# widths which is faithful for all formats used by the reference and fixtures.
+_SDF_TOKEN = re.compile(r"('(?:[^']|'')*')|(([a-zA-Z])\3*)")
+
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+def _sdf_to_regex(fmt: str) -> tuple[re.Pattern, list[str]]:
+    parts: list[str] = []
+    fields: list[str] = []
+    pos = 0
+    for m in _SDF_TOKEN.finditer(fmt):
+        if m.start() > pos:
+            parts.append(re.escape(fmt[pos:m.start()]))
+        pos = m.end()
+        if m.group(1) is not None:  # quoted literal
+            lit = m.group(1)[1:-1].replace("''", "'")
+            parts.append(re.escape(lit if lit else "'"))
+            continue
+        run = m.group(2)
+        c, n = run[0], len(run)
+        if c == "y":
+            parts.append(r"(\d{1,4})" if n != 2 else r"(\d{2})")
+            fields.append("year2" if n == 2 else "year")
+        elif c == "M":
+            if n >= 3:
+                parts.append("(" + "|".join(_MONTHS) + r"[a-z]*)")
+                fields.append("month_name")
+            else:
+                parts.append(r"(\d{1,2})")
+                fields.append("month")
+        elif c == "d":
+            parts.append(r"(\d{1,2})")
+            fields.append("day")
+        elif c == "H":
+            parts.append(r"(\d{1,2})")
+            fields.append("hour")
+        elif c == "h":
+            parts.append(r"(\d{1,2})")
+            fields.append("hour12")
+        elif c == "m":
+            parts.append(r"(\d{1,2})")
+            fields.append("minute")
+        elif c == "s":
+            parts.append(r"(\d{1,2})")
+            fields.append("second")
+        elif c == "S":
+            parts.append(r"(\d{1,3})")
+            fields.append("millis")
+        elif c == "a":
+            parts.append(r"([AaPp][Mm])")
+            fields.append("ampm")
+        elif c == "E":
+            parts.append(r"([A-Za-z]+)")
+            fields.append("weekday")
+        elif c == "X":
+            parts.append(r"(Z|[+-]\d{2}(?::?\d{2})?)")
+            fields.append("tz_iso")
+        elif c in ("Z",):
+            parts.append(r"([+-]\d{4})")
+            fields.append("tz_rfc")
+        elif c == "z":
+            parts.append(r"([A-Za-z]{1,5}|GMT[+-]\d{1,2}:\d{2})")
+            fields.append("tz_name")
+        else:
+            raise ConversionError(f"unsupported SimpleDateFormat letter {c!r} in {fmt!r}")
+    if pos < len(fmt):
+        parts.append(re.escape(fmt[pos:]))
+    return re.compile("".join(parts)), fields
+
+
+_SDF_CACHE: dict[str, tuple[re.Pattern, list[str]]] = {}
+
+_UTC = _dt.timezone.utc
+
+
+def parse_sdf_epoch_ms(value: str, fmt: str) -> int:
+    """``new SimpleDateFormat(fmt, ENGLISH).parse(value).getTime()`` in UTC.
+
+    SimpleDateFormat.parse matches a PREFIX of the input (trailing garbage
+    ignored) — reproduced via ``re.match`` (anchored at start, not at end).
+    """
+    if fmt not in _SDF_CACHE:
+        _SDF_CACHE[fmt] = _sdf_to_regex(fmt)
+    rx, fields = _SDF_CACHE[fmt]
+    m = rx.match(value)
+    if not m:
+        raise ConversionError(f"unparseable date {value!r} for {fmt!r}")
+    vals = dict(zip(fields, m.groups()))
+    year, month, day = 1970, 1, 1
+    hour = minute = second = millis = 0
+    tz = _UTC
+    pm = False
+    h12 = None
+    for f, v in vals.items():
+        if v is None:
+            continue
+        if f == "year":
+            year = int(v)
+        elif f == "year2":
+            y = int(v)  # SimpleDateFormat 2-digit years: 80y window ending +20y;
+            year = 2000 + y if y < 70 else 1900 + y  # fixed pivot (deviation, documented)
+        elif f == "month":
+            month = int(v)
+        elif f == "month_name":
+            month = _MONTHS.index(v[:3].title()) + 1
+        elif f == "day":
+            day = int(v)
+        elif f == "hour":
+            hour = int(v)
+        elif f == "hour12":
+            h12 = int(v)
+        elif f == "minute":
+            minute = int(v)
+        elif f == "second":
+            second = int(v)
+        elif f == "millis":
+            millis = int(v)
+        elif f == "ampm":
+            pm = v.lower() == "pm"
+        elif f == "tz_iso":
+            if v != "Z":
+                s = 1 if v[0] == "+" else -1
+                hh = int(v[1:3])
+                mm = int(v[3:].replace(":", "") or 0)
+                tz = _dt.timezone(s * _dt.timedelta(hours=hh, minutes=mm))
+        elif f == "tz_rfc":
+            s = 1 if v[0] == "+" else -1
+            tz = _dt.timezone(s * _dt.timedelta(hours=int(v[1:3]), minutes=int(v[3:5])))
+        elif f == "tz_name":
+            if v.upper() in ("UTC", "GMT", "Z"):
+                tz = _UTC
+            # other zone names unsupported → stay UTC (pinned-UTC deviation)
+    if h12 is not None:
+        hour = (h12 % 12) + (12 if pm else 0)
+    try:
+        dt = _dt.datetime(year, month, day, hour, minute, second,
+                          millis * 1000, tzinfo=tz)
+    except ValueError as e:  # lenient SimpleDateFormat would roll over; we reject
+        raise ConversionError(str(e))
+    return int(dt.timestamp() * 1000)
+
+
+# DateFormat.getDateTimeInstance(SHORT, SHORT, ENGLISH) == "M/d/yy h:mm a"
+_DEFAULT_DATETIME_FMT = "M/d/yy h:mm a"
+
+
+def conv_date(value: str, fmt: str | None = None) -> int:
+    return parse_sdf_epoch_ms(value, fmt or _DEFAULT_DATETIME_FMT)
+
+
+def _gson_loads(value: str) -> Any:
+    # Gson fromJson(..., Map.class): every JSON number becomes a Double
+    return json.loads(value, parse_int=float, parse_float=float,
+                      parse_constant=float)
+
+
+def conv_json(value: str, fmt: str | None = None) -> dict:
+    m = _gson_loads(value)
+    if not isinstance(m, dict):
+        raise ConversionError(value)
+    if fmt is None:
+        return m
+    # named sub-keys hoisted into the parent (Converter.java:246-269)
+    sub: dict[str, dict] = {}
+    for jk in re.split(r"[;:]", fmt):
+        if jk not in m:
+            continue
+        obj = m[jk]
+        if isinstance(obj, str):
+            sub[jk] = _gson_loads(obj)
+        elif isinstance(obj, dict):
+            sub[jk] = obj
+    for k, v in sub.items():
+        m.pop(k, None)
+        if isinstance(v, dict):
+            m.update(v)
+    return m
+
+
+_CONVERTERS = {
+    "byte": conv_byte,
+    "boolean": conv_boolean,
+    "short": conv_short,
+    "int": conv_int,
+    "long": conv_long,
+    "float": conv_float,
+    "double": conv_double,
+    "string": conv_string,
+    "date": conv_date,
+    "datetime": conv_date,
+    "json": conv_json,
+}
+
+
+def convert_value(typ: str | None, fmt: str | None, value: str) -> Any:
+    """Converter.convert value path: returns the typed value, or "" on ANY
+    failure (unknown type, parse error) — Converter.java:57-59."""
+    if typ is None:
+        return value
+    fn = _CONVERTERS.get(typ)
+    if fn is None:
+        return ""
+    try:
+        if fmt is not None and typ in ("date", "datetime", "json"):
+            return fn(value, fmt)  # type: ignore[call-arg]
+        if fmt is not None and typ not in ("date", "datetime", "json"):
+            # IConverter.convert(value, informat) default returns null for
+            # scalar types (Converter.java IConverter:131-134) → Java would
+            # store null... which Gson then drops. Mirror: return None.
+            return None
+        return fn(value)  # type: ignore[call-arg]
+    except Exception:
+        return ""
+
+
+def clean_string(value: str) -> str:
+    """Match.cleanString (Match.java:216-231): strip symmetric quotes."""
+    if value is None or value == "":
+        return value
+    if len(value) == 1 and value in ("\"", "'"):
+        return ""
+    if (value[0] == '"' and value[-1] == '"') or (value[0] == "'" and value[-1] == "'"):
+        return value[1:-1]
+    return value

@@ -1,38 +1,302 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse→enrich→route→aggregate pipeline on
+sf0.001 transcripts. ``queries()`` exposes one entry per implemented operator
+from SURVEY.md §2; DuckDB-checkable ones have a matching ``oracle_sql()``
+(same column names — the driver hashes values under sorted column names).
+
+Conventions for oracle-checked queries: outputs use only BIGINT / VARCHAR /
+BOOLEAN / DECIMAL columns (no raw doubles — float last-ulp differences across
+engines would break value hashing); timestamps are returned as epoch millis.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from log_collector_spark.grok.oracle import IpRangeLookup
+from log_collector_spark.operators import aggregate as agg_ops
+from log_collector_spark.operators import enrich as enrich_ops
+from log_collector_spark.operators import parse as parse_ops
+from log_collector_spark.operators import route as route_ops
+from log_collector_spark.plans import pipeline as pl
+
+MAX_SIZE = 8192
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full transcripts pipeline at sf0.001 → per-sink tallies
+    joined with success/error counters (north_rule metric surface)."""
+    routed = pl.full_pipeline(spark, "/root/testdata/sf0.001")
+    tallies = route_ops.sink_tallies(routed)
+    counters = agg_ops.success_error_counts(routed, "directory")
+    return tallies.crossJoin(F.broadcast(counters))
+
+
+# ---------------------------------------------------------------------------
+# events-table helpers: synthesize DEMO-1-shaped log lines so the grok path
+# is checkable against an independent DuckDB implementation
+# ---------------------------------------------------------------------------
+
+_NORMAL_LINE = None
+
+
+def _event_line_col(ev: DataFrame):
+    return F.concat(
+        F.lit("["), ev["event_type"], F.lit("] ["),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit('] {"u":'), ev["user_id"].cast("string"), F.lit("}"))
+
+
+def _event_line_with_faults(ev: DataFrame):
+    """Deterministic malformation rules, mirrored in the oracle SQL:
+    %211 → oversize, %97 → blank, %50 → malformed, else parseable."""
+    return (
+        F.when(ev["event_id"] % 211 == 0,
+               F.concat(F.lit('[big] [2023-11-15 00:00:00] {"pad":"'),
+                        F.repeat(F.lit("x"), 9000), F.lit('"}')))
+        .when(ev["event_id"] % 97 == 0, F.lit(""))
+        .when(ev["event_id"] % 50 == 0,
+              F.concat(F.lit("corrupt#"), ev["event_id"].cast("string")))
+        .otherwise(_event_line_col(ev))
+    )
+
+
+def _parse_events(spark: SparkSession, sf_dir: str, faults: bool) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    line = _event_line_with_faults(ev) if faults else _event_line_col(ev)
+    df = ev.select("event_id", "event_type", "user_id", "ts",
+                   line.alias("text"))
+    return parse_ops.grok_parse(df, pl.compiled_transcript_grok(),
+                                max_size=MAX_SIZE)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_grok_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6: vectorized grok parse (typed captures incl. date→epoch-ms)."""
+    parsed = _parse_events(spark, sf_dir, faults=False)
+    return parsed.select(
+        F.col("event_id"),
+        F.col("logtype"),
+        F.col("logtime"),
+        F.col("payload"),
+    )
+
+
+def q_route_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W4/F2/F3 + A6: sink decision table + per-sink tallies."""
+    parsed = _parse_events(spark, sf_dir, faults=True)
+    routed = route_ops.route(parsed, constant_source="events")
+    return route_ops.sink_tallies(routed)
+
+
+def q_success_error_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-source success/error counters (source = event_type)."""
+    parsed = _parse_events(spark, sf_dir, faults=True)
+    return agg_ops.success_error_counts(parsed, "event_type")
+
+
+def q_minute_buckets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: ceil-minute event-time buckets over parsed logtime."""
+    parsed = _parse_events(spark, sf_dir, faults=False)
+    return agg_ops.minute_buckets(parsed, "logtime")
+
+
+def q_broadcast_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: broadcast-join enrichment chain (orders→customer→nation→region)."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    j = (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+          .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+          .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]))
+    return (j.groupBy(r["r_name"].alias("region_name"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .cast("decimal(38,2)").alias("revenue")))
+
+
+IP_RANGE_ROWS = [
+    # contiguous /16-ish ranges inside 10.0.0.0/8 (16 pipe-separated columns)
+    "10.0.0.0|10.0.63.255|ZoneA|P1|C1|d|op|0|0|tz|tz|adm|1|A|AS|area1",
+    "10.0.64.0|10.0.127.255|ZoneB|P2|C2|d|op|0|0|tz|tz|adm|2|B|EU|area2",
+    "10.0.128.0|10.0.191.255|ZoneC|P3|C3|d|op|0|0|tz|tz|adm|3|C|NA|area3",
+    "10.0.192.0|10.0.255.255|ZoneD|P4|C4|d|op|0|0|tz|tz|adm|4|D|SA|area4",
+]
+
+
+def q_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: range-lookup join (searchsorted over broadcast sorted ranges)."""
+    ev = _events(spark, sf_dir)
+    ip = F.concat(F.lit("10.0."),
+                  F.expr("user_id % 256").cast("string"),
+                  F.lit("."), F.expr("event_id % 256").cast("string"))
+    df = ev.select("event_id", ip.alias("ip"))
+    lut = IpRangeLookup(IP_RANGE_ROWS, need_fields={"sugo_nation"})
+    out = enrich_ops.ip_range_enrich(df, lut, "ip", fields=["sugo_nation"])
+    return out.groupBy("sugo_nation").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 window funcs: per-user ordered lag + rank (stable ordering)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+def q_conversation_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-ish per-'conversation' (user) aggregates with epoch-ms extrema."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.expr("unix_micros(cast(ts as timestamp)) div 1000")).alias("first_ms"),
+        F.max(F.expr("unix_micros(cast(ts as timestamp)) div 1000")).alias("last_ms"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def q_tx_sink_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transcripts pipeline routed-row tallies (pytest holds the strong
+    byte-equality oracle; driver records rows-only here)."""
+    routed = pl.full_pipeline(spark, sf_dir)
+    return route_ops.sink_tallies(routed)
+
+
+def q_tx_per_turn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn Gson-equal serialized records under stable ordering."""
+    routed = pl.full_pipeline(spark, sf_dir)
+    from log_collector_spark.operators.order import ordered_salted
+    return ordered_salted(
+        routed.filter(F.col("parse_ok") & ~F.col("is_oversize"))
+              .select("conv_id", "turn_idx", "parsed_json"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "grok_parse_events": q_grok_parse_events,
+        "route_events": q_route_events,
+        "success_error_events": q_success_error_events,
+        "minute_buckets_events": q_minute_buckets_events,
+        "broadcast_enrich_revenue": q_broadcast_enrich_revenue,
+        "ip_range_lookup": q_ip_range_lookup,
+        "window_lag_events": q_window_lag_events,
+        "conversation_stats_events": q_conversation_stats_events,
+        "tx_sink_tallies": q_tx_sink_tallies,
+        "tx_per_turn_json": q_tx_per_turn_json,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    line_sql = ("'[' || event_type || '] [' || strftime(ts, '%Y-%m-%d %H:%M:%S')"
+                " || '] {\"u\":' || CAST(user_id AS VARCHAR) || '}'")
+    sink_case = """
+        CASE WHEN event_id % 211 = 0 THEN 'errors'
+             WHEN event_id % 97 = 0 THEN NULL
+             WHEN event_id % 50 = 0 THEN 'failures'
+             ELSE 'events_etl' END
     """
-    return {}
+    return {
+        "grok_parse_events": f"""
+            SELECT event_id,
+                   event_type AS logtype,
+                   CAST(epoch_ms(date_trunc('second', ts)) AS BIGINT) AS logtime,
+                   '{{"u":' || CAST(user_id AS VARCHAR) || '}}' AS payload
+            FROM events
+        """,
+        "route_events": f"""
+            SELECT sink, COUNT(*) AS n FROM (
+                SELECT {sink_case} AS sink FROM events
+            ) WHERE sink IS NOT NULL GROUP BY sink
+        """,
+        "success_error_events": """
+            SELECT event_type,
+                   SUM(CASE WHEN event_id % 211 <> 0 AND event_id % 97 <> 0
+                                 AND event_id % 50 <> 0 THEN 1 ELSE 0 END) AS success,
+                   SUM(CASE WHEN event_id % 211 = 0
+                                 OR (event_id % 97 <> 0 AND event_id % 50 = 0)
+                            THEN 1 ELSE 0 END) AS error,
+                   COUNT(*) AS lines
+            FROM events GROUP BY event_type
+        """,
+        "minute_buckets_events": """
+            SELECT CAST(CEIL(epoch_ms(date_trunc('second', ts)) / 60000.0) * 60000
+                        AS BIGINT) AS bucket_ms,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "broadcast_enrich_revenue": """
+            SELECT r.r_name AS region_name,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "ip_range_lookup": """
+            WITH ranges AS (
+                SELECT * FROM (VALUES
+                    (CAST(167772160 AS BIGINT), CAST(167788543 AS BIGINT), 'ZoneA'),
+                    (167788544, 167804927, 'ZoneB'),
+                    (167804928, 167821311, 'ZoneC'),
+                    (167821312, 167837695, 'ZoneD')
+                ) AS t(startn, endn, sugo_nation)
+            ), ips AS (
+                SELECT event_id,
+                       167772160
+                       + (user_id % 256) * 256
+                       + (event_id % 256) AS ipn
+                FROM events
+            )
+            SELECT r.sugo_nation, COUNT(*) AS n
+            FROM ips i JOIN ranges r ON i.ipn >= r.startn AND i.ipn <= r.endn
+            GROUP BY r.sugo_nation
+        """,
+        "window_lag_events": """
+            SELECT event_id, user_id,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS prev_type,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS INT) AS rn
+            FROM events
+        """,
+        "conversation_stats_events": """
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ms,
+                   CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms,
+                   COUNT(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id
+        """,
+        # tx_* queries: transcripts table is engine-generated; the strong
+        # byte-equality oracle lives in tests/test_pipeline_spark.py
+    }

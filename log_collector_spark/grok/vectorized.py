@@ -1,0 +1,416 @@
+"""Vectorized grok parse over pandas/Arrow batches (NO per-row Python UDFs).
+
+This is the engine's analog of the reference's per-line loop
+(reader/file/DefaultFileReader.java:233-324 + grok/api/Match.java:142-207),
+re-expressed as batch columnar operations:
+
+- ONE regex pass per batch (``Series.str.extract`` with the precompiled,
+  driver-expanded pattern — the "precompiled pattern dictionary applied
+  per-batch" mandated by the target spec),
+- typed conversion as numpy/pandas column ops (strict-Java validity masks;
+  failure → ``""`` in the serialized record, null in the typed column),
+- SimpleDateFormat → epoch-ms as pure int64 arithmetic (Hinnant
+  days-from-civil), no datetime objects,
+- Gson-equal ``parsed_json`` assembled by vectorized string concatenation of
+  per-key fragments in sorted-key order — byte-identical to the single-row
+  oracle (tests enforce this).
+
+Only ``;json``-typed captures (dynamic key sets, Converter.java:235-270) fall
+back to a per-batch Python loop; expressions without them stay fully
+vectorized.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from log_collector_spark.grok.compiler import CompiledGrok, CaptureSpec
+from log_collector_spark.grok.converters import _sdf_to_regex, _DEFAULT_DATETIME_FMT
+from log_collector_spark.grok.gson import GSON_ESCAPE_TABLE, java_double_str, java_float_str
+from log_collector_spark.grok import oracle as _oracle
+
+_INT_FULL = re.compile(r"^[+-]?[0-9]+$")
+_FP_FULL = re.compile(r"^[+-]?((\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|Infinity|NaN)[fFdD]?$")
+
+_INT_RANGES = {"byte": (-128, 127), "short": (-(2 ** 15), 2 ** 15 - 1),
+               "int": (-(2 ** 31), 2 ** 31 - 1), "long": (-(2 ** 63), 2 ** 63 - 1)}
+
+_DAYS_IN_MONTH = np.array([0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+                          dtype="int64")
+
+
+def days_from_civil(y: np.ndarray, m: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Days since 1970-01-01 (proleptic Gregorian), vectorized int64."""
+    y = y - (m <= 2)
+    era = y // 400  # numpy floor division == Hinnant's era formula
+    yoe = y - era * 400
+    mp = np.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _is_leap(y: np.ndarray) -> np.ndarray:
+    return ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+
+
+def sdf_epoch_ms_vec(values: pd.Series, fmt: str) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized SimpleDateFormat prefix-parse → (epoch_ms int64, valid bool).
+
+    Mirrors converters.parse_sdf_epoch_ms (UTC pinned; strict day-in-month,
+    documented deviation from Java's lenient rollover).
+    """
+    rx, fields = _sdf_to_regex(fmt)
+    # anchor like re.match (prefix match); _sdf_to_regex emits exactly one
+    # capture group per field, in order
+    ext = values.str.extract("^(?:" + rx.pattern + ")", expand=True)
+    ext.columns = fields
+    n = len(values)
+
+    def geti(name: str, default: int) -> tuple[np.ndarray, np.ndarray]:
+        if name not in fields:
+            return np.full(n, default, dtype="int64"), np.zeros(n, dtype=bool)
+        col = ext[name]
+        present = col.notna().to_numpy()
+        out = np.full(n, default, dtype="int64")
+        if present.any():
+            out[present] = col[present].astype("int64")
+        return out, present
+
+    # the overall regex match is the validity gate (optional groups may be NA)
+    valid = (~ext.isna().all(axis=1).to_numpy()) if len(ext.columns) else \
+        np.zeros(n, dtype=bool)
+
+    year, _ = geti("year", 1970)
+    if "year2" in fields:
+        y2, p2 = geti("year2", 70)
+        year = np.where(p2, np.where(y2 < 70, 2000 + y2, 1900 + y2), year)
+    month, _ = geti("month", 1)
+    if "month_name" in fields:
+        mn = ext["month_name"].fillna("")
+        codes = mn.str[:3].str.title().map(
+            {m: i + 1 for i, m in enumerate(
+                ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                 "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])}).fillna(1)
+        month = np.where(mn.to_numpy() != "", codes.to_numpy().astype("int64"), month)
+    day, _ = geti("day", 1)
+    hour, _ = geti("hour", 0)
+    minute, _ = geti("minute", 0)
+    second, _ = geti("second", 0)
+    millis, _ = geti("millis", 0)
+    if "hour12" in fields:
+        h12, p12 = geti("hour12", 0)
+        pm = np.zeros(n, dtype=bool)
+        if "ampm" in fields:
+            pm = ext["ampm"].fillna("").str.lower().eq("pm").to_numpy()
+        hour = np.where(p12, (h12 % 12) + np.where(pm, 12, 0), hour)
+
+    off_min = np.zeros(n, dtype="int64")
+    for tzf in ("tz_iso", "tz_rfc"):
+        if tzf in fields:
+            tz = ext[tzf].fillna("")
+            has = (tz != "").to_numpy() & (tz != "Z").to_numpy()
+            if has.any():
+                sgn = np.where(tz.str[0].eq("-").fillna(False).to_numpy(), -1, 1)
+                hh = pd.to_numeric(tz.str[1:3], errors="coerce").fillna(0).astype("int64").to_numpy()
+                mmstr = tz.str[3:].str.replace(":", "", regex=False)
+                mm = pd.to_numeric(mmstr, errors="coerce").fillna(0).astype("int64").to_numpy()
+                off_min = np.where(has, sgn * (hh * 60 + mm), off_min)
+
+    # strict range validation (month/day/hour/min/sec)
+    month_c = np.clip(month, 1, 12)
+    dim = _DAYS_IN_MONTH[month_c] + ((month_c == 2) & _is_leap(year))
+    valid &= (month >= 1) & (month <= 12) & (day >= 1) & (day <= dim)
+    valid &= (hour >= 0) & (hour < 24) & (minute >= 0) & (minute < 60) & \
+        (second >= 0) & (second <= 60)
+
+    days = days_from_civil(year, month_c, np.clip(day, 1, 31))
+    ms = (days * 86400000 + hour * 3600000 + minute * 60000 + second * 1000 +
+          millis - off_min * 60000)
+    return ms, valid
+
+
+def _clean_string_vec(v: pd.Series) -> pd.Series:
+    """Match.cleanString vectorized: strip symmetric quotes."""
+    v = v.astype("string")
+    ln = v.str.len().fillna(0)
+    first = v.str[0]
+    last = v.str[-1]
+    single_quote = (ln == 1) & first.isin(['"', "'"])
+    sym = (ln >= 2) & (((first == '"') & (last == '"')) |
+                       ((first == "'") & (last == "'")))
+    out = v.copy()
+    out = out.mask(sym, v.str.slice(1, -1))
+    out = out.mask(single_quote, "")
+    return out
+
+
+def _escape_vec(v: pd.Series) -> pd.Series:
+    """Gson HTML-safe escape, vectorized via str.translate."""
+    return v.str.translate(GSON_ESCAPE_TABLE)
+
+
+class VectorizedGrokParser:
+    """Batch parser for one compiled grok expression.
+
+    ``parse_batch(text)`` returns a DataFrame with:
+    - ``parse_ok`` (bool): Grok.match found AND text non-blank,
+    - ``parsed_json`` (object str / None): Gson-equal serialized record
+      (including provenance constants), None when parse failed,
+    - one typed column per non-UNWANTED output key (None on conversion
+      failure or non-participation).
+    """
+
+    RESERVED = {"parse_ok", "parsed_json"}
+
+    def __init__(self, compiled: CompiledGrok,
+                 provenance: dict[str, str] | None = None,
+                 rename: dict[str, str] | None = None,
+                 remove: tuple[str, ...] = ()):
+        self.compiled = compiled
+        self.provenance = dict(provenance or {})
+        self.rename = dict(rename or {})
+        self.remove = set(remove) | {"UNWANTED"}
+        self.slow_path = any(c.type == "json" for c in compiled.captures)
+        # wrap the whole pattern to detect overall match participation
+        self._wrapped = "(?P<grokm0>" + compiled.python_regex + ")"
+        self._rx: re.Pattern | None = None
+        # typed output schema: first spec per distinct visible key
+        self.typed_keys: list[tuple[str, str | None]] = []
+        seen = set()
+        for c in compiled.captures:
+            k = self._final_key(c.key)
+            if k is None or k in seen:
+                continue
+            seen.add(k)
+            if k in self.RESERVED:
+                raise ValueError(f"capture key {k!r} collides with reserved column")
+            self.typed_keys.append((k, c.type))
+
+    def _final_key(self, key: str) -> str | None:
+        key = self.rename.get(key, key)
+        return None if key in self.remove else key
+
+    def pattern(self) -> re.Pattern:
+        if self._rx is None:
+            self._rx = re.compile(self._wrapped)
+        return self._rx
+
+    # -- fragment builders ---------------------------------------------------
+
+    def _convert(self, spec: CaptureSpec, v: pd.Series, present: np.ndarray
+                 ) -> tuple[np.ndarray, Any]:
+        """→ (json_fragment str array aligned to batch, typed values or None).
+
+        Fragment excludes the key part; '' where not present. Conversion
+        failure renders as '""' (Java failure→empty string) with typed None.
+        """
+        n = len(v)
+        frag = np.full(n, "", dtype=object)
+        typed: Any = None
+        t = spec.type
+        vv = v.astype("string")
+        if t is None or t == "string":
+            if t is None and spec.fmt is not None:
+                # unreachable: untyped spec has no fmt
+                pass
+            if t == "string" and spec.fmt is not None:
+                # two-arg scalar convert returns null (Converter IConverter base)
+                frag[present] = "null"
+                return frag, None
+            cleaned = _clean_string_vec(vv)
+            esc = _escape_vec(cleaned)
+            fr = ('"' + esc + '"').to_numpy(dtype=object, na_value="")
+            frag[present] = fr[present]
+            typed = cleaned.to_numpy(dtype=object, na_value=None)
+            return frag, typed
+        if t in _INT_RANGES:
+            if spec.fmt is not None:
+                frag[present] = "null"
+                return frag, None
+            lo, hi = _INT_RANGES[t]
+            shaped = vv.str.match(_INT_FULL).fillna(False).to_numpy() & present
+            # fast path: <=18 digits always fits int64; longer goes per-value
+            short = shaped & (vv.str.len().fillna(0) <= 18).to_numpy()
+            long_tail = shaped & ~short
+            ivals = np.zeros(n, dtype="int64")
+            ok = short.copy()
+            if short.any():
+                ivals[short] = vv[short].astype("int64").to_numpy()
+            for i in np.nonzero(long_tail)[0]:  # 19+-digit boundary (rare)
+                iv = int(vv.iloc[i])
+                if lo <= iv <= hi:
+                    ivals[i] = iv
+                    ok[i] = True
+            ok = ok & (ivals >= lo) & (ivals <= hi)
+            strs = ivals.astype("U32").astype(object)
+            frag[present] = '""'
+            frag[ok] = strs[ok]
+            typed = np.where(ok, ivals, 0)
+            typed = pd.array(typed, dtype="Int64")
+            typed[~ok] = pd.NA
+            return frag, typed
+        if t in ("float", "double"):
+            if spec.fmt is not None:
+                frag[present] = "null"
+                return frag, None
+            stripped = vv.str.strip()
+            ok = stripped.str.match(_FP_FULL).fillna(False).to_numpy() & present
+            nums = pd.to_numeric(
+                stripped.str.replace(r"[fFdD]$", "", regex=True),
+                errors="coerce").to_numpy(dtype="float64", na_value=np.nan)
+            ok &= ~np.isnan(nums) | stripped.str.contains("NaN", regex=False).fillna(False).to_numpy()
+            fmt_fn = java_float_str if t == "float" else java_double_str
+            frag[present] = '""'
+            idx = np.nonzero(ok)[0]
+            for i in idx:  # numeric text layout (rare column type); small loop
+                frag[i] = fmt_fn(np.float32(nums[i]) if t == "float" else nums[i])
+            if t == "float":
+                typed = pd.array(np.where(ok, nums, np.nan).astype("float32"),
+                                 dtype="Float32")
+            else:
+                typed = pd.array(np.where(ok, nums, np.nan), dtype="Float64")
+            typed[~ok] = pd.NA
+            return frag, typed
+        if t == "boolean":
+            if spec.fmt is not None:
+                frag[present] = "null"
+                return frag, None
+            bv = vv.str.lower().eq("true").fillna(False).to_numpy()
+            frag[present] = "false"
+            frag[present & bv] = "true"
+            typed = pd.array(bv, dtype="boolean")
+            typed[~present] = pd.NA
+            return frag, typed
+        if t in ("date", "datetime"):
+            fmt = spec.fmt or _DEFAULT_DATETIME_FMT
+            try:
+                _sdf_to_regex(fmt)  # unsupported format letters → all fail→""
+            except Exception:
+                frag[present] = '""'
+                return frag, None
+            ms, ok = sdf_epoch_ms_vec(vv.fillna(""), fmt)
+            ok = ok & present
+            strs = ms.astype("U32").astype(object)
+            frag[present] = '""'
+            frag[ok] = strs[ok]
+            typed = pd.array(ms, dtype="Int64")
+            typed[~ok] = pd.NA
+            return frag, typed
+        # unknown type → Converter failure → ""
+        frag[present] = '""'
+        return frag, None
+
+    # -- main entry ------------------------------------------------------------
+
+    def parse_batch(self, text: pd.Series) -> pd.DataFrame:
+        n = len(text)
+        s = text.reset_index(drop=True).astype("string").fillna("")
+        blank = s.str.strip().eq("").to_numpy()
+        ext = s.str.extract(self.pattern(), expand=True)
+        matched = ext["grokm0"].notna().to_numpy() & ~blank
+
+        if self.slow_path:
+            return self._parse_batch_slow(s, matched)
+
+        # per-key contribution slots, in capture order
+        # key -> list of (has: bool ndarray, frag: object ndarray)
+        slots: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        typed_out: dict[str, Any] = {}
+        for spec in self.compiled.captures:
+            col = ext[spec.group] if spec.group in ext.columns else pd.Series(
+                [pd.NA] * n, dtype="string")
+            present = col.notna().to_numpy() & matched
+            absent = (~col.notna().to_numpy()) & matched
+            fkey = self._final_key(spec.key)
+            if fkey is not None:
+                frag, typed = self._convert(spec, col, present)
+                slots.setdefault(fkey, []).append((present & (frag != ""), frag))
+                if typed is not None and fkey not in typed_out:
+                    typed_out[fkey] = typed
+                elif fkey not in typed_out:
+                    typed_out[fkey] = None
+            # absent contribution goes to the RAW key (null entry)
+            rkey = self._final_key(spec.raw)
+            if rkey is not None and absent.any():
+                nullfrag = np.full(n, "", dtype=object)
+                nullfrag[absent] = "null"
+                slots.setdefault(rkey, []).append((absent, nullfrag))
+
+        # provenance constants: Java map.put OVERWRITES any parsed value
+        # (DefaultFileReader.java:275-277), so they REPLACE the key's slots
+        from log_collector_spark.grok.gson import gson_escape
+        for k, v in self.provenance.items():
+            pf = np.full(n, '"' + gson_escape(str(v)) + '"', dtype=object)
+            slots[k] = [(matched.copy(), pf)]
+
+        # resolve each key: scalar / list / omitted
+        entries: list[tuple[str, np.ndarray]] = []
+        for key in sorted(slots.keys()):
+            slist = slots[key]
+            cnt = np.zeros(n, dtype="int64")
+            acc = np.full(n, "", dtype=object)
+            for has, frag in slist:
+                cnt += has
+                if len(slist) == 1:
+                    acc = np.where(has, frag, acc)
+                else:
+                    acc = np.where(has, np.where(acc == "", frag, acc + "," + frag), acc)
+            from log_collector_spark.grok.gson import gson_escape as _ge
+            keyq = '"' + _ge(key) + '":'
+            single_null = (cnt == 1) & (acc == "null")
+            body = np.where(cnt >= 2, "[" + acc + "]", acc)
+            entry = np.where((cnt == 0) | single_null, "", keyq + body)
+            entries.append((key, entry.astype(object)))
+
+        joined = np.full(n, "", dtype=object)
+        for _, entry in entries:
+            joined = np.where(entry == "", joined,
+                              np.where(joined == "", entry, joined + "," + entry))
+        parsed_json = np.where(matched, "{" + joined + "}", None)
+
+        out = {"parse_ok": matched, "parsed_json": pd.Series(parsed_json, dtype=object)}
+        for key, _typ in self.typed_keys:
+            tv = typed_out.get(key)
+            if tv is None:
+                out[key] = pd.Series([None] * n, dtype=object)
+            else:
+                out[key] = pd.Series(tv)
+        return pd.DataFrame(out)
+
+    def _parse_batch_slow(self, s: pd.Series, matched: np.ndarray) -> pd.DataFrame:
+        """Per-batch Python loop fallback for expressions with ``;json`` captures
+        (dynamic key sets can't be assembled columnar)."""
+        recs = []
+        for i, line in enumerate(s):
+            if not matched[i]:
+                recs.append(None)
+                continue
+            rec = _oracle.parse_line(self.compiled, str(line))
+            rec = {**rec} if rec else None
+            recs.append(rec)
+        parsed_json = []
+        typed_cols: dict[str, list] = {k: [] for k, _ in self.typed_keys}
+        okl = []
+        for rec in recs:
+            if rec is None:
+                okl.append(False)
+                parsed_json.append(None)
+                for k in typed_cols:
+                    typed_cols[k].append(None)
+                continue
+            okl.append(True)
+            full = {**rec, **{k: v for k, v in self.provenance.items()}}
+            from log_collector_spark.grok.gson import gson_dumps
+            parsed_json.append(gson_dumps(full))
+            for k in typed_cols:
+                v = rec.get(k)
+                typed_cols[k].append(v if not isinstance(v, (dict, list)) else None)
+        out = {"parse_ok": np.array(okl), "parsed_json": pd.Series(parsed_json, dtype=object)}
+        for k, vals in typed_cols.items():
+            out[k] = pd.Series(vals, dtype=object)
+        return pd.DataFrame(out)

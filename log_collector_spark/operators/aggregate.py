@@ -1,0 +1,89 @@
+"""Aggregation operators (A1-A6) — all native Catalyst hash aggregations
+(partial + final, map-side combine for free).
+
+Semantics notes vs the reference:
+- success = parsed records (non-blank, non-oversize, parse_ok); error =
+  oversize OR parse failure; blank lines count toward ``lines`` only
+  (DefaultFileReader.java:252-304 increment sites),
+- minute buckets use CEIL (bucket label = minute END), not Spark's
+  floor-based ``window`` (metrics/ReaderMetrics.java:30) — computed as
+  ``ceil(ts_ms/60000)*60000`` natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def success_expr() -> Column:
+    return (~F.col("is_blank")) & (~F.col("is_oversize")) & F.col("parse_ok")
+
+
+def error_expr() -> Column:
+    return F.col("is_oversize") | \
+        ((~F.col("is_blank")) & (~F.col("is_oversize")) & (~F.col("parse_ok")))
+
+
+def success_error_counts(df: DataFrame, group_col: str = "directory") -> DataFrame:
+    """A1: per-source success/error counters (AbstractReader.java:32 +
+    increment sites)."""
+    return df.groupBy(group_col).agg(
+        F.sum(success_expr().cast("long")).alias("success"),
+        F.sum(error_expr().cast("long")).alias("error"),
+        F.count(F.lit(1)).alias("lines"),
+    )
+
+
+def ceil_minute_col(ts_ms: Column) -> Column:
+    """ReaderMetrics bucket key (ceil to minute end), exact integer math."""
+    return (F.ceil(ts_ms.cast("double") / F.lit(60000.0)) * 60000).cast("long")
+
+
+def minute_buckets(df: DataFrame, ts_ms_col: str,
+                   extra_group: list[str] | None = None) -> DataFrame:
+    """A2: per-minute event-time bucketed success counts."""
+    g = [ceil_minute_col(F.col(ts_ms_col)).alias("bucket_ms")] + \
+        [F.col(c) for c in (extra_group or [])]
+    return (df.filter(success_expr() & F.col(ts_ms_col).isNotNull())
+              .groupBy(*g).agg(F.count(F.lit(1)).alias("n")))
+
+
+def per_file_totals(df: DataFrame, file_col: str = "filename") -> DataFrame:
+    """A5: per-file line/error totals (DefaultFileReader.java:246-248)."""
+    return df.groupBy(file_col).agg(
+        F.count(F.lit(1)).alias("lines"),
+        F.sum(error_expr().cast("long")).alias("error"),
+    )
+
+
+def conversation_stats(df: DataFrame) -> DataFrame:
+    """Windowed per-conversation aggregates (SURVEY §2.8): turn counts, span,
+    per-role mix. Pure hash agg — one shuffle on conv_id."""
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("turn_idx").alias("max_turn_idx"),
+        F.min("ts").alias("started_at"),
+        F.max("ts").alias("ended_at"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("user_turns"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias("assistant_turns"),
+    )
+
+
+def tool_usage(df: DataFrame) -> DataFrame:
+    """Per-tool aggregate over enriched rows."""
+    return (df.filter(F.col("tool").isNotNull())
+            .groupBy("tool").agg(F.count(F.lit(1)).alias("n_turns"),
+                                 F.countDistinct("conv_id").alias("n_convs")))
+
+
+def turn_lag_features(df: DataFrame) -> DataFrame:
+    """Window functions over the stable turn order: previous role and
+    inter-turn gap (analytic layer the reference lacks; SURVEY §2.8)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (df
+            .withColumn("prev_role", F.lag("role").over(w))
+            .withColumn("gap_s",
+                        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+            .withColumn("turn_rank", F.row_number().over(w)))

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run each queries()[name]
+via Spark AND oracle_sql()[name] via DuckDB on the same sf tables, compare
+row count + schema-insensitive sorted values.
+
+Usage: python scripts/check_oracle.py [query ...]   (default: all)
+       SF_DIR=/root/testdata/sf0.01 python scripts/check_oracle.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    import datetime as dt
+    from decimal import Decimal
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (dt.datetime,)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from log_collector_spark.session import get_spark
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    wanted = sys.argv[1:]
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark = get_spark(master="local[8]", app_name="check-oracle",
+                      shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    failures = 0
+    for name, fn in qs.items():
+        if wanted and name not in wanted:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"[FAIL] {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(srows)} rows, cols={scols}")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"[FAIL] {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        sc, sn = norm_rows(scols, srows)
+        oc, on = norm_rows(ocols, orows)
+        if sc != oc:
+            print(f"[FAIL] {name}: column mismatch spark={sc} oracle={oc}")
+            failures += 1
+            continue
+        if len(sn) != len(on):
+            print(f"[FAIL] {name}: row count spark={len(sn)} oracle={len(on)}")
+            failures += 1
+            continue
+        bad = [(a, b) for a, b in zip(sn, on) if a != b]
+        if bad:
+            print(f"[FAIL] {name}: {len(bad)}/{len(sn)} value mismatches; first:")
+            for a, b in bad[:3]:
+                print(f"    spark : {a}\n    oracle: {b}")
+            failures += 1
+        else:
+            print(f"[OK]   {name}: {len(sn)} rows match")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

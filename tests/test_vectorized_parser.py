@@ -1,0 +1,151 @@
+"""Differential tests: the vectorized batch parser must be byte-identical to
+the single-row oracle (which encodes reference semantics) on every corpus."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from log_collector_spark.grok.compiler import GrokCompiler
+from log_collector_spark.grok.gson import gson_dumps
+from log_collector_spark.grok.oracle import parse_line
+from log_collector_spark.grok.vectorized import VectorizedGrokParser, sdf_epoch_ms_vec
+
+DEMO1_EXPR = (
+    r"\[%{NOTSPACE:logtype}\] "
+    r"\[%{CUSTOM_TIMESTAMP_ISO8601:logtime;date;yyyy-MM-dd HH:mm:ss}\] "
+    r"%{JSON:json_base_request}"
+)
+
+
+@pytest.fixture(scope="module")
+def compiler():
+    return GrokCompiler()
+
+
+def assert_matches_oracle(compiled, lines, provenance=None):
+    vp = VectorizedGrokParser(compiled, provenance=provenance)
+    out = vp.parse_batch(pd.Series(lines, dtype=object))
+    for i, line in enumerate(lines):
+        rec = parse_line(compiled, line) if line is not None else {}
+        if not rec:
+            assert not out["parse_ok"].iloc[i], f"row {i}: oracle fail, vec ok: {line!r}"
+            assert out["parsed_json"].iloc[i] is None
+        else:
+            assert out["parse_ok"].iloc[i], f"row {i}: oracle ok, vec fail: {line!r}"
+            if provenance:
+                rec = {**rec}
+                rec.update(provenance)
+            expected = gson_dumps(rec)
+            got = out["parsed_json"].iloc[i]
+            assert got == expected, f"row {i}: {line!r}\n  vec:    {got}\n  oracle: {expected}"
+    return out
+
+
+def test_demo1_corpus(compiler):
+    cg = compiler.compile(DEMO1_EXPR)
+    lines = [
+        '[elk] [2017-05-24 16:51:23] {"a":1,"b":"2"}',
+        '[web] [2017-05-24 16:52:05] {"path":"/x?a=1&b=<t>","n":3}',
+        "garbage line",
+        "",
+        "   ",
+        None,
+        '[api] [2017-05-24 23:59:59] {"k":"v"}',
+        '[x] [2017-13-45 99:99:99] {"k":1}',  # bogus date → conversion behavior
+        '[y] [2017-05-24 16:51:23] -',  # JSON pattern alt branch: '-'
+        '[z] [2017-05-24 16:51:23] ',  # JSON pattern alt branch: empty
+        '[quoted] [2017-05-24 16:51:23] {"s":"he said \\"hi\\""}',
+        '[uni] [2017-05-24 16:51:23] {"j":"日本語=<&>"}',
+    ]
+    out = assert_matches_oracle(cg, lines, provenance={
+        "directory": "dirA", "host": "10.0.0.1", "filename": "f.log"})
+    # typed column sanity
+    ms = int(dt.datetime(2017, 5, 24, 16, 51, 23,
+                         tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert out["logtime"].iloc[0] == ms
+    assert out["logtype"].iloc[0] == "elk"
+
+
+def test_typed_corpus(compiler):
+    cg = compiler.compile(
+        "%{WORD:w} %{NUMBER:n;int} %{NUMBER:d;double} %{NUMBER:f;float} "
+        "%{WORD:b;boolean} %{NOTSPACE:l;long}")
+    lines = [
+        "alpha 42 1.5 2.5 true 9999999999",
+        "beta 99999999999 0.001 1e8 TRUE -5",  # int overflow → ""
+        "gamma 7 1.0E7 .5 false 0",
+        "delta 1 NaN 3 nottrue 9223372036854775807",
+        "eps 2 4 5 X 9223372036854775808",  # long overflow → ""
+    ]
+    assert_matches_oracle(cg, lines)
+
+
+def test_duplicate_and_optional_groups(compiler):
+    cg = compiler.compile(r"%{WORD:w}( %{WORD:w})?( %{WORD:other})?")
+    lines = ["foo bar baz", "foo bar", "foo", "foo !"]
+    assert_matches_oracle(cg, lines)
+
+
+def test_unwanted_and_lists(compiler):
+    # IP pattern expands to UNWANTED subcaptures + duplicate-key collection
+    cg = compiler.compile(r"%{IP:ip} %{QS:q}")
+    lines = ['127.0.0.1 "hello world"', "10.1.2.3 'single'", "bad x"]
+    assert_matches_oracle(cg, lines)
+
+
+def test_commonapachelog_typed(compiler):
+    cg = compiler.compile("%{COMMONAPACHELOG_DATATYPED}")
+    lines = [
+        '127.0.0.1 true frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /a.gif HTTP/1.0" 200 2326',
+        '10.0.0.5 false - [24/May/2017:16:51:23 +0800] '
+        '"POST /api HTTP/1.1" 500 -',
+        "not a log",
+    ]
+    assert_matches_oracle(cg, lines)
+
+
+def test_sdf_vectorized_matches_scalar():
+    from log_collector_spark.grok.converters import parse_sdf_epoch_ms
+    cases = [
+        ("2017-05-24 16:51:23", "yyyy-MM-dd HH:mm:ss"),
+        ("2017-05-24T16:51:23+08:00", "yyyy-MM-dd'T'HH:mm:ssXXX"),
+        ("10/Oct/2000:13:55:36 -0700", "dd/MMM/yyyy:HH:mm:ss Z"),
+        ("2020-02-29 00:00:00", "yyyy-MM-dd HH:mm:ss"),  # leap day
+        ("1999-12-31 23:59:59", "yyyy-MM-dd HH:mm:ss"),
+        ("2017-05-24 16:51:23.987", "yyyy-MM-dd HH:mm:ss.SSS"),
+    ]
+    for value, fmt in cases:
+        ms, ok = sdf_epoch_ms_vec(pd.Series([value], dtype="string"), fmt)
+        assert ok[0], (value, fmt)
+        assert ms[0] == parse_sdf_epoch_ms(value, fmt), (value, fmt)
+    # invalid cases
+    for value, fmt in [("2019-02-29 00:00:00", "yyyy-MM-dd HH:mm:ss"),
+                       ("garbage", "yyyy-MM-dd"),
+                       ("2017-13-01 00:00:00", "yyyy-MM-dd HH:mm:ss")]:
+        ms, ok = sdf_epoch_ms_vec(pd.Series([value], dtype="string"), fmt)
+        assert not ok[0], (value, fmt)
+
+
+def test_large_batch_consistency(compiler):
+    """Bulk randomized corpus: every row must equal the oracle."""
+    rng = np.random.RandomState(7)
+    cg = compiler.compile(DEMO1_EXPR)
+    logtypes = ["elk", "web", "api", "svc-1"]
+    lines = []
+    for i in range(2000):
+        r = rng.rand()
+        if r < 0.02:
+            lines.append("malformed " + str(i))
+        elif r < 0.025:
+            lines.append("")
+        else:
+            ts = 1495644683 + int(rng.randint(0, 100000))
+            t = dt.datetime.fromtimestamp(ts, dt.timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S")
+            payload = '{"a":%d,"b":"x%d"}' % (i, i)
+            lines.append(f"[{logtypes[i % 4]}] [{t}] {payload}")
+    out = assert_matches_oracle(cg, lines)
+    assert out["parse_ok"].sum() > 1900

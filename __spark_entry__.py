@@ -48,9 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full transcripts pipeline at sf0.001 → per-sink tallies
     joined with success/error counters (north_rule metric surface)."""
     routed = pl.full_pipeline(spark, "/root/testdata/sf0.001")
-    tallies = route_ops.sink_tallies(routed)
-    counters = agg_ops.success_error_counts(routed, "directory")
-    return tallies.crossJoin(F.broadcast(counters))
+    return agg_ops.pipeline_metrics(routed, "directory")
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +197,84 @@ def q_tx_per_turn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("conv_id", "turn_idx", "parsed_json"))
 
 
+# ---------------------------------------------------------------------------
+# training-data operators over documents/embeddings (textops package)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality features + keep/drop flag (pretraining filter)."""
+    from log_collector_spark.textops import analysis as A
+    return A.quality_features(_docs(spark, sf_dir))
+
+
+def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK language-ID heuristic."""
+    from log_collector_spark.textops import analysis as A
+    return A.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 + 60-bit document fingerprints."""
+    from log_collector_spark.textops import analysis as A
+    return A.fingerprint(_docs(spark, sf_dir))
+
+
+def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary via fingerprint hash-groupBy."""
+    from log_collector_spark.textops import dedup as D
+    return D.exact_dedup_summary(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: 3-gram shingle Jaccard >= 0.3, inverted-index join."""
+    from log_collector_spark.textops import dedup as D
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms) + LSH(4 bands) candidates, exactly verified."""
+    from log_collector_spark.textops import dedup as D
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 pairs within hamming<=3 via lossless byte-band blocking."""
+    from log_collector_spark.textops import dedup as D
+    return D.simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH bucket + integer-cosine verify."""
+    from log_collector_spark.textops import dedup as D
+    return D.embedding_neardup_pairs(_embs(spark, sf_dir))
+
+
+def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (broadcast queries, windowed rank)."""
+    from log_collector_spark.textops import similarity as S
+    return S.brute_force_topk(_embs(spark, sf_dir))
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k with Hamming-1 multiprobe."""
+    from log_collector_spark.textops import similarity as S
+    return S.lsh_ann_topk(_embs(spark, sf_dir))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → mapInPandas feature extraction (stub decode)."""
+    from log_collector_spark.textops import multimodal as M
+    return M.fake_features(M.media_from_documents(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -211,6 +287,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats_events": q_conversation_stats_events,
         "tx_sink_tallies": q_tx_sink_tallies,
         "tx_per_turn_json": q_tx_per_turn_json,
+        "quality_score_documents": q_quality_score_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk_brute": q_ann_topk_brute,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -299,4 +386,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # tx_* queries: transcripts table is engine-generated; the strong
         # byte-equality oracle lives in tests/test_pipeline_spark.py
+        "quality_score_documents": _ta().sql_quality_features(),
+        "lang_id_documents": _ta().sql_lang_id(),
+        "fingerprint_documents": _ta().sql_fingerprint(),
+        "exact_dedup_documents": _td().sql_exact_dedup_summary(),
+        "ngram_jaccard_pairs": _td().sql_ngram_jaccard_pairs(),
+        "minhash_lsh_pairs": _td().sql_minhash_lsh_pairs(),
+        "simhash_pairs": _td().sql_simhash_pairs(),
+        "embedding_neardup": _td().sql_embedding_neardup_pairs(),
+        "ann_topk_brute": _ts().sql_brute_force_topk(),
+        "ann_topk_lsh": _ts().sql_lsh_ann_topk(),
+        "multimodal_features": _tm().sql_fake_features(),
     }
+
+
+def _ta():
+    from log_collector_spark.textops import analysis
+    return analysis
+
+
+def _td():
+    from log_collector_spark.textops import dedup
+    return dedup
+
+
+def _ts():
+    from log_collector_spark.textops import similarity
+    return similarity
+
+
+def _tm():
+    from log_collector_spark.textops import multimodal
+    return multimodal

@@ -36,6 +36,19 @@ def success_error_counts(df: DataFrame, group_col: str = "directory") -> DataFra
     )
 
 
+def pipeline_metrics(df: DataFrame, group_col: str = "directory") -> DataFrame:
+    """ONE-PASS metric surface: a single shuffle on (group_col, sink) yields a
+    tiny frame from which both per-sink tallies (A6) and per-source
+    success/error counters (A1) are derivable driver-side — the flagship job
+    must not recompute the parse stage once per aggregate (at 100 TB the scan
+    dominates; N aggregates over one scan, not N scans)."""
+    return df.groupBy(group_col, "sink").agg(
+        F.count(F.lit(1)).alias("lines"),
+        F.sum(success_expr().cast("long")).alias("success"),
+        F.sum(error_expr().cast("long")).alias("error"),
+    )
+
+
 def ceil_minute_col(ts_ms: Column) -> Column:
     """ReaderMetrics bucket key (ceil to minute end), exact integer math."""
     return (F.ceil(ts_ms.cast("double") / F.lit(60000.0)) * 60000).cast("long")

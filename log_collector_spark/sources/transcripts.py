@@ -157,13 +157,20 @@ def tool_lookup_df() -> pd.DataFrame:
 
 
 def write_transcripts(path: str, n_turns: int, seed: int = 42,
-                      partitions: int = 8) -> str:
+                      partitions: int | None = None) -> str:
     """Write the transcripts parquet (multi-file so Spark scans in parallel).
-    Idempotent: skips when the marker for (n_turns, seed) already exists."""
+    Idempotent: skips when the marker for (n_turns, seed) already exists.
+
+    File count scales with rows (~10k rows/file, 8..128) so task parallelism
+    isn't capped below the core count — at sf0.1 (1.2M turns) that's 120
+    scan/parse tasks, enough to saturate local[32] and to make the
+    local[8]-vs-local[32] scaling comparison meaningful."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    marker = os.path.join(path, f"_GENERATED_{n_turns}_{seed}")
+    if partitions is None:
+        partitions = max(8, min(128, n_turns // 10_000))
+    marker = os.path.join(path, f"_GENERATED_{n_turns}_{seed}_{partitions}")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)

@@ -1,0 +1,188 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting.
+
+All native Catalyst expressions (whole-stage codegen, no Python in the hot
+path); every scoring output is an integer/boolean/string so the DuckDB oracle
+hashes identically. At 100 TB these run as a single narrow projection over
+the documents scan — no shuffle at all until the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from log_collector_spark.textops import common as C
+
+# "BPE-ish" lexer: letter runs, digit runs, single other-symbols — the shape
+# of a byte-pair pre-tokenizer's coarse split (public GPT-2 style pattern,
+# simplified to stay identical across regex engines).
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny deterministic stopword lists for the n-gram language heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "du", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "que", "por", "con"],
+}
+CJK_REGEX = r"[一-鿿]"
+# deterministic tie-break: priority order when scores are equal
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(C.tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish lexemes (letters run / digits run / symbol)."""
+    return F.regexp_count(text, F.lit(BPE_ISH)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer quality features + a rule-based keep/drop flag.
+
+    Mirrors the usual pretraining quality filters (length bounds, symbol
+    ratio, stopword presence, word-length sanity) with pure integer
+    comparisons so the oracle matches exactly.
+    """
+    text = F.col(text_col)
+    toks = C.tokens(text)
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_alpha = F.regexp_count(text, F.lit(r"[A-Za-z]")).cast("long")
+    n_digit = F.regexp_count(text, F.lit(r"[0-9]")).cast("long")
+    n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]")).cast("long")
+    n_stop = F.size(F.filter(
+        toks, lambda t: F.array_contains(
+            F.lit(LANG_STOPWORDS["en"]).cast("array<string>"), F.lower(t)))
+    ).cast("long")
+    # keep: 10..10000 chars, >=5 tokens, alpha majority (2*alpha > chars),
+    # punct <= 20% of chars, mean word length 2..20 (integer cross-multiply)
+    keep = (
+        (n_chars >= 10) & (n_chars <= 10000) & (n_tokens >= 5)
+        & (n_alpha * 2 > n_chars)
+        & (n_punct * 5 <= n_chars)
+        & (n_chars >= n_tokens * 2) & (n_chars <= n_tokens * 21)
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        bpe_ish_token_count(text).alias("n_bpe_tokens"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        keep.alias("quality_keep"),
+    )
+
+
+def sql_quality_features(table: str = "documents") -> str:
+    tok = C.sql_tokens("text")
+    stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len({tok}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter({tok}, t -> list_contains([{stop}], lower(t)))) AS BIGINT) AS n_stopwords
+            FROM {table}
+        )
+        SELECT *, (n_chars >= 10 AND n_chars <= 10000 AND n_tokens >= 5
+                   AND n_alpha * 2 > n_chars
+                   AND n_punct * 5 <= n_chars
+                   AND n_chars >= n_tokens * 2 AND n_chars <= n_tokens * 21)
+                  AS quality_keep
+        FROM base
+    """
+
+
+def lang_scores(text: Column) -> list[Column]:
+    toks = C.tokens(F.lower(text))
+
+    def _counter(words: list[str]):
+        lst = F.lit(words).cast("array<string>")
+        return lambda t: F.array_contains(lst, t)
+
+    return [
+        F.size(F.filter(toks, _counter(LANG_STOPWORDS[lang]))).cast("long")
+         .alias(f"score_{lang}")
+        for lang in LANG_ORDER
+    ]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language heuristic.
+
+    CJK characters present → ``zh``; otherwise the stopword-hit argmax over
+    the per-language lists (ties broken by LANG_ORDER); no hits → ``und``.
+    """
+    text = F.col(text_col)
+    scored = df.select("doc_id", "lang", *lang_scores(text),
+                       (F.regexp_count(text, F.lit(CJK_REGEX)) > 0).alias("has_cjk"))
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in reversed(LANG_ORDER):  # earlier langs win ties → apply last
+        sc = F.col(f"score_{lang}")
+        cond = sc >= F.greatest(best_score, F.lit(1))
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, sc).otherwise(best_score)
+    pred = F.when(F.col("has_cjk"), F.lit("zh")).otherwise(best)
+    return scored.select("doc_id", "lang",
+                         pred.alias("pred_lang"),
+                         *[F.col(f"score_{lang}") for lang in LANG_ORDER])
+
+
+def sql_lang_id(table: str = "documents") -> str:
+    tok = C.sql_tokens("lower(text)")
+    score_cols = ", ".join(
+        "CAST(len(list_filter({tok}, t -> list_contains([{lst}], t))) AS BIGINT)"
+        " AS score_{lang}".format(
+            tok=tok,
+            lst=", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]),
+            lang=lang)
+        for lang in LANG_ORDER)
+    # argmax with >= going right-to-left == earlier language wins ties
+    pred = "'und'"
+    best = "CAST(0 AS BIGINT)"
+    for lang in reversed(LANG_ORDER):
+        pred = (f"CASE WHEN score_{lang} >= greatest({best}, 1) "
+                f"THEN '{lang}' ELSE {pred} END")
+        best = f"greatest({best}, score_{lang})"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang, {score_cols},
+                   len(regexp_extract_all(text, '{CJK_REGEX}')) > 0 AS has_cjk
+            FROM {table}
+        )
+        SELECT doc_id, lang,
+               CASE WHEN has_cjk THEN 'zh' ELSE {pred} END AS pred_lang,
+               {', '.join('score_' + lang for lang in LANG_ORDER)}
+        FROM scored
+    """
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized lowercase text
+    (exact-dup key) + 60-bit integer fingerprint (cheap join key)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        C.h60(norm).alias("fp_h60"),
+    )
+
+
+def sql_fingerprint(table: str = "documents") -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+        SELECT doc_id, md5({norm}) AS fp_md5, {C.sql_h60(norm)} AS fp_h60
+        FROM {table}
+    """

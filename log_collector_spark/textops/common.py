@@ -1,0 +1,84 @@
+"""Cross-engine deterministic primitives shared by the textops operators.
+
+Every operator here must produce byte-identical results in Spark and in the
+DuckDB oracle, so all arithmetic is integer/hash based (no float summation
+order hazards):
+
+- ``h60(s)``: 60-bit hash = first 15 hex chars of md5(s) as BIGINT. Both
+  engines compute md5 over UTF-8 bytes; 15 hex digits < 2^60 is positive in
+  both.
+- tokens: regex whitespace split with empties dropped,
+- shingles: word k-grams joined with a single space,
+- quantized embeddings: round(x * 1000) as BIGINT (exact integer dot
+  products; doubles never cross an engine boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+H60_HEX_LEN = 15
+EMB_SCALE = 1000
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+def h60(col: Column) -> Column:
+    """60-bit md5-prefix hash (cross-engine deterministic)."""
+    return F.conv(F.substring(F.md5(col), 1, H60_HEX_LEN), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def shingles(tok: Column, k: int) -> Column:
+    """Word k-gram shingles (space-joined); [] when fewer than k tokens."""
+    n = F.size(tok)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.array_join(F.slice(tok, i, k), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def quantized_embedding(col: Column) -> Column:
+    """array<float> → array<bigint> via round(x*1000) (half-up, like DuckDB
+    round()); integer dot products are then exact in both engines."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * EMB_SCALE, 0).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side (SQL fragment builders — same constants, same math)
+# ---------------------------------------------------------------------------
+
+
+def sql_h60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {H60_HEX_LEN})) AS BIGINT)"
+
+
+def sql_tokens(expr: str) -> str:
+    return f"list_filter(string_split_regex({expr}, '\\s+'), x -> x <> '')"
+
+
+def sql_shingles(tok_expr: str, k: int) -> str:
+    return (
+        f"CASE WHEN len({tok_expr}) >= {k} THEN "
+        f"list_transform(range(1, len({tok_expr}) - {k} + 2), "
+        f"i -> array_to_string(list_slice({tok_expr}, i, i + {k - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def sql_quantized_embedding(expr: str) -> str:
+    return (f"list_transform({expr}, "
+            f"x -> CAST(round(CAST(x AS DOUBLE) * {EMB_SCALE}, 0) AS BIGINT))")

@@ -1,0 +1,421 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the point of each implementation):
+
+- **exact**: hash-groupBy on a 128-bit fingerprint — one shuffle of
+  (hash, doc_id), never of the text itself.
+- **n-gram Jaccard**: inverted-index self-join on shingles (explode →
+  join → count = |A∩B|), the standard all-pairs-similarity plan: work is
+  proportional to co-occurring shingles, not |docs|². ``max_df`` optionally
+  drops ubiquitous shingles (hot join keys → skew) at a small recall cost.
+- **MinHash+LSH**: 8 permutations → 4 bands × 2 rows; candidates = band-bucket
+  join; candidates are then EXACTLY verified (array_intersect Jaccard), so
+  LSH only affects recall, never precision.
+- **SimHash**: 32-bit sign-fingerprint; pairs via 4-byte-band pigeonhole
+  blocking (LOSSLESS for hamming ≤ 3: 4 disjoint bands can't all differ) then
+  exact hamming filter — result is identical to the O(n²) scan.
+- **embedding near-dup**: sign-LSH over seeded integer hyperplanes → bucket
+  join → exact integer-cosine verify.
+
+Everything is integer/hash arithmetic (see textops/common.py) so each
+operator has a value-identical DuckDB oracle, generated here from the SAME
+constants.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from log_collector_spark.textops import common as C
+
+SHINGLE_K = 3
+# Jaccard threshold as exact fraction num/den (integer cross-multiply)
+JACCARD_NUM, JACCARD_DEN = 3, 10
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+NUM_PERM, BANDS, ROWS_PER_BAND = 8, 4, 2
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_PERM)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_PERM)]
+
+SIMHASH_BITS = 32
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_BANDS = 4  # lossless blocking needs bands > hamming_max
+
+EMB_LSH_PLANES = 8
+_rng2 = random.Random(1337)
+# 8 hyperplanes × 64 dims of small ints (embedded verbatim into the oracle)
+EMB_PLANES = [[_rng2.randrange(-50, 51) for _ in range(64)]
+              for _ in range(EMB_LSH_PLANES)]
+# near-dup: cos >= sqrt(0.20) ≈ 0.447 — expressed as dot² * 100 >= 20·|a|²·|b|²
+# (threshold tuned to the synthetic embeddings' similarity range; real
+# near-dup corpora would use ~0.95+)
+EMB_COS2_NUM, EMB_COS2_DEN = 20, 100
+# near-dup bucketing uses fewer planes than ANN (recall at moderate cosine)
+EMB_ND_PLANES = 4
+
+
+def _norm_text(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-dup stats via hash-groupBy (one narrow shuffle of
+    (md5, 1) pairs — the text never moves)."""
+    groups = (df.select(F.md5(_norm_text(F.col(text_col))).alias("fp"))
+                .groupBy("fp").agg(F.count(F.lit(1)).alias("n")))
+    return groups.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("n_dup_docs"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+
+
+def sql_exact_dedup_summary(table: str = "documents") -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH g AS (SELECT md5({norm}) AS fp, COUNT(*) AS n
+                   FROM {table} GROUP BY 1)
+        SELECT SUM(n) AS n_docs,
+               COUNT(*) AS n_distinct,
+               SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_dup_docs,
+               SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+        FROM g
+    """
+
+
+# ---------------------------------------------------------------------------
+# shingle machinery
+# ---------------------------------------------------------------------------
+
+def doc_shingles(df: DataFrame, text_col: str = "text",
+                 k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingles: array<string> DISTINCT, n_shingles)."""
+    sh = F.array_distinct(C.shingles(C.tokens(F.col(text_col)), k))
+    return df.select("doc_id", sh.alias("shingles")) \
+             .withColumn("n_shingles", F.size("shingles")) \
+             .filter(F.col("n_shingles") > 0)
+
+
+def _sql_doc_shingles(table: str, k: int) -> str:
+    sh = C.sql_shingles(C.sql_tokens("text"), k)
+    return (f"SELECT doc_id, list_distinct({sh}) AS shingles, "
+            f"len(list_distinct({sh})) AS n_shingles "
+            f"FROM {table} WHERE len(list_distinct({sh})) > 0")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        k: int = SHINGLE_K,
+                        num: int = JACCARD_NUM, den: int = JACCARD_DEN,
+                        max_df: int | None = None) -> DataFrame:
+    """All pairs with shingle-Jaccard >= num/den, via inverted-index join.
+
+    ``max_df``: drop shingles appearing in more than max_df docs before the
+    self-join (skew guard for web-scale corpora; changes recall — leave None
+    for oracle-checked runs).
+    """
+    docs = doc_shingles(df, text_col, k)
+    inv = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        hot = (inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+                  .filter(F.col("df") > max_df).select("sh"))
+        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sizes = docs.select("doc_id", "n_shingles")
+    out = (inter
+           .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                      .withColumnRenamed("n_shingles", "size_b"), "doc_b"))
+    union = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return (out.withColumn("uni", union.cast("long"))
+               .filter(F.col("inter") * den >= F.lit(num) * F.col("uni"))
+               .select("doc_a", "doc_b", F.col("inter").cast("long").alias("inter"),
+                       "uni"))
+
+
+def sql_ngram_jaccard_pairs(table: str = "documents",
+                            k: int = SHINGLE_K,
+                            num: int = JACCARD_NUM,
+                            den: int = JACCARD_DEN) -> str:
+    return f"""
+        WITH docs AS ({_sql_doc_shingles(table, k)}),
+        inv AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.inter AS BIGINT) AS inter,
+               CAST(sa.n_shingles + sb.n_shingles - i.inter AS BIGINT) AS uni
+        FROM inter i
+        JOIN docs sa ON sa.doc_id = i.doc_a
+        JOIN docs sb ON sb.doc_id = i.doc_b
+        WHERE i.inter * {den} >= {num} * (sa.n_shingles + sb.n_shingles - i.inter)
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, mh_0..mh_{NUM_PERM-1}) — one shuffle (groupBy doc_id) over the
+    exploded shingle stream; the NUM_PERM mins are map-side-combined."""
+    docs = doc_shingles(df, text_col, k)
+    h = (C.h60(F.col("sh")) % MINHASH_P).alias("h")
+    exploded = docs.select("doc_id", F.explode("shingles").alias("sh")) \
+                   .select("doc_id", h)
+    aggs = [F.min((F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P)
+            .alias(f"mh_{i}") for i in range(NUM_PERM)]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash_signatures(table: str, k: int) -> str:
+    hh = C.sql_h60("sh")
+    mins = ", ".join(
+        f"MIN((({hh} % {MINHASH_P}) * {MINHASH_A[i]} + {MINHASH_B[i]})"
+        f" % {MINHASH_P}) AS mh_{i}" for i in range(NUM_PERM))
+    return f"""
+        SELECT doc_id, {mins}
+        FROM (SELECT doc_id, unnest(shingles) AS sh
+              FROM ({_sql_doc_shingles(table, k)}))
+        GROUP BY doc_id
+    """
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      k: int = SHINGLE_K,
+                      num: int = JACCARD_NUM, den: int = JACCARD_DEN
+                      ) -> DataFrame:
+    """Near-dup pairs: LSH band-bucket candidates, exactly verified.
+
+    Verification joins each candidate pair back to its distinct-shingle
+    arrays and computes true Jaccard with array_intersect — LSH can only
+    lose pairs (recall), never emit a wrong one (precision)."""
+    sigs = minhash_signatures(df, text_col, k)
+    bands = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}")
+                for r in range(ROWS_PER_BAND)]
+        sig = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        bands.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bs")) \
+                 .select("doc_id", "bs.band", "bs.sig")
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    cand = (a.join(b2, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.sig") == F.col("b.sig")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    docs = doc_shingles(df, text_col, k)
+    out = (cand
+           .join(docs.select(F.col("doc_id").alias("doc_a"),
+                             F.col("shingles").alias("sh_a"),
+                             F.col("n_shingles").alias("size_a")), "doc_a")
+           .join(docs.select(F.col("doc_id").alias("doc_b"),
+                             F.col("shingles").alias("sh_b"),
+                             F.col("n_shingles").alias("size_b")), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = (F.col("size_a") + F.col("size_b")).cast("long") - inter
+    return (out.select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
+               .filter(F.col("inter") * den >= F.lit(num) * F.col("uni")))
+
+
+def sql_minhash_lsh_pairs(table: str = "documents", k: int = SHINGLE_K,
+                          num: int = JACCARD_NUM,
+                          den: int = JACCARD_DEN) -> str:
+    band_rows = ", ".join(
+        "({b}, md5(CAST(mh_{i0} AS VARCHAR) || ',' || CAST(mh_{i1} AS VARCHAR)))"
+        .format(b=b, i0=b * ROWS_PER_BAND, i1=b * ROWS_PER_BAND + 1)
+        for b in range(BANDS))
+    return f"""
+        WITH sigs AS ({_sql_minhash_signatures(table, k)}),
+        banded AS (
+            SELECT doc_id, t.band, t.sig
+            FROM sigs, LATERAL (VALUES {band_rows}) AS t(band, sig)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        docs AS ({_sql_doc_shingles(table, k)})
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(da.shingles, db.shingles)) AS BIGINT) AS inter,
+               CAST(da.n_shingles + db.n_shingles
+                    - len(list_intersect(da.shingles, db.shingles)) AS BIGINT) AS uni
+        FROM cand c
+        JOIN docs da ON da.doc_id = c.doc_a
+        JOIN docs db ON db.doc_id = c.doc_b
+        WHERE len(list_intersect(da.shingles, db.shingles)) * {den}
+              >= {num} * (da.n_shingles + db.n_shingles
+                          - len(list_intersect(da.shingles, db.shingles)))
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 32-bit sign fingerprint over token hashes
+    (duplicates weighted). One explode + one groupBy with 32 sums."""
+    tok = df.select("doc_id",
+                    F.explode(C.tokens(F.col(text_col))).alias("t"))
+    h32 = C.h60(F.col("t")).bitwiseAND(
+        F.lit((1 << SIMHASH_BITS) - 1).cast("long")).alias("h")
+    tok = tok.select("doc_id", h32)
+    sums = [F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
+                  .otherwise(-1)).alias(f"s_{j}")
+            for j in range(SIMHASH_BITS)]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    sh: Column = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"s_{j}") > 0,
+                         F.lit(1 << j).cast("long")).otherwise(0)
+    return agg.select("doc_id", sh.alias("simhash"))
+
+
+def _sql_simhash(table: str) -> str:
+    hh = C.sql_h60("t")
+    sums = ", ".join(
+        f"SUM(CASE WHEN (({hh} & {(1 << SIMHASH_BITS) - 1}) >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s_{j}" for j in range(SIMHASH_BITS))
+    bits = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS))
+    return f"""
+        SELECT doc_id, {bits} AS simhash FROM (
+            SELECT doc_id, {sums}
+            FROM (SELECT doc_id, unnest({C.sql_tokens('text')}) AS t
+                  FROM {table})
+            GROUP BY doc_id
+        )
+    """
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
+    """Pairs with simhash hamming distance <= max_hamming.
+
+    Blocking: split the 32-bit hash into SIMHASH_BANDS bytes and join on
+    per-byte equality — LOSSLESS for max_hamming < SIMHASH_BANDS (pigeonhole:
+    <=3 differing bits cannot touch all 4 disjoint bytes), so the result
+    equals the brute-force O(n²) scan the oracle runs."""
+    assert max_hamming < SIMHASH_BANDS
+    sh = simhash(df, text_col)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * width)
+                  .bitwiseAND((1 << width) - 1).alias("byte"))
+        for b in range(SIMHASH_BANDS)])
+    banded = sh.select("doc_id", "simhash", F.explode(bands).alias("bs")) \
+               .select("doc_id", "simhash", "bs.band", "bs.byte")
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b2, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.byte") == F.col("b.byte")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
+def sql_simhash_pairs(table: str = "documents",
+                      max_hamming: int = SIMHASH_HAMMING_MAX) -> str:
+    return f"""
+        WITH sh AS ({_sql_simhash(table)})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (sign-LSH buckets + exact integer-cosine verify)
+# ---------------------------------------------------------------------------
+
+def _emb_bucket(q: Column, n_planes: int | None = None) -> Column:
+    """Sign-LSH bucket: bit j = (dot(q, plane_j) > 0)."""
+    planes = EMB_PLANES if n_planes is None else EMB_PLANES[:n_planes]
+    bucket: Column = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        dot = C.int_dot(q, F.lit(plane).cast("array<bigint>"))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return bucket
+
+
+def embedding_neardup_pairs(df: DataFrame,
+                            vec_col: str = "embedding") -> DataFrame:
+    """(vec_a, vec_b, dot) pairs in the same sign-LSH bucket with
+    cos² >= EMB_COS2_NUM/EMB_COS2_DEN and dot > 0 (exact integer verify)."""
+    q = df.select("vec_id",
+                  C.quantized_embedding(F.col(vec_col)).alias("q"))
+    q = q.withColumn("norm2", C.int_dot(F.col("q"), F.col("q"))) \
+         .withColumn("bucket", _emb_bucket(F.col("q"), EMB_ND_PLANES))
+    a = q.alias("a")
+    b = q.alias("b")
+    dot = C.int_dot(F.col("a.q"), F.col("b.q"))
+    out = (a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
+                  (F.col("a.vec_id") < F.col("b.vec_id")))
+           .select(F.col("a.vec_id").alias("vec_a"),
+                   F.col("b.vec_id").alias("vec_b"),
+                   dot.alias("dot"),
+                   F.col("a.norm2").alias("norm2_a"),
+                   F.col("b.norm2").alias("norm2_b")))
+    keep = (F.col("dot") > 0) & \
+        (F.col("dot") * F.col("dot") * EMB_COS2_DEN >=
+         F.lit(EMB_COS2_NUM) * F.col("norm2_a") * F.col("norm2_b"))
+    return out.filter(keep).select("vec_a", "vec_b", "dot")
+
+
+def sql_embedding_neardup_pairs(table: str = "embeddings") -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    bucket_terms = " + ".join(
+        "CASE WHEN CAST(list_dot_product(q, {plane}::BIGINT[]) AS BIGINT) > 0 "
+        "THEN CAST({bit} AS BIGINT) ELSE 0 END".format(
+            plane=str(plane), bit=1 << j)
+        for j, plane in enumerate(EMB_PLANES[:EMB_ND_PLANES]))
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), qq AS (
+            SELECT vec_id, q,
+                   CAST(list_dot_product(q, q) AS BIGINT) AS norm2,
+                   {bucket_terms} AS bucket
+            FROM q
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+        FROM qq a JOIN qq b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
+          AND CAST(list_dot_product(a.q, b.q) AS BIGINT)
+              * CAST(list_dot_product(a.q, b.q) AS BIGINT) * {EMB_COS2_DEN}
+              >= {EMB_COS2_NUM} * a.norm2 * b.norm2
+    """

@@ -197,6 +197,79 @@ def q_tx_per_turn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("conv_id", "turn_idx", "parsed_json"))
 
 
+def q_csv_parse_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: CSV split + typed dimensions with defaults (CSVParser.java:57-78).
+
+    Lines are synthesized from lineitem columns (orderkey,lineno,flag,ship);
+    %5 rows carry a blank flag (→ default 'X'), %13 rows are truncated to two
+    fields (absent → default/dropped). The oracle recomputes the expected
+    typed values straight from the source columns (generation ground truth).
+    """
+    from log_collector_spark.operators.csv import CsvDimension, csv_parse
+    li = _tbl(spark, sf_dir, "lineitem")
+    flag = F.when(F.col("l_linenumber") % 5 == 0, F.lit("")) \
+            .otherwise(F.col("l_returnflag"))
+    full = F.concat_ws(
+        ",", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"), flag,
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"))
+    short = F.concat_ws(",", F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"))
+    line = F.when(F.col("l_orderkey") % 13 == 0, short).otherwise(full)
+    df = li.select(F.col("l_orderkey").alias("src_key"),
+                   F.col("l_linenumber").alias("src_line"),
+                   line.alias("text"))
+    dims = [CsvDimension("okey", "long"),
+            CsvDimension("lineno", "int"),
+            CsvDimension("flag", "string", default="X"),
+            CsvDimension("ship", "date", format="yyyy-MM-dd HH:mm:ss")]
+    out = csv_parse(df, dims)
+    return out.select("src_key", "src_line", "okey",
+                      F.col("lineno").cast("int").alias("lineno"),
+                      "flag", "ship", "csv_ok")
+
+
+def q_multiline_assemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: multi-line record assembly (window-sum record ids, no-separator
+    concat — MultiLineFileReader.java:309-358). Lines synthesized from
+    events: every event is a first line; %5 events add two continuation
+    lines; %11 events add a blank line (skipped)."""
+    from log_collector_spark.operators.multiline import assemble
+    ev = _events(spark, sf_dir)
+    first = F.concat(F.lit("["), ev["event_type"], F.lit("] e"),
+                     ev["event_id"].cast("string"))
+    cont1 = F.when(ev["event_id"] % 5 == 0,
+                   F.concat(F.lit("  at frame/"), ev["event_id"].cast("string")))
+    cont2 = F.when(ev["event_id"] % 5 == 0, F.lit("  at deeper/frame"))
+    blank = F.when(ev["event_id"] % 11 == 0, F.lit(""))
+    lines = ev.select(
+        F.concat(F.lit("f"), (ev["event_id"] % 4).cast("string")).alias("filename"),
+        F.explode(F.array(
+            F.struct((ev["event_id"] * 4).alias("line_no"), first.alias("text")),
+            F.struct((ev["event_id"] * 4 + 1).alias("line_no"), cont1.alias("text")),
+            F.struct((ev["event_id"] * 4 + 2).alias("line_no"), cont2.alias("text")),
+            F.struct((ev["event_id"] * 4 + 3).alias("line_no"), blank.alias("text")),
+        )).alias("l"),
+    ).select("filename", "l.line_no", "l.text").filter(F.col("text").isNotNull())
+    return assemble(lines, r"\[.*")
+
+
+def q_delta_minute_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: delta (incremental) metric emission — current minus previous
+    bucket (ReaderMetrics.java:41-83), batch analog via lag window."""
+    ev = _events(spark, sf_dir)
+    bucket = (F.ceil(F.unix_micros(F.date_trunc("second",
+                                                F.col("ts").cast("timestamp"))) /
+                     F.lit(60000000.0)) * 60000).cast("long")
+    counts = ev.groupBy(bucket.alias("bucket_ms")) \
+               .agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bucket_ms")
+    return counts.select(
+        "bucket_ms", "n",
+        (F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0)))
+        .cast("long").alias("delta"))
+
+
 # ---------------------------------------------------------------------------
 # training-data operators over documents/embeddings (textops package)
 # ---------------------------------------------------------------------------
@@ -287,6 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats_events": q_conversation_stats_events,
         "tx_sink_tallies": q_tx_sink_tallies,
         "tx_per_turn_json": q_tx_per_turn_json,
+        "csv_parse_lineitem": q_csv_parse_lineitem,
+        "multiline_assemble_events": q_multiline_assemble_events,
+        "delta_minute_metrics": q_delta_minute_metrics,
         "quality_score_documents": q_quality_score_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -386,6 +462,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         # tx_* queries: transcripts table is engine-generated; the strong
         # byte-equality oracle lives in tests/test_pipeline_spark.py
+        "csv_parse_lineitem": """
+            SELECT l_orderkey AS src_key,
+                   l_linenumber AS src_line,
+                   l_orderkey AS okey,
+                   CAST(l_linenumber AS INT) AS lineno,
+                   CASE WHEN l_orderkey % 13 = 0 THEN 'X'
+                        WHEN l_linenumber % 5 = 0 THEN 'X'
+                        ELSE l_returnflag END AS flag,
+                   CASE WHEN l_orderkey % 13 = 0 THEN NULL
+                        ELSE CAST(epoch_ms(date_trunc('second', l_shipdate))
+                                  AS BIGINT) END AS ship,
+                   TRUE AS csv_ok
+            FROM lineitem
+        """,
+        "multiline_assemble_events": """
+            WITH lines AS (
+                SELECT 'f' || CAST(event_id % 4 AS VARCHAR) AS filename,
+                       event_id * 4 AS line_no,
+                       '[' || event_type || '] e' || CAST(event_id AS VARCHAR) AS text
+                FROM events
+                UNION ALL
+                SELECT 'f' || CAST(event_id % 4 AS VARCHAR),
+                       event_id * 4 + 1,
+                       '  at frame/' || CAST(event_id AS VARCHAR)
+                FROM events WHERE event_id % 5 = 0
+                UNION ALL
+                SELECT 'f' || CAST(event_id % 4 AS VARCHAR),
+                       event_id * 4 + 2, '  at deeper/frame'
+                FROM events WHERE event_id % 5 = 0
+                UNION ALL
+                SELECT 'f' || CAST(event_id % 4 AS VARCHAR),
+                       event_id * 4 + 3, ''
+                FROM events WHERE event_id % 11 = 0
+            ), nb AS (
+                SELECT * FROM lines WHERE trim(text) <> ''
+            ), recs AS (
+                SELECT *, SUM(CASE WHEN regexp_full_match(text, '\\[.*')
+                                   THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY filename ORDER BY line_no) AS rec
+                FROM nb
+            )
+            SELECT filename AS file,
+                   CAST(rec AS BIGINT) AS record_id,
+                   MIN(line_no) AS first_line_no,
+                   COUNT(*) AS n_lines,
+                   string_agg(text, '' ORDER BY line_no) AS record
+            FROM recs GROUP BY filename, rec
+        """,
+        "delta_minute_metrics": """
+            WITH counts AS (
+                SELECT CAST(CEIL(epoch_ms(date_trunc('second', ts)) / 60000.0)
+                            * 60000 AS BIGINT) AS bucket_ms,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            )
+            SELECT bucket_ms, n,
+                   CAST(n - COALESCE(LAG(n) OVER (ORDER BY bucket_ms), 0)
+                        AS BIGINT) AS delta
+            FROM counts
+        """,
         "quality_score_documents": _ta().sql_quality_features(),
         "lang_id_documents": _ta().sql_lang_id(),
         "fingerprint_documents": _ta().sql_fingerprint(),

@@ -1,0 +1,87 @@
+"""Structured Streaming variant of the pipeline (SURVEY §2.9 / §7.1 step 10).
+
+The batch stages are pure DataFrame→DataFrame functions, so the streaming
+engine reuses them verbatim under ``foreachBatch``:
+
+- **source offsets / resume** (S4/S7): the file streaming source +
+  ``checkpointLocation`` replace the reference's ``filename:byteOffset`` and
+  ``.kafka_offset`` files — a second run over the same directory processes
+  nothing (test-asserted), which is the Structured Streaming upgrade of the
+  reference's at-least-once write-then-persist-offset loop
+  (DefaultFileReader.java:306-310),
+- **trigger interval** (scan loop, DefaultFileReader.java:107):
+  ``Trigger.ProcessingTime`` in production; tests use ``availableNow`` to
+  drain deterministically,
+- **per-minute metric buckets with 24h TTL** (A2+A4,
+  metrics/ReaderMetrics.java:29-35,52-57): a watermarked windowed count —
+  the watermark drops state for buckets older than 24h exactly like the
+  reference's eviction-at-report,
+- **sinks**: per-sink parquet fan-out append (idempotent per epoch thanks to
+  the streaming commit log; Iceberg/Kafka sinks are drop-in replacements of
+  the same ``foreachBatch`` body on a real cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from log_collector_spark.plans import pipeline as pl
+
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str,
+                           max_files_per_trigger: int | None = None
+                           ) -> DataFrame:
+    r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(input_dir)
+
+
+def start_pipeline_stream(spark: SparkSession, input_dir: str,
+                          checkpoint_loc: str, out_dir: str, *,
+                          available_now: bool = True,
+                          processing_time: str = "10 seconds"):
+    """parse→enrich→route under foreachBatch; per-sink parquet fan-out."""
+    src = read_transcript_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        routed = pl.route_stage(
+            pl.enrich_stage(pl.parse_stage(batch_df), spark))
+        (routed.filter(F.col("sink").isNotNull())
+               .write.mode("append").partitionBy("sink").parquet(out_dir))
+
+    w = src.writeStream.foreachBatch(process) \
+        .option("checkpointLocation", checkpoint_loc)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
+def start_minute_bucket_stream(spark: SparkSession, input_dir: str,
+                               checkpoint_loc: str, out_dir: str, *,
+                               watermark: str = "24 hours"):
+    """A2+A4: watermarked per-minute event-time counts → parquet (append
+    mode emits a bucket once its watermark passes — the state-TTL analog)."""
+    src = read_transcript_stream(spark, input_dir)
+    agg = (src.withWatermark("ts", watermark)
+              .groupBy(F.window("ts", "1 minute").alias("w"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("bucket_start"),
+                      F.col("w.end").alias("bucket_end"), "n"))
+    return (agg.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_loc)
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out_dir).start())

@@ -21,6 +21,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 ORACLE_CHECKED = [
+    "csv_parse_lineitem",
+    "multiline_assemble_events",
+    "delta_minute_metrics",
     "quality_score_documents",
     "lang_id_documents",
     "fingerprint_documents",

@@ -197,6 +197,27 @@ def q_tx_per_turn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("conv_id", "turn_idx", "parsed_json"))
 
 
+def q_json_flatten_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: ``;json``-typed capture — Gson parse + one-level flatten into the
+    record (Converter.java:235-270, Match.java:185-187; JSON numbers become
+    Doubles, so u=42 serializes as 42.0). Exercises the parser's dynamic-key
+    slow path; equality is on the Gson-serialized record."""
+    from log_collector_spark.grok.compiler import GrokCompiler
+    from log_collector_spark.operators import parse as p_ops
+    ev = _events(spark, sf_dir)
+    line = F.concat(
+        F.lit("["), ev["event_type"], F.lit("] ["),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit('] {"u":'), ev["user_id"].cast("string"), F.lit(',"k":"v"}'))
+    df = ev.select("event_id", line.alias("text"))
+    expr = (r"\[%{NOTSPACE:logtype}\] "
+            r"\[%{CUSTOM_TIMESTAMP_ISO8601:logtime;date;yyyy-MM-dd HH:mm:ss}\] "
+            r"%{JSON:payload;json}")
+    parsed = p_ops.grok_parse(df, GrokCompiler().compile(expr),
+                              max_size=MAX_SIZE)
+    return parsed.select("event_id", "parsed_json")
+
+
 def q_csv_parse_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8: CSV split + typed dimensions with defaults (CSVParser.java:57-78).
 
@@ -360,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats_events": q_conversation_stats_events,
         "tx_sink_tallies": q_tx_sink_tallies,
         "tx_per_turn_json": q_tx_per_turn_json,
+        "json_flatten_events": q_json_flatten_events,
         "csv_parse_lineitem": q_csv_parse_lineitem,
         "multiline_assemble_events": q_multiline_assemble_events,
         "delta_minute_metrics": q_delta_minute_metrics,
@@ -462,6 +484,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # tx_* queries: transcripts table is engine-generated; the strong
         # byte-equality oracle lives in tests/test_pipeline_spark.py
+        "json_flatten_events": """
+            SELECT event_id,
+                   '{"k":"v","logtime":'
+                   || CAST(CAST(epoch_ms(date_trunc('second', ts)) AS BIGINT)
+                           AS VARCHAR)
+                   || ',"logtype":"' || event_type || '","u":'
+                   || CAST(user_id AS VARCHAR) || '.0}' AS parsed_json
+            FROM events
+        """,
         "csv_parse_lineitem": """
             SELECT l_orderkey AS src_key,
                    l_linenumber AS src_line,

@@ -63,7 +63,13 @@ def make_parse_udf(parser: VectorizedGrokParser):
         out = parser.parse_batch(text)
         return out[cols]
 
-    return grok_parse_udf
+    # The parser IS deterministic; this flag only stops Catalyst from
+    # DUPLICATING the call when a downstream filter on parse outputs is
+    # pushed through the projection (observed: two ArrowEvalPython nodes →
+    # the whole corpus parsed twice). Input-side predicates (is_blank /
+    # is_oversize) are native columns computed before the UDF, so scan-level
+    # pushdown is unaffected.
+    return grok_parse_udf.asNondeterministic()
 
 
 def grok_parse(df: DataFrame, compiled: CompiledGrok, *,

@@ -57,9 +57,18 @@ def load_transcripts(spark: SparkSession, sf_dir: str,
     return spark.read.parquet(transcripts_path(sf_dir, n_turns))
 
 
+_LOOKUP_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+
 def lookups(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
-    return (spark.createDataFrame(tx.role_lookup_df()),
-            spark.createDataFrame(tx.tool_lookup_df()))
+    """Role/tool lookup DataFrames, built once per session — they are static
+    dimension tables; rebuilding them per query adds serial driver time."""
+    key = id(spark)
+    if key not in _LOOKUP_CACHE:
+        _LOOKUP_CACHE.clear()
+        _LOOKUP_CACHE[key] = (spark.createDataFrame(tx.role_lookup_df()),
+                              spark.createDataFrame(tx.tool_lookup_df()))
+    return _LOOKUP_CACHE[key]
 
 
 def parse_stage(df: DataFrame, source: str = "transcripts",

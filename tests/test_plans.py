@@ -1,0 +1,75 @@
+"""Physical-plan audits: the plans we ship are the plans we designed.
+
+Guards the scale-critical properties (they regress silently otherwise):
+- small-dim joins broadcast (no sort-merge shuffle of the fact side),
+- the grok pandas UDF appears EXACTLY once per pipeline (no accidental
+  re-evaluation through projection collapse),
+- pure-Catalyst operators stay JVM-side (no EvalPython nodes),
+- filters and column pruning reach the parquet scan (PushedFilters /
+  ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from log_collector_spark.plans import pipeline as pl
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_enrichment_joins_are_broadcast(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["broadcast_enrich_revenue"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_evaluates_grok_udf_once(spark):
+    routed = pl.full_pipeline(spark, SF_DIR)
+    plan = _plan(routed)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # role/tool lookups broadcast, never shuffled
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_catalyst_operators_have_no_python_nodes(spark):
+    import __spark_entry__ as E
+
+    for name in ("quality_score_documents", "simhash_pairs",
+                 "csv_parse_lineitem", "delta_minute_metrics",
+                 "conversation_stats_events"):
+        plan = _plan(E.queries()[name](spark, SF_DIR))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM: {plan}"
+
+
+def test_parse_queries_evaluate_udf_once(spark):
+    """A filter over parse outputs must not duplicate the UDF (Catalyst
+    would push a copy into the Filter without the nondeterministic guard)."""
+    import __spark_entry__ as E
+
+    for name in ("minute_buckets_events", "grok_parse_events",
+                 "route_events"):
+        plan = _plan(E.queries()[name](spark, SF_DIR))
+        assert plan.count("ArrowEvalPython") == 1, f"{name}: {plan}"
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    q = ev.filter(F.col("event_id") < 100).select("event_id", "event_type")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "LessThan(event_id,100)" in plan, plan
+    # pruned scan must not read the wide props/value columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "value" not in read_schema

@@ -21,6 +21,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 ORACLE_CHECKED = [
+    "json_flatten_events",
     "csv_parse_lineitem",
     "multiline_assemble_events",
     "delta_minute_metrics",

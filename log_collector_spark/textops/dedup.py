@@ -124,29 +124,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     for oracle-checked runs).
     """
     docs = doc_shingles(df, text_col, k)
-    inv = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    # carry n_shingles through the explode: after the pair-groupBy both set
+    # sizes ride along as first() aggregates — no extra joins back to docs
+    # (each join would recompute the shingle projection)
+    inv = docs.select("doc_id", "n_shingles",
+                      F.explode("shingles").alias("sh"))
     if max_df is not None:
         hot = (inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
                   .filter(F.col("df") > max_df).select("sh"))
         inv = inv.join(F.broadcast(hot), "sh", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
-    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh")) &
+    pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh")) &
                     (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sizes = docs.select("doc_id", "n_shingles")
-    out = (inter
-           .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                      .withColumnRenamed("n_shingles", "size_a"), "doc_a")
-           .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                      .withColumnRenamed("n_shingles", "size_b"), "doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter"),
+                  F.first("a.n_shingles").alias("size_a"),
+                  F.first("b.n_shingles").alias("size_b")))
     union = F.col("size_a") + F.col("size_b") - F.col("inter")
-    return (out.withColumn("uni", union.cast("long"))
-               .filter(F.col("inter") * den >= F.lit(num) * F.col("uni"))
-               .select("doc_a", "doc_b", F.col("inter").cast("long").alias("inter"),
-                       "uni"))
+    return (pairs.withColumn("uni", union.cast("long"))
+                 .filter(F.col("inter") * den >= F.lit(num) * F.col("uni"))
+                 .select("doc_a", "doc_b",
+                         F.col("inter").cast("long").alias("inter"), "uni"))
 
 
 def sql_ngram_jaccard_pairs(table: str = "documents",

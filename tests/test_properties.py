@@ -1,0 +1,141 @@
+"""Property-based kernel tests (hypothesis) — SURVEY §5 depth.
+
+No Spark session: these hammer the pure-Python semantics kernel (the single
+source of truth the vectorized path must match) and the vectorized batch
+parser itself with generated inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import sys
+from datetime import datetime, timezone
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from log_collector_spark.grok.compiler import GrokCompiler
+from log_collector_spark.grok.converters import (
+    ConversionError,
+    conv_int,
+    conv_long,
+    parse_sdf_epoch_ms,
+)
+from log_collector_spark.grok.gson import (
+    gson_dumps,
+    gson_escape,
+    java_double_str,
+)
+from log_collector_spark.grok import oracle as O
+from log_collector_spark.grok.vectorized import VectorizedGrokParser
+
+_JAVA_PLAIN = re.compile(r"^-?\d+\.\d+$")
+_JAVA_SCI = re.compile(r"^-?\d\.\d+E-?\d+$")
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False))
+@settings(max_examples=300)
+def test_java_double_str_round_trips_and_matches_layout(x):
+    s = java_double_str(x)
+    assert float(s) == x or (x == 0 and float(s) == 0)
+    ax = abs(x)
+    if x == 0 or 1e-3 <= ax < 1e7:
+        assert _JAVA_PLAIN.match(s), (x, s)
+    else:
+        assert _JAVA_SCI.match(s), (x, s)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300)
+def test_gson_escape_is_json_decodable_and_lossless(s):
+    esc = gson_escape(s)
+    assert json.loads('"' + esc + '"') == s
+    # nothing dangerous survives unescaped
+    assert not re.search(r'(?<!\\)"', esc.replace('\\\\', ""))
+    assert not any(ord(c) < 0x20 for c in esc)
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=20),
+                       st.one_of(st.none(), st.booleans(),
+                                 st.integers(-2**53, 2**53),
+                                 st.text(max_size=50)),
+                       max_size=8))
+@settings(max_examples=200)
+def test_gson_dumps_sorted_keys_null_omission(d):
+    out = gson_dumps(d)
+    back = json.loads(out)
+    assert back == {k: v for k, v in d.items() if v is not None}
+    keys = list(back.keys())
+    assert keys == sorted(keys)
+
+
+@given(st.integers(-2**70, 2**70))
+@settings(max_examples=300)
+def test_int_long_converters_match_java_ranges(i):
+    s = str(i)
+    if -(2**31) <= i <= 2**31 - 1:
+        assert conv_int(s) == i
+    else:
+        try:
+            conv_int(s)
+            assert False, "expected range failure"
+        except ConversionError:
+            pass
+    if -(2**63) <= i <= 2**63 - 1:
+        assert conv_long(s) == i
+    else:
+        try:
+            conv_long(s)
+            assert False
+        except ConversionError:
+            pass
+
+
+@given(st.datetimes(min_value=datetime(1900, 1, 1),
+                    max_value=datetime(2100, 1, 1)))
+@settings(max_examples=300)
+def test_sdf_parse_matches_utc_epoch(dt):
+    dt = dt.replace(microsecond=0)  # the format has second granularity
+    s = dt.strftime("%Y-%m-%d %H:%M:%S")
+    ms = parse_sdf_epoch_ms(s, "yyyy-MM-dd HH:mm:ss")
+    expected = int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000)
+    assert ms == expected
+
+
+_EXPR = (r"\[%{NOTSPACE:logtype}\] "
+         r"\[%{CUSTOM_TIMESTAMP_ISO8601:logtime;date;yyyy-MM-dd HH:mm:ss}\] "
+         r"%{JSON:payload}")
+_COMPILED = GrokCompiler().compile(_EXPR)
+_PARSER = VectorizedGrokParser(
+    _COMPILED, provenance={"directory": "d", "host": "h", "filename": "f"})
+
+_line = st.one_of(
+    st.builds(lambda t, p: f"[{t}] [2023-11-15 00:{p:02d}:59] " +
+              '{"x":' + str(p) + "}",
+              st.text(alphabet="abcxyz", min_size=1, max_size=8),
+              st.integers(0, 59)),
+    st.text(max_size=60),  # arbitrary garbage
+    st.just(""),
+)
+
+
+@given(st.lists(_line, min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_vectorized_batch_equals_single_row_oracle(lines):
+    out = _PARSER.parse_batch(pd.Series(lines, dtype=object))
+    for i, line in enumerate(lines):
+        rec = O.parse_line(_COMPILED, line) if line and line.strip() else {}
+        if rec:
+            expected = gson_dumps(
+                {**rec, "directory": "d", "host": "h", "filename": "f"})
+            assert bool(out["parse_ok"].iloc[i])
+            assert out["parsed_json"].iloc[i] == expected, (i, line)
+        else:
+            assert not bool(out["parse_ok"].iloc[i])
+            assert out["parsed_json"].iloc[i] is None

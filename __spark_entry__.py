@@ -197,6 +197,20 @@ def q_tx_per_turn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("conv_id", "turn_idx", "parsed_json"))
 
 
+def q_scan_prune_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: partition/row-group pruning — time-range predicate pushed to the
+    scan (the reference's directory-expiry skip, DefaultFileReader.java:
+    117-134, expressed declaratively; test_plans asserts PushedFilters)."""
+    ev = _events(spark, sf_dir)
+    cutoff = "2023-11-17 00:00:00"
+    return (ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min(F.expr(
+                       "unix_micros(date_trunc('second', ts)) div 1000"))
+                   .cast("long").alias("first_ms")))
+
+
 def q_json_flatten_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: ``;json``-typed capture — Gson parse + one-level flatten into the
     record (Converter.java:235-270, Match.java:185-187; JSON numbers become
@@ -381,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats_events": q_conversation_stats_events,
         "tx_sink_tallies": q_tx_sink_tallies,
         "tx_per_turn_json": q_tx_per_turn_json,
+        "scan_prune_recent": q_scan_prune_recent,
         "json_flatten_events": q_json_flatten_events,
         "csv_parse_lineitem": q_csv_parse_lineitem,
         "multiline_assemble_events": q_multiline_assemble_events,
@@ -484,6 +499,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # tx_* queries: transcripts table is engine-generated; the strong
         # byte-equality oracle lives in tests/test_pipeline_spark.py
+        "scan_prune_recent": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(MIN(epoch_ms(date_trunc('second', ts))) AS BIGINT)
+                       AS first_ms
+            FROM events
+            WHERE ts >= TIMESTAMP '2023-11-17 00:00:00'
+            GROUP BY event_type
+        """,
         "json_flatten_events": """
             SELECT event_id,
                    '{"k":"v","logtime":'

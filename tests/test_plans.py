@@ -73,3 +73,39 @@ def test_filter_pushdown_and_column_pruning(spark):
     # pruned scan must not read the wide props/value columns
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_salted_ordering_balances_hot_conversations(spark):
+    """north_rule: salted repartition neutralizes hot-conversation skew while
+    keeping (conv_id, turn_idx) order within each slice."""
+    from log_collector_spark.operators.order import (
+        ordered_by_conversation, ordered_salted)
+
+    df = pl.load_transcripts(spark, SF_DIR)
+    n_parts = 8
+
+    def max_partition_rows(frame):
+        sizes = frame.withColumn("_pid", F.spark_partition_id()) \
+                     .groupBy("_pid").count().collect()
+        return max(r["count"] for r in sizes)
+
+    plain = max_partition_rows(ordered_by_conversation(df, n_parts))
+    salted = max_partition_rows(ordered_salted(df, n_parts))
+    # the generator makes the head conversation ~4% of all turns; salting
+    # must spread it (strictly better balance than conv_id-only)
+    assert salted < plain
+
+    # order recoverable: within every partition, rows sorted by
+    # (conv_id, turn_idx)
+    part = ordered_salted(df, n_parts).withColumn(
+        "_pid", F.spark_partition_id())
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    viol = (part.select("_pid", "conv_id", "turn_idx")
+            .withColumn("_prev_conv", F.lag("conv_id").over(w))
+            .withColumn("_prev_turn", F.lag("turn_idx").over(w))
+            .filter((F.col("_prev_conv") > F.col("conv_id")) |
+                    ((F.col("_prev_conv") == F.col("conv_id")) &
+                     (F.col("_prev_turn") > F.col("turn_idx"))))
+            .count())
+    assert viol == 0

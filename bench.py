@@ -195,13 +195,19 @@ def run_scaling() -> dict:
 
     # headline pair: alternating A/B sweeps (host steal drifts over minutes —
     # interleaving samples both levels under comparable conditions; per-level
-    # minimum over all sweeps approximates the quiet-host capability)
-    for _sweep in range(4):
+    # minimum over all sweeps approximates the quiet-host capability). A wall
+    # budget caps total scaling time so per-round driver runs stay bounded;
+    # at least one full sweep always completes.
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "900"))
+    t0 = time.perf_counter()
+    for sweep in range(4):
+        if sweep > 0 and time.perf_counter() - t0 > budget * 0.7:
+            break
         for cpus in (SCALE_LO, SCALE_HI):
             record(_run_child(cpus))
     # informational ladder levels: one pinned measurement each
     for cpus in SCALE_LADDER:
-        if cpus not in out:
+        if cpus not in out and time.perf_counter() - t0 < budget:
             record(_run_child(cpus))
     lo, hi = out[SCALE_LO], out[SCALE_HI]
     eff = (hi["tps"] / lo["tps"]) / (SCALE_HI / SCALE_LO)

@@ -377,6 +377,41 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(_embs(spark, sf_dir))
 
 
+def q_token_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: exact top-20 corpus tokens (explode → count → rank,
+    ties broken lexicographically). The map-side partial aggregation makes
+    this one small shuffle of (token, count) partials at any corpus size."""
+    from log_collector_spark.textops import common as C
+    docs = _docs(spark, sf_dir)
+    counts = (docs.select(F.explode(C.tokens(F.col("text"))).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 20)
+                  .select("token", "n", F.col("rank").cast("int").alias("rank")))
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (30-minute inactivity gap): lag +
+    running sum of session-starts — the conversation-analytics op a
+    transcript pipeline needs; one shuffle on user_id."""
+    ev = _events(spark, sf_dir)
+    ts_s = F.unix_micros(F.date_trunc("second", F.col("ts").cast("timestamp"))) \
+        .cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1000000), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    base = ev.select("user_id", "event_id", "ts", sess.alias("session_id"))
+    return (base.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event"))
+            .withColumn("session_id", F.col("session_id").cast("long")))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas feature extraction (stub decode)."""
     from log_collector_spark.textops import multimodal as M
@@ -411,6 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
         "multimodal_features": q_multimodal_features,
+        "token_topk_documents": q_token_topk_documents,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -588,6 +625,42 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_brute": _ts().sql_brute_force_topk(),
         "ann_topk_lsh": _ts().sql_lsh_ann_topk(),
         "multimodal_features": _tm().sql_fake_features(),
+        "token_topk_documents": """
+            WITH counts AS (
+                SELECT t AS token, COUNT(*) AS n
+                FROM (SELECT unnest(list_filter(
+                        string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+                      FROM documents)
+                GROUP BY 1
+            )
+            SELECT token, n, CAST(rank AS INT) AS rank FROM (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+                FROM counts
+            ) WHERE rank <= 20
+        """,
+        "sessionize_events": """
+            WITH base AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(date_trunc('second', ts))
+                                    - epoch_us(date_trunc('second',
+                                               lag(ts) OVER w))
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, SUM(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM base
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   MIN(event_id) AS first_event,
+                   MAX(event_id) AS last_event
+            FROM s GROUP BY 1, 2
+        """,
     }
 
 

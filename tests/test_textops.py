@@ -36,6 +36,9 @@ ORACLE_CHECKED = [
     "ann_topk_brute",
     "ann_topk_lsh",
     "multimodal_features",
+    "token_topk_documents",
+    "sessionize_events",
+    "scan_prune_recent",
 ]
 
 

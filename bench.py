@@ -198,7 +198,7 @@ def run_scaling() -> dict:
     # minimum over all sweeps approximates the quiet-host capability). A wall
     # budget caps total scaling time so per-round driver runs stay bounded;
     # at least one full sweep always completes.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "900"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "720"))
     t0 = time.perf_counter()
     for sweep in range(4):
         if sweep > 0 and time.perf_counter() - t0 > budget * 0.7:

@@ -59,7 +59,10 @@ def _convert(raw: Column, dim: CsvDimension) -> Column:
             return F.when(v.rlike(_INT_RX), v.cast("long"))
         if fmt == "posix":
             return F.when(v.rlike(_INT_RX), v.cast("long") * 1000)
-        return F.unix_millis(F.to_timestamp(v, _sdf_to_spark(fmt)))
+        # try_to_timestamp: malformed dates are a ParseException → field
+        # skipped in the reference (CSVParser.java:66-69); plain to_timestamp
+        # would fail the whole job under Spark 4's ANSI mode
+        return F.unix_millis(F.try_to_timestamp(v, F.lit(_sdf_to_spark(fmt))))
     return F.lit(None)
 
 

@@ -241,7 +241,7 @@ def update_baseline_md(scaling: dict, tps_main: float, sf: float) -> None:
 
 Same flagship parse→enrich→route→aggregate job, identical synthetic
 transcripts input (sf={sf}, {scaling['turns']:,} turns), fresh JVM per
-parallelism level, one warm-up + min-of-3 measured runs per child.
+parallelism level, one warm-up + min-of-4 measured runs per child.
 Methodology (emulating N vs 4N executors on one 32-vCPU shared VM):
 
 - each child's WHOLE process tree (JVM + python workers) is pinned with
@@ -250,7 +250,7 @@ Methodology (emulating N vs 4N executors on one 32-vCPU shared VM):
 - the remaining cores run a register-only spin burner so the chip is
   equally busy (same turbo frequency) at every level — a real cluster
   compares equally-busy nodes at both sizes,
-- the headline pair is measured in 3 alternating A/B sweeps (the host shows
+- the headline pair is measured in up to 4 alternating A/B sweeps (wall-budgeted) (the host shows
   10-18% stochastic hypervisor steal via /proc/stat; interleaving samples
   both levels under comparable conditions, minima taken per level).
 

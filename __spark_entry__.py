@@ -197,6 +197,25 @@ def q_tx_per_turn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("conv_id", "turn_idx", "parsed_json"))
 
 
+def q_per_file_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-file line/error totals (DefaultFileReader.java:246-248) over
+    the real scanned file identity (input_file_name), basename-normalized so
+    the DuckDB oracle (read_parquet filename=true) can mirror it."""
+    df = pl.load_transcripts(spark, sf_dir).withColumn(
+        "fname", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    parsed = parse_ops.grok_parse(df, pl.compiled_transcript_grok(),
+                                  max_size=MAX_SIZE)
+    return agg_ops.per_file_totals(parsed, "fname")
+
+
+def q_ngram_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with the hot-shingle guard ON (max_df): the web-scale
+    configuration — ubiquitous shingles are dropped from the inverted index
+    before the self-join, capping per-key join fan-out at max_df²."""
+    from log_collector_spark.textops import dedup as D
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), max_df=D.NGRAM_MAX_DF)
+
+
 def q_scan_prune_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: partition/row-group pruning — time-range predicate pushed to the
     scan (the reference's directory-expiry skip, DefaultFileReader.java:
@@ -296,13 +315,24 @@ def q_delta_minute_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.ceil(F.unix_micros(F.date_trunc("second",
                                                 F.col("ts").cast("timestamp"))) /
                      F.lit(60000000.0)) * 60000).cast("long")
-    counts = ev.groupBy(bucket.alias("bucket_ms")) \
-               .agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("bucket_ms")
-    return counts.select(
-        "bucket_ms", "n",
-        (F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0)))
-        .cast("long").alias("delta"))
+    counts = (ev.groupBy(bucket.alias("bucket_ms"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("day_id", (F.col("bucket_ms") /
+                                       F.lit(86_400_000)).cast("long")))
+    # Scale-safe lag: partition the window by day (bounded partitions at any
+    # time range) and carry the previous bucket across day boundaries via a
+    # tiny per-day-last table (one row per day-with-data, broadcast).
+    per_day_last = counts.groupBy("day_id").agg(
+        F.max(F.struct("bucket_ms", "n")).alias("m"))
+    wl = Window.partitionBy(F.lit(0)).orderBy("day_id")
+    prevs = per_day_last.select(
+        "day_id", F.lag(F.col("m.n")).over(wl).alias("prev_last_n"))
+    w = Window.partitionBy("day_id").orderBy("bucket_ms")
+    return (counts.join(F.broadcast(prevs), "day_id", "left")
+            .select("bucket_ms", "n",
+                    (F.col("n") - F.coalesce(F.lag("n").over(w),
+                                             F.col("prev_last_n"), F.lit(0)))
+                    .cast("long").alias("delta")))
 
 
 # ---------------------------------------------------------------------------
@@ -385,10 +415,15 @@ def q_token_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     counts = (docs.select(F.explode(C.tokens(F.col("text"))).alias("token"))
               .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= 20)
-                  .select("token", "n", F.col("rank").cast("int").alias("rank")))
+    # orderBy+limit plans as TakeOrderedAndProject: per-partition top-20 then
+    # a 20*P-row driver merge — never a single-partition sort of the whole
+    # vocabulary (10^8-10^9 rows at corpus scale). Rank is then assigned over
+    # the 20 survivors (partitionBy(lit(0)) keeps WindowExec off the
+    # unpartitioned-global-window path).
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("token"))
+    return (top.withColumn("rank", F.row_number().over(w))
+               .select("token", "n", F.col("rank").cast("int").alias("rank")))
 
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats_events": q_conversation_stats_events,
         "tx_sink_tallies": q_tx_sink_tallies,
         "tx_per_turn_json": q_tx_per_turn_json,
+        "per_file_totals": q_per_file_totals,
+        "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         "scan_prune_recent": q_scan_prune_recent,
         "json_flatten_events": q_json_flatten_events,
         "csv_parse_lineitem": q_csv_parse_lineitem,
@@ -452,6 +489,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The transcripts table is engine-generated but fully deterministic
+    # (sources/transcripts.py, fixed seed). Generate it here (pure
+    # pandas/pyarrow, no JVM; idempotent cache) and hand DuckDB the parquet
+    # glob so the tx_* pipeline queries get real value-hash oracles. The
+    # malformation markers are plain text predicates: octet_length >= 8192 →
+    # oversize, trim = '' → blank, 'corrupt#' prefix → parse failure.
+    tx_sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    tx_glob = os.path.join(pl.transcripts_path(tx_sf_dir), "*.parquet")
+    tx_view = f"read_parquet('{tx_glob}')"
+    tx_sink_case = """
+        CASE WHEN strlen(text) >= 8192 THEN 'errors'
+             WHEN trim(coalesce(text, '')) = '' THEN NULL
+             WHEN text LIKE 'corrupt#%' THEN 'failures'
+             ELSE 'transcripts_etl' END
+    """
+    # Gson record for GROK_EXPR captures + provenance constants, keys in
+    # TreeMap order: directory, filename, host, logtime, logtype, payload.
+    # payload is a plain string capture (no ;json) whose only
+    # escape-relevant characters in the generated corpus are double quotes.
+    tx_json = r"""
+        '{"directory":"transcripts","filename":"transcripts","host":"spark"'
+        || ',"logtime":' || CAST(CAST(epoch_ms(strptime(
+               regexp_extract(text, '^\[(\S+)\] \[([^\]]+)\] (.*)$', 2),
+               '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS VARCHAR)
+        || ',"logtype":"'
+        || regexp_extract(text, '^\[(\S+)\] \[([^\]]+)\] (.*)$', 1)
+        || '","payload":"'
+        || replace(regexp_extract(text, '^\[(\S+)\] \[([^\]]+)\] (.*)$', 3),
+                   '"', '\"')
+        || '"}'
+    """
     line_sql = ("'[' || event_type || '] [' || strftime(ts, '%Y-%m-%d %H:%M:%S')"
                 " || '] {\"u\":' || CAST(user_id AS VARCHAR) || '}'")
     sink_case = """
@@ -475,11 +543,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "success_error_events": """
             SELECT event_type,
-                   SUM(CASE WHEN event_id % 211 <> 0 AND event_id % 97 <> 0
-                                 AND event_id % 50 <> 0 THEN 1 ELSE 0 END) AS success,
-                   SUM(CASE WHEN event_id % 211 = 0
+                   CAST(SUM(CASE WHEN event_id % 211 <> 0 AND event_id % 97 <> 0
+                                 AND event_id % 50 <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS success,
+                   CAST(SUM(CASE WHEN event_id % 211 = 0
                                  OR (event_id % 97 <> 0 AND event_id % 50 = 0)
-                            THEN 1 ELSE 0 END) AS error,
+                            THEN 1 ELSE 0 END) AS BIGINT) AS error,
                    COUNT(*) AS lines
             FROM events GROUP BY event_type
         """,
@@ -534,8 +603,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT event_type) AS n_types
             FROM events GROUP BY user_id
         """,
-        # tx_* queries: transcripts table is engine-generated; the strong
-        # byte-equality oracle lives in tests/test_pipeline_spark.py
+        # tx_* queries: strong byte-equality oracle also lives in
+        # tests/test_pipeline_spark.py; these SQL oracles are independent
+        # reconstructions from the deterministic transcripts parquet.
+        "tx_sink_tallies": f"""
+            SELECT sink, COUNT(*) AS n FROM (
+                SELECT {tx_sink_case} AS sink FROM {tx_view}
+            ) WHERE sink IS NOT NULL GROUP BY sink
+        """,
+        "tx_per_turn_json": f"""
+            SELECT conv_id, turn_idx, {tx_json} AS parsed_json
+            FROM {tx_view}
+            WHERE strlen(text) < 8192
+              AND trim(coalesce(text, '')) <> ''
+              AND text NOT LIKE 'corrupt#%'
+        """,
+        "per_file_totals": f"""
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+                   COUNT(*) AS lines,
+                   CAST(SUM(CASE WHEN strlen(text) >= 8192
+                                   OR text LIKE 'corrupt#%'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS error
+            FROM read_parquet('{tx_glob}', filename=true)
+            GROUP BY 1
+        """,
+        "ngram_jaccard_maxdf": _td().sql_ngram_jaccard_pairs_maxdf(),
         "scan_prune_recent": """
             SELECT event_type,
                    COUNT(*) AS n,

@@ -15,9 +15,9 @@ re-expressed as batch columnar operations:
   per-key fragments in sorted-key order — byte-identical to the single-row
   oracle (tests enforce this).
 
-Only ``;json``-typed captures (dynamic key sets, Converter.java:235-270) fall
-back to a per-batch Python loop; expressions without them stay fully
-vectorized.
+``;json``-typed captures (dynamic key sets, Converter.java:235-270) share the
+same single regex pass and columnar assembly; the only per-row Python they add
+is one ``json.loads`` + Gson fragment rendering of the json column itself.
 """
 
 from __future__ import annotations
@@ -39,7 +39,6 @@ except Exception:  # pragma: no cover
 from log_collector_spark.grok.compiler import CompiledGrok, CaptureSpec
 from log_collector_spark.grok.converters import _sdf_to_regex, _DEFAULT_DATETIME_FMT
 from log_collector_spark.grok.gson import GSON_ESCAPE_TABLE, java_double_str, java_float_str
-from log_collector_spark.grok import oracle as _oracle
 
 _INT_FULL = re.compile(r"^[+-]?[0-9]+$")
 _FP_FULL = re.compile(r"^[+-]?((\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|Infinity|NaN)[fFdD]?$")
@@ -232,7 +231,7 @@ class VectorizedGrokParser:
         self.provenance = dict(provenance or {})
         self.rename = dict(rename or {})
         self.remove = set(remove) | {"UNWANTED"}
-        self.slow_path = any(c.type == "json" for c in compiled.captures)
+        self.has_json = any(c.type == "json" for c in compiled.captures)
         self._rx: re.Pattern | None = None
         # typed output schema: first spec per distinct visible key
         self.typed_keys: list[tuple[str, str | None]] = []
@@ -366,6 +365,59 @@ class VectorizedGrokParser:
         frag[present] = '""'
         return frag, None
 
+    def _convert_json(self, spec: CaptureSpec, col: pd.Series,
+                      present: np.ndarray, fkey: str,
+                      slots: dict, typed_out: dict, n: int) -> None:
+        """``;json`` capture, columnar (Converter.java:235-270 +
+        Match.java:185-187 putAll flatten).
+
+        The only per-row Python is ONE ``json.loads`` (+ Gson fragment
+        rendering of each value) on the json capture column — the regex pass,
+        date parse, and record assembly stay vectorized. Flattened keys are
+        'replace'-mode slot contributions: putAll OVERWRITES earlier captures
+        of the same key, while later duplicate captures still list-collect.
+        Parse failure (non-object JSON) is Converter failure → "" under the
+        capture's own key, like every other converter.
+        """
+        from log_collector_spark.grok.converters import convert_value
+        from log_collector_spark.grok.gson import _value as _gson_value
+
+        dyn: dict[str, np.ndarray] = {}
+        fail = np.zeros(n, dtype=bool)
+        vals = col.to_numpy()
+        for i in np.nonzero(present)[0]:
+            cv = convert_value("json", spec.fmt, str(vals[i]))
+            if isinstance(cv, dict):
+                for k, v in cv.items():
+                    arr = dyn.get(k)
+                    if arr is None:
+                        arr = np.full(n, None, dtype=object)
+                        dyn[k] = arr
+                    if v is None:
+                        arr[i] = "null"  # overwrite-to-omitted (Gson drops it)
+                    else:
+                        buf: list[str] = []
+                        _gson_value(v, buf)
+                        arr[i] = "".join(buf)
+            else:  # conversion failure → "" (clean_string("") == "")
+                fail[i] = True
+        if fail.any():
+            ffrag = np.full(n, "", dtype=object)
+            ffrag[fail] = '""'
+            slots.setdefault(fkey, []).append((fail, ffrag, "append"))
+        if fkey not in typed_out:
+            typed = np.full(n, None, dtype=object)
+            typed[fail] = ""
+            typed_out[fkey] = typed if fail.any() else None
+        for k in dyn:
+            fk = self._final_key(k)
+            if fk is None:
+                continue
+            frag = dyn[k]
+            has = np.fromiter((x is not None for x in frag), bool, count=n)
+            slots.setdefault(fk, []).append(
+                (has, np.where(has, frag, ""), "replace"))
+
     # -- main entry ------------------------------------------------------------
 
     def parse_batch(self, text: pd.Series) -> pd.DataFrame:
@@ -381,8 +433,6 @@ class VectorizedGrokParser:
         matches = [rx.search(x) if isinstance(x, str) else None for x in lst]
         matched = np.fromiter((m is not None for m in matches), bool, count=n) \
             & ~blank if n else np.zeros(0, dtype=bool)
-        if self.slow_path:
-            return self._parse_batch_slow(s, matched)
 
         # transpose capture groups once (C-level zip), then per-group columns
         ngroups = rx.groups
@@ -396,8 +446,11 @@ class VectorizedGrokParser:
             for name, i in gidx.items()}
 
         # per-key contribution slots, in capture order
-        # key -> list of (has: bool ndarray, frag: object ndarray)
-        slots: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        # key -> list of (has: bool ndarray, frag: object ndarray, mode);
+        # mode 'append' = duplicate keys collect into lists (Match.java
+        # captures loop), mode 'replace' = map.put/putAll overwrite semantics
+        # (;json flatten, Match.java:185-187)
+        slots: dict[str, list[tuple[np.ndarray, np.ndarray, str]]] = {}
         typed_out: dict[str, Any] = {}
         for spec in self.compiled.captures:
             col = ext[spec.group] if spec.group in ext else pd.Series(
@@ -407,25 +460,30 @@ class VectorizedGrokParser:
             absent = (~notna) & matched
             fkey = self._final_key(spec.key)
             if fkey is not None:
-                frag, typed = self._convert(spec, col, present)
-                slots.setdefault(fkey, []).append((present & (frag != ""), frag))
-                if typed is not None and fkey not in typed_out:
-                    typed_out[fkey] = typed
-                elif fkey not in typed_out:
-                    typed_out[fkey] = None
+                if spec.type == "json":
+                    self._convert_json(spec, col, present, fkey, slots,
+                                       typed_out, n)
+                else:
+                    frag, typed = self._convert(spec, col, present)
+                    slots.setdefault(fkey, []).append(
+                        (present & (frag != ""), frag, "append"))
+                    if typed is not None and fkey not in typed_out:
+                        typed_out[fkey] = typed
+                    elif fkey not in typed_out:
+                        typed_out[fkey] = None
             # absent contribution goes to the RAW key (null entry)
             rkey = self._final_key(spec.raw)
             if rkey is not None and absent.any():
                 nullfrag = np.full(n, "", dtype=object)
                 nullfrag[absent] = "null"
-                slots.setdefault(rkey, []).append((absent, nullfrag))
+                slots.setdefault(rkey, []).append((absent, nullfrag, "append"))
 
         # provenance constants: Java map.put OVERWRITES any parsed value
         # (DefaultFileReader.java:275-277), so they REPLACE the key's slots
         from log_collector_spark.grok.gson import gson_escape
         for k, v in self.provenance.items():
             pf = np.full(n, '"' + gson_escape(str(v)) + '"', dtype=object)
-            slots[k] = [(matched.copy(), pf)]
+            slots[k] = [(matched.copy(), pf, "append")]
 
         # resolve each key (scalar / list / omitted) and join sorted entries.
         # String building runs as pyarrow C++ kernels (binary_join_element_wise)
@@ -435,14 +493,15 @@ class VectorizedGrokParser:
         def _np_entry(key: str, slist) -> np.ndarray:
             cnt = np.zeros(n, dtype="int64")
             acc = np.full(n, "", dtype=object)
-            for has, frag in slist:
-                cnt += has
-                if len(slist) == 1:
+            for has, frag, mode in slist:
+                if mode == "replace":  # putAll overwrite: drops prior values
+                    cnt = np.where(has, 1, cnt)
                     acc = np.where(has, frag, acc)
                 else:
+                    cnt += has
                     acc = np.where(has, np.where(acc == "", frag, acc + "," + frag), acc)
             keyq = '"' + _ge(key) + '":'
-            single_null = (cnt == 1) & (acc == "null")
+            single_null = (cnt == 1) & ((acc == "null") | (acc == ""))
             body = np.where(cnt >= 2, "[" + acc + "]", acc)
             return np.where((cnt == 0) | single_null, "", keyq + body).astype(object)
 
@@ -453,7 +512,7 @@ class VectorizedGrokParser:
                 slist = slots[key]
                 keyq = pa.scalar('"' + _ge(key) + '":', pa.string())
                 if len(slist) == 1:
-                    has, frag = slist[0]
+                    has, frag, _mode = slist[0]
                     fa = pa.array(frag, type=pa.string())
                     is_null_entry = pc.equal(fa, "null")
                     body = pc.binary_join_element_wise(keyq, fa, "")
@@ -495,35 +554,3 @@ class VectorizedGrokParser:
                 out[key] = pd.Series(tv)
         return pd.DataFrame(out)
 
-    def _parse_batch_slow(self, s: pd.Series, matched: np.ndarray) -> pd.DataFrame:
-        """Per-batch Python loop fallback for expressions with ``;json`` captures
-        (dynamic key sets can't be assembled columnar)."""
-        recs = []
-        for i, line in enumerate(s):
-            if not matched[i]:
-                recs.append(None)
-                continue
-            rec = _oracle.parse_line(self.compiled, str(line))
-            rec = {**rec} if rec else None
-            recs.append(rec)
-        parsed_json = []
-        typed_cols: dict[str, list] = {k: [] for k, _ in self.typed_keys}
-        okl = []
-        for rec in recs:
-            if rec is None:
-                okl.append(False)
-                parsed_json.append(None)
-                for k in typed_cols:
-                    typed_cols[k].append(None)
-                continue
-            okl.append(True)
-            full = {**rec, **{k: v for k, v in self.provenance.items()}}
-            from log_collector_spark.grok.gson import gson_dumps
-            parsed_json.append(gson_dumps(full))
-            for k in typed_cols:
-                v = rec.get(k)
-                typed_cols[k].append(v if not isinstance(v, (dict, list)) else None)
-        out = {"parse_ok": np.array(okl), "parsed_json": pd.Series(parsed_json, dtype=object)}
-        for k, vals in typed_cols.items():
-            out[k] = pd.Series(vals, dtype=object)
-        return pd.DataFrame(out)

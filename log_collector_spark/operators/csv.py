@@ -49,16 +49,23 @@ def _convert(raw: Column, dim: CsvDimension) -> Column:
     if t == "string":
         return v
     if t in ("int", "long"):
+        # try_cast inside the rlike guard: a digit string that overflows the
+        # type (11-digit int, 20+-digit long) must drop the field like the
+        # reference's NumberFormatException (CSVParser.java:66-69), not fail
+        # the job under ANSI mode.
         typ = "int" if t == "int" else "long"
-        return F.when(v.rlike(_INT_RX), v.cast(typ))
+        return F.when(v.rlike(_INT_RX), v.try_cast(typ))
     if t == "float":
-        return F.try_cast(v, "float")
+        return v.try_cast("float")
     if t == "date":
         fmt = dim.format or "millis"
         if fmt == "millis":
-            return F.when(v.rlike(_INT_RX), v.cast("long"))
+            return F.when(v.rlike(_INT_RX), v.try_cast("long"))
         if fmt == "posix":
-            return F.when(v.rlike(_INT_RX), v.cast("long") * 1000)
+            # overflow of seconds*1000 past Long.MAX yields NULL, not an
+            # ANSI ArithmeticException
+            return F.when(v.rlike(_INT_RX),
+                          F.try_multiply(v.try_cast("long"), F.lit(1000)))
         # try_to_timestamp: malformed dates are a ParseException → field
         # skipped in the reference (CSVParser.java:66-69); plain to_timestamp
         # would fail the whole job under Spark 4's ANSI mode

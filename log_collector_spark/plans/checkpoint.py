@@ -48,6 +48,38 @@ def committed_files(spark: SparkSession, ckpt_dir: str) -> set[str]:
     return {r["src_file"] for r in rows}
 
 
+def committed_batches(spark: SparkSession, ckpt_dir: str) -> set[str]:
+    path = _ckpt_path(ckpt_dir)
+    try:
+        rows = spark.read.parquet(path).select("batch_id").distinct().collect()
+    except Exception:
+        return set()
+    return {r["batch_id"] for r in rows}
+
+
+def clean_orphan_staging(spark: SparkSession, out_dir: str,
+                         ckpt_dir: str) -> list[str]:
+    """Delete staging dirs whose batch_id never committed.
+
+    Closes the effectively-once hole when the pending set CHANGES between a
+    crash-before-commit and the retry: the retry's batch_id differs (it is
+    the md5 of the pending-file list), so the orphaned ``batch=<old>`` dir
+    would never be overwritten and ``read_output`` would double-count every
+    row of the crashed batch. Run this before each batch (run_resumable does).
+    """
+    import shutil
+
+    if not os.path.isdir(out_dir):
+        return []
+    done = committed_batches(spark, ckpt_dir)
+    removed = []
+    for d in os.listdir(out_dir):
+        if d.startswith("batch=") and d.split("=", 1)[1] not in done:
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
 def pending_files(spark: SparkSession, input_dir: str,
                   ckpt_dir: str) -> list[str]:
     all_files = sorted(
@@ -88,6 +120,7 @@ def run_resumable(spark: SparkSession, input_dir: str, ckpt_dir: str,
     sink data is written but the checkpoint append is skipped (simulates the
     reference's crash window — re-running must NOT duplicate output).
     """
+    clean_orphan_staging(spark, out_dir, ckpt_dir)
     files = pending_files(spark, input_dir, ckpt_dir)
     if not files:
         return {"batch_id": None, "files": [], "rows": 0}
@@ -111,6 +144,17 @@ def run_resumable(spark: SparkSession, input_dir: str, ckpt_dir: str,
     return {"batch_id": bid, "files": files, "rows": n}
 
 
-def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_output(spark: SparkSession, out_dir: str,
+                ckpt_dir: str | None = None) -> DataFrame:
+    """Read the fanned-out sink data. With ``ckpt_dir``, read ONLY batches
+    recorded in the checkpoint table — a reader running inside another run's
+    write-to-commit window then never sees uncommitted staging data."""
+    if ckpt_dir is not None:
+        done = committed_batches(spark, ckpt_dir)
+        paths = [os.path.join(out_dir, f"batch={b}") for b in sorted(done)
+                 if os.path.isdir(os.path.join(out_dir, f"batch={b}"))]
+        if not paths:
+            return spark.createDataFrame([], "sink string")
+        return spark.read.option("basePath", out_dir).parquet(*paths)
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch=*"))

@@ -57,13 +57,15 @@ def load_transcripts(spark: SparkSession, sf_dir: str,
     return spark.read.parquet(transcripts_path(sf_dir, n_turns))
 
 
-_LOOKUP_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+_LOOKUP_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
 
 
 def lookups(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     """Role/tool lookup DataFrames, built once per session — they are static
-    dimension tables; rebuilding them per query adds serial driver time."""
-    key = id(spark)
+    dimension tables; rebuilding them per query adds serial driver time.
+    Keyed on applicationId (stable, unlike id(spark): a stopped session's
+    id() can be reused by a new one, handing out dead DataFrames)."""
+    key = spark.sparkContext.applicationId
     if key not in _LOOKUP_CACHE:
         _LOOKUP_CACHE.clear()
         _LOOKUP_CACHE[key] = (spark.createDataFrame(tx.role_lookup_df()),

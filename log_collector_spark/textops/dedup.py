@@ -35,6 +35,9 @@ from log_collector_spark.textops import common as C
 SHINGLE_K = 3
 # Jaccard threshold as exact fraction num/den (integer cross-multiply)
 JACCARD_NUM, JACCARD_DEN = 3, 10
+# default document-frequency cap for the guarded ngram variant: shingles in
+# more than this many docs are dropped from the inverted index (skew guard)
+NGRAM_MAX_DF = 20
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1
 NUM_PERM, BANDS, ROWS_PER_BAND = 8, 4, 2
@@ -85,10 +88,10 @@ def sql_exact_dedup_summary(table: str = "documents") -> str:
     return f"""
         WITH g AS (SELECT md5({norm}) AS fp, COUNT(*) AS n
                    FROM {table} GROUP BY 1)
-        SELECT SUM(n) AS n_docs,
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
                COUNT(*) AS n_distinct,
-               SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_dup_docs,
-               SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+               CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
         FROM g
     """
 
@@ -120,19 +123,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """All pairs with shingle-Jaccard >= num/den, via inverted-index join.
 
     ``max_df``: drop shingles appearing in more than max_df docs before the
-    self-join (skew guard for web-scale corpora; changes recall — leave None
-    for oracle-checked runs).
+    self-join (skew guard for web-scale corpora). Recall contract: set sizes
+    (and hence the Jaccard denominator) stay PRE-filter, but the intersection
+    is counted over surviving shingles only — a pair whose overlap is mostly
+    ubiquitous shingles can fall below threshold (missed), but no pair is
+    ever wrongly emitted (intersection only shrinks). At corpus scale this
+    guard is what prevents one stop-phrase shingle from becoming an O(df²)
+    hot join key.
     """
     docs = doc_shingles(df, text_col, k)
     # carry n_shingles through the explode: after the pair-groupBy both set
-    # sizes ride along as first() aggregates — no extra joins back to docs
-    # (each join would recompute the shingle projection)
+    # sizes ride along as first() aggregates — no extra joins back to docs.
+    # persist: the self-join reads inv twice; caching beats re-running
+    # scan+tokenize+shingle on both sides (at 100 TB: checkpoint this table).
     inv = docs.select("doc_id", "n_shingles",
                       F.explode("shingles").alias("sh"))
     if max_df is not None:
         hot = (inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
                   .filter(F.col("df") > max_df).select("sh"))
         inv = inv.join(F.broadcast(hot), "sh", "left_anti")
+    inv = inv.persist()
     a = inv.alias("a")
     b = inv.alias("b")
     pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh")) &
@@ -171,15 +181,47 @@ def sql_ngram_jaccard_pairs(table: str = "documents",
     """
 
 
+def sql_ngram_jaccard_pairs_maxdf(table: str = "documents",
+                                  k: int = SHINGLE_K,
+                                  num: int = JACCARD_NUM,
+                                  den: int = JACCARD_DEN,
+                                  max_df: int = NGRAM_MAX_DF) -> str:
+    """Oracle for the ``max_df``-guarded variant: the hot-shingle filter is
+    applied to the inverted index before the self-join, while set sizes stay
+    pre-filter — byte-identical semantics to ``ngram_jaccard_pairs(max_df=N)``."""
+    return f"""
+        WITH docs AS ({_sql_doc_shingles(table, k)}),
+        inv AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+        hot AS (SELECT sh FROM inv GROUP BY sh HAVING COUNT(*) > {max_df}),
+        inv2 AS (SELECT * FROM inv WHERE sh NOT IN (SELECT sh FROM hot)),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM inv2 a JOIN inv2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.inter AS BIGINT) AS inter,
+               CAST(sa.n_shingles + sb.n_shingles - i.inter AS BIGINT) AS uni
+        FROM inter i
+        JOIN docs sa ON sa.doc_id = i.doc_a
+        JOIN docs sb ON sb.doc_id = i.doc_b
+        WHERE i.inter * {den} >= {num} * (sa.n_shingles + sb.n_shingles - i.inter)
+    """
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       k: int = SHINGLE_K) -> DataFrame:
+                       k: int = SHINGLE_K,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, mh_0..mh_{NUM_PERM-1}) — one shuffle (groupBy doc_id) over the
-    exploded shingle stream; the NUM_PERM mins are map-side-combined."""
-    docs = doc_shingles(df, text_col, k)
+    exploded shingle stream; the NUM_PERM mins are map-side-combined.
+
+    Pass ``shingles`` (a precomputed/persisted ``doc_shingles`` frame) to
+    avoid re-running the tokenize+shingle projection."""
+    docs = shingles if shingles is not None else doc_shingles(df, text_col, k)
     h = (C.h60(F.col("sh")) % MINHASH_P).alias("h")
     exploded = docs.select("doc_id", F.explode("shingles").alias("sh")) \
                    .select("doc_id", h)
@@ -209,8 +251,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
     Verification joins each candidate pair back to its distinct-shingle
     arrays and computes true Jaccard with array_intersect — LSH can only
-    lose pairs (recall), never emit a wrong one (precision)."""
-    sigs = minhash_signatures(df, text_col, k)
+    lose pairs (recall), never emit a wrong one (precision).
+
+    The shingle projection (tokenize + k-gram + distinct) is computed ONCE
+    and persisted: the signature path and both verify joins read the cached
+    table instead of re-tokenizing the corpus three times — at 100 TB the
+    shingle table is the thing you checkpoint, not recompute."""
+    docs = doc_shingles(df, text_col, k).persist()
+    sigs = minhash_signatures(df, text_col, k, shingles=docs)
     bands = []
     for b in range(BANDS):
         cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}")
@@ -227,7 +275,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    docs = doc_shingles(df, text_col, k)
     out = (cand
            .join(docs.select(F.col("doc_id").alias("doc_a"),
                              F.col("shingles").alias("sh_a"),

@@ -37,6 +37,51 @@ def norm_cell(v):
     return v
 
 
+def canon_spark_type(dt):
+    """Canonical type label used for the typed compare (mirrors the driver's
+    value-hash sensitivity: integer family collapses, but decimal-vs-integer
+    — e.g. DuckDB HUGEINT from an uncast SUM — is a mismatch)."""
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "double"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{canon_spark_type(dt.elementType)}>"
+    return dt.simpleString()
+
+
+def canon_arrow_type(t):
+    import pyarrow.types as pt
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_boolean(t):
+        return "boolean"
+    if pt.is_floating(t):
+        return "double"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_list(t) or pt.is_large_list(t):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    return str(t)
+
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
@@ -69,6 +114,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {f.name: canon_spark_type(f.dataType) for f in sdf.schema}
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"[FAIL] {name}: spark error: {e}")
@@ -78,9 +124,10 @@ def main() -> int:
             print(f"[rows-only] {name}: {len(srows)} rows, cols={scols}")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otbl = con.execute(oracles[name]).arrow()
+            ocols = otbl.column_names
+            otypes = {f.name: canon_arrow_type(f.type) for f in otbl.schema}
+            orows = [tuple(d.values()) for d in otbl.to_pylist()]
         except Exception as e:
             print(f"[FAIL] {name}: duckdb error: {e}")
             failures += 1
@@ -89,6 +136,13 @@ def main() -> int:
         oc, on = norm_rows(ocols, orows)
         if sc != oc:
             print(f"[FAIL] {name}: column mismatch spark={sc} oracle={oc}")
+            failures += 1
+            continue
+        tbad = [c for c in sc if stypes[c] != otypes[c]]
+        if tbad:
+            print(f"[FAIL] {name}: type mismatch (driver value-hash would "
+                  f"differ): " + ", ".join(
+                      f"{c}: spark={stypes[c]} oracle={otypes[c]}" for c in tbad))
             failures += 1
             continue
         if len(sn) != len(on):

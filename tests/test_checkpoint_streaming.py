@@ -78,6 +78,60 @@ def test_resume_incremental_and_idempotent(spark, tmp_path, tx_files):
             "lines", "success", "error", "committed_at"} <= set(lineage.columns)
 
 
+def test_resume_after_crash_with_new_files(spark, tmp_path, tx_files):
+    """Crash-before-commit, then NEW input files arrive before the retry: the
+    retry's pending set (and hence batch_id) differs, so the orphaned staging
+    dir must be cleaned, not double-counted (ADVICE round 1)."""
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(input_dir)
+
+    third = max(1, len(tx_files) // 3)
+    for f in tx_files[:third]:
+        shutil.copy(f, input_dir)
+    r1 = ck.run_resumable(spark, input_dir, ckpt, out, "run1",
+                          crash_before_commit=True)
+    assert r1.get("crashed")
+    orphan = os.path.join(out, f"batch={r1['batch_id']}")
+    assert os.path.isdir(orphan)
+
+    # new files arrive → different pending set → different batch_id
+    for f in tx_files[third:]:
+        shutil.copy(f, input_dir)
+    r2 = ck.run_resumable(spark, input_dir, ckpt, out, "run2")
+    assert r2["batch_id"] != r1["batch_id"]
+    assert not os.path.isdir(orphan), "orphaned staging dir not cleaned"
+
+    total = ck.read_output(spark, out).count()
+    assert total == _expected_routed_count(spark)
+    # committed-only read sees the same rows
+    assert ck.read_output(spark, out, ckpt).count() == total
+
+
+def test_read_output_committed_only_hides_crash_window(spark, tmp_path,
+                                                       tx_files):
+    """A reader inside another run's write-to-commit window must not see the
+    uncommitted staging rows when reading committed-only."""
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(input_dir)
+    for f in tx_files[:2]:
+        shutil.copy(f, input_dir)
+    ck.run_resumable(spark, input_dir, ckpt, out, "run1")
+    committed = ck.read_output(spark, out, ckpt).count()
+    assert committed > 0
+
+    shutil.copy(tx_files[2], input_dir)
+    r = ck.run_resumable(spark, input_dir, ckpt, out, "run2",
+                         crash_before_commit=True)
+    assert r.get("crashed")
+    # raw glob sees the staging rows; committed-only does not
+    assert ck.read_output(spark, out).count() > committed
+    assert ck.read_output(spark, out, ckpt).count() == committed
+
+
 def test_stream_pipeline_matches_batch_and_tracks_offsets(spark, tmp_path):
     from log_collector_spark.streaming import pipeline as sp
 

@@ -129,6 +129,43 @@ def test_sdf_vectorized_matches_scalar():
         assert not ok[0], (value, fmt)
 
 
+def test_json_flatten_corpus(compiler):
+    """``;json`` captures: one-level flatten with putAll-overwrite semantics,
+    Gson Double numbers, nested objects/lists, failure → '' — byte-equal to
+    the single-row oracle (the former per-row slow path is gone)."""
+    cg = compiler.compile(
+        r"\[%{NOTSPACE:logtype}\] "
+        r"\[%{CUSTOM_TIMESTAMP_ISO8601:logtime;date;yyyy-MM-dd HH:mm:ss}\] "
+        r"%{JSON:payload;json}")
+    lines = [
+        '[elk] [2017-05-24 16:51:23] {"u":42,"k":"v"}',
+        '[web] [2017-05-24 16:52:05] {"nested":{"a":1},"arr":[1,"x",null],"b":true}',
+        '[api] [2017-05-24 16:53:00] {"logtype":"overwritten","z":0.001}',  # putAll overwrite
+        '[x] [2017-05-24 16:54:00] {"n":null,"s":"he said \\"hi\\""}',  # null entry omitted
+        '[y] [2017-05-24 16:55:00] -',      # JSON alt branch → conversion failure → ""
+        '[z] [2017-05-24 16:56:00] [1,2]',  # non-object JSON → failure → ""
+        '[big] [2017-05-24 16:57:00] {"e":1e100,"tiny":1e-7,"html":"<a=b&c>"}',
+        "garbage",
+        "",
+        None,
+    ]
+    assert_matches_oracle(cg, lines, provenance={
+        "directory": "dirA", "host": "h", "filename": "f.log"})
+
+
+def test_json_subkey_hoist_corpus(compiler):
+    """fmt-parameterized json: named sub-keys hoisted into the parent
+    (Converter.java:246-269), including string-encoded sub-objects."""
+    cg = compiler.compile(r"%{JSON:payload;json;inner}")
+    lines = [
+        '{"inner":{"x":1,"y":"z"},"keep":true}',
+        '{"inner":"{\\"x\\":2}","other":3}',
+        '{"no_inner":1}',
+        "not json at all {",
+    ]
+    assert_matches_oracle(cg, lines)
+
+
 def test_large_batch_consistency(compiler):
     """Bulk randomized corpus: every row must equal the oracle."""
     rng = np.random.RandomState(7)

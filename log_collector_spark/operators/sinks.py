@@ -52,10 +52,37 @@ def gateway_sink(df: DataFrame, out_dir: str, *,
 
 
 def kafka_sink(df: DataFrame, brokers: str, topic_col: str = "sink",
-               value_col: str = "parsed_json") -> None:
-    """W1: per-topic Kafka producer fan-out (needs the Kafka connector)."""
-    raise NotImplementedError(
-        "no Kafka connector in this environment; on a cluster:\n"
-        f'  df.selectExpr("{topic_col} AS topic", "{value_col} AS value")'
-        f'.write.format("kafka").option("kafka.bootstrap.servers", '
-        f'"{brokers}").save()')
+               value_col: str = "parsed_json",
+               options: dict | None = None) -> None:
+    """W1: per-topic Kafka producer fan-out (KafkaWriter.java:96-147).
+
+    The ``topic_col`` routing column doubles as the per-row topic — with the
+    reference's ``wirter.kafka.topic.diff`` rewrite the ok-sink is already
+    named ``<topic>_etl`` (KafkaReader.java:86-89 == route SINK_OK_SUFFIX).
+    Retry semantics (KafkaWriter's 5×1s loop, :125-139) map to Spark task
+    retries + the producer's own ``kafka.retries``. Raises
+    ``NotImplementedError`` with the exact fix when the connector jar is
+    absent (this sandbox has none).
+    """
+    from pyspark.sql import functions as F
+
+    writer = (df.filter(F.col(topic_col).isNotNull() &
+                        F.col(value_col).isNotNull())
+                .select(F.col(topic_col).alias("topic"),
+                        F.col(value_col).cast("string").alias("value"))
+                .write.format("kafka")
+                .option("kafka.bootstrap.servers", brokers))
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    try:
+        writer.save()
+    except Exception as e:
+        msg = str(e)
+        if "kafka" in msg.lower() and ("Failed to find" in msg
+                                       or "ClassNotFound" in msg
+                                       or "DataSource" in msg):
+            raise NotImplementedError(
+                "Kafka connector not on the classpath; on a cluster add "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                "<spark version> and re-run. Underlying error: " + msg) from e
+        raise

@@ -81,10 +81,16 @@ def clean_orphan_staging(spark: SparkSession, out_dir: str,
 
 
 def pending_files(spark: SparkSession, input_dir: str,
-                  ckpt_dir: str) -> list[str]:
-    all_files = sorted(
-        os.path.join(input_dir, f) for f in os.listdir(input_dir)
-        if f.endswith(".parquet"))
+                  ckpt_dir: str, *,
+                  filename_regex: str | None = None,
+                  last_file: str | None = None) -> list[str]:
+    """Files to process: regex/skip-before pruning (S3, SugoFileFilter
+    semantics — see sources/file_filter.py) minus the committed set."""
+    from log_collector_spark.sources.file_filter import filtered_files
+
+    all_files = [f for f in filtered_files(input_dir, filename_regex,
+                                           last_file)
+                 if filename_regex is not None or f.endswith(".parquet")]
     done = committed_files(spark, ckpt_dir)
     return [f for f in all_files if f not in done]
 
@@ -113,7 +119,9 @@ def lineage_stats(routed: DataFrame, run_id: str, bid: str,
 
 def run_resumable(spark: SparkSession, input_dir: str, ckpt_dir: str,
                   out_dir: str, run_id: str, *,
-                  crash_before_commit: bool = False) -> dict:
+                  crash_before_commit: bool = False,
+                  filename_regex: str | None = None,
+                  last_file: str | None = None) -> dict:
     """One resumable pipeline run over the files not yet checkpointed.
 
     Returns {"batch_id", "files", "rows"}; with ``crash_before_commit`` the
@@ -121,7 +129,8 @@ def run_resumable(spark: SparkSession, input_dir: str, ckpt_dir: str,
     reference's crash window — re-running must NOT duplicate output).
     """
     clean_orphan_staging(spark, out_dir, ckpt_dir)
-    files = pending_files(spark, input_dir, ckpt_dir)
+    files = pending_files(spark, input_dir, ckpt_dir,
+                          filename_regex=filename_regex, last_file=last_file)
     if not files:
         return {"batch_id": None, "files": [], "rows": 0}
     bid = batch_id(files)

@@ -39,6 +39,8 @@ MAX_SIZE = "reader.message.max_size.bytes"
 MULTILINE_PATTERN = "multiline.pattern"
 CSV_SEPARATOR = "file.parser.csv.separator"
 SOURCE_NAME = "file.reader.log.dir"
+# S3 filename pruning (DefaultFileReader.java:36 + SugoFileFilter.java:25-39)
+FILE_READER_LOG_REGEX = "file.reader.log.regex"
 
 
 def _grok_parse_stage(conf: dict) -> Callable[[DataFrame], DataFrame]:
@@ -94,8 +96,20 @@ def _gateway_writer(conf: dict):
     return lambda df: gateway_sink(df, conf["writer.gateway.api"])
 
 
+def _kafka_writer(conf: dict):
+    """writer.class=KafkaWriter: real connector path (KafkaWriter.java:96-147
+    semantics; raises with the --packages fix where the jar is absent)."""
+    from log_collector_spark.operators.sinks import kafka_sink
+    from log_collector_spark.sources import kafka as khelp
+
+    opts = khelp.writer_kafka_options(conf)
+    brokers = opts.pop("kafka.bootstrap.servers", "")
+    return lambda df: kafka_sink(df, brokers, options=opts)
+
+
 WRITERS: dict[str, Callable[[dict], Callable[[DataFrame], None]]] = {
-    "io.sugo.collect.writer.kafka.KafkaWriter": _parquet_writer,  # sandbox
+    "io.sugo.collect.writer.kafka.KafkaWriter": _kafka_writer,
+    "kafka": _kafka_writer,
     "parquet": _parquet_writer,
     "io.sugo.collect.writer.console.ConsoleWriter": _console_writer,
     "console": _console_writer,

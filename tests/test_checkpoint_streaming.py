@@ -132,6 +132,55 @@ def test_read_output_committed_only_hides_crash_window(spark, tmp_path,
     assert ck.read_output(spark, out, ckpt).count() == committed
 
 
+def test_filename_regex_filter_semantics():
+    """SugoFileFilter.accept parity (S3): full regex match on the basename +
+    lexicographic skip-before-lastFileName with equality accepted."""
+    from log_collector_spark.sources.file_filter import accept
+    assert accept("app.2024-01-02.log", r"app\..*\.log")
+    assert not accept("app.2024-01-02.log.gz", r"app\..*\.log")  # fullmatch
+    assert not accept("other.log", r"app\..*\.log")
+    # skip-before: compareTo > 0 rejects, equality accepted
+    assert not accept("app.2024-01-01.log", r"app\..*\.log",
+                      "app.2024-01-02.log")
+    assert accept("app.2024-01-02.log", r"app\..*\.log",
+                  "app.2024-01-02.log")
+    assert accept("app.2024-01-03.log", r"app\..*\.log",
+                  "app.2024-01-02.log")
+    assert accept("anything", None)  # no regex configured → all pass
+
+
+def test_filename_regex_prunes_before_scan(spark, tmp_path, tx_files):
+    """Excluded files must never be scanned: the lineage table (one row per
+    scanned source file) shows only accepted files, and the excluded file's
+    rows are absent from the output."""
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(input_dir)
+    for f in tx_files[:2]:
+        shutil.copy(f, input_dir)
+    # a decoy that would parse fine but must be pruned by name
+    shutil.copy(tx_files[2], os.path.join(input_dir, "skipme-0002.parquet"))
+
+    r = ck.run_resumable(spark, input_dir, ckpt, out, "run1",
+                         filename_regex=r"part-\d+\.parquet")
+    assert len(r["files"]) == 2
+    lineage = spark.read.parquet(os.path.join(ckpt, "checkpoint"))
+    scanned = {os.path.basename(x["src_file"])
+               for x in lineage.select("src_file").distinct().collect()}
+    assert scanned == {os.path.basename(f) for f in tx_files[:2]}
+    n_expected = (pl.parse_stage(spark.read.parquet(*tx_files[:2]))
+                  .filter(F.col("is_blank") == False)  # noqa: E712
+                  .count())
+    assert ck.read_output(spark, out).count() == n_expected
+
+    # skip-before-checkpoint: last_file prunes lexicographically-earlier names
+    r2 = ck.run_resumable(spark, input_dir, ckpt, out, "run2",
+                          filename_regex=r".*\.parquet",
+                          last_file="skipme-0000.parquet")
+    assert [os.path.basename(f) for f in r2["files"]] == ["skipme-0002.parquet"]
+
+
 def test_stream_pipeline_matches_batch_and_tracks_offsets(spark, tmp_path):
     from log_collector_spark.streaming import pipeline as sp
 

@@ -324,7 +324,10 @@ def q_delta_minute_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny per-day-last table (one row per day-with-data, broadcast).
     per_day_last = counts.groupBy("day_id").agg(
         F.max(F.struct("bucket_ms", "n")).alias("m"))
-    wl = Window.partitionBy(F.lit(0)).orderBy("day_id")
+    # pmod(hash,1): constant-valued, non-foldable partition key (see
+    # token_topk — lit(0) and col*0 both get optimized to an empty spec)
+    wl = Window.partitionBy(F.pmod(F.xxhash64("day_id"), F.lit(1))) \
+        .orderBy("day_id")
     prevs = per_day_last.select(
         "day_id", F.lag(F.col("m.n")).over(wl).alias("prev_last_n"))
     w = Window.partitionBy("day_id").orderBy("bucket_ms")
@@ -339,12 +342,28 @@ def q_delta_minute_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data operators over documents/embeddings (textops package)
 # ---------------------------------------------------------------------------
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan yields fewer partitions than cores.
+
+    The sandbox tables are single parquet files (one split → every textops
+    query runs as one task, wasting 31 cores). A real 100 TB corpus arrives
+    as thousands of files, the guard is false, and no shuffle happens — this
+    is a small-input fix, not a pipeline stage.
+    """
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _spread(spark, spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _spread(spark, spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")))
 
 
 def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,6 +426,13 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(_embs(spark, sf_dir))
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k: fixed coarse-quantizer cells + nprobe probing,
+    exact integer-dot re-rank (partition-prunable corpus layout at scale)."""
+    from log_collector_spark.textops import similarity as S
+    return S.ivf_ann_topk(_embs(spark, sf_dir))
+
+
 def q_token_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: exact top-20 corpus tokens (explode → count → rank,
     ties broken lexicographically). The map-side partial aggregation makes
@@ -418,10 +444,13 @@ def q_token_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orderBy+limit plans as TakeOrderedAndProject: per-partition top-20 then
     # a 20*P-row driver merge — never a single-partition sort of the whole
     # vocabulary (10^8-10^9 rows at corpus scale). Rank is then assigned over
-    # the 20 survivors (partitionBy(lit(0)) keeps WindowExec off the
-    # unpartitioned-global-window path).
+    # the 20 survivors; the partition key is a constant-valued but
+    # NON-FOLDABLE zero (pmod(hash,1)) — lit(0) is constant-folded (and n*0
+    # zero-propagated) away, and WindowExec then takes the warned
+    # unpartitioned-global-window path.
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("token"))
+    w = Window.partitionBy(F.pmod(F.xxhash64("token"), F.lit(1))) \
+        .orderBy(F.desc("n"), F.asc("token"))
     return (top.withColumn("rank", F.row_number().over(w))
                .select("token", "n", F.col("rank").cast("int").alias("rank")))
 
@@ -482,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "token_topk_documents": q_token_topk_documents,
         "sessionize_events": q_sessionize_events,
@@ -716,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _td().sql_embedding_neardup_pairs(),
         "ann_topk_brute": _ts().sql_brute_force_topk(),
         "ann_topk_lsh": _ts().sql_lsh_ann_topk(),
+        "ann_topk_ivf": _ts().sql_ivf_ann_topk(),
         "multimodal_features": _tm().sql_fake_features(),
         "token_topk_documents": """
             WITH counts AS (

@@ -92,8 +92,8 @@ def child_main(cpus: int) -> None:
     """Scaling child: flagship job only, fresh JVM at local[cpus].
 
     One unmeasured warm-up execution (python-worker fork + imports + JIT —
-    at real scale these amortize to zero), then min of 3 measured
-    steady-state executions. The DataFrame plan is built ONCE and re-executed
+    at real scale these amortize to zero), then the minimum of 6 measured
+    steady-state executions at the headline-pair levels (4 elsewhere). The DataFrame plan is built ONCE and re-executed
     (full input recomputation each time, but no per-run plan analysis /
     py4j churn — serial driver time is not what the N→4N criterion
     measures)."""
@@ -105,10 +105,10 @@ def child_main(cpus: int) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql.observation import Observation
 
+    pl.transcripts_path(SF_DIR)
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
                       app_name=f"bench_scale_{cpus}",
                       extra_conf=_bench_conf())
-    pl.transcripts_path(SF_DIR)
     routed = pl.full_pipeline(spark, SF_DIR)
     metrics = agg_ops.pipeline_metrics(routed, "directory")
     n = sum(r["lines"] for r in metrics.collect())  # warm-up execution
@@ -130,7 +130,10 @@ def child_main(cpus: int) -> None:
         return dt
 
     one_run()  # steady-state warm-up of the noop path
-    runs = [one_run() for _ in range(4)]
+    # more samples at the headline-pair levels: the host's stochastic steal
+    # gives single runs ±15-40% spread; the per-level minimum over 6 runs is
+    # a much tighter estimate of quiet-host capability than over 4
+    runs = [one_run() for _ in range(6 if cpus <= 8 else 4)]
     best = min(runs)
     print(json.dumps({"cpus": cpus, "sec": best, "turns": n,
                       "tps": n / best,
@@ -198,9 +201,9 @@ def run_scaling() -> dict:
     # minimum over all sweeps approximates the quiet-host capability). A wall
     # budget caps total scaling time so per-round driver runs stay bounded;
     # at least one full sweep always completes.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "720"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "1000"))
     t0 = time.perf_counter()
-    for sweep in range(4):
+    for sweep in range(6):
         if sweep > 0 and time.perf_counter() - t0 > budget * 0.7:
             break
         for cpus in (SCALE_LO, SCALE_HI):
@@ -241,7 +244,8 @@ def update_baseline_md(scaling: dict, tps_main: float, sf: float) -> None:
 
 Same flagship parse→enrich→route→aggregate job, identical synthetic
 transcripts input (sf={sf}, {scaling['turns']:,} turns), fresh JVM per
-parallelism level, one warm-up + min-of-4 measured runs per child.
+parallelism level, one warm-up + min-of-6 measured runs per child at the
+headline-pair levels (min-of-4 at the informational ladder levels).
 Methodology (emulating N vs 4N executors on one 32-vCPU shared VM):
 
 - each child's WHOLE process tree (JVM + python workers) is pinned with
@@ -250,7 +254,7 @@ Methodology (emulating N vs 4N executors on one 32-vCPU shared VM):
 - the remaining cores run a register-only spin burner so the chip is
   equally busy (same turbo frequency) at every level — a real cluster
   compares equally-busy nodes at both sizes,
-- the headline pair is measured in up to 4 alternating A/B sweeps (wall-budgeted) (the host shows
+- the headline pair is measured in up to 6 alternating A/B sweeps (wall-budgeted) (the host shows
   10-18% stochastic hypervisor steal via /proc/stat; interleaving samples
   both levels under comparable conditions, minima taken per level).
 
@@ -287,14 +291,17 @@ def main() -> None:
     # extrapolates to cluster scale
     sec_cold, n_turns = run_flagship(spark, SF_DIR)
     timings["pipeline_e2e_cold"] = sec_cold
-    sec, _ = run_flagship(spark, SF_DIR)
+    # min-of-3 warm runs: the host shows 10-18% stochastic steal (see
+    # BASELINE.md methodology) — a single warm sample can be 3-6x off
+    sec = min(run_flagship(spark, SF_DIR)[0] for _ in range(3))
     timings["pipeline_e2e"] = sec
     tps = n_turns / sec
 
     # wide row-level outputs → noop write; aggregates → collect
     wide = {"grok_parse_events", "window_lag_events", "tx_per_turn_json",
             "multiline_assemble_events", "csv_parse_lineitem",
-            "tokenize_documents", "quality_score_documents"}
+            "tokenize_documents", "quality_score_documents",
+            "json_flatten_events"}
     qs = entry_mod.queries()
     for name, fn in qs.items():
         t0 = time.perf_counter()

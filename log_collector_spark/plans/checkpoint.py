@@ -117,11 +117,77 @@ def lineage_stats(routed: DataFrame, run_id: str, bid: str,
                     F.current_timestamp().alias("committed_at")))
 
 
+FILESTATE_TABLE = "filestate"
+
+
+def _filestate_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, FILESTATE_TABLE)
+
+
+def record_filestate(spark: SparkSession, ckpt_dir: str,
+                     files: list[str]) -> None:
+    """Commit-time sidecar: (src_file, bytes) per processed file — the analog
+    of the reference's stored byte offset (DefaultFileReader.java:306-310)."""
+    rows = [(f, os.path.getsize(f)) for f in files if os.path.exists(f)]
+    if not rows:
+        return
+    spark.createDataFrame(rows, "src_file string, bytes long") \
+        .coalesce(1).write.mode("append").parquet(_filestate_path(ckpt_dir))
+
+
+def truncated_files(spark: SparkSession, ckpt_dir: str) -> list[str]:
+    """S5 tail-truncate detection (DefaultFileReader.java:217-219: stored
+    offset > current length → restart from 0). File-granularity analog: a
+    committed file whose on-disk size SHRANK was truncated/rotated in place
+    — its checkpoint entry is stale."""
+    try:
+        rows = (spark.read.parquet(_filestate_path(ckpt_dir))
+                .groupBy("src_file")
+                .agg(F.max("bytes").alias("bytes")).collect())
+    except Exception:
+        return []
+    return [r["src_file"] for r in rows
+            if os.path.exists(r["src_file"])
+            and os.path.getsize(r["src_file"]) < r["bytes"]]
+
+
+def recover_truncated(spark: SparkSession, ckpt_dir: str) -> list[str]:
+    """Drop checkpoint + filestate rows of truncated files so the next run
+    re-reads them from the start (the reference's ``currentByteOffset = 0``).
+
+    The rewrite is driver-side (the checkpoint table is metadata — one row
+    per file×partition, ~10^6 rows at 100 TB); on an Iceberg-backed
+    checkpoint this is a ``DELETE WHERE src_file IN (...)``. Like the
+    reference's restart-from-0, truncate recovery is at-least-once for the
+    affected file: rows its pre-truncate content already emitted stay in the
+    output (the reference re-emits to its topic the same way).
+    """
+    bad = truncated_files(spark, ckpt_dir)
+    if not bad:
+        return []
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pac
+    import pyarrow.parquet as pq
+    for path in (_ckpt_path(ckpt_dir), _filestate_path(ckpt_dir)):
+        if not os.path.isdir(path):
+            continue
+        tbl = pq.read_table(path)
+        keep = tbl.filter(pac.invert(pac.is_in(
+            tbl.column("src_file"), value_set=pa.array(bad))))
+        shutil.rmtree(path)
+        os.makedirs(path)
+        pq.write_table(keep, os.path.join(path, "part-0000.parquet"))
+    return bad
+
+
 def run_resumable(spark: SparkSession, input_dir: str, ckpt_dir: str,
                   out_dir: str, run_id: str, *,
                   crash_before_commit: bool = False,
                   filename_regex: str | None = None,
-                  last_file: str | None = None) -> dict:
+                  last_file: str | None = None,
+                  detect_truncate: bool = False) -> dict:
     """One resumable pipeline run over the files not yet checkpointed.
 
     Returns {"batch_id", "files", "rows"}; with ``crash_before_commit`` the
@@ -129,6 +195,8 @@ def run_resumable(spark: SparkSession, input_dir: str, ckpt_dir: str,
     reference's crash window — re-running must NOT duplicate output).
     """
     clean_orphan_staging(spark, out_dir, ckpt_dir)
+    if detect_truncate:
+        recover_truncated(spark, ckpt_dir)
     files = pending_files(spark, input_dir, ckpt_dir,
                           filename_regex=filename_regex, last_file=last_file)
     if not files:
@@ -149,6 +217,7 @@ def run_resumable(spark: SparkSession, input_dir: str, ckpt_dir: str,
                 "crashed": True}
     stats = lineage_stats(routed, run_id, bid, "route")
     stats.write.mode("append").parquet(_ckpt_path(ckpt_dir))
+    record_filestate(spark, ckpt_dir, files)
     n = spark.read.parquet(staging).count()
     return {"batch_id": bid, "files": files, "rows": n}
 

@@ -37,12 +37,22 @@ def tokens(col: Column) -> Column:
 
 
 def shingles(tok: Column, k: int) -> Column:
-    """Word k-gram shingles (space-joined); [] when fewer than k tokens."""
-    n = F.size(tok)
-    return F.when(n >= k, F.transform(
-        F.sequence(F.lit(1), n - k + 1),
-        lambda i: F.array_join(F.slice(tok, i, k), " "),
-    )).otherwise(F.array().cast("array<string>"))
+    """Word k-gram shingles (space-joined); [] when fewer than k tokens.
+
+    ``tok`` is bound ONCE into a lambda variable (via a 1-element array
+    wrapper): the naive form references it four times (size guard, sequence
+    bound, slice), and Catalyst's projection collapse inlines the upstream
+    tokenization into every reference — measured 4-5x re-tokenization of the
+    corpus. Lambda variables cannot be inlined, so this shape keeps exactly
+    one evaluation of ``tok`` regardless of surrounding projections."""
+    def _shingle_of(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(n >= k, F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        )).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tok), _shingle_of), 1)
 
 
 def quantized_embedding(col: Column) -> Column:

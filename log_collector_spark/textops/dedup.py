@@ -102,11 +102,19 @@ def sql_exact_dedup_summary(table: str = "documents") -> str:
 
 def doc_shingles(df: DataFrame, text_col: str = "text",
                  k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingles: array<string> DISTINCT, n_shingles)."""
+    """(doc_id, shingles: array<string> DISTINCT, n_shingles), PERSISTED.
+
+    The persist is the evaluation barrier: the size column, the >0 filter,
+    and every downstream consumer (inverted-index explode, minhash perms,
+    verify joins) would each re-evaluate the tokenize+shingle projection
+    otherwise (projection collapse duplicates the expression per reference —
+    measured 5x at sf0.1). Identical plans share one cache entry via Spark's
+    CacheManager, so repeated calls don't double-store; at 100 TB this table
+    is what you CHECKPOINT rather than cache."""
     sh = F.array_distinct(C.shingles(C.tokens(F.col(text_col)), k))
-    return df.select("doc_id", sh.alias("shingles")) \
-             .withColumn("n_shingles", F.size("shingles")) \
-             .filter(F.col("n_shingles") > 0)
+    base = df.select("doc_id", sh.alias("shingles")).persist()
+    return base.withColumn("n_shingles", F.size("shingles")) \
+               .filter(F.col("n_shingles") > 0)
 
 
 def _sql_doc_shingles(table: str, k: int) -> str:
@@ -131,18 +139,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     guard is what prevents one stop-phrase shingle from becoming an O(df²)
     hot join key.
     """
+    # doc_shingles is persisted: the self-join's two sides and the max_df
+    # document-frequency aggregate all explode the cached shingle table
+    # instead of re-tokenizing the corpus. carry n_shingles through the
+    # explode: after the pair-groupBy both set sizes ride along as first()
+    # aggregates — no extra joins back to docs.
     docs = doc_shingles(df, text_col, k)
-    # carry n_shingles through the explode: after the pair-groupBy both set
-    # sizes ride along as first() aggregates — no extra joins back to docs.
-    # persist: the self-join reads inv twice; caching beats re-running
-    # scan+tokenize+shingle on both sides (at 100 TB: checkpoint this table).
     inv = docs.select("doc_id", "n_shingles",
                       F.explode("shingles").alias("sh"))
     if max_df is not None:
         hot = (inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
                   .filter(F.col("df") > max_df).select("sh"))
         inv = inv.join(F.broadcast(hot), "sh", "left_anti")
-    inv = inv.persist()
     a = inv.alias("a")
     b = inv.alias("b")
     pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh")) &
@@ -254,10 +262,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     lose pairs (recall), never emit a wrong one (precision).
 
     The shingle projection (tokenize + k-gram + distinct) is computed ONCE
-    and persisted: the signature path and both verify joins read the cached
-    table instead of re-tokenizing the corpus three times — at 100 TB the
-    shingle table is the thing you checkpoint, not recompute."""
-    docs = doc_shingles(df, text_col, k).persist()
+    (doc_shingles persists it): the signature path and both verify joins
+    read the cached table instead of re-tokenizing the corpus three times —
+    at 100 TB the shingle table is the thing you checkpoint, not recompute."""
+    docs = doc_shingles(df, text_col, k)
     sigs = minhash_signatures(df, text_col, k, shingles=docs)
     bands = []
     for b in range(BANDS):

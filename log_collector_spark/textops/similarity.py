@@ -10,11 +10,22 @@
   dedup) restrict each query to its bucket; multiprobe = exact Hamming-1
   neighbor buckets. Integer arithmetic throughout → value-identical DuckDB
   oracle generated from the same constants.
+- **IVF ANN** (the other classic scale path): a fixed coarse quantizer of
+  ``IVF_K`` seeded integer centroids partitions the corpus into cells
+  (assignment = argmin squared-L2, computed as the integer
+  ``|c|² − 2·v·c`` — the ``|v|²`` term is constant per vector); each query
+  probes its ``IVF_NPROBE`` nearest cells and exact-dot re-ranks inside
+  them. Cell assignment and probe selection are pure Catalyst array ops
+  (no shuffle); the only shuffle is the per-query top-k. At 100 TB the
+  cell id is what you PARTITION the stored corpus BY, so a probe becomes a
+  partition-pruned scan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import random
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -25,6 +36,14 @@ from log_collector_spark.textops.dedup import (
 
 TOP_K = 5
 QUERY_MOD = 100  # vec_id % QUERY_MOD == 0 → query vector
+
+IVF_K, IVF_NPROBE = 16, 3
+_rng_ivf = random.Random(271828)
+# fixed seeded integer centroids (64-dim, same magnitude as the LSH planes);
+# embedded verbatim into the oracle SQL like EMB_PLANES
+IVF_CENTROIDS = [[_rng_ivf.randrange(-50, 51) for _ in range(64)]
+                 for _ in range(IVF_K)]
+_IVF_C2 = [sum(x * x for x in c) for c in IVF_CENTROIDS]
 
 
 def _quantized(df: DataFrame, vec_col: str) -> DataFrame:
@@ -97,6 +116,89 @@ def lsh_ann_topk(df: DataFrame, vec_col: str = "embedding",
                   .filter(F.col("rank") <= k)
                   .select("query_id", "cand_id", "dot",
                           F.col("rank").cast("int").alias("rank")))
+
+
+def _ivf_cell_scores(qcol: Column) -> Column:
+    """array<struct<dist,cid>> of the vector's distance term to every
+    centroid; ``array_min``/``array_sort`` order by (dist, cid) — the same
+    tie-break as the oracle's ROW_NUMBER ORDER BY dist, cid."""
+    return F.array(*[
+        F.struct(
+            (F.lit(_IVF_C2[i]).cast("long")
+             - F.lit(2) * C.int_dot(qcol, F.lit(c).cast("array<bigint>")))
+            .alias("dist"),
+            F.lit(i).cast("long").alias("cid"))
+        for i, c in enumerate(IVF_CENTROIDS)])
+
+
+def ivf_ann_topk(df: DataFrame, vec_col: str = "embedding",
+                 k: int = TOP_K, query_mod: int = QUERY_MOD,
+                 nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-flat ANN: nearest-centroid cells, nprobe probing, exact re-rank.
+
+    Each (query, candidate) pair appears at most once (cells are disjoint),
+    so no distinct is needed before the top-k.
+    """
+    q = _quantized(df, vec_col)
+    scores = _ivf_cell_scores(F.col("q"))
+    corpus = q.select(F.col("vec_id").alias("cand_id"),
+                      F.col("q").alias("cv"),
+                      F.array_min(scores)["cid"].alias("cell"))
+    probes = F.slice(F.array_sort(scores), 1, nprobe)
+    queries = (q.filter(F.col("vec_id") % query_mod == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("qv"),
+                       F.explode(probes).alias("p"))
+               .select("query_id", "qv", F.col("p.cid").alias("probe")))
+    scored = (corpus.join(F.broadcast(queries),
+                          (F.col("cell") == F.col("probe")) &
+                          (F.col("cand_id") != F.col("query_id")))
+              .select("query_id", "cand_id",
+                      C.int_dot(F.col("qv"), F.col("cv")).alias("dot")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "cand_id", "dot",
+                          F.col("rank").cast("int").alias("rank")))
+
+
+def sql_ivf_ann_topk(table: str = "embeddings", k: int = TOP_K,
+                     query_mod: int = QUERY_MOD,
+                     nprobe: int = IVF_NPROBE) -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    cent_rows = ", ".join(
+        f"({i}, {_IVF_C2[i]}, {c}::BIGINT[])"
+        for i, c in enumerate(IVF_CENTROIDS))
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), cent AS (
+            SELECT * FROM (VALUES {cent_rows}) AS t(cid, c2, c)
+        ), assign AS (
+            SELECT vec_id, q, cid,
+                   c2 - 2 * CAST(list_dot_product(q, c) AS BIGINT) AS dist
+            FROM q CROSS JOIN cent
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+            FROM assign
+        ), cells AS (
+            SELECT vec_id, q, cid AS cell FROM ranked WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, q AS qv, cid AS probe
+            FROM ranked WHERE vec_id % {query_mod} = 0 AND rn <= {nprobe}
+        ), scored AS (
+            SELECT p.query_id, c.vec_id AS cand_id,
+                   CAST(list_dot_product(p.qv, c.q) AS BIGINT) AS dot
+            FROM probes p JOIN cells c
+              ON c.cell = p.probe AND c.vec_id <> p.query_id
+        )
+        SELECT query_id, cand_id, dot, CAST(rank AS INT) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY dot DESC, cand_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 def sql_lsh_ann_topk(table: str = "embeddings", k: int = TOP_K,

@@ -132,6 +132,44 @@ def test_read_output_committed_only_hides_crash_window(spark, tmp_path,
     assert ck.read_output(spark, out, ckpt).count() == committed
 
 
+def test_truncate_recovery_reprocesses_shrunk_file(spark, tmp_path, tx_files):
+    """S5 (DefaultFileReader.java:217-219): a committed file whose size
+    shrank is re-read from the start — its checkpoint entry is invalidated
+    and the next run picks it up again."""
+    import pyarrow.parquet as pq
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(input_dir)
+    for f in tx_files[:2]:
+        shutil.copy(f, input_dir)
+    r1 = ck.run_resumable(spark, input_dir, ckpt, out, "run1",
+                          detect_truncate=True)
+    assert len(r1["files"]) == 2
+
+    # nothing truncated yet → second run is a no-op
+    r2 = ck.run_resumable(spark, input_dir, ckpt, out, "run2",
+                          detect_truncate=True)
+    assert r2["files"] == []
+
+    # truncate one committed file in place (half the rows → smaller file)
+    victim = sorted(os.path.join(input_dir, f) for f in os.listdir(input_dir)
+                    if f.endswith(".parquet"))[0]
+    orig_size = os.path.getsize(victim)
+    tbl = pq.read_table(victim)
+    pq.write_table(tbl.slice(0, tbl.num_rows // 2), victim)
+    assert os.path.getsize(victim) < orig_size  # sanity: it shrank
+
+    r3 = ck.run_resumable(spark, input_dir, ckpt, out, "run3",
+                          detect_truncate=True)
+    assert r3["files"] == [victim]
+    # and afterwards the checkpoint is consistent again
+    r4 = ck.run_resumable(spark, input_dir, ckpt, out, "run4",
+                          detect_truncate=True)
+    assert r4["files"] == []
+
+
 def test_filename_regex_filter_semantics():
     """SugoFileFilter.accept parity (S3): full regex match on the basename +
     lexicographic skip-before-lastFileName with equality accepted."""
@@ -197,6 +235,50 @@ def test_stream_pipeline_matches_batch_and_tracks_offsets(spark, tmp_path):
     q2 = sp.start_pipeline_stream(spark, input_dir, ckpt, out)
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_processing_time_trigger_ingests_new_files(spark, tmp_path):
+    """Trigger.ProcessingTime mode (the reference's scan loop,
+    DefaultFileReader.java:107): a continuously-running query picks up files
+    that arrive AFTER start, then stops cleanly."""
+    from log_collector_spark.streaming import pipeline as sp
+
+    src_files = sorted(
+        os.path.join(pl.transcripts_path(SF_DIR), f)
+        for f in os.listdir(pl.transcripts_path(SF_DIR))
+        if f.endswith(".parquet"))
+    input_dir = str(tmp_path / "tin")
+    os.makedirs(input_dir)
+    shutil.copy(src_files[0], input_dir)
+    ckpt = str(tmp_path / "tck")
+    out = str(tmp_path / "tout")
+    q = sp.start_pipeline_stream(spark, input_dir, ckpt, out,
+                                 available_now=False,
+                                 processing_time="1 second")
+    try:
+        deadline = time.time() + 120
+        n0 = None
+        while time.time() < deadline:
+            try:
+                n0 = spark.read.parquet(out).count()
+                if n0 > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        assert n0 and n0 > 0, "first file never processed"
+        # a NEW file arrives while the query is running
+        shutil.copy(src_files[1], input_dir)
+        while time.time() < deadline:
+            n1 = spark.read.parquet(out).count()
+            if n1 > n0:
+                break
+            time.sleep(1)
+        assert spark.read.parquet(out).count() > n0, \
+            "late-arriving file not ingested by the processing-time trigger"
+    finally:
+        q.stop()
+        q.awaitTermination(60)
 
 
 def test_stream_minute_buckets_watermarked(spark, tmp_path):

@@ -35,6 +35,8 @@ ORACLE_CHECKED = [
     "embedding_neardup",
     "ann_topk_brute",
     "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ngram_jaccard_maxdf",
     "multimodal_features",
     "token_topk_documents",
     "sessionize_events",

@@ -65,12 +65,75 @@ def _is_leap(y: np.ndarray) -> np.ndarray:
     return ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
 
 
+_FAST_ISO_FMT = "yyyy-MM-dd HH:mm:ss"
+_ISO_DIGIT_POS = np.array([0, 1, 2, 3, 5, 6, 8, 9, 11, 12, 14, 15, 17, 18])
+
+
 def sdf_epoch_ms_vec(values: pd.Series, fmt: str) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized SimpleDateFormat prefix-parse → (epoch_ms int64, valid bool).
 
     Mirrors converters.parse_sdf_epoch_ms (UTC pinned; strict day-in-month,
-    documented deviation from Java's lenient rollover).
+    documented deviation from Java's lenient rollover). The ubiquitous
+    ``yyyy-MM-dd HH:mm:ss`` format takes a fixed-width codepoint-arithmetic
+    fast path (the regex re-parse was ~25% of parse_batch); rows that don't
+    have the strict 19-char shape (variable widths, prefixes, garbage) fall
+    back to the regex path row-subset, so the result is value-identical.
     """
+    if fmt == _FAST_ISO_FMT:
+        return _sdf_fast_iso(values)
+    return _sdf_regex_vec(values, fmt)
+
+
+def _sdf_fast_iso(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    vals = values.tolist() if hasattr(values, "tolist") else list(values)
+    n = len(vals)
+    if n == 0:
+        return np.zeros(0, dtype="int64"), np.zeros(0, dtype=bool)
+    is_str = np.fromiter((isinstance(x, str) for x in vals), bool, count=n)
+    arr = np.array([x if isinstance(x, str) else "" for x in vals],
+                   dtype="U19")
+    codes = arr.view(np.uint32).reshape(n, -1)[:, :19].astype("int64")
+    d = codes - 48
+    sep_ok = ((codes[:, 4] == 45) & (codes[:, 7] == 45) &
+              (codes[:, 10] == 32) & (codes[:, 13] == 58) &
+              (codes[:, 16] == 58))
+    dd = d[:, _ISO_DIGIT_POS]
+    digits_ok = ((dd >= 0) & (dd <= 9)).all(axis=1)
+    strict = is_str & sep_ok & digits_ok
+
+    year = d[:, 0] * 1000 + d[:, 1] * 100 + d[:, 2] * 10 + d[:, 3]
+    month = d[:, 5] * 10 + d[:, 6]
+    day = d[:, 8] * 10 + d[:, 9]
+    hour = d[:, 11] * 10 + d[:, 12]
+    minute = d[:, 14] * 10 + d[:, 15]
+    second = d[:, 17] * 10 + d[:, 18]
+
+    # identical range validation to the regex path
+    month_c = np.clip(month, 1, 12)
+    dim = _DAYS_IN_MONTH[month_c] + ((month_c == 2) & _is_leap(year))
+    valid = strict & (month >= 1) & (month <= 12) & (day >= 1) & (day <= dim)
+    valid &= (hour >= 0) & (hour < 24) & (minute >= 0) & (minute < 60) & \
+        (second >= 0) & (second <= 60)
+
+    days = days_from_civil(year, month_c, np.clip(day, 1, 31))
+    ms = np.where(strict,
+                  days * 86400000 + hour * 3600000 + minute * 60000 +
+                  second * 1000, 0)
+
+    # non-strict STRINGS may still parse under the variable-width regex
+    # (e.g. '2023-1-5 0:0:0' or a >19-char prefix year) — regex-parse just
+    # that subset
+    fallback = is_str & ~strict
+    if fallback.any():
+        idx = np.nonzero(fallback)[0]
+        sub = pd.Series([vals[i] for i in idx], dtype=object)
+        ms_s, ok_s = _sdf_regex_vec(sub, _FAST_ISO_FMT)
+        ms[idx] = ms_s
+        valid[idx] = ok_s
+    return ms.astype("int64"), valid
+
+
+def _sdf_regex_vec(values: pd.Series, fmt: str) -> tuple[np.ndarray, np.ndarray]:
     rx, fields = _sdf_to_regex(fmt)
     # anchor like re.match (prefix match); _sdf_to_regex emits exactly one
     # capture group per field, in order. Direct match loop: ~3-5x faster than

@@ -403,7 +403,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-32 pairs within hamming<=3 via lossless byte-band blocking."""
+    """SimHash-60 pairs within hamming<=3 via lossless 15-bit-band blocking
+    (4 bands × 32,768 keys — the Manku-et-al web-corpus configuration)."""
     from log_collector_spark.textops import dedup as D
     return D.simhash_pairs(_docs(spark, sf_dir))
 
@@ -412,6 +413,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH bucket + integer-cosine verify."""
     from log_collector_spark.textops import dedup as D
     return D.embedding_neardup_pairs(_embs(spark, sf_dir))
+
+
+def q_embedding_neardup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size-guarded near-dup: overfull sign-LSH buckets sub-split with
+    the full 8-plane key (the max_df analog for the embedding family)."""
+    from log_collector_spark.textops import dedup as D
+    return D.embedding_neardup_guarded(_embs(spark, sf_dir))
 
 
 def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_guarded": q_embedding_neardup_guarded,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -744,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _td().sql_minhash_lsh_pairs(),
         "simhash_pairs": _td().sql_simhash_pairs(),
         "embedding_neardup": _td().sql_embedding_neardup_pairs(),
+        "embedding_neardup_guarded": _td().sql_embedding_neardup_guarded(),
         "ann_topk_brute": _ts().sql_brute_force_topk(),
         "ann_topk_lsh": _ts().sql_lsh_ann_topk(),
         "ann_topk_ivf": _ts().sql_ivf_ann_topk(),

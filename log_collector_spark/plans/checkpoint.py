@@ -85,14 +85,28 @@ def pending_files(spark: SparkSession, input_dir: str,
                   filename_regex: str | None = None,
                   last_file: str | None = None) -> list[str]:
     """Files to process: regex/skip-before pruning (S3, SugoFileFilter
-    semantics — see sources/file_filter.py) minus the committed set."""
+    semantics — see sources/file_filter.py) minus the committed set.
+
+    The committed set is subtracted with a LEFT ANTI join (candidate listing
+    ⟕ checkpoint table) — the committed set is never materialized on the
+    driver, so this works unchanged when the checkpoint table holds 10^8
+    rows. Only the (small) pending result is collected."""
     from log_collector_spark.sources.file_filter import filtered_files
 
     all_files = [f for f in filtered_files(input_dir, filename_regex,
                                            last_file)
                  if filename_regex is not None or f.endswith(".parquet")]
-    done = committed_files(spark, ckpt_dir)
-    return [f for f in all_files if f not in done]
+    if not all_files:
+        return []
+    try:
+        done = spark.read.parquet(_ckpt_path(ckpt_dir)).select("src_file")
+    except Exception:
+        return all_files
+    cand = spark.createDataFrame([(f,) for f in all_files],
+                                 "src_file string")
+    pend = {r["src_file"]
+            for r in cand.join(done, "src_file", "left_anti").collect()}
+    return [f for f in all_files if f in pend]
 
 
 def batch_id(files: list[str]) -> str:
@@ -151,13 +165,27 @@ def truncated_files(spark: SparkSession, ckpt_dir: str) -> list[str]:
             and os.path.getsize(r["src_file"]) < r["bytes"]]
 
 
+TRUNCATED_TOMBSTONE = "truncated://"
+
+
 def recover_truncated(spark: SparkSession, ckpt_dir: str) -> list[str]:
-    """Drop checkpoint + filestate rows of truncated files so the next run
-    re-reads them from the start (the reference's ``currentByteOffset = 0``).
+    """Invalidate checkpoint rows of truncated files so the next run re-reads
+    them from the start (the reference's ``currentByteOffset = 0``,
+    DefaultFileReader.java:217-219).
+
+    Checkpoint rows are TOMBSTONED, not dropped: ``src_file`` is rewritten to
+    ``truncated://<path>`` — it no longer matches the real path (so the file
+    becomes pending again) but the row, and crucially its ``batch_id``, stays
+    in the table. Dropping the rows would make a batch that consisted only of
+    truncated files vanish from ``committed_batches``, and the next
+    ``clean_orphan_staging`` would then rmtree that batch's COMMITTED output
+    dir — retracting rows the reference semantics (re-emit, never retract)
+    say must stay. Filestate rows ARE dropped (keeping the stale larger size
+    would re-flag the file as truncated forever).
 
     The rewrite is driver-side (the checkpoint table is metadata — one row
     per file×partition, ~10^6 rows at 100 TB); on an Iceberg-backed
-    checkpoint this is a ``DELETE WHERE src_file IN (...)``. Like the
+    checkpoint this is an ``UPDATE ... WHERE src_file IN (...)``. Like the
     reference's restart-from-0, truncate recovery is at-least-once for the
     affected file: rows its pre-truncate content already emitted stay in the
     output (the reference re-emits to its topic the same way).
@@ -170,15 +198,27 @@ def recover_truncated(spark: SparkSession, ckpt_dir: str) -> list[str]:
     import pyarrow as pa
     import pyarrow.compute as pac
     import pyarrow.parquet as pq
-    for path in (_ckpt_path(ckpt_dir), _filestate_path(ckpt_dir)):
-        if not os.path.isdir(path):
-            continue
-        tbl = pq.read_table(path)
+    badset = set(bad)
+
+    ckpt = _ckpt_path(ckpt_dir)
+    if os.path.isdir(ckpt):
+        tbl = pq.read_table(ckpt)
+        idx = tbl.schema.get_field_index("src_file")
+        col = [TRUNCATED_TOMBSTONE + v if v in badset else v
+               for v in tbl.column("src_file").to_pylist()]
+        tbl = tbl.set_column(idx, "src_file", pa.array(col, pa.string()))
+        shutil.rmtree(ckpt)
+        os.makedirs(ckpt)
+        pq.write_table(tbl, os.path.join(ckpt, "part-0000.parquet"))
+
+    fs = _filestate_path(ckpt_dir)
+    if os.path.isdir(fs):
+        tbl = pq.read_table(fs)
         keep = tbl.filter(pac.invert(pac.is_in(
             tbl.column("src_file"), value_set=pa.array(bad))))
-        shutil.rmtree(path)
-        os.makedirs(path)
-        pq.write_table(keep, os.path.join(path, "part-0000.parquet"))
+        shutil.rmtree(fs)
+        os.makedirs(fs)
+        pq.write_table(keep, os.path.join(fs, "part-0000.parquet"))
     return bad
 
 
@@ -222,6 +262,21 @@ def run_resumable(spark: SparkSession, input_dir: str, ckpt_dir: str,
     return {"batch_id": bid, "files": files, "rows": n}
 
 
+def _empty_output(spark: SparkSession) -> DataFrame:
+    """Zero-row frame with the REAL fan-out output schema (derived by
+    analyzing the stage chain over an empty transcripts-shaped input — plan
+    analysis only, nothing executes), so callers of the no-committed-batches
+    case can still select/filter the columns they would get from data."""
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, _src_file string")
+    routed = pl.route_stage(pl.enrich_stage(pl.parse_stage(empty), spark))
+    # partitionBy("sink") read-back ordering: data columns first, the
+    # partition column last
+    cols = [c for c in routed.columns if c != "sink"] + ["sink"]
+    return routed.select(*cols).limit(0)
+
+
 def read_output(spark: SparkSession, out_dir: str,
                 ckpt_dir: str | None = None) -> DataFrame:
     """Read the fanned-out sink data. With ``ckpt_dir``, read ONLY batches
@@ -232,7 +287,7 @@ def read_output(spark: SparkSession, out_dir: str,
         paths = [os.path.join(out_dir, f"batch={b}") for b in sorted(done)
                  if os.path.isdir(os.path.join(out_dir, f"batch={b}"))]
         if not paths:
-            return spark.createDataFrame([], "sink string")
+            return _empty_output(spark)
         return spark.read.option("basePath", out_dir).parquet(*paths)
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch=*"))

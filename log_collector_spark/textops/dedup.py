@@ -45,9 +45,16 @@ _rng = random.Random(42)
 MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_PERM)]
 MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_PERM)]
 
-SIMHASH_BITS = 32
+# 60-bit fingerprint (full h60 width — the md5-prefix hash IS 60 bits, so no
+# mask is needed), 4 bands × 15 bits. Lossless blocking needs bands >
+# hamming_max (pigeonhole); 15-bit bands give 2^15 = 32,768 blocking keys per
+# band (vs 256 for the byte bands of a 32-bit hash) — expected per-bucket
+# size n/32768 and candidate pairs ≈ BANDS·n²/2^15, the Manku-et-al
+# web-corpus configuration (their 64-bit/4×16 ≅ our 60-bit/4×15).
+SIMHASH_BITS = 60
 SIMHASH_HAMMING_MAX = 3
 SIMHASH_BANDS = 4  # lossless blocking needs bands > hamming_max
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15 → 32,768 keys/band
 
 EMB_LSH_PLANES = 8
 _rng2 = random.Random(1337)
@@ -58,8 +65,18 @@ EMB_PLANES = [[_rng2.randrange(-50, 51) for _ in range(64)]
 # (threshold tuned to the synthetic embeddings' similarity range; real
 # near-dup corpora would use ~0.95+)
 EMB_COS2_NUM, EMB_COS2_DEN = 20, 100
-# near-dup bucketing uses fewer planes than ANN (recall at moderate cosine)
+# near-dup bucketing uses fewer planes than ANN (recall at moderate cosine).
+# Scale sizing: expected bucket is n/2^planes, so planes must grow ~log2(n /
+# target_bucket) — 4 planes (16 buckets) is a sandbox constant; at 10^9 docs
+# you'd run ~20 base planes. The guarded variant below enforces a bucket-size
+# cap regardless of how the hash mass skews.
 EMB_ND_PLANES = 4
+# guarded variant: base buckets holding more than this many vectors are
+# sub-split with the full 8-plane key (16 → 256 buckets for just those docs).
+# 35 is sized so the sf0.01 driver query actually exercises the sub-split
+# (the largest base bucket there holds 40 of 500 vectors); at corpus scale
+# the cap is whatever bounds per-key join work (e.g. 10^4).
+EMB_ND_MAX_BUCKET = 35
 
 
 def _norm_text(col: Column) -> Column:
@@ -100,6 +117,9 @@ def sql_exact_dedup_summary(table: str = "documents") -> str:
 # shingle machinery
 # ---------------------------------------------------------------------------
 
+_PERSISTED_SHINGLES: list[DataFrame] = []
+
+
 def doc_shingles(df: DataFrame, text_col: str = "text",
                  k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingles: array<string> DISTINCT, n_shingles), PERSISTED.
@@ -110,11 +130,30 @@ def doc_shingles(df: DataFrame, text_col: str = "text",
     otherwise (projection collapse duplicates the expression per reference —
     measured 5x at sf0.1). Identical plans share one cache entry via Spark's
     CacheManager, so repeated calls don't double-store; at 100 TB this table
-    is what you CHECKPOINT rather than cache."""
+    is what you CHECKPOINT rather than cache.
+
+    Every persisted frame is tracked; call :func:`unpersist_shingles` after
+    the consuming action completes to release the cache (long sessions
+    otherwise accumulate one entry per distinct input plan — round-2
+    ADVICE). bench.py and the dedup tests do exactly that."""
     sh = F.array_distinct(C.shingles(C.tokens(F.col(text_col)), k))
     base = df.select("doc_id", sh.alias("shingles")).persist()
+    _PERSISTED_SHINGLES.append(base)
     return base.withColumn("n_shingles", F.size("shingles")) \
                .filter(F.col("n_shingles") > 0)
+
+
+def unpersist_shingles(blocking: bool = False) -> int:
+    """Release every shingle cache entry created by :func:`doc_shingles`
+    since the last call; returns how many frames were unpersisted."""
+    n = len(_PERSISTED_SHINGLES)
+    for f in _PERSISTED_SHINGLES:
+        try:
+            f.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped
+    _PERSISTED_SHINGLES.clear()
+    return n
 
 
 def _sql_doc_shingles(table: str, k: int) -> str:
@@ -333,13 +372,16 @@ def sql_minhash_lsh_pairs(table: str = "documents", k: int = SHINGLE_K,
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — 32-bit sign fingerprint over token hashes
-    (duplicates weighted). One explode + one groupBy with 32 sums."""
+    """(doc_id, simhash) — 60-bit sign fingerprint over token hashes
+    (duplicates weighted). One explode + one groupBy with 60 sums; the sums
+    are map-side-combined so only (doc_id, 60 ints) ever shuffles."""
     tok = df.select("doc_id",
                     F.explode(C.tokens(F.col(text_col))).alias("t"))
-    h32 = C.h60(F.col("t")).bitwiseAND(
+    # h60 is exactly SIMHASH_BITS wide — the mask is an identity kept for
+    # robustness if the widths ever diverge
+    h = C.h60(F.col("t")).bitwiseAND(
         F.lit((1 << SIMHASH_BITS) - 1).cast("long")).alias("h")
-    tok = tok.select("doc_id", h32)
+    tok = tok.select("doc_id", h)
     sums = [F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
                   .otherwise(-1)).alias(f"s_{j}")
             for j in range(SIMHASH_BITS)]
@@ -370,28 +412,44 @@ def _sql_simhash(table: str) -> str:
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
+                  max_hamming: int = SIMHASH_HAMMING_MAX,
+                  max_bucket: int | None = None) -> DataFrame:
     """Pairs with simhash hamming distance <= max_hamming.
 
-    Blocking: split the 32-bit hash into SIMHASH_BANDS bytes and join on
-    per-byte equality — LOSSLESS for max_hamming < SIMHASH_BANDS (pigeonhole:
-    <=3 differing bits cannot touch all 4 disjoint bytes), so the result
-    equals the brute-force O(n²) scan the oracle runs."""
+    Blocking: split the 60-bit hash into SIMHASH_BANDS (4) disjoint 15-bit
+    bands and join on per-band equality — LOSSLESS for max_hamming <
+    SIMHASH_BANDS (pigeonhole: <=3 differing bits cannot touch all 4 disjoint
+    bands), so the result equals the brute-force O(n²) scan the oracle runs.
+
+    Scale bound: each band has 2^15 = 32,768 keys, so the expected bucket is
+    n/32768 docs and total candidate pairs ≈ 4·n²/2^15 under a uniform hash.
+    Real corpora are NOT uniform (boilerplate/templated docs pile onto one
+    fingerprint), so ``max_bucket`` adds the ``max_df``-style skew guard:
+    (band, key) buckets holding more than ``max_bucket`` docs are dropped
+    before the self-join. Recall contract: a pair survives iff at least one
+    of its agreeing bands is under the cap — only buckets that would be
+    O(max_bucket²) hot join keys are sacrificed; precision is unaffected
+    (every emitted pair still passes the exact hamming filter)."""
     assert max_hamming < SIMHASH_BANDS
     sh = simhash(df, text_col)
-    width = SIMHASH_BITS // SIMHASH_BANDS
+    width = SIMHASH_BAND_BITS
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftright(F.col("simhash"), b * width)
-                  .bitwiseAND((1 << width) - 1).alias("byte"))
+                  .bitwiseAND((1 << width) - 1).alias("key"))
         for b in range(SIMHASH_BANDS)])
     banded = sh.select("doc_id", "simhash", F.explode(bands).alias("bs")) \
-               .select("doc_id", "simhash", "bs.band", "bs.byte")
+               .select("doc_id", "simhash", "bs.band", "bs.key")
+    if max_bucket is not None:
+        hot = (banded.groupBy("band", "key")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") > max_bucket).select("band", "key"))
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a = banded.alias("a")
     b2 = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (a.join(b2, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.byte") == F.col("b.byte")) &
+                   (F.col("a.key") == F.col("b.key")) &
                    (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
@@ -447,6 +505,95 @@ def embedding_neardup_pairs(df: DataFrame,
         (F.col("dot") * F.col("dot") * EMB_COS2_DEN >=
          F.lit(EMB_COS2_NUM) * F.col("norm2_a") * F.col("norm2_b"))
     return out.filter(keep).select("vec_a", "vec_b", "dot")
+
+
+def embedding_neardup_guarded(df: DataFrame, vec_col: str = "embedding",
+                              max_bucket: int = EMB_ND_MAX_BUCKET
+                              ) -> DataFrame:
+    """Bucket-size-guarded near-dup: overfull sign-LSH buckets are SUB-SPLIT,
+    not dropped (the ``max_df`` analog for the embedding family).
+
+    Every vector gets the full 8-plane key once (8 dot products); the base
+    key is its low ``EMB_ND_PLANES`` bits, so the refinement costs no extra
+    dot products. Base buckets holding more than ``max_bucket`` vectors are
+    re-keyed with the full 8-plane bucket (offset by 256 to keep the two
+    keyspaces disjoint); everyone else keeps the base key. The self-join then
+    runs on the mixed key.
+
+    Contracts: precision unchanged (every pair is exactly verified by the
+    integer-cosine filter); recall inside a non-overfull bucket is identical
+    to the unguarded operator; inside an overfull bucket a pair must agree on
+    all 8 planes instead of 4. Per-bucket work is bounded by
+    max(max_bucket, n/2^8)² instead of (n/2^4)² — at corpus scale both the
+    plane counts and the cap grow (planes ~ log2(n/target_bucket)), keeping
+    per-key candidate sets O(max_bucket²) no matter how the hash mass skews.
+    """
+    q = df.select("vec_id",
+                  C.quantized_embedding(F.col(vec_col)).alias("q"))
+    q = (q.withColumn("norm2", C.int_dot(F.col("q"), F.col("q")))
+          .withColumn("b8", _emb_bucket(F.col("q"), len(EMB_PLANES)))
+          .withColumn("b4", F.col("b8").bitwiseAND((1 << EMB_ND_PLANES) - 1)))
+    big = (q.groupBy("b4").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("b4", F.lit(True).alias("over")))
+    q = (q.join(F.broadcast(big), "b4", "left")
+          .withColumn("key", F.when(F.col("over").isNotNull(),
+                                    F.col("b8") + (1 << len(EMB_PLANES)))
+                              .otherwise(F.col("b4"))))
+    a = q.alias("a")
+    b = q.alias("b")
+    dot = C.int_dot(F.col("a.q"), F.col("b.q"))
+    out = (a.join(b, (F.col("a.key") == F.col("b.key")) &
+                  (F.col("a.vec_id") < F.col("b.vec_id")))
+           .select(F.col("a.vec_id").alias("vec_a"),
+                   F.col("b.vec_id").alias("vec_b"),
+                   dot.alias("dot"),
+                   F.col("a.norm2").alias("norm2_a"),
+                   F.col("b.norm2").alias("norm2_b")))
+    keep = (F.col("dot") > 0) & \
+        (F.col("dot") * F.col("dot") * EMB_COS2_DEN >=
+         F.lit(EMB_COS2_NUM) * F.col("norm2_a") * F.col("norm2_b"))
+    return out.filter(keep).select("vec_a", "vec_b", "dot")
+
+
+def sql_embedding_neardup_guarded(table: str = "embeddings",
+                                  max_bucket: int = EMB_ND_MAX_BUCKET) -> str:
+    """Oracle for the guarded variant — same constants, same sub-split rule."""
+    qe = C.sql_quantized_embedding("embedding")
+    b8_terms = " + ".join(
+        "CASE WHEN CAST(list_dot_product(q, {plane}::BIGINT[]) AS BIGINT) > 0 "
+        "THEN CAST({bit} AS BIGINT) ELSE 0 END".format(
+            plane=str(plane), bit=1 << j)
+        for j, plane in enumerate(EMB_PLANES))
+    base_mask = (1 << EMB_ND_PLANES) - 1
+    refined_offset = 1 << len(EMB_PLANES)
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), qq AS (
+            SELECT vec_id, q,
+                   CAST(list_dot_product(q, q) AS BIGINT) AS norm2,
+                   {b8_terms} AS b8
+            FROM q
+        ), qb AS (
+            SELECT *, b8 & {base_mask} AS b4 FROM qq
+        ), big AS (
+            SELECT b4 FROM qb GROUP BY b4 HAVING COUNT(*) > {max_bucket}
+        ), keyed AS (
+            SELECT vec_id, q, norm2,
+                   CASE WHEN b4 IN (SELECT b4 FROM big)
+                        THEN b8 + {refined_offset} ELSE b4 END AS key
+            FROM qb
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+        FROM keyed a JOIN keyed b
+          ON a.key = b.key AND a.vec_id < b.vec_id
+        WHERE CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
+          AND CAST(list_dot_product(a.q, b.q) AS BIGINT)
+              * CAST(list_dot_product(a.q, b.q) AS BIGINT) * {EMB_COS2_DEN}
+              >= {EMB_COS2_NUM} * a.norm2 * b.norm2
+    """
 
 
 def sql_embedding_neardup_pairs(table: str = "embeddings") -> str:

@@ -170,6 +170,67 @@ def test_truncate_recovery_reprocesses_shrunk_file(spark, tmp_path, tx_files):
     assert r4["files"] == []
 
 
+def test_truncate_of_batch_only_file_keeps_committed_output(spark, tmp_path,
+                                                            tx_files):
+    """Regression (round-2 ADVICE): when a truncated file was a batch's ONLY
+    file, recovery must not erase that batch_id from committed_batches —
+    otherwise the next run's clean_orphan_staging rmtree's the batch's
+    COMMITTED output dir, retracting rows (the reference re-emits, never
+    retracts). Recovery tombstones the checkpoint rows instead of dropping
+    them, so the batch survives and the file is still re-processed."""
+    import pyarrow.parquet as pq
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(input_dir)
+
+    # batch 1: exactly one file
+    shutil.copy(tx_files[0], input_dir)
+    r1 = ck.run_resumable(spark, input_dir, ckpt, out, "run1",
+                          detect_truncate=True)
+    assert len(r1["files"]) == 1
+    batch1_dir = os.path.join(out, f"batch={r1['batch_id']}")
+    c1 = ck.read_output(spark, out, ckpt).count()
+    assert c1 == r1["rows"] > 0
+
+    # truncate the batch's only file in place; a new file arrives too
+    victim = r1["files"][0]
+    tbl = pq.read_table(victim)
+    pq.write_table(tbl.slice(0, tbl.num_rows // 2), victim)
+    shutil.copy(tx_files[1], input_dir)
+
+    r2 = ck.run_resumable(spark, input_dir, ckpt, out, "run2",
+                          detect_truncate=True)
+    # the truncated file is re-processed together with the new one
+    assert sorted(os.path.basename(f) for f in r2["files"]) == \
+        sorted(os.path.basename(f) for f in [victim,
+               os.path.join(input_dir, os.path.basename(tx_files[1]))])
+    # batch 1's id survived recovery → its committed output was NOT cleaned
+    assert r1["batch_id"] in ck.committed_batches(spark, ckpt)
+    assert os.path.isdir(batch1_dir), \
+        "clean_orphan_staging deleted a committed batch after truncate recovery"
+    # output = pre-truncate rows (kept, at-least-once) + batch 2 rows
+    assert ck.read_output(spark, out, ckpt).count() == c1 + r2["rows"]
+
+    # steady state afterwards: nothing pending, nothing re-flagged
+    r3 = ck.run_resumable(spark, input_dir, ckpt, out, "run3",
+                          detect_truncate=True)
+    assert r3["files"] == []
+
+
+def test_read_output_empty_has_real_schema(spark, tmp_path):
+    """ADVICE round 2: the no-committed-batches frame must carry the real
+    fan-out schema (not a one-column stub) so callers can select columns."""
+    df = ck.read_output(spark, str(tmp_path / "nothing"),
+                        str(tmp_path / "no_ckpt"))
+    assert df.count() == 0
+    cols = set(df.columns)
+    assert "sink" in cols and {"conv_id", "turn_idx", "role"} <= cols
+    assert df.columns[-1] == "sink"  # partition column reads back last
+    df.filter(F.col("sink").isNotNull()).select("conv_id").count()
+
+
 def test_filename_regex_filter_semantics():
     """SugoFileFilter.accept parity (S3): full regex match on the basename +
     lexicographic skip-before-lastFileName with equality accepted."""

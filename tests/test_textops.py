@@ -33,6 +33,7 @@ ORACLE_CHECKED = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_neardup",
+    "embedding_neardup_guarded",
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",
@@ -90,3 +91,60 @@ def test_textops_oracle(name, spark, duck):
     assert len(a) > 0, f"{name}: empty result is a vacuous test"
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def _docs_df(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_simhash_max_bucket_guard_is_subset(spark):
+    """The band-bucket cap only ever DROPS pairs (recall contract): a huge
+    cap reproduces the lossless result exactly; a tiny cap yields a subset
+    whose every pair still satisfies the exact hamming filter."""
+    from log_collector_spark.textops import dedup as D
+
+    docs = _docs_df(spark)
+    full = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in D.simhash_pairs(docs).collect()}
+    assert full, "vacuous: no simhash pairs at this sf"
+    same = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in D.simhash_pairs(docs, max_bucket=10**6).collect()}
+    assert same == full
+    capped = {(r["doc_a"], r["doc_b"]): r["hamming"]
+              for r in D.simhash_pairs(docs, max_bucket=1).collect()}
+    assert set(capped) <= set(full)
+    assert all(capped[k] == full[k] for k in capped)
+    D.unpersist_shingles()
+
+
+def test_embedding_guard_subset_and_exact_when_no_overfull(spark):
+    from log_collector_spark.textops import dedup as D
+
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    full = {(r["vec_a"], r["vec_b"]) for r in
+            D.embedding_neardup_pairs(embs).collect()}
+    # cap larger than the corpus → no bucket overfull → identical result
+    same = {(r["vec_a"], r["vec_b"]) for r in
+            D.embedding_neardup_guarded(embs, max_bucket=10**6).collect()}
+    assert same == full
+    # aggressive cap → sub-split may only lose pairs, never invent them
+    capped = {(r["vec_a"], r["vec_b"]) for r in
+              D.embedding_neardup_guarded(embs, max_bucket=1).collect()}
+    assert capped <= full
+
+
+def test_shingle_cache_released_after_dedup(spark):
+    """Round-2 ADVICE: doc_shingles persists; unpersist_shingles must release
+    every tracked entry so long sessions don't accumulate cache."""
+    from log_collector_spark.textops import dedup as D
+
+    D.unpersist_shingles()  # start clean
+    docs = _docs_df(spark)
+    D.ngram_jaccard_pairs(docs).collect()
+    D.minhash_lsh_pairs(docs).collect()
+    assert len(D._PERSISTED_SHINGLES) >= 1
+    tracked = list(D._PERSISTED_SHINGLES)
+    n = D.unpersist_shingles()
+    assert n == len(tracked) and not D._PERSISTED_SHINGLES
+    for f in tracked:
+        assert not f.storageLevel.useMemory and not f.storageLevel.useDisk

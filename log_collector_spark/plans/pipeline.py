@@ -48,7 +48,11 @@ def sf_of_dir(sf_dir: str) -> float:
 def transcripts_path(sf_dir: str, n_turns: int | None = None) -> str:
     sf = sf_of_dir(sf_dir)
     n = n_turns or max(1000, int(TURNS_PER_SF * sf))
-    path = os.path.join(TRANSCRIPTS_CACHE, f"sf{sf}")
+    # an explicit n_turns gets its own cache dir — write_transcripts is
+    # idempotent per (n, seed) marker and would otherwise regenerate (and
+    # delete) the default-sized cache on every alternation
+    suffix = f"sf{sf}" if n_turns is None else f"sf{sf}_n{n_turns}"
+    path = os.path.join(TRANSCRIPTS_CACHE, suffix)
     return tx.write_transcripts(path, n)
 
 

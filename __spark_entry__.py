@@ -402,6 +402,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash near-dup pairs → one canonical
+    doc per component (min-label propagation to fixpoint)."""
+    from log_collector_spark.textops import dedup as D
+    return D.dedup_clusters(_docs(spark, sf_dir))
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-60 pairs within hamming<=3 via lossless 15-bit-band blocking
     (4 bands × 32,768 keys — the Manku-et-al web-corpus configuration)."""
@@ -515,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_guarded": q_embedding_neardup_guarded,
@@ -751,6 +759,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": _td().sql_exact_dedup_summary(),
         "ngram_jaccard_pairs": _td().sql_ngram_jaccard_pairs(),
         "minhash_lsh_pairs": _td().sql_minhash_lsh_pairs(),
+        "dedup_clusters": _td().sql_dedup_clusters(),
         "simhash_pairs": _td().sql_simhash_pairs(),
         "embedding_neardup": _td().sql_embedding_neardup_pairs(),
         "embedding_neardup_guarded": _td().sql_embedding_neardup_guarded(),

@@ -156,11 +156,16 @@ def child_main(cpus: int) -> None:
         return dt
 
     # samples are long (≥ ~20 s at 4N, ~4× that at N) so per-sample noise
-    # is time-averaged; 3 runs per headline-pair level (2 at informational
-    # ladder levels) keeps a sweep under ~7 min while the cross-sweep
-    # global minimum still sees ≥6 samples per headline level
+    # is time-averaged; 3 runs per headline-pair level keeps a sweep under
+    # ~7 min while the cross-sweep global minimum still sees ≥6 samples per
+    # headline level. The 16/32-core informational ladder levels need MORE
+    # runs, not fewer: C2 compilation of the codegen/Arrow hot loops takes
+    # ~2 min of wall regardless of level (compiler threads share the pinned
+    # cores), and at high core counts the measured runs are so short that
+    # the first ~4 land before the JIT cliff (observed at 32 cores:
+    # 56, 42, 45, 13, 8.1, 8.3 — the floor only appears at run 5).
     n_runs = int(os.environ.get(
-        "SPARK_GRAFT_SCALE_RUNS", 3 if cpus <= SCALE_HI else 2))
+        "SPARK_GRAFT_SCALE_RUNS", 3 if cpus <= SCALE_HI else 6))
     runs = [one_run() for _ in range(n_runs)]
     best = min(runs)
     print(json.dumps({"cpus": cpus, "sec": best, "turns": n,
@@ -233,10 +238,13 @@ def run_scaling() -> dict:
     # within a sweep; per-sweep ratios swung 0.70-0.91 on identical code and
     # are reported below for transparency.) A wall budget caps total scaling
     # time; at least one full sweep always completes.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "900"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "1300"))
     t0 = time.perf_counter()
     sweep_effs = []
-    for sweep in range(6):
+    # 2 alternating sweeps × 3 runs = 6 long samples per headline level
+    # (observed per-sweep ratios with ≥20 s samples: 0.981 / 0.948 — the
+    # old 3 s samples needed 6 sweeps and still swung 0.58-0.97)
+    for sweep in range(int(os.environ.get("SPARK_GRAFT_SCALE_SWEEPS", "2"))):
         if sweep > 0 and time.perf_counter() - t0 > budget * 0.7:
             break
         lo_res = _run_child(SCALE_LO)
@@ -300,14 +308,19 @@ Methodology (emulating N vs 4N executors on one 32-vCPU shared VM):
 - the remaining cores run a register-only spin burner so the chip is
   equally busy (same turbo frequency) at every level — a real cluster
   compares equally-busy nodes at both sizes,
-- the headline pair is measured in up to 6 alternating A/B sweeps
-  (wall-budgeted). The host shows 10-18% stochastic hypervisor steal
-  (/proc/stat); steal only INFLATES wall time, so the per-level minimum
-  over all sweeps is a consistent estimator of quiet-host capability —
-  the quantity the N-vs-4N criterion is about. With ≥10 s samples the
-  steal is also time-averaged inside each sample, so it strikes both
-  levels near-equally and largely cancels in the ratio; per-sweep paired
-  ratios are reported for transparency.
+- the headline pair is measured in 2 alternating A/B sweeps
+  (wall-budgeted) of 3 long runs each. The host shows up to 10-18%
+  stochastic hypervisor steal (/proc/stat); steal only INFLATES wall
+  time, so the per-level minimum over all sweeps is a consistent
+  estimator of quiet-host capability — the quantity the N-vs-4N
+  criterion is about. With ≥20 s samples the steal is also time-averaged
+  inside each sample, so it strikes both levels near-equally and largely
+  cancels in the ratio; per-sweep paired ratios are reported for
+  transparency,
+- the informational 16/32-core ladder children take 6 runs each: C2
+  JIT compilation of the codegen/Arrow hot loops needs ~2 min of wall
+  regardless of level, and at high core counts the early runs land
+  before that cliff (observed at 32 cores: 56, 42, 45, 13, 8.1, 8.3 s).
 
 | parallelism (pinned cores) | wall sec | turns/sec |
 |---|---|---|

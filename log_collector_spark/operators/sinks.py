@@ -66,13 +66,16 @@ def kafka_sink(df: DataFrame, brokers: str, topic_col: str = "sink",
     """
     from pyspark.sql import functions as F
 
+    from log_collector_spark.sources.kafka import sink_options
+
     writer = (df.filter(F.col(topic_col).isNotNull() &
                         F.col(value_col).isNotNull())
                 .select(F.col(topic_col).alias("topic"),
                         F.col(value_col).cast("string").alias("value"))
-                .write.format("kafka")
-                .option("kafka.bootstrap.servers", brokers))
-    for k, v in (options or {}).items():
+                .write.format("kafka"))
+    opts = sink_options(brokers)
+    opts.update(options or {})
+    for k, v in opts.items():
         writer = writer.option(k, v)
     try:
         writer.save()
@@ -86,3 +89,73 @@ def kafka_sink(df: DataFrame, brokers: str, topic_col: str = "sink",
                 "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
                 "<spark version> and re-run. Underlying error: " + msg) from e
         raise
+
+
+# ---------------------------------------------------------------------------
+# W7: metric sender with failed-batch retry
+# ---------------------------------------------------------------------------
+
+READ_LINE_METRIC_NAME = "collector.line.read.success"   # AbstractReader.java:38-39
+READ_ERROR_METRIC_NAME = "collector.line.read.error"    # AbstractReader.java:40
+
+
+def kairos_metrics(lineage_rows, host: str = "spark",
+                   timestamp_ms: int = 0) -> list[dict]:
+    """Shape per-source lineage counters into the reference's KairosDB
+    metric records (AbstractReader.java:83-114: one success + one error
+    metric per source, tagged ``{from, host}``, type long)."""
+    out = []
+    for r in lineage_rows:
+        tags = {"from": r["src_file"], "host": host}
+        out.append({"name": READ_LINE_METRIC_NAME, "tags": tags,
+                    "type": "long", "value": int(r["success"]),
+                    "timestamp": timestamp_ms})
+        out.append({"name": READ_ERROR_METRIC_NAME, "tags": tags,
+                    "type": "long", "value": int(r["error"]),
+                    "timestamp": timestamp_ms})
+    return out
+
+
+class MetricSender:
+    """W7 metric push with the reference's failed-batch retry
+    (AbstractReader.java:107-131): a metric batch whose POST fails is kept
+    and re-sent at the next tick BEFORE that tick's fresh batch, so a
+    transient metric-server outage loses nothing.
+
+    Documented deviation: the reference never empties its ``failMetrics``
+    list — every later tick re-posts ALL previously-failed metrics again
+    (duplicate datapoints + unbounded growth; AbstractReader.java:118-123
+    has no ``clear()``). Here a successful resend clears the backlog, and
+    the backlog is capped (oldest dropped first) so a long outage cannot
+    exhaust driver memory.
+
+    ``post`` is a callable taking the JSON body (same pluggable shape as
+    :func:`gateway_sink`); failures are signaled by raising.
+    """
+
+    def __init__(self, post, max_backlog: int = 100_000):
+        self._post = post
+        self._fail: list[dict] = []
+        self.max_backlog = max_backlog
+
+    @property
+    def backlog(self) -> list[dict]:
+        return list(self._fail)
+
+    def send(self, metrics: list[dict]) -> None:
+        import json as _json
+
+        if self._fail:
+            try:
+                self._post(_json.dumps(self._fail))
+                self._fail = []
+            except Exception:
+                pass  # keep for the next tick (reference logs and moves on)
+        if not metrics:
+            return
+        try:
+            self._post(_json.dumps(list(metrics)))
+        except Exception:
+            self._fail.extend(metrics)
+            if len(self._fail) > self.max_backlog:
+                del self._fail[:len(self._fail) - self.max_backlog]

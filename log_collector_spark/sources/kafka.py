@@ -68,22 +68,63 @@ def writer_kafka_options(conf: dict) -> dict[str, str]:
             if k.startswith(WRITER_PREFIX)}
 
 
-def starting_offsets(topic: str, offset_map: dict[int, int],
+def starting_offsets(topics: str | list[str],
+                     offset_map: dict | None,
                      from_beginning: bool = False) -> str:
     """The reference's per-partition seek (CustomKafkaConsumer.java:125-147)
     as a ``startingOffsets`` value.
 
-    ``offset_map[p] == -1`` means "no stored offset": the reference then
-    seeks the whole assignment to beginning/end depending on
+    ``topics`` is the subscribe list (comma-joined string or list).
+    ``offset_map`` is either ``{partition: offset}`` (single-topic shorthand)
+    or ``{topic: {partition: offset}}``. Spark's Kafka source requires a
+    specific-offset JSON to cover EVERY subscribed TopicPartition, so a
+    multi-topic subscription demands the nested form covering every topic —
+    a flat map with several topics raises instead of producing a resume
+    that fails at runtime. (The reference keeps one offset file per
+    (topic, partition) — ``.kafka_offset/<topic>/<partition>`` — so callers
+    always have the full nested map.)
+
+    ``offset_map[t][p] == -1`` means "no stored offset": the reference then
+    seeks that assignment to beginning/end depending on
     ``reader.kafka.frombeginning`` — Spark's sentinels are -2 (earliest) and
     -1 (latest). A stored offset ``o`` means "o was processed": seek o+1.
     """
+    if isinstance(topics, str):
+        topics = [t.strip() for t in topics.split(",") if t.strip()]
     if not offset_map:
         return "earliest" if from_beginning else "latest"
+    nested = all(isinstance(v, dict) for v in offset_map.values())
+    if not nested:
+        if len(topics) != 1:
+            raise ValueError(
+                "multi-topic subscription %r needs per-topic offset maps "
+                "({topic: {partition: offset}}); a flat {partition: offset} "
+                "map is ambiguous and Spark requires specific-offset JSON "
+                "to cover every subscribed TopicPartition" % (topics,))
+        offset_map = {topics[0]: offset_map}
+    missing = set(topics) - set(offset_map)
+    if missing:
+        raise ValueError(
+            "startingOffsets JSON must cover every subscribed topic; "
+            "missing offsets for %s" % sorted(missing))
+    unknown = set(offset_map) - set(topics)
+    if unknown:
+        raise ValueError(
+            "offset_map names topics not in the subscription: %s"
+            % sorted(unknown))
     none_sentinel = -2 if from_beginning else -1
-    return json.dumps({topic: {
+    return json.dumps({t: {
         str(p): (none_sentinel if o == -1 else o + 1)
-        for p, o in sorted(offset_map.items())}})
+        for p, o in sorted(m.items())}
+        for t, m in sorted(offset_map.items())})
+
+
+def sink_options(brokers: str, conf: dict | None = None) -> dict[str, str]:
+    """The COMPLETE option dict a ``write.format("kafka")`` receives
+    (pure, golden-testable twin of :func:`reader_options`)."""
+    opts = {"kafka.bootstrap.servers": brokers}
+    opts.update(writer_kafka_options(conf or {}))
+    return opts
 
 
 def resume_topic(topic: str, diff: bool) -> str:
@@ -92,8 +133,32 @@ def resume_topic(topic: str, diff: bool) -> str:
     return topic + "_etl" if diff else topic
 
 
+def reader_options(conf: dict, offset_map: dict | None = None
+                   ) -> dict[str, str]:
+    """The COMPLETE option dict a ``readStream.format("kafka")`` receives —
+    a pure function so tests can pin the exact contract (an option-name typo
+    here would otherwise only surface against a live broker).
+
+    ``failOnDataLoss=false`` mirrors the reference's behavior when stored
+    offsets have been compacted/expired away: it seeks to the earliest
+    available rather than aborting (CustomKafkaConsumer.java:125-147 always
+    seeks, never validates retention)."""
+    topics = conf[READER_KAFKA_TOPICS]
+    from_beginning = str(conf.get(FROM_BEGINNING, "false")) == "true"
+    opts = {
+        "subscribe": topics,
+        "startingOffsets":
+            starting_offsets(topics, offset_map, from_beginning)
+            if offset_map is not None
+            else ("earliest" if from_beginning else "latest"),
+        "failOnDataLoss": "false",
+    }
+    opts.update(reader_kafka_options(conf))
+    return opts
+
+
 def kafka_stream_reader(spark: SparkSession, conf: dict,
-                        offset_map: dict[int, int] | None = None
+                        offset_map: dict | None = None
                         ) -> DataFrame:
     """``readStream.format("kafka")`` wired from reference properties.
 
@@ -103,17 +168,8 @@ def kafka_stream_reader(spark: SparkSession, conf: dict,
     CustomKafkaConsumer.java:171-183). Raises ``NotImplementedError`` with
     the exact fix when the connector jar is absent (this sandbox).
     """
-    topics = conf[READER_KAFKA_TOPICS]
-    from_beginning = str(conf.get(FROM_BEGINNING, "false")) == "true"
-    reader = (spark.readStream.format("kafka")
-              .option("subscribe", topics)
-              .option("startingOffsets",
-                      starting_offsets(topics.split(",")[0], offset_map or {},
-                                       from_beginning)
-                      if offset_map is not None
-                      else ("earliest" if from_beginning else "latest"))
-              .option("failOnDataLoss", "false"))
-    for k, v in reader_kafka_options(conf).items():
+    reader = spark.readStream.format("kafka")
+    for k, v in reader_options(conf, offset_map).items():
         reader = reader.option(k, v)
     try:
         df = reader.load()

@@ -621,3 +621,93 @@ def sql_embedding_neardup_pairs(table: str = "embeddings") -> str:
               * CAST(list_dot_product(a.q, b.q) AS BIGINT) * {EMB_COS2_DEN}
               >= {EMB_COS2_NUM} * a.norm2 * b.norm2
     """
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+# A pair list is not yet a dedup decision: near-duplicate relations chain
+# (A~B, B~C) and the pipeline must keep exactly one canonical document per
+# component. This is the reference-free step every training-data pipeline
+# runs after MinHash/SimHash (the reference stops at routing; this extends
+# the LLM-pipeline surface alongside the other textops).
+
+def dedup_clusters(df: DataFrame, text_col: str = "text",
+                   pairs: DataFrame | None = None,
+                   max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster, keep).
+
+    ``cluster`` is the minimum doc_id of the component (a deterministic
+    canonical representative); ``keep`` marks it. Only docs
+    that appear in some pair are returned — everything else is trivially
+    its own component and needs no shuffle at all.
+
+    Algorithm: min-label propagation to fixpoint. Labels only decrease and
+    the fixpoint is unique, so the driver-side convergence loop (one
+    ``count()`` per round — an aggregate, not a collect) is deterministic.
+    Rounds = component diameter; near-dup components are dense and shallow
+    (a hub document links its variants), so 3-5 rounds is typical.
+
+    100-TB notes: each round is one shuffle of (id, label) pairs — the text
+    never moves. Each round's labels are persisted and the previous round
+    freed, keeping lineage flat (on a cluster you'd localCheckpoint every
+    ~5 rounds instead). For graphs with huge diameter or giant components,
+    the upgrade path is the two-phase large-star/small-star of Kiveris et
+    al. (MapReduce CC), which converges in O(log n) rounds with the same
+    per-round join shape.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .distinct())
+    edges = edges.persist()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .persist())
+    try:
+        for _ in range(max_iters):
+            prop = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                    .select(F.col("dst").alias("id"), "label"))
+            new_labels = (prop.unionByName(labels)
+                          .groupBy("id").agg(F.min("label").alias("label"))
+                          .persist())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .filter(F.col("n.label") != F.col("o.label"))
+                       .count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster"),
+            (F.col("id") == F.col("label")).alias("keep"))
+    finally:
+        edges.unpersist()
+
+
+def sql_dedup_clusters(table: str = "documents") -> str:
+    """DuckDB oracle: recursive-CTE transitive closure + min per source.
+    All-pairs reachability is fine at oracle scale (and only there)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({sql_minhash_lsh_pairs(table)}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        lab AS (
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+            FROM reach GROUP BY src
+        )
+        SELECT doc_id, cluster, doc_id = cluster AS keep FROM lab
+    """

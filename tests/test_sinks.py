@@ -97,3 +97,119 @@ def test_kafka_writer_registered_in_config(spark):
                                "sink string, parsed_json string")
     with pytest.raises(NotImplementedError, match="kafka"):
         w(df)
+
+
+def test_kafka_reader_golden_option_dict_mixed_offsets():
+    """VERDICT r2 #7: pin the EXACT dict a readStream.format('kafka') gets,
+    including the startingOffsets JSON for mixed stored/-1 offsets — an
+    option-name typo or JSON-shape drift fails here without a broker."""
+    import json
+    from log_collector_spark.sources import kafka as K
+    conf = {
+        "reader.kafka.topics": "logs",
+        "reader.kafka.frombeginning": "false",
+        "reader.kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "reader.kafka.max.poll.records": "500",
+    }
+    opts = K.reader_options(conf, offset_map={0: 41, 1: -1, 2: 0})
+    starting = json.loads(opts.pop("startingOffsets"))
+    assert starting == {"logs": {"0": 42, "1": -1, "2": 1}}
+    assert opts == {
+        "subscribe": "logs",
+        "failOnDataLoss": "false",
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "kafka.max.poll.records": "500",
+    }
+    # no offset map at all → plain earliest/latest (first run, no resume)
+    assert K.reader_options(conf)["startingOffsets"] == "latest"
+    conf["reader.kafka.frombeginning"] = "true"
+    assert K.reader_options(conf)["startingOffsets"] == "earliest"
+
+
+def test_kafka_multi_topic_starting_offsets():
+    """ADVICE r2: multi-topic resume must emit offsets for EVERY subscribed
+    TopicPartition (Spark rejects partial specific-offset JSON at runtime)."""
+    import json
+    import pytest
+    from log_collector_spark.sources import kafka as K
+    nested = {"logs": {0: 41, 1: -1}, "audit": {0: -1}}
+    s = json.loads(K.starting_offsets("logs, audit", nested,
+                                      from_beginning=True))
+    assert s == {"logs": {"0": 42, "1": -2}, "audit": {"0": -2}}
+    # flat map + multi-topic subscription → refuse (would fail at runtime)
+    with pytest.raises(ValueError, match="multi-topic"):
+        K.starting_offsets("logs,audit", {0: 41})
+    # nested map missing a subscribed topic → refuse
+    with pytest.raises(ValueError, match="missing offsets"):
+        K.starting_offsets("logs,audit", {"logs": {0: 41}})
+    # nested map naming an unsubscribed topic → refuse
+    with pytest.raises(ValueError, match="not in the subscription"):
+        K.starting_offsets("logs", nested)
+
+
+def test_kafka_sink_golden_option_dict():
+    from log_collector_spark.sources import kafka as K
+    conf = {"kafka.retries": "5", "kafka.acks": "all",
+            "writer.kafka.topic": "out"}  # engine key, not client config
+    assert K.sink_options("b:9092", conf) == {
+        "kafka.bootstrap.servers": "b:9092",
+        "kafka.retries": "5",
+        "kafka.acks": "all",
+    }
+
+
+# --- W7 metric sender retry (AbstractReader.java:107-131) -------------------
+
+def test_metric_sender_retries_failed_batch_before_next():
+    import json
+    sent, fail_next = [], [True]
+
+    def post(body):
+        if fail_next[0]:
+            fail_next[0] = False
+            raise IOError("metric server down")
+        sent.append(json.loads(body))
+
+    s = sinks.MetricSender(post)
+    batch1 = sinks.kairos_metrics(
+        [{"src_file": "a.log", "success": 10, "error": 2}], host="h1")
+    s.send(batch1)                    # POST fails → batch kept
+    assert sent == [] and s.backlog == batch1
+    batch2 = sinks.kairos_metrics(
+        [{"src_file": "b.log", "success": 5, "error": 0}], host="h1")
+    s.send(batch2)                    # failed batch re-sent FIRST, then fresh
+    assert sent == [batch1, batch2]
+    assert s.backlog == []
+    s.send([])                        # empty tick: nothing posted
+    assert sent == [batch1, batch2]
+
+
+def test_metric_sender_backlog_survives_repeated_failures_and_caps():
+    calls = []
+
+    def post(body):
+        calls.append(body)
+        raise IOError("still down")
+
+    s = sinks.MetricSender(post, max_backlog=3)
+    m = [{"name": "collector.line.read.success", "tags": {}, "type": "long",
+          "value": i, "timestamp": 0} for i in range(5)]
+    s.send(m[:2])
+    s.send(m[2:4])   # resend attempt + fresh attempt both fail
+    s.send([m[4]])
+    # capped at 3, oldest dropped first
+    assert [x["value"] for x in s.backlog] == [2, 3, 4]
+
+
+def test_kairos_metric_shape_matches_reference():
+    out = sinks.kairos_metrics(
+        [{"src_file": "x.log", "success": 7, "error": 1}],
+        host="node1", timestamp_ms=123)
+    assert out == [
+        {"name": "collector.line.read.success",
+         "tags": {"from": "x.log", "host": "node1"},
+         "type": "long", "value": 7, "timestamp": 123},
+        {"name": "collector.line.read.error",
+         "tags": {"from": "x.log", "host": "node1"},
+         "type": "long", "value": 1, "timestamp": 123},
+    ]

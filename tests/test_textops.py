@@ -148,3 +148,18 @@ def test_shingle_cache_released_after_dedup(spark):
     assert n == len(tracked) and not D._PERSISTED_SHINGLES
     for f in tracked:
         assert not f.storageLevel.useMemory and not f.storageLevel.useDisk
+
+
+def test_dedup_clusters_connected_components(spark):
+    """dedup_clusters: transitive closure over pairs, min-id canonical, keep
+    flag — verified on a hand-built graph with a chain (A~B, B~C) the pair
+    list alone cannot deduplicate."""
+    from log_collector_spark.textops import dedup as D
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 3), (7, 8)],
+        "doc_a int, doc_b int")
+    out = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in D.dedup_clusters(None, pairs=pairs).collect()}
+    assert out == {1: (1, True), 5: (1, False), 9: (1, False),
+                   2: (2, True), 3: (2, False),
+                   7: (7, True), 8: (7, False)}

@@ -126,12 +126,24 @@ def _sdf_to_regex(fmt: str) -> tuple[re.Pattern, list[str]]:
         elif c == "d":
             parts.append(r"(\d{1,2})")
             fields.append("day")
+        elif c == "D":
+            parts.append(r"(\d{1,3})")
+            fields.append("doy")
+        elif c == "w":
+            parts.append(r"(\d{1,2})")
+            fields.append("week")
         elif c == "H":
             parts.append(r"(\d{1,2})")
             fields.append("hour")
         elif c == "h":
             parts.append(r"(\d{1,2})")
             fields.append("hour12")
+        elif c == "k":
+            parts.append(r"(\d{1,2})")
+            fields.append("hour24")
+        elif c == "K":
+            parts.append(r"(\d{1,2})")
+            fields.append("hour011")
         elif c == "m":
             parts.append(r"(\d{1,2})")
             fields.append("minute")
@@ -148,7 +160,14 @@ def _sdf_to_regex(fmt: str) -> tuple[re.Pattern, list[str]]:
             parts.append(r"([A-Za-z]+)")
             fields.append("weekday")
         elif c == "X":
-            parts.append(r"(Z|[+-]\d{2}(?::?\d{2})?)")
+            # Java ISO-8601 zone: X=±hh only, XX=±hhmm, XXX=±hh:mm (a longer
+            # input under X leaves the minutes as ignored prefix-match tail)
+            if n == 1:
+                parts.append(r"(Z|[+-]\d{2})")
+            elif n == 2:
+                parts.append(r"(Z|[+-]\d{4})")
+            else:
+                parts.append(r"(Z|[+-]\d{2}:\d{2})")
             fields.append("tz_iso")
         elif c in ("Z",):
             parts.append(r"([+-]\d{4})")
@@ -166,6 +185,27 @@ def _sdf_to_regex(fmt: str) -> tuple[re.Pattern, list[str]]:
 _SDF_CACHE: dict[str, tuple[re.Pattern, list[str]]] = {}
 
 _UTC = _dt.timezone.utc
+
+# GregorianCalendar(Locale.ENGLISH): firstDayOfWeek=SUNDAY,
+# minimalDaysInFirstWeek=1 — week 1 is the (Sunday-started) week containing
+# Jan 1; a late-December date whose week contains NEXT year's Jan 1 belongs
+# to week 1 of the next year.
+_WEEKDAYS = ["Sunday", "Monday", "Tuesday", "Wednesday",
+             "Thursday", "Friday", "Saturday"]
+
+
+def _week1_start(year: int) -> _dt.date:
+    jan1 = _dt.date(year, 1, 1)
+    return jan1 - _dt.timedelta(days=(jan1.weekday() + 1) % 7)
+
+
+def _woy_us(d: _dt.date) -> int:
+    """Java WEEK_OF_YEAR under the US/ENGLISH rules above (1 for dates whose
+    Sunday-started week contains NEXT year's Jan 1)."""
+    week_start = d - _dt.timedelta(days=(d.weekday() + 1) % 7)
+    if week_start + _dt.timedelta(days=6) >= _dt.date(d.year + 1, 1, 1):
+        return 1  # week rolls into (and therefore contains) next Jan 1
+    return (week_start - _week1_start(d.year)).days // 7 + 1
 
 
 def parse_sdf_epoch_ms(value: str, fmt: str) -> int:
@@ -185,7 +225,9 @@ def parse_sdf_epoch_ms(value: str, fmt: str) -> int:
     hour = minute = second = millis = 0
     tz = _UTC
     pm = False
-    h12 = None
+    h12 = h24 = h011 = doy = week = None
+    weekday = None
+    have_md = False  # explicit MONTH/DAY_OF_MONTH fields beat DAY_OF_YEAR/WOY
     for f, v in vals.items():
         if v is None:
             continue
@@ -196,14 +238,25 @@ def parse_sdf_epoch_ms(value: str, fmt: str) -> int:
             year = 2000 + y if y < 70 else 1900 + y  # fixed pivot (deviation, documented)
         elif f == "month":
             month = int(v)
+            have_md = True
         elif f == "month_name":
             month = _MONTHS.index(v[:3].title()) + 1
+            have_md = True
         elif f == "day":
             day = int(v)
+            have_md = True
+        elif f == "doy":
+            doy = int(v)
+        elif f == "week":
+            week = int(v)
         elif f == "hour":
             hour = int(v)
         elif f == "hour12":
             h12 = int(v)
+        elif f == "hour24":
+            h24 = int(v)
+        elif f == "hour011":
+            h011 = int(v)
         elif f == "minute":
             minute = int(v)
         elif f == "second":
@@ -212,6 +265,8 @@ def parse_sdf_epoch_ms(value: str, fmt: str) -> int:
             millis = int(v)
         elif f == "ampm":
             pm = v.lower() == "pm"
+        elif f == "weekday":
+            weekday = v
         elif f == "tz_iso":
             if v != "Z":
                 s = 1 if v[0] == "+" else -1
@@ -225,13 +280,50 @@ def parse_sdf_epoch_ms(value: str, fmt: str) -> int:
             if v.upper() in ("UTC", "GMT", "Z"):
                 tz = _UTC
             # other zone names unsupported → stay UTC (pinned-UTC deviation)
+    # hour-field variants, strict (setLenient(false)) Java golden semantics
+    # (scripts/GenSdfGolden.java → tests/data/sdf_golden.json):
+    # h∈1..12; k∈1..24 with 24→00 SAME day; K∈0..11 (no 'a' field → AM)
     if h12 is not None:
+        if not 1 <= h12 <= 12:
+            raise ConversionError(f"hour12 {h12} out of 1..12")
         hour = (h12 % 12) + (12 if pm else 0)
+    if h24 is not None:
+        if not 1 <= h24 <= 24:
+            raise ConversionError(f"hour24 {h24} out of 1..24")
+        hour = h24 % 24
+    if h011 is not None:
+        if not 0 <= h011 <= 11:
+            raise ConversionError(f"hour011 {h011} out of 0..11")
+        hour = h011 + (12 if pm else 0)
+    # date resolution priority (GregorianCalendar DAY_OF_MONTH group first):
+    # MONTH+DAY > DAY_OF_YEAR > WEEK_OF_YEAR; strict mode re-validates every
+    # parsed field against the resolved date
+    if not have_md and doy is not None:
+        base = _dt.date(year, 1, 1) + _dt.timedelta(days=doy - 1)
+        if doy < 1 or base.year != year:  # doy past Dec 31 → YEAR mismatch
+            raise ConversionError(f"day-of-year {doy} invalid for {year}")
+        month, day = base.month, base.day
+    elif not have_md and week is not None:
+        base = _week1_start(year) + _dt.timedelta(days=(week - 1) * 7)
+        if base.year != year or _woy_us(base) != week:
+            raise ConversionError(f"week {week} invalid for {year}")
+        month, day = base.month, base.day
     try:
         dt = _dt.datetime(year, month, day, hour, minute, second,
                           millis * 1000, tzinfo=tz)
     except ValueError as e:  # lenient SimpleDateFormat would roll over; we reject
         raise ConversionError(str(e))
+    d = dt.date()
+    if doy is not None and have_md and d.timetuple().tm_yday != doy:
+        raise ConversionError(f"day-of-year {doy} inconsistent with {d}")
+    if week is not None and (have_md or doy is not None) and _woy_us(d) != week:
+        raise ConversionError(f"week {week} inconsistent with {d}")
+    if weekday is not None:
+        wl = weekday.lower()  # Java matchString: long or short form, ignore case
+        idx = next((i for i, nm in enumerate(_WEEKDAYS)
+                    if wl == nm.lower() or wl == nm[:3].lower()), None)
+        if idx is None or idx != (d.weekday() + 1) % 7:
+            raise ConversionError(f"weekday {weekday!r} inconsistent with {d}")
     return int(dt.timestamp() * 1000)
 
 

@@ -180,12 +180,23 @@ def _sdf_regex_vec(values: pd.Series, fmt: str) -> tuple[np.ndarray, np.ndarray]
     minute, _ = geti("minute", 0)
     second, _ = geti("second", 0)
     millis, _ = geti("millis", 0)
+    pm = np.zeros(n, dtype=bool)
+    if "ampm" in fields:
+        pm = ext["ampm"].fillna("").str.lower().eq("pm").to_numpy()
+    # hour-field variants, strict bounds per the Java golden
+    # (converters.parse_sdf_epoch_ms is the scalar twin; tests enforce parity)
     if "hour12" in fields:
         h12, p12 = geti("hour12", 0)
-        pm = np.zeros(n, dtype=bool)
-        if "ampm" in fields:
-            pm = ext["ampm"].fillna("").str.lower().eq("pm").to_numpy()
         hour = np.where(p12, (h12 % 12) + np.where(pm, 12, 0), hour)
+        valid &= ~p12 | ((h12 >= 1) & (h12 <= 12))
+    if "hour24" in fields:
+        h24, p24 = geti("hour24", 0)
+        hour = np.where(p24, h24 % 24, hour)  # 24 → 00 same day
+        valid &= ~p24 | ((h24 >= 1) & (h24 <= 24))
+    if "hour011" in fields:
+        h011, p011 = geti("hour011", 0)
+        hour = np.where(p011, h011 + np.where(pm, 12, 0), hour)
+        valid &= ~p011 | ((h011 >= 0) & (h011 <= 11))
 
     off_min = np.zeros(n, dtype="int64")
     for tzf in ("tz_iso", "tz_rfc"):
@@ -207,6 +218,46 @@ def _sdf_regex_vec(values: pd.Series, fmt: str) -> tuple[np.ndarray, np.ndarray]
         (second >= 0) & (second <= 60)
 
     days = days_from_civil(year, month_c, np.clip(day, 1, 31))
+
+    # DAY_OF_YEAR / WEEK_OF_YEAR / DAY_OF_WEEK: resolution priority
+    # MONTH+DAY > doy > week (GregorianCalendar DAY_OF_MONTH group first);
+    # strict mode re-validates every parsed field against the resolved date.
+    # Week rules: firstDayOfWeek=SUNDAY, minimalDaysInFirstWeek=1 (ENGLISH).
+    if ("doy" in fields) or ("week" in fields) or ("weekday" in fields):
+        have_md = ("month" in fields) or ("month_name" in fields) or \
+            ("day" in fields)
+        one = np.ones_like(year)
+        jan1 = days_from_civil(year, one, one)
+        jan1n = days_from_civil(year + 1, one, one)
+        if "doy" in fields:
+            doy_a, _ = geti("doy", 1)
+            if not have_md:
+                days = jan1 + doy_a - 1
+                valid &= (doy_a >= 1) & (days < jan1n)  # YEAR consistency
+            else:
+                valid &= (days - jan1 + 1) == doy_a
+        if "week" in fields:
+            week_a, _ = geti("week", 1)
+            week1 = jan1 - (jan1 + 4) % 7  # Sunday on/before Jan 1 (epoch=Thu)
+            if not have_md and "doy" not in fields:
+                days = week1 + (week_a - 1) * 7  # the week's Sunday
+                # strict YEAR + recomputed-WOY consistency: Sunday within the
+                # year, and its week must not contain next Jan 1 (→ woy 1)
+                valid &= (days >= jan1) & (days + 6 < jan1n)
+            else:
+                ws = days - (days + 4) % 7
+                woy = np.where(ws + 6 >= jan1n, 1, (ws - week1) // 7 + 1)
+                valid &= woy == week_a
+        if "weekday" in fields:
+            wmap: dict[str, int] = {}
+            for i, nm in enumerate(["sunday", "monday", "tuesday", "wednesday",
+                                    "thursday", "friday", "saturday"]):
+                wmap[nm] = i
+                wmap[nm[:3]] = i
+            idx = ext["weekday"].fillna("").str.lower().map(wmap) \
+                .fillna(-1).to_numpy().astype("int64")
+            valid &= idx == (days + 4) % 7  # epoch day 0 = Thursday = index 4
+
     ms = (days * 86400000 + hour * 3600000 + minute * 60000 + second * 1000 +
           millis - off_min * 60000)
     return ms, valid

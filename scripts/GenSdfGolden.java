@@ -24,7 +24,10 @@ public class GenSdfGolden {
         {"yy/M/d h:mm a", "69/12/31 12:01 AM"},
         {"MMM d yyyy HH:mm:ss.SSS", "Feb 28 2024 23:59:59.999"},
         {"yyyy-MM-dd'T'HH:mm:ssX", "2021-06-01T08:30:00Z"},
-        {"yyyy-MM-dd'T'HH:mm:ssX", "2021-06-01T08:30:00+0530"},
+        {"yyyy-MM-dd'T'HH:mm:ssX", "2021-06-01T08:30:00+0530"},  // X eats ±hh only
+        {"yyyy-MM-dd'T'HH:mm:ssXX", "2021-06-01T08:30:00+0530"},
+        {"yyyy-MM-dd'T'HH:mm:ssXXX", "2021-06-01T08:30:00+05:30"},
+        {"yyyy-MM-dd'T'HH:mm:ssXX", "2021-06-01T08:30:00+05:30"},  // wrong shape
         {"yyyy-MM-dd HH:mm:ss Z", "2021-06-01 08:30:00 -0800"},
         // D: day-of-year
         {"yyyy DDD", "2023 1"},
@@ -52,9 +55,18 @@ public class GenSdfGolden {
         {"yyyy ww", "2024 53"},
         {"yyyy-MM-dd ww", "2023-03-05 10"},                // date + week
         {"yyyy-MM-dd ww", "2023-03-05 99"},                // strict: invalid
-        // weekday text combined with full date (E is parsed, date wins)
+        // weekday text combined with full date (strict: consistency checked)
         {"EEE yyyy-MM-dd", "Tue 2023-05-09"},
         {"EEE yyyy-MM-dd", "Mon 2023-05-09"},              // wrong weekday
+        {"EEEE yyyy-MM-dd", "Tuesday 2023-05-09"},
+        {"EEE yyyy-MM-dd", "Tues 2023-05-09"},             // unknown form
+        // h bounds (1-12)
+        {"yyyy-MM-dd hh:mm a", "2023-05-10 00:30 AM"},     // strict: invalid
+        {"yyyy-MM-dd hh:mm a", "2023-05-10 13:30 PM"},     // strict: invalid
+        // K without an a field: defaults to AM
+        {"yyyy-MM-dd KK:mm", "2023-05-10 05:30"},
+        // k=24 at year end stays same-day 00:00
+        {"yyyy-MM-dd kk:mm", "2023-12-31 24:00"},
         // prefix-match semantics: trailing garbage ignored
         {"yyyy-MM-dd", "2023-05-09 and more"},
     };
@@ -69,6 +81,10 @@ public class GenSdfGolden {
                 SimpleDateFormat sdf = new SimpleDateFormat(fmt, Locale.ENGLISH);
                 sdf.setTimeZone(utc);
                 sdf.setLenient(false);
+                // deterministic 2-digit-year window 1970-2069 (== the
+                // kernel's fixed pivot; the JDK default is now-relative,
+                // which would rot this golden file)
+                sdf.set2DigitYearStart(new Date(0));
                 ParsePosition pos = new ParsePosition(0);
                 Date d = sdf.parse(input, pos);  // prefix match, like the kernel
                 if (d != null) ms = d.getTime();

@@ -108,6 +108,44 @@ def test_sdf_parse_matches_utc_epoch(dt):
     assert ms == expected
 
 
+@given(st.datetimes(min_value=datetime(1971, 1, 1),
+                    max_value=datetime(2099, 12, 31)))
+@settings(max_examples=200)
+def test_sdf_extended_letters_roundtrip(dt):
+    """D (day-of-year), k (1-24), K (0-11 + am/pm), E (weekday) parse back to
+    the generating instant, scalar == vectorized (strict Java semantics pinned
+    by tests/data/sdf_golden.json)."""
+    import pandas as pd
+    from log_collector_spark.grok.vectorized import sdf_epoch_ms_vec
+    d = dt.date()
+    midnight = int(datetime(d.year, d.month, d.day,
+                            tzinfo=timezone.utc).timestamp() * 1000)
+    k = 24 if dt.hour == 0 else dt.hour          # k=24 is 00:xx SAME day
+    kk = midnight + (dt.hour * 3600 + dt.minute * 60) * 1000
+    cases = [
+        (f"{d.year} {d.timetuple().tm_yday:03d}", "yyyy DDD", midnight),
+        (f"{d:%Y-%m-%d} {k:02d}:{dt.minute:02d}", "yyyy-MM-dd kk:mm", kk),
+        (f"{d:%Y-%m-%d} {dt.hour % 12:02d}:{dt.minute:02d} "
+         f"{'PM' if dt.hour >= 12 else 'AM'}", "yyyy-MM-dd KK:mm a", kk),
+        (f"{d:%A} {d:%Y-%m-%d}", "EEEE yyyy-MM-dd", midnight),
+        (f"{d:%a} {d:%Y-%m-%d}", "EEE yyyy-MM-dd", midnight),
+    ]
+    for value, fmt, expected in cases:
+        assert parse_sdf_epoch_ms(value, fmt) == expected, (value, fmt)
+        ms, ok = sdf_epoch_ms_vec(pd.Series([value], dtype=object), fmt)
+        assert ok[0] and ms[0] == expected, (value, fmt)
+    # strict: the WRONG weekday for the same date must fail both kernels
+    wrong = f"{'Mon' if d.strftime('%a') != 'Mon' else 'Tue'} {d:%Y-%m-%d}"
+    try:
+        parse_sdf_epoch_ms(wrong, "EEE yyyy-MM-dd")
+        assert False, wrong
+    except ConversionError:
+        pass
+    _, ok = sdf_epoch_ms_vec(pd.Series([wrong], dtype=object),
+                             "EEE yyyy-MM-dd")
+    assert not ok[0], wrong
+
+
 _EXPR = (r"\[%{NOTSPACE:logtype}\] "
          r"\[%{CUSTOM_TIMESTAMP_ISO8601:logtime;date;yyyy-MM-dd HH:mm:ss}\] "
          r"%{JSON:payload}")

@@ -129,6 +129,40 @@ def test_sdf_vectorized_matches_scalar():
         assert not ok[0], (value, fmt)
 
 
+def test_sdf_java_golden_file():
+    """Both kernels vs the REAL java.text.SimpleDateFormat, case-by-case.
+
+    tests/data/sdf_golden.json is generated by scripts/GenSdfGolden.java
+    (Locale.ENGLISH, UTC, setLenient(false), epoch 2-digit-year pivot) and
+    checked in so this test needs no JVM. Covers D/w/k/K/E plus strict h
+    bounds and X/XX/XXX zone widths (reference: grok/api/Converter.java's
+    SimpleDateFormat usage accepts every SDF letter)."""
+    import json
+    from pathlib import Path
+    from log_collector_spark.grok.converters import (
+        ConversionError, parse_sdf_epoch_ms)
+    cases = json.loads(
+        (Path(__file__).parent / "data" / "sdf_golden.json").read_text())
+    assert len(cases) >= 40
+    by_fmt: dict[str, list] = {}
+    for c in cases:
+        by_fmt.setdefault(c["fmt"], []).append(c)
+    for fmt, cs in by_fmt.items():
+        # scalar kernel
+        for c in cs:
+            try:
+                got = parse_sdf_epoch_ms(c["input"], fmt)
+            except ConversionError:
+                got = None
+            assert got == c["epoch_ms"], (c, got)
+        # vectorized kernel, one batch per format
+        ms, ok = sdf_epoch_ms_vec(
+            pd.Series([c["input"] for c in cs], dtype=object), fmt)
+        for c, m, o in zip(cs, ms, ok):
+            got = int(m) if o else None
+            assert got == c["epoch_ms"], (c, got)
+
+
 def test_json_flatten_corpus(compiler):
     """``;json`` captures: one-level flatten with putAll-overwrite semantics,
     Gson Double numbers, nested objects/lists, failure → '' — byte-equal to

@@ -497,6 +497,54 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.fake_features(M.media_from_documents(_docs(spark, sf_dir)))
 
 
+def q_asof_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the most recent prior 'profile update'
+    (markers = every 101st event) of the SAME user — union-tag + one window
+    sweep, a single shuffle on user_id (operators/asof.py; DuckDB oracle uses
+    its native ASOF JOIN as the independent implementation)."""
+    from log_collector_spark.operators.asof import asof_join
+    ev = _events(spark, sf_dir)
+    markers = (ev.filter(F.col("event_id") % 101 == 0)
+                 .select("user_id", F.col("event_id").alias("upd_id"),
+                         F.col("event_type").alias("upd_type")))
+    out = asof_join(ev.select("event_id", "user_id"), markers,
+                    on="user_id", left_ord="event_id", right_ord="upd_id",
+                    value_cols=["upd_id", "upd_type"])
+    return out.select("event_id", "user_id", "upd_id", "upd_type")
+
+
+def q_rollup_time_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute→hour→day→total rollup in one Expand+hash-agg pass (the
+    hypertable continuous-aggregate ladder; -1 marks collapsed levels)."""
+    ev = _events(spark, sf_dir)
+    ts_ms = (F.unix_micros(F.date_trunc("second", F.col("ts").cast("timestamp")))
+             / F.lit(1000)).cast("long")
+    return agg_ops.rollup_time_counts(ev, ts_ms)
+
+
+def q_percentile_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type latency percentiles by rank selection (p50/p95/p99),
+    integer-only: latency is synthesized as h60(event_id) % 5000 so both
+    engines derive identical values from md5."""
+    from log_collector_spark.textops.common import h60
+    ev = _events(spark, sf_dir)
+    lat = h60(F.col("event_id").cast("string")) % 5000
+    return agg_ops.exact_percentiles(
+        ev, "event_type", lat, {"p50": 0.5, "p95": 0.95, "p99": 0.99})
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-committed-corpus dedup: anti-join of new-batch fingerprints
+    (doc_id % 7 != 0) against the committed set (% 7 == 0); within-batch
+    min-id canonical pick. Only (fp, id) pairs shuffle."""
+    from log_collector_spark.textops import dedup as D
+    docs = _docs(spark, sf_dir)
+    seen = (docs.filter(F.col("doc_id") % 7 == 0)
+                .select(F.md5(D._norm_text(F.col("text"))).alias("fp")))
+    new = docs.filter(F.col("doc_id") % 7 != 0)
+    return D.incremental_dedup(new, seen)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -532,6 +580,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "token_topk_documents": q_token_topk_documents,
         "sessionize_events": q_sessionize_events,
+        "asof_enrich_events": q_asof_enrich_events,
+        "rollup_time_counts": q_rollup_time_counts,
+        "percentile_latency": q_percentile_latency,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -803,6 +855,54 @@ def oracle_sql() -> dict[str, str]:
                    MAX(event_id) AS last_event
             FROM s GROUP BY 1, 2
         """,
+        "asof_enrich_events": """
+            WITH markers AS (
+                SELECT user_id, event_id AS upd_id, event_type AS upd_type
+                FROM events WHERE event_id % 101 = 0
+            )
+            SELECT e.event_id, e.user_id, m.upd_id, m.upd_type
+            FROM events e
+            ASOF LEFT JOIN markers m
+              ON e.user_id = m.user_id AND e.event_id >= m.upd_id
+        """,
+        "rollup_time_counts": """
+            WITH keyed AS (
+                SELECT ms - ms % 86400000 AS day_ms,
+                       ms - ms % 3600000 AS hour_ms,
+                       ms - ms % 60000 AS minute_ms
+                FROM (SELECT CAST(epoch_ms(date_trunc('second', ts)) AS BIGINT)
+                          AS ms FROM events)
+            )
+            SELECT COALESCE(day_ms, -1) AS day_ms,
+                   COALESCE(hour_ms, -1) AS hour_ms,
+                   COALESCE(minute_ms, -1) AS minute_ms,
+                   COUNT(*) AS n
+            FROM keyed GROUP BY ROLLUP(day_ms, hour_ms, minute_ms)
+        """,
+        "percentile_latency": f"""
+            WITH lat AS (
+                SELECT event_type,
+                       {_tc().sql_h60("CAST(event_id AS VARCHAR)")} % 5000 AS v
+                FROM events
+            ), ranked AS (
+                SELECT event_type, v,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+                           AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS cnt
+                FROM lat
+            )
+            SELECT event_type,
+                   CAST(MAX(cnt) AS BIGINT) AS n,
+                   CAST(MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (cnt - 1)) AS BIGINT) + 1
+                                 THEN v END) AS BIGINT) AS p50,
+                   CAST(MAX(CASE WHEN rn = CAST(FLOOR(0.95 * (cnt - 1)) AS BIGINT) + 1
+                                 THEN v END) AS BIGINT) AS p95,
+                   CAST(MAX(CASE WHEN rn = CAST(FLOOR(0.99 * (cnt - 1)) AS BIGINT) + 1
+                                 THEN v END) AS BIGINT) AS p99
+            FROM ranked GROUP BY event_type
+        """,
+        "incremental_dedup": _td().sql_incremental_dedup(
+            new_pred="doc_id % 7 <> 0", seen_pred="doc_id % 7 = 0"),
     }
 
 
@@ -814,6 +914,11 @@ def _ta():
 def _td():
     from log_collector_spark.textops import dedup
     return dedup
+
+
+def _tc():
+    from log_collector_spark.textops import common
+    return common
 
 
 def _ts():

@@ -91,6 +91,55 @@ def tool_usage(df: DataFrame) -> DataFrame:
                                  F.countDistinct("conv_id").alias("n_convs")))
 
 
+def rollup_time_counts(df: DataFrame, ts_ms: Column) -> DataFrame:
+    """Hierarchical minute→hour→day→grand-total rollup in ONE pass
+    (GROUP BY ROLLUP): the hypertable-style pre-aggregation a metrics store
+    derives from raw events. Catalyst's Expand + partial hash-agg computes
+    all four levels with a single shuffle — at 100 TB this replaces three
+    separate groupBy jobs re-scanning the fact table.
+
+    Subtotal rows carry -1 in the collapsed columns (epoch-ms values are
+    always positive, so -1 is collision-free and hash-stable across engines,
+    avoiding any reliance on engines agreeing on grouping_id bit order)."""
+    day = (ts_ms - (ts_ms % 86_400_000)).cast("long").alias("day_ms")
+    hour = (ts_ms - (ts_ms % 3_600_000)).cast("long").alias("hour_ms")
+    minute = (ts_ms - (ts_ms % 60_000)).cast("long").alias("minute_ms")
+    rolled = df.select(day, hour, minute).rollup(
+        "day_ms", "hour_ms", "minute_ms").agg(F.count(F.lit(1)).alias("n"))
+    return rolled.select(
+        F.coalesce("day_ms", F.lit(-1)).alias("day_ms"),
+        F.coalesce("hour_ms", F.lit(-1)).alias("hour_ms"),
+        F.coalesce("minute_ms", F.lit(-1)).alias("minute_ms"),
+        "n")
+
+
+def exact_percentiles(df: DataFrame, group_col: str, value: Column,
+                      quantiles: dict[str, float]) -> DataFrame:
+    """Exact per-group percentiles by rank selection, integer in/out.
+
+    Spec (identical construction in the DuckDB oracle, sidestepping
+    engine-specific quantile interpolation): the q-percentile of a group of
+    n values is the element at 0-based index floor(q*(n-1)) of the sorted
+    values. One shuffle on ``group_col`` + per-group sort (the same cost as
+    any exact quantile); at 100 TB swap in approx_percentile — this operator
+    is the correctness baseline the sketch is validated against."""
+    # ties need no explicit break: the VALUE at any rank of a sorted multiset
+    # is invariant under the ordering of equal elements
+    w = Window.partitionBy(group_col).orderBy("v")
+    ranked = (df.select(F.col(group_col), value.cast("long").alias("v"))
+                .withColumn("rn", F.row_number().over(w))
+                .withColumn("cnt", F.count(F.lit(1)).over(
+                    Window.partitionBy(group_col))))
+    aggs = [
+        F.max(F.when(
+            F.col("rn") == (F.floor(F.lit(q) * (F.col("cnt") - 1)) + 1)
+            .cast("int"), F.col("v"))).alias(name)
+        for name, q in quantiles.items()
+    ]
+    return ranked.groupBy(group_col).agg(
+        F.max("cnt").cast("long").alias("n"), *aggs)
+
+
 def turn_lag_features(df: DataFrame) -> DataFrame:
     """Window functions over the stable turn order: previous role and
     inter-turn gap (analytic layer the reference lacks; SURVEY §2.8)."""

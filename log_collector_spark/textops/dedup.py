@@ -100,6 +100,48 @@ def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def incremental_dedup(new_docs: DataFrame, seen_fps: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Dedup a NEW ingest batch against the already-committed corpus — the
+    operation every continuously-crawling training pipeline runs per batch.
+
+    ``seen_fps`` is a one-column frame of committed content fingerprints
+    (``fp`` = md5 of normalized text, same as exact_dedup_summary). Survivors
+    are (a) within-batch unique (min ``id_col`` per fingerprint wins — a
+    deterministic canonical pick) and (b) anti-joined against the seen set.
+
+    Scale: both the within-batch groupBy and the LEFT ANTI join move only
+    (fp, id) pairs — document text never shuffles. The anti join is the
+    textbook 100-TB shape: Catalyst broadcasts ``seen_fps`` when it's small;
+    a billion-row committed set degrades gracefully to a sort-merge anti
+    join on fp, which bucketing the committed fingerprint store by fp turns
+    into a zero-shuffle probe (plans/bucketing.py)."""
+    cand = (new_docs
+            .select(F.md5(_norm_text(F.col(text_col))).alias("fp"),
+                    F.col(id_col))
+            .groupBy("fp").agg(F.min(id_col).alias(id_col)))
+    return (cand.join(seen_fps.select("fp"), "fp", "left_anti")
+                .select(id_col, "fp"))
+
+
+def sql_incremental_dedup(new_pred: str, seen_pred: str,
+                          table: str = "documents") -> str:
+    """DuckDB twin of incremental_dedup for a partition of ``table`` into a
+    new batch (``new_pred``) and a committed set (``seen_pred``)."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH seen AS (
+            SELECT DISTINCT md5({norm}) AS fp FROM {table} WHERE {seen_pred}
+        ), cand AS (
+            SELECT md5({norm}) AS fp, MIN(doc_id) AS doc_id
+            FROM {table} WHERE {new_pred} GROUP BY 1
+        )
+        SELECT doc_id, fp FROM cand
+        WHERE fp NOT IN (SELECT fp FROM seen)
+    """
+
+
 def sql_exact_dedup_summary(table: str = "documents") -> str:
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     return f"""

@@ -70,6 +70,33 @@ def start_pipeline_stream(spark: SparkSession, input_dir: str,
     return w.start()
 
 
+def start_dedup_stream(spark: SparkSession, input_dir: str,
+                       checkpoint_loc: str, out_dir: str, *,
+                       watermark: str = "24 hours"):
+    """Streaming exact dedup — the continuous-ingest twin of
+    ``textops.dedup.incremental_dedup``: rows whose content fingerprint was
+    already emitted are dropped, across micro-batches AND restarts (the
+    seen-set lives in the state store via the checkpoint).
+
+    ``dropDuplicatesWithinWatermark`` bounds the state: a fingerprint is
+    remembered only while its event time is within the watermark, so state
+    size tracks the ingest window, not corpus lifetime — the property that
+    keeps this runnable forever at 100-TB/day rates (an unbounded
+    ``dropDuplicates`` seen-set would OOM the state store; beyond-horizon
+    dups are the incremental_dedup batch job's responsibility)."""
+    src = read_transcript_stream(spark, input_dir)
+    fp = F.md5(F.concat_ws(
+        "\x1f", F.col("conv_id"), F.col("turn_idx").cast("string"),
+        F.coalesce(F.col("text"), F.lit(""))))
+    deduped = (src.withColumn("fp", fp)
+                  .withWatermark("ts", watermark)
+                  .dropDuplicatesWithinWatermark(["fp"]))
+    return (deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_loc)
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out_dir).start())
+
+
 def start_minute_bucket_stream(spark: SparkSession, input_dir: str,
                                checkpoint_loc: str, out_dir: str, *,
                                watermark: str = "24 hours"):

@@ -400,3 +400,41 @@ def test_streaming_multiline_stateful(spark, tmp_path):
     assert got, "no records emitted across micro-batches"
     assert got <= expected
     assert len(got) >= len(expected) - 1
+
+
+def test_stream_dedup_across_batches_and_restarts(spark, tmp_path):
+    """Streaming exact dedup: duplicate fingerprints are dropped within a
+    run AND across a restart (seen-set persists in the state store)."""
+    from datetime import datetime
+    from log_collector_spark.streaming import pipeline as sp
+
+    in_dir = tmp_path / "din"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "dck")
+    out = str(tmp_path / "dout")
+    t = datetime(2023, 11, 15, 12, 0, 0)
+    mk = lambda conv, idx, text: (conv, idx, "user", text, None, t)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    # file 1: one in-file duplicate pair + two unique rows
+    spark.createDataFrame(
+        [mk("c1", 0, "hello"), mk("c1", 0, "hello"),
+         mk("c1", 1, "world"), mk("c2", 0, "hey")], schema) \
+        .coalesce(1).write.parquet(str(in_dir / "f1"))
+    q = sp.start_dedup_stream(spark, str(in_dir) + "/f*", ckpt, out)
+    q.awaitTermination(300)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 3
+    assert got1.select("fp").distinct().count() == 3
+
+    # file 2 arrives later: a dup of a row emitted in run 1 + a fresh row
+    spark.createDataFrame(
+        [mk("c1", 1, "world"), mk("c3", 0, "fresh")], schema) \
+        .coalesce(1).write.parquet(str(in_dir / "f2"))
+    q2 = sp.start_dedup_stream(spark, str(in_dir) + "/f*", ckpt, out)
+    q2.awaitTermination(300)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 4  # only the fresh row was appended
+    assert got2.filter(F.col("conv_id") == "c3").count() == 1
+    assert got2.select("fp").distinct().count() == 4

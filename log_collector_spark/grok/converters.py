@@ -116,7 +116,10 @@ def _sdf_to_regex(fmt: str) -> tuple[re.Pattern, list[str]]:
         if c == "y":
             parts.append(r"(\d{1,4})" if n != 2 else r"(\d{2})")
             fields.append("year2" if n == 2 else "year")
-        elif c == "M":
+        elif c == "Y":  # week year (resolves through the week date)
+            parts.append(r"(\d{1,4})" if n != 2 else r"(\d{2})")
+            fields.append("wyear2" if n == 2 else "wyear")
+        elif c in ("M", "L"):  # L: standalone month — same symbols in ENGLISH
             if n >= 3:
                 parts.append("(" + "|".join(_MONTHS) + r"[a-z]*)")
                 fields.append("month_name")
@@ -132,6 +135,18 @@ def _sdf_to_regex(fmt: str) -> tuple[re.Pattern, list[str]]:
         elif c == "w":
             parts.append(r"(\d{1,2})")
             fields.append("week")
+        elif c == "W":
+            parts.append(r"(\d{1,2})")
+            fields.append("wom")
+        elif c == "F":
+            parts.append(r"(\d{1,2})")
+            fields.append("dowim")
+        elif c == "u":
+            parts.append(r"(\d{1,2})")
+            fields.append("downum")
+        elif c == "G":
+            parts.append(r"([AaBb][DdCc])")
+            fields.append("era")
         elif c == "H":
             parts.append(r"(\d{1,2})")
             fields.append("hour")
@@ -156,7 +171,9 @@ def _sdf_to_regex(fmt: str) -> tuple[re.Pattern, list[str]]:
         elif c == "a":
             parts.append(r"([AaPp][Mm])")
             fields.append("ampm")
-        elif c == "E":
+        elif c == "E":  # NB: 'c' (java.time standalone weekday) is ILLEGAL in
+            # SimpleDateFormat — it falls to the unsupported-letter branch,
+            # matching Java's IllegalArgumentException (golden: ccc → null)
             parts.append(r"([A-Za-z]+)")
             fields.append("weekday")
         elif c == "X":
@@ -208,6 +225,28 @@ def _woy_us(d: _dt.date) -> int:
     return (week_start - _week1_start(d.year)).days // 7 + 1
 
 
+def _dow_sun0(d: _dt.date) -> int:
+    """Day-of-week with Sunday=0 (Calendar.DAY_OF_WEEK - 1)."""
+    return (d.weekday() + 1) % 7
+
+
+def _week_year(d: _dt.date) -> int:
+    """Java getWeekYear(): the year owning d's (Sunday-started) week — next
+    year when the week contains next Jan 1, else the calendar year (a week
+    containing Jan 1 of d.year belongs to d.year: minimalDays=1)."""
+    ws = d - _dt.timedelta(days=_dow_sun0(d))
+    if ws + _dt.timedelta(days=6) >= _dt.date(d.year + 1, 1, 1):
+        return d.year + 1
+    return d.year
+
+
+def _wom_us(d: _dt.date) -> int:
+    """Java WEEK_OF_MONTH (US rules): week 1 is the Sunday-started week
+    containing the 1st of the month."""
+    first_off = _dow_sun0(d.replace(day=1))
+    return (d.day + first_off - 1) // 7 + 1
+
+
 def parse_sdf_epoch_ms(value: str, fmt: str) -> int:
     """``new SimpleDateFormat(fmt, ENGLISH).parse(value).getTime()`` in UTC.
 
@@ -226,8 +265,10 @@ def parse_sdf_epoch_ms(value: str, fmt: str) -> int:
     tz = _UTC
     pm = False
     h12 = h24 = h011 = doy = week = None
+    wyear = wom = dowim = downum = None
     weekday = None
-    have_md = False  # explicit MONTH/DAY_OF_MONTH fields beat DAY_OF_YEAR/WOY
+    era_bc = False
+    have_month = have_day = False
     for f, v in vals.items():
         if v is None:
             continue
@@ -236,19 +277,32 @@ def parse_sdf_epoch_ms(value: str, fmt: str) -> int:
         elif f == "year2":
             y = int(v)  # SimpleDateFormat 2-digit years: 80y window ending +20y;
             year = 2000 + y if y < 70 else 1900 + y  # fixed pivot (deviation, documented)
+        elif f == "wyear":
+            wyear = int(v)
+        elif f == "wyear2":
+            y = int(v)
+            wyear = 2000 + y if y < 70 else 1900 + y
         elif f == "month":
             month = int(v)
-            have_md = True
+            have_month = True
         elif f == "month_name":
             month = _MONTHS.index(v[:3].title()) + 1
-            have_md = True
+            have_month = True
         elif f == "day":
             day = int(v)
-            have_md = True
+            have_day = True
         elif f == "doy":
             doy = int(v)
         elif f == "week":
             week = int(v)
+        elif f == "wom":
+            wom = int(v)
+        elif f == "dowim":
+            dowim = int(v)
+        elif f == "downum":
+            downum = int(v)
+        elif f == "era":
+            era_bc = v.upper() == "BC"
         elif f == "hour":
             hour = int(v)
         elif f == "hour12":
@@ -295,16 +349,68 @@ def parse_sdf_epoch_ms(value: str, fmt: str) -> int:
         if not 0 <= h011 <= 11:
             raise ConversionError(f"hour011 {h011} out of 0..11")
         hour = h011 + (12 if pm else 0)
-    # date resolution priority (GregorianCalendar DAY_OF_MONTH group first):
-    # MONTH+DAY > DAY_OF_YEAR > WEEK_OF_YEAR; strict mode re-validates every
-    # parsed field against the resolved date
-    if not have_md and doy is not None:
+    if era_bc:
+        # BC + pre-1582 dates need Java's hybrid Julian/Gregorian calendar;
+        # out of scope (documented deviation) — fail safely to ""
+        raise ConversionError("BC era unsupported")
+    # resolved day-of-week for week-based resolutions: explicit E/c text or
+    # numeric u (1=Mon..7=Sun), defaulting to firstDayOfWeek (Sunday)
+    dow_s0 = 0
+    if weekday is not None:
+        wl = weekday.lower()  # Java matchString: long or short form, ignore case
+        idx = next((i for i, nm in enumerate(_WEEKDAYS)
+                    if wl == nm.lower() or wl == nm[:3].lower()), None)
+        if idx is None:
+            raise ConversionError(f"unknown weekday {weekday!r}")
+        dow_s0 = idx
+    elif downum is not None:
+        if not 1 <= downum <= 7:
+            raise ConversionError(f"day number {downum} out of 1..7")
+        dow_s0 = downum % 7  # 7=Sunday → 0
+    # date resolution priority (GregorianCalendar DAY_OF_MONTH group):
+    # MONTH+DAY > MONTH+WEEK_OF_MONTH+DOW > MONTH+DOW_IN_MONTH+DOW >
+    # DAY_OF_YEAR > (WEEK_)YEAR+WEEK_OF_YEAR+DOW; strict mode re-validates
+    # every parsed field against the resolved date
+    if have_day:
+        pass  # direct (year, month, day)
+    elif have_month and wom is not None:
+        first = _dt.date(year, month, 1)
+        dd = 1 - _dow_sun0(first) + (wom - 1) * 7 + dow_s0
+        base = None
+        if dd >= 1:
+            try:
+                base = _dt.date(year, month, dd)
+            except ValueError:
+                base = None
+        if base is None:
+            raise ConversionError(
+                f"week-of-month {wom} has no day {dow_s0} in {year}-{month}")
+        day = dd
+    elif have_month and dowim is not None:
+        first = _dt.date(year, month, 1)
+        dd = 1 + (dow_s0 - _dow_sun0(first)) % 7 + (dowim - 1) * 7
+        try:
+            _dt.date(year, month, dd)
+        except ValueError:
+            raise ConversionError(
+                f"no {dowim}th weekday {dow_s0} in {year}-{month}")
+        day = dd
+    elif have_month:
+        pass  # (year, month, 1)
+    elif doy is not None:
         base = _dt.date(year, 1, 1) + _dt.timedelta(days=doy - 1)
         if doy < 1 or base.year != year:  # doy past Dec 31 → YEAR mismatch
             raise ConversionError(f"day-of-year {doy} invalid for {year}")
         month, day = base.month, base.day
-    elif not have_md and week is not None:
-        base = _week1_start(year) + _dt.timedelta(days=(week - 1) * 7)
+    elif wyear is not None:
+        wk = week if week is not None else 1
+        base = _week1_start(wyear) + _dt.timedelta(days=(wk - 1) * 7 + dow_s0)
+        woy = 1 if _week_year(base) == base.year + 1 else _woy_us(base)
+        if _week_year(base) != wyear or woy != wk:
+            raise ConversionError(f"week {wk} invalid for week-year {wyear}")
+        year, month, day = base.year, base.month, base.day
+    elif week is not None:
+        base = _week1_start(year) + _dt.timedelta(days=(week - 1) * 7 + dow_s0)
         if base.year != year or _woy_us(base) != week:
             raise ConversionError(f"week {week} invalid for {year}")
         month, day = base.month, base.day
@@ -313,17 +419,26 @@ def parse_sdf_epoch_ms(value: str, fmt: str) -> int:
                           millis * 1000, tzinfo=tz)
     except ValueError as e:  # lenient SimpleDateFormat would roll over; we reject
         raise ConversionError(str(e))
+    # strict cross-field validation: every parsed calendar field must agree
+    # with the resolved date (fields used in resolution pass by construction)
     d = dt.date()
-    if doy is not None and have_md and d.timetuple().tm_yday != doy:
+    if doy is not None and d.timetuple().tm_yday != doy:
         raise ConversionError(f"day-of-year {doy} inconsistent with {d}")
-    if week is not None and (have_md or doy is not None) and _woy_us(d) != week:
-        raise ConversionError(f"week {week} inconsistent with {d}")
-    if weekday is not None:
-        wl = weekday.lower()  # Java matchString: long or short form, ignore case
-        idx = next((i for i, nm in enumerate(_WEEKDAYS)
-                    if wl == nm.lower() or wl == nm[:3].lower()), None)
-        if idx is None or idx != (d.weekday() + 1) % 7:
-            raise ConversionError(f"weekday {weekday!r} inconsistent with {d}")
+    if week is not None:
+        woy = (1 if _week_year(d) == d.year + 1 else _woy_us(d)) \
+            if wyear is not None else _woy_us(d)
+        if woy != week:
+            raise ConversionError(f"week {week} inconsistent with {d}")
+    if wyear is not None and _week_year(d) != wyear:
+        raise ConversionError(f"week-year {wyear} inconsistent with {d}")
+    if wom is not None and _wom_us(d) != wom:
+        raise ConversionError(f"week-of-month {wom} inconsistent with {d}")
+    if dowim is not None and (d.day - 1) // 7 + 1 != dowim:
+        raise ConversionError(f"dow-in-month {dowim} inconsistent with {d}")
+    if downum is not None and _dow_sun0(d) != downum % 7:
+        raise ConversionError(f"day number {downum} inconsistent with {d}")
+    if weekday is not None and dow_s0 != _dow_sun0(d):
+        raise ConversionError(f"weekday {weekday!r} inconsistent with {d}")
     return int(dt.timestamp() * 1000)
 
 

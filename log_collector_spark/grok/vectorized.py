@@ -81,7 +81,37 @@ def sdf_epoch_ms_vec(values: pd.Series, fmt: str) -> tuple[np.ndarray, np.ndarra
     """
     if fmt == _FAST_ISO_FMT:
         return _sdf_fast_iso(values)
+    _, fields = _sdf_to_regex(fmt)
+    if _RARE_SDF_FIELDS.intersection(fields):
+        return _sdf_scalar_fallback(values, fmt)
     return _sdf_regex_vec(values, fmt)
+
+
+# Letters with calendar-resolution semantics too rare to justify a numpy
+# twin (W/F/u/G/Y — never seen in log timestamp formats): per-row delegation
+# to the scalar kernel keeps them byte-equal by construction. The hot formats
+# (fixed-width ISO fast path + all y/M/d/H/m/s/S/a/E/D/w/k/K/h/X/Z/z shapes)
+# never take this path.
+_RARE_SDF_FIELDS = frozenset(
+    {"wyear", "wyear2", "wom", "dowim", "downum", "era"})
+
+
+def _sdf_scalar_fallback(values: pd.Series,
+                         fmt: str) -> tuple[np.ndarray, np.ndarray]:
+    from log_collector_spark.grok.converters import (
+        ConversionError, parse_sdf_epoch_ms)
+    vals = values.tolist() if hasattr(values, "tolist") else list(values)
+    n = len(vals)
+    ms = np.zeros(n, dtype="int64")
+    ok = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vals):
+        if isinstance(v, str):
+            try:
+                ms[i] = parse_sdf_epoch_ms(v, fmt)
+                ok[i] = True
+            except ConversionError:
+                pass
+    return ms, ok
 
 
 def _sdf_fast_iso(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:

@@ -67,6 +67,35 @@ public class GenSdfGolden {
         {"yyyy-MM-dd KK:mm", "2023-05-10 05:30"},
         // k=24 at year end stays same-day 00:00
         {"yyyy-MM-dd kk:mm", "2023-12-31 24:00"},
+        // F: day-of-week-in-month (May 9 2023 = 2nd Tuesday)
+        {"yyyy-MM-dd F", "2023-05-09 2"},
+        {"yyyy-MM-dd F", "2023-05-09 1"},                  // strict: wrong F
+        {"yyyy-MM F EEE", "2023-05 2 Tue"},                // resolve 2nd Tue
+        {"yyyy-MM F EEE", "2023-05 5 Mon"},                // 5th Mon exists
+        {"yyyy-MM F EEE", "2023-06 5 Mon"},                // no 5th Mon in Jun
+        // u: day number of week, 1 = Monday (Tue = 2)
+        {"yyyy-MM-dd u", "2023-05-09 2"},
+        {"yyyy-MM-dd u", "2023-05-09 7"},                  // strict: wrong u
+        {"YYYY ww u", "2024 01 1"},                        // week-date resolve
+        // W: week-of-month (US rules)
+        {"yyyy-MM-dd W", "2023-05-09 2"},
+        {"yyyy-MM-dd W", "2023-05-09 3"},                  // strict: wrong W
+        {"yyyy-MM W EEE", "2023-05 2 Tue"},                // resolve via M+W+E
+        {"yyyy-MM W EEE", "2023-05 9 Tue"},                // no week 9
+        // L: standalone month (ENGLISH: same symbols as M)
+        {"yyyy-LL-dd", "2023-05-09"},
+        {"LLL d yyyy", "Feb 28 2024"},
+        // c is a java.time letter, ILLEGAL in SimpleDateFormat → whole parse fails
+        {"ccc yyyy-MM-dd", "Tue 2023-05-09"},
+        {"ccc yyyy-MM-dd", "Mon 2023-05-09"},
+        // G: era (AD only; BC/pre-1582 out of scope — hybrid-calendar dates)
+        {"G yyyy-MM-dd", "AD 2023-05-09"},
+        // Y: week year (+ w [+ E/u] resolve through the week date)
+        {"YYYY ww EEE", "2024 01 Mon"},                    // Jan 1 2024
+        {"YYYY ww EEE", "2024 01 Sun"},                    // Dec 31 2023 (!)
+        {"YYYY ww", "2024 10"},                            // default DOW = Sun
+        {"YYYY ww", "2024 53"},                            // 2024 has 52 weeks?
+        {"YYYY ww EEE", "2022 53 Sat"},                    // 2022-week53 check
         // prefix-match semantics: trailing garbage ignored
         {"yyyy-MM-dd", "2023-05-09 and more"},
     };

@@ -134,9 +134,10 @@ def test_sdf_java_golden_file():
 
     tests/data/sdf_golden.json is generated by scripts/GenSdfGolden.java
     (Locale.ENGLISH, UTC, setLenient(false), epoch 2-digit-year pivot) and
-    checked in so this test needs no JVM. Covers D/w/k/K/E plus strict h
-    bounds and X/XX/XXX zone widths (reference: grok/api/Converter.java's
-    SimpleDateFormat usage accepts every SDF letter)."""
+    checked in so this test needs no JVM. Covers D/w/W/F/u/k/K/E/G/Y/L plus
+    strict h bounds, X/XX/XXX zone widths, and the illegal java.time-only
+    letter c → whole-parse failure (reference: grok/api/Converter.java's
+    SimpleDateFormat usage accepts every legal SDF letter)."""
     import json
     from pathlib import Path
     from log_collector_spark.grok.converters import (
@@ -155,9 +156,14 @@ def test_sdf_java_golden_file():
             except ConversionError:
                 got = None
             assert got == c["epoch_ms"], (c, got)
-        # vectorized kernel, one batch per format
-        ms, ok = sdf_epoch_ms_vec(
-            pd.Series([c["input"] for c in cs], dtype=object), fmt)
+        # vectorized kernel, one batch per format; an illegal pattern raises
+        # at compile time (like Java's constructor IllegalArgumentException)
+        # and parse_batch turns that into all-rows-fail → "" (vectorized.py)
+        try:
+            ms, ok = sdf_epoch_ms_vec(
+                pd.Series([c["input"] for c in cs], dtype=object), fmt)
+        except ConversionError:
+            ms, ok = np.zeros(len(cs), "int64"), np.zeros(len(cs), bool)
         for c, m, o in zip(cs, ms, ok):
             got = int(m) if o else None
             assert got == c["epoch_ms"], (c, got)

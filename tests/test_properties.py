@@ -110,7 +110,11 @@ def test_sdf_parse_matches_utc_epoch(dt):
 
 @given(st.datetimes(min_value=datetime(1971, 1, 1),
                     max_value=datetime(2099, 12, 31)))
-@settings(max_examples=200)
+# deadline=None: each example runs 5 formats through the pandas/numpy
+# vectorized kernel — under a fully-loaded suite (32 Spark workers) a single
+# example can blow hypothesis's 200 ms wall deadline and flag a spurious
+# Flaky/DeadlineExceeded (seen in the r3 full-suite run; passes in isolation)
+@settings(max_examples=200, deadline=None)
 def test_sdf_extended_letters_roundtrip(dt):
     """D (day-of-year), k (1-24), K (0-11 + am/pm), E (weekday) parse back to
     the generating instant, scalar == vectorized (strict Java semantics pinned

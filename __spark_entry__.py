@@ -384,6 +384,14 @@ def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.fingerprint(_docs(spark, sf_dir))
 
 
+def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by salted id hash —
+    stable under corpus growth, shuffle-free (unlike randomSplit)."""
+    from log_collector_spark.textops import analysis as A
+    return A.split_assign(_docs(spark, sf_dir)).select(
+        "doc_id", "split_bucket", "split")
+
+
 def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary via fingerprint hash-groupBy."""
     from log_collector_spark.textops import dedup as D
@@ -567,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": q_quality_score_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "split_documents": q_split_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -808,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score_documents": _ta().sql_quality_features(),
         "lang_id_documents": _ta().sql_lang_id(),
         "fingerprint_documents": _ta().sql_fingerprint(),
+        "split_documents": _ta().sql_split_assign(),
         "exact_dedup_documents": _td().sql_exact_dedup_summary(),
         "ngram_jaccard_pairs": _td().sql_ngram_jaccard_pairs(),
         "minhash_lsh_pairs": _td().sql_minhash_lsh_pairs(),

@@ -186,3 +186,58 @@ def sql_fingerprint(table: str = "documents") -> str:
         SELECT doc_id, md5({norm}) AS fp_md5, {C.sql_h60(norm)} AS fp_h60
         FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+# Salting the id keeps split membership independent of any other h60 use of
+# the same key (dedup buckets, fingerprints) — without it, e.g. a modulo
+# sample of fp_h60 would correlate with the split label.
+SPLIT_SALT = "split:v1|"
+SPLIT_BUCKETS = 100
+
+
+def split_assign(df: DataFrame, id_col: str = "doc_id",
+                 weights: tuple[int, int, int] = (80, 10, 10),
+                 salt: str = SPLIT_SALT) -> DataFrame:
+    """Assign each row to train/val/test by salted hash of its id.
+
+    The label is a pure function of (salt, id): a narrow shuffle-free
+    projection that is *stable under corpus growth* — appending documents
+    never reassigns existing ones, re-runs are reproducible with no stored
+    state, and workers need no coordination. That (not randomness quality)
+    is why hash splits replace ``df.randomSplit`` at 100-TB scale:
+    randomSplit's per-task RNG reassigns rows whenever partitioning
+    changes. Integer percent weights over 100 hash buckets keep the
+    assignment exact and oracle-checkable (reference has no analog; this is
+    an engine extension for training-data pipelines).
+    """
+    w_train, w_val, w_test = weights
+    if w_train + w_val + w_test != SPLIT_BUCKETS:
+        raise ValueError(f"weights must sum to {SPLIT_BUCKETS}: {weights}")
+    # explicit string cast: md5 hashes the decimal digits in both engines
+    # (DuckDB's `'…' || bigint` varchar-casts the same way)
+    bucket = C.h60(F.concat(F.lit(salt),
+                            F.col(id_col).cast("string"))) % SPLIT_BUCKETS
+    label = (F.when(bucket < w_train, "train")
+              .when(bucket < w_train + w_val, "val")
+              .otherwise("test"))
+    return df.withColumn("split_bucket", bucket).withColumn("split", label)
+
+
+def sql_split_assign(table: str = "documents", id_col: str = "doc_id",
+                     weights: tuple[int, int, int] = (80, 10, 10),
+                     salt: str = SPLIT_SALT) -> str:
+    w_train, w_val, w_test = weights
+    assert w_train + w_val + w_test == SPLIT_BUCKETS
+    salted = f"'{salt}' || {id_col}"
+    bucket = f"{C.sql_h60(salted)} % {SPLIT_BUCKETS}"
+    return f"""
+        SELECT {id_col}, {bucket} AS split_bucket,
+               CASE WHEN {bucket} < {w_train} THEN 'train'
+                    WHEN {bucket} < {w_train + w_val} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM {table}
+    """

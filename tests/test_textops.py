@@ -42,6 +42,7 @@ ORACLE_CHECKED = [
     "token_topk_documents",
     "sessionize_events",
     "scan_prune_recent",
+    "split_documents",
 ]
 
 
@@ -163,3 +164,24 @@ def test_dedup_clusters_connected_components(spark):
     assert out == {1: (1, True), 5: (1, False), 9: (1, False),
                    2: (2, True), 3: (2, False),
                    7: (7, True), 8: (7, False)}
+
+
+def test_split_assign_stable_and_partitioned(spark):
+    """Hash split: labels depend only on (salt, id) — a subset gets identical
+    assignments (append-stability), buckets partition into the exact integer
+    weight ranges, and bad weights are rejected."""
+    from log_collector_spark.textops import analysis as A
+    docs = _docs_df(spark)
+    full = {r["doc_id"]: (r["split_bucket"], r["split"])
+            for r in A.split_assign(docs).collect()}
+    some_ids = sorted(full)[: len(full) // 3]
+    subset = {r["doc_id"]: (r["split_bucket"], r["split"])
+              for r in A.split_assign(
+                  docs.filter(docs.doc_id.isin(some_ids))).collect()}
+    assert subset == {i: full[i] for i in some_ids}
+    for b, lab in full.values():
+        assert 0 <= b < 100
+        assert lab == ("train" if b < 80 else "val" if b < 90 else "test")
+    assert {lab for _, lab in full.values()} == {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        A.split_assign(docs, weights=(90, 5, 4))

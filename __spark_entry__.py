@@ -392,6 +392,14 @@ def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "split_bucket", "split")
 
 
+def q_domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap by salted-hash rank (domain mixing): deterministic
+    uniform sample within each domain, one shuffle on source."""
+    from log_collector_spark.textops import analysis as A
+    return A.domain_cap(_docs(spark, sf_dir), cap=10).select(
+        "doc_id", "source", "rk", "kept")
+
+
 def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary via fingerprint hash-groupBy."""
     from log_collector_spark.textops import dedup as D
@@ -576,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "split_documents": q_split_documents,
+        "domain_cap_documents": q_domain_cap_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -818,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_documents": _ta().sql_lang_id(),
         "fingerprint_documents": _ta().sql_fingerprint(),
         "split_documents": _ta().sql_split_assign(),
+        "domain_cap_documents": _ta().sql_domain_cap(cap=10),
         "exact_dedup_documents": _td().sql_exact_dedup_summary(),
         "ngram_jaccard_pairs": _td().sql_ngram_jaccard_pairs(),
         "minhash_lsh_pairs": _td().sql_minhash_lsh_pairs(),

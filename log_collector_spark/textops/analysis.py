@@ -241,3 +241,38 @@ def sql_split_assign(table: str = "documents", id_col: str = "doc_id",
                     ELSE 'test' END AS split
         FROM {table}
     """
+
+
+def domain_cap(df: DataFrame, group_col: str = "source",
+               id_col: str = "doc_id", cap: int = 50,
+               salt: str = SPLIT_SALT) -> DataFrame:
+    """Cap documents per domain by deterministic hash rank (domain mixing).
+
+    Training corpora cap over-represented domains; taking the first ``cap``
+    docs by *salted-hash* order makes the sample (a) uniform within the
+    domain, (b) reproducible with no RNG state, and (c) downward-stable —
+    growing the corpus can only push docs OUT of the kept set, never
+    shuffle the survivors' relative order. One shuffle on ``group_col``;
+    at 100 TB a skewed domain bounds the partition at ~cap survivors only
+    after the sort, so pair this with AQE skew splitting (the rank is per
+    group, not global — no single-partition window).
+    """
+    from pyspark.sql import Window
+    h = C.h60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("rk", F.row_number().over(w).cast("long"))
+              .withColumn("kept", F.col("rk") <= cap))
+
+
+def sql_domain_cap(table: str = "documents", group_col: str = "source",
+                   id_col: str = "doc_id", cap: int = 50,
+                   salt: str = SPLIT_SALT) -> str:
+    h = C.sql_h60(f"'{salt}' || {id_col}")
+    return f"""
+        SELECT {id_col}, {group_col},
+               CAST(ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                       ORDER BY {h}, {id_col}) AS BIGINT)
+                   AS rk,
+               rk <= {cap} AS kept
+        FROM {table}
+    """

@@ -43,6 +43,7 @@ ORACLE_CHECKED = [
     "sessionize_events",
     "scan_prune_recent",
     "split_documents",
+    "domain_cap_documents",
 ]
 
 
@@ -185,3 +186,27 @@ def test_split_assign_stable_and_partitioned(spark):
     assert {lab for _, lab in full.values()} == {"train", "val", "test"}
     with pytest.raises(ValueError):
         A.split_assign(docs, weights=(90, 5, 4))
+
+
+def test_domain_cap_downward_stable(spark):
+    """domain_cap: per-source survivors are the cap-smallest salted hashes;
+    removing docs never changes the relative order of the remaining ones
+    (downward stability), and every source keeps exactly min(cap, n)."""
+    from log_collector_spark.textops import analysis as A
+    docs = _docs_df(spark)
+    full = A.domain_cap(docs, cap=3).collect()
+    per_src: dict[str, list] = {}
+    for r in sorted(full, key=lambda r: (r["source"], r["rk"])):
+        per_src.setdefault(r["source"], []).append(r)
+    for src, rows in per_src.items():
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(r["kept"] == (r["rk"] <= 3) for r in rows)
+    # drop the rank-1 doc of one source: ranks 2.. shift down by one,
+    # order unchanged
+    src, rows = next(iter(per_src.items()))
+    shrunk = A.domain_cap(
+        docs.filter(~((docs.source == src)
+                      & (docs.doc_id == rows[0]["doc_id"]))), cap=3)
+    kept2 = [r["doc_id"] for r in shrunk.collect()
+             if r["source"] == src]
+    assert sorted(kept2) == sorted(r["doc_id"] for r in rows[1:])

@@ -400,6 +400,16 @@ def q_domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "rk", "kept")
 
 
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag train docs (doc_id % 50 != 0) sharing
+    any 8-gram with the synthetic eval slice (doc_id % 50 == 0)."""
+    from pyspark.sql import functions as F
+    from log_collector_spark.textops import dedup as D
+    docs = _docs(spark, sf_dir)
+    return D.decontaminate(docs.filter(F.col("doc_id") % 50 != 0),
+                           docs.filter(F.col("doc_id") % 50 == 0))
+
+
 def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary via fingerprint hash-groupBy."""
     from log_collector_spark.textops import dedup as D
@@ -585,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "split_documents": q_split_documents,
         "domain_cap_documents": q_domain_cap_documents,
+        "decontaminate_documents": q_decontaminate_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -828,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": _ta().sql_fingerprint(),
         "split_documents": _ta().sql_split_assign(),
         "domain_cap_documents": _ta().sql_domain_cap(cap=10),
+        "decontaminate_documents": _td().sql_decontaminate(),
         "exact_dedup_documents": _td().sql_exact_dedup_summary(),
         "ngram_jaccard_pairs": _td().sql_ngram_jaccard_pairs(),
         "minhash_lsh_pairs": _td().sql_minhash_lsh_pairs(),

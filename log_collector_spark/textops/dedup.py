@@ -753,3 +753,64 @@ def sql_dedup_clusters(table: str = "documents") -> str:
         )
         SELECT doc_id, cluster, doc_id = cluster AS keep FROM lab
     """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+DECONTAM_K = 8  # 8-gram overlap, the GPT-3/Pile decontamination convention
+
+
+def decontaminate(train_df: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", k: int = DECONTAM_K) -> DataFrame:
+    """Flag training docs sharing any word ``k``-gram with an eval set.
+
+    Eval-set decontamination: benchmark suites are tiny next to the corpus
+    (≤ ~10⁷ shingles even for large eval collections), so the eval shingle
+    set is a broadcast hash side; the train side is a narrow
+    tokenize→shingle→explode followed by the broadcast semi-join and a
+    map-side-combined count per doc. The only shuffle is the per-doc
+    aggregate of the (rare) hits, and the hits frame — contaminated docs
+    only — is re-broadcast for the final flag join, so the full corpus is
+    never shuffled. Returns (doc_id, n_contam_shingles, contaminated) for
+    every training doc.
+    """
+    def _sh(col):
+        return F.explode(F.array_distinct(
+            C.shingles(C.tokens(F.col(col)), k))).alias("sh")
+
+    eval_sh = eval_df.select(_sh(text_col)).distinct()
+    hits = (train_df.select("doc_id", _sh(text_col))
+            .join(F.broadcast(eval_sh), "sh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_contam_shingles")))
+    return (train_df.select("doc_id")
+            .join(F.broadcast(hits), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_contam_shingles", F.lit(0)).cast("long")
+                     .alias("n_contam_shingles"))
+            .withColumn("contaminated", F.col("n_contam_shingles") > 0))
+
+
+def sql_decontaminate(table: str = "documents", eval_mod: int = 50,
+                      k: int = DECONTAM_K) -> str:
+    sh = f"list_distinct({C.sql_shingles(C.sql_tokens('text'), k)})"
+    return f"""
+        WITH eval_sh AS (
+            SELECT DISTINCT unnest({sh}) AS sh
+            FROM {table} WHERE doc_id % {eval_mod} = 0
+        ), train_sh AS (
+            SELECT doc_id, unnest({sh}) AS sh
+            FROM {table} WHERE doc_id % {eval_mod} <> 0
+        ), hits AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam_shingles
+            FROM train_sh JOIN eval_sh USING (sh) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_contam_shingles, 0) AS BIGINT)
+                   AS n_contam_shingles,
+               COALESCE(h.n_contam_shingles, 0) > 0 AS contaminated
+        FROM {table} d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % {eval_mod} <> 0
+    """

@@ -44,6 +44,7 @@ ORACLE_CHECKED = [
     "scan_prune_recent",
     "split_documents",
     "domain_cap_documents",
+    "decontaminate_documents",
 ]
 
 
@@ -210,3 +211,20 @@ def test_domain_cap_downward_stable(spark):
     kept2 = [r["doc_id"] for r in shrunk.collect()
              if r["source"] == src]
     assert sorted(kept2) == sorted(r["doc_id"] for r in rows[1:])
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """decontaminate: a train doc sharing an 8-gram with an eval doc is
+    flagged with the exact distinct-shingle hit count; disjoint docs are
+    kept with 0 hits; short docs (< k tokens) never match."""
+    from log_collector_spark.textops import dedup as D
+    eval_df = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "x a b c d e f g h i y"),   # contains 2 eval 8-grams
+         (2, "q w e r t y u i o p"),     # disjoint
+         (3, "a b c")],                  # < 8 tokens
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_contam_shingles"], r["contaminated"])
+           for r in D.decontaminate(train, eval_df).collect()}
+    assert out == {1: (2, True), 2: (0, False), 3: (0, False)}

@@ -410,6 +410,30 @@ def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                            docs.filter(F.col("doc_id") % 50 == 0))
 
 
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition: duplicate/top bigram permille."""
+    from log_collector_spark.textops import analysis as A
+    return A.repetition_signals(_docs(spark, sf_dir))
+
+
+def q_vocab_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary stats: docs, tokens, vocab size, TTR permille."""
+    from log_collector_spark.textops import analysis as A
+    return A.vocab_stats(_docs(spark, sf_dir))
+
+
+def q_pii_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PII-class regex counts over the props payload."""
+    from log_collector_spark.textops import analysis as A
+    return A.pii_scan(_events(spark, sf_dir))
+
+
+def q_boilerplate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus boilerplate: 3-word segments in >= 3 distinct docs."""
+    from log_collector_spark.textops import dedup as D
+    return D.boilerplate_segments(_docs(spark, sf_dir))
+
+
 def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary via fingerprint hash-groupBy."""
     from log_collector_spark.textops import dedup as D
@@ -596,6 +620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_documents": q_split_documents,
         "domain_cap_documents": q_domain_cap_documents,
         "decontaminate_documents": q_decontaminate_documents,
+        "repetition_documents": q_repetition_documents,
+        "vocab_stats_documents": q_vocab_stats_documents,
+        "pii_scan_events": q_pii_scan_events,
+        "boilerplate_documents": q_boilerplate_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -840,6 +868,10 @@ def oracle_sql() -> dict[str, str]:
         "split_documents": _ta().sql_split_assign(),
         "domain_cap_documents": _ta().sql_domain_cap(cap=10),
         "decontaminate_documents": _td().sql_decontaminate(),
+        "repetition_documents": _ta().sql_repetition_signals(),
+        "vocab_stats_documents": _ta().sql_vocab_stats(),
+        "pii_scan_events": _ta().sql_pii_scan(),
+        "boilerplate_documents": _td().sql_boilerplate_segments(),
         "exact_dedup_documents": _td().sql_exact_dedup_summary(),
         "ngram_jaccard_pairs": _td().sql_ngram_jaccard_pairs(),
         "minhash_lsh_pairs": _td().sql_minhash_lsh_pairs(),

@@ -276,3 +276,162 @@ def sql_domain_cap(table: str = "documents", group_col: str = "source",
                rk <= {cap} AS kept
         FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+REP_K = 2  # duplicate/top n-gram fractions use word bigrams
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       k: int = REP_K) -> DataFrame:
+    """Gopher-style within-doc repetition: duplicate-bigram and top-bigram
+    permille per document (machine-generated / boilerplate-heavy docs score
+    high and get filtered before training).
+
+    Two-level aggregate — partial map-side combine on (doc_id, shingle),
+    then a per-doc rollup — so the corpus shuffles once on (doc_id, shingle)
+    and once on doc_id, both key-local; no join back to the base table
+    (``explode_outer`` keeps sub-k-token docs as a zero row). Integer
+    permille only (see ``common.permille``) so the DuckDB oracle hashes
+    identically."""
+    toks = C.tokens(F.col(text_col))
+    base = df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.explode_outer(C.shingles(toks, k)).alias("sh"))
+    per = base.groupBy("doc_id", "n_tokens", "sh").agg(
+        F.count("sh").alias("c"))
+    total = F.sum("c").cast("long")
+    return (per.groupBy("doc_id", "n_tokens")
+            .agg(total.alias("total_bigrams"),
+                 F.max("c").cast("long").alias("top_c"),
+                 F.count(F.when(F.col("c") > 0, True)).alias("distinct_sh"))
+            .select(
+                "doc_id", "n_tokens", "total_bigrams",
+                C.permille(F.col("total_bigrams") - F.col("distinct_sh"),
+                           F.col("total_bigrams"))
+                 .alias("dup_bigram_permille"),
+                C.permille(F.col("top_c"), F.col("total_bigrams"))
+                 .alias("top_bigram_permille")))
+
+
+def sql_repetition_signals(table: str = "documents", k: int = REP_K) -> str:
+    tok = C.sql_tokens("text")
+    shs = C.sql_shingles("tok", k)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+                   {shs} AS shs
+            FROM (SELECT doc_id, {tok} AS tok FROM {table})
+        ), per AS (
+            SELECT doc_id, sh, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(shs) AS sh FROM base)
+            GROUP BY doc_id, sh
+        ), agg AS (
+            SELECT doc_id, SUM(c) AS total, MAX(c) AS top,
+                   COUNT(*) AS d
+            FROM per GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+               CAST(COALESCE(a.total, 0) AS BIGINT) AS total_bigrams,
+               {C.sql_permille("a.total - a.d", "a.total")}
+                   AS dup_bigram_permille,
+               {C.sql_permille("a.top", "a.total")} AS top_bigram_permille
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+def vocab_stats(df: DataFrame, group_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Per-domain corpus stats: doc count, token count, vocabulary size and
+    type-token ratio (permille). A domain whose TTR collapses is template
+    spam — the corpus-level counterpart of :func:`repetition_signals`.
+
+    One explode + one hash aggregate on ``group_col``; the distinct counts
+    partially aggregate map-side, so the shuffle carries (group, token)
+    partials, never rows. No join."""
+    ex = df.select(
+        group_col, "doc_id",
+        F.explode_outer(C.tokens(F.col(text_col))).alias("tok"))
+    return (ex.groupBy(group_col)
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.count("tok").alias("total_tokens"),
+                 F.count_distinct("tok").alias("distinct_tokens"))
+            .select(group_col, "n_docs", "total_tokens", "distinct_tokens",
+                    C.permille(F.col("distinct_tokens"),
+                               F.col("total_tokens")).alias("ttr_permille")))
+
+
+def sql_vocab_stats(table: str = "documents", group_col: str = "source") -> str:
+    tok = C.sql_tokens("text")
+    return f"""
+        WITH ex AS (
+            SELECT {group_col}, doc_id,
+                   unnest(CASE WHEN len(tok) = 0
+                               THEN [CAST(NULL AS VARCHAR)] ELSE tok END)
+                       AS tok
+            FROM (SELECT {group_col}, doc_id, {tok} AS tok FROM {table})
+        )
+        SELECT {group_col},
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(tok) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+               {C.sql_permille("COUNT(DISTINCT tok)", "COUNT(tok)")}
+                   AS ttr_permille
+        FROM ex GROUP BY {group_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scan (regex classes over a free-text column)
+# ---------------------------------------------------------------------------
+
+# Patterns constrained to the syntax intersection of java.util.regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround, ASCII classes only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "ipv4": r"(?:[0-9][0-9]?[0-9]?\.){3}[0-9][0-9]?[0-9]?",
+    "digit_run": r"[0-9][0-9]+",
+}
+
+
+def pii_scan(df: DataFrame, group_col: str = "event_type",
+             text_col: str = "props") -> DataFrame:
+    """Per-group PII-class match counts (emails / IPv4 / digit runs) — the
+    scrub-before-training scan. Pure Catalyst ``regexp_count`` projection
+    (whole-stage codegen over the scan) feeding ONE hash aggregate; at
+    100 TB this is a single narrow pass, no Python, one tiny shuffle."""
+    cnts = {n: F.regexp_count(F.col(text_col), F.lit(p))
+            for n, p in PII_PATTERNS.items()}
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for n in PII_PATTERNS:
+        aggs.append(F.sum(cnts[n]).cast("long").alias(f"{n}_matches"))
+        aggs.append(F.count(F.when(cnts[n] > 0, True)).cast("long")
+                     .alias(f"{n}_rows"))
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def sql_pii_scan(table: str = "events", group_col: str = "event_type",
+                 text_col: str = "props") -> str:
+    cols = []
+    for n, p in PII_PATTERNS.items():
+        c = f"len(regexp_extract_all({text_col}, '{p}'))"
+        cols.append(f"CAST(SUM({c}) AS BIGINT) AS {n}_matches")
+        cols.append(
+            f"CAST(COUNT(CASE WHEN {c} > 0 THEN 1 END) AS BIGINT)"
+            f" AS {n}_rows")
+    sel = ",\n               ".join(cols)
+    return f"""
+        SELECT {group_col},
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {sel}
+        FROM {table} GROUP BY {group_col}
+    """

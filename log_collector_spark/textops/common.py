@@ -55,6 +55,34 @@ def shingles(tok: Column, k: int) -> Column:
     return F.element_at(F.transform(F.array(tok), _shingle_of), 1)
 
 
+def segments(tok: Column, k: int) -> Column:
+    """Non-overlapping k-word segments (space-joined); the trailing partial
+    chunk is dropped; [] when fewer than k tokens.
+
+    The "line" unit for corpus-level boilerplate removal on text that has no
+    newlines (C4 uses real lines; a fixed word window is the deterministic
+    stand-in). Same single-binding shape as :func:`shingles` so upstream
+    tokenization is evaluated exactly once."""
+    def _seg_of(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(n >= k, F.transform(
+            F.sequence(F.lit(1), (n / k).cast("int")),
+            lambda i: F.array_join(F.slice(t, (i - 1) * k + 1, k), " "),
+        )).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tok), _seg_of), 1)
+
+
+def permille(num: Column, den: Column) -> Column:
+    """Integer permille ``num * 1000 // den`` (0 when ``den`` is 0/null).
+
+    Spark floors a double quotient, DuckDB uses ``//`` integer division —
+    identical while ``num * 1000`` stays exact in a double (< 2^53; every
+    caller is a per-doc or per-group count, orders of magnitude below)."""
+    return (F.when(den > 0, F.floor(num * 1000 / den))
+             .otherwise(0).cast("long"))
+
+
 def quantized_embedding(col: Column) -> Column:
     """array<float> → array<bigint> via round(x*1000) (half-up, like DuckDB
     round()); integer dot products are then exact in both engines."""
@@ -87,6 +115,21 @@ def sql_shingles(tok_expr: str, k: int) -> str:
         f"i -> array_to_string(list_slice({tok_expr}, i, i + {k - 1}), ' ')) "
         f"ELSE [] END"
     )
+
+
+def sql_segments(tok_expr: str, k: int) -> str:
+    return (
+        f"CASE WHEN len({tok_expr}) >= {k} THEN "
+        f"list_transform(range(1, len({tok_expr}) // {k} + 1), "
+        f"i -> array_to_string(list_slice({tok_expr}, "
+        f"(i-1)*{k} + 1, (i-1)*{k} + {k}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def sql_permille(num: str, den: str) -> str:
+    return (f"CAST(CASE WHEN COALESCE({den}, 0) > 0 "
+            f"THEN (({num}) * 1000) // ({den}) ELSE 0 END AS BIGINT)")
 
 
 def sql_quantized_embedding(expr: str) -> str:

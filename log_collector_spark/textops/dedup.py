@@ -814,3 +814,85 @@ def sql_decontaminate(table: str = "documents", eval_mod: int = 50,
         FROM {table} d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % {eval_mod} <> 0
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate segment removal (C4-style line dedup)
+# ---------------------------------------------------------------------------
+
+BOILER_K = 3       # words per segment — the "line" unit (test corpus has no
+                   # newlines and a ~30-word vocabulary; production uses real
+                   # lines / ~10-word windows, the semantics are identical)
+BOILER_MIN_DF = 3  # a segment present in >= 3 distinct docs is boilerplate
+                   # (the C4 "citation needed"-style repeated-line rule)
+
+
+def boilerplate_segments(df: DataFrame, text_col: str = "text",
+                         k: int = BOILER_K,
+                         min_df: int = BOILER_MIN_DF) -> DataFrame:
+    """Flag per-document boilerplate: segments (non-overlapping ``k``-word
+    chunks, the newline-free stand-in for lines) that occur in >= ``min_df``
+    distinct documents corpus-wide.
+
+    Plan: explode to (doc_id, h60(segment)) ONCE (persisted via the shared
+    shingle registry — release with :func:`unpersist_shingles`); document
+    frequency by hash-groupBy on the 60-bit hash, never the text; the hot
+    set joins back on ``seg_h`` (boilerplate vocabulary is small in real
+    corpora — AQE broadcasts it at runtime; left un-hinted so an adversarial
+    corpus degrades to a shuffle join instead of an OOM); per-doc hit count
+    re-broadcasts the same way via the doc_id left join. At 100 TB the only
+    corpus-wide shuffle is the df aggregate, which partially combines
+    map-side on the hash."""
+    segs = df.select(
+        "doc_id",
+        C.segments(C.tokens(F.col(text_col)), k).alias("segs"))
+    ex = segs.select("doc_id", F.explode("segs").alias("seg")) \
+             .select("doc_id", C.h60(F.col("seg")).alias("seg_h")) \
+             .persist()
+    _PERSISTED_SHINGLES.append(ex)
+    hot = (ex.groupBy("seg_h")
+             .agg(F.count_distinct("doc_id").alias("seg_df"))
+             .filter(F.col("seg_df") >= min_df)
+             .select("seg_h"))
+    hits = (ex.join(hot, "seg_h")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_boiler")))
+    base = segs.select("doc_id", F.size("segs").cast("long")
+                        .alias("n_segments"))
+    return (base.join(hits, "doc_id", "left")
+            .select("doc_id", "n_segments",
+                    F.coalesce("n_boiler", F.lit(0)).cast("long")
+                     .alias("n_boiler"))
+            .withColumn("boiler_permille",
+                        C.permille(F.col("n_boiler"), F.col("n_segments")))
+            .withColumn("boilerplate", F.col("boiler_permille") >= 500))
+
+
+def sql_boilerplate_segments(table: str = "documents", k: int = BOILER_K,
+                             min_df: int = BOILER_MIN_DF) -> str:
+    tok = C.sql_tokens("text")
+    segs = C.sql_segments("tok", k)
+    h = C.sql_h60("seg")
+    return f"""
+        WITH segs AS (
+            SELECT doc_id, {segs} AS segs
+            FROM (SELECT doc_id, {tok} AS tok FROM {table})
+        ), ex AS (
+            SELECT doc_id, {h} AS seg_h
+            FROM (SELECT doc_id, unnest(segs) AS seg FROM segs)
+        ), hot AS (
+            SELECT seg_h FROM ex GROUP BY seg_h
+            HAVING COUNT(DISTINCT doc_id) >= {min_df}
+        ), hits AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+            FROM ex JOIN hot USING (seg_h) GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               CAST(len(s.segs) AS BIGINT) AS n_segments,
+               CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+               {C.sql_permille("COALESCE(h.n_boiler, 0)", "len(s.segs)")}
+                   AS boiler_permille,
+               {C.sql_permille("COALESCE(h.n_boiler, 0)", "len(s.segs)")}
+                   >= 500 AS boilerplate
+        FROM segs s LEFT JOIN hits h USING (doc_id)
+    """

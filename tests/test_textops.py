@@ -45,6 +45,10 @@ ORACLE_CHECKED = [
     "split_documents",
     "domain_cap_documents",
     "decontaminate_documents",
+    "repetition_documents",
+    "vocab_stats_documents",
+    "pii_scan_events",
+    "boilerplate_documents",
 ]
 
 
@@ -228,3 +232,69 @@ def test_decontaminate_flags_planted_overlap(spark):
     out = {r["doc_id"]: (r["n_contam_shingles"], r["contaminated"])
            for r in D.decontaminate(train, eval_df).collect()}
     assert out == {1: (2, True), 2: (0, False), 3: (0, False)}
+
+
+def test_repetition_signals_planted(spark):
+    """repetition: 'a b a b a' has 4 bigrams {a b:2, b a:2} -> dup 500
+    permille, top 500; an all-distinct doc scores 0; sub-2-token doc is a
+    zero row."""
+    from log_collector_spark.textops import analysis as A
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "p q r s"), (3, "x")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in A.repetition_signals(df).collect()}
+    assert out[1]["total_bigrams"] == 4
+    assert out[1]["dup_bigram_permille"] == 500
+    assert out[1]["top_bigram_permille"] == 500
+    assert out[2]["dup_bigram_permille"] == 0
+    assert out[2]["top_bigram_permille"] == 333  # 1 of 3, floored
+    assert out[3] == {"doc_id": 3, "n_tokens": 1, "total_bigrams": 0,
+                      "dup_bigram_permille": 0, "top_bigram_permille": 0}
+
+
+def test_boilerplate_segments_planted(spark):
+    """boilerplate: a 3-word segment shared by 3 docs is flagged in each;
+    dup occurrences inside one doc all count; unique segments don't."""
+    from log_collector_spark.textops import dedup as D
+    df = spark.createDataFrame(
+        [(1, "the end page one two three"),        # segs: [the end page][one two three]
+         (2, "the end page four five six"),
+         (3, "the end page the end page"),          # hot seg twice
+         (4, "seven eight nine ten eleven twelve")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in D.boilerplate_segments(df, k=3, min_df=3).collect()}
+    D.unpersist_shingles()
+    assert out[1] == {"doc_id": 1, "n_segments": 2, "n_boiler": 1,
+                      "boiler_permille": 500, "boilerplate": True}
+    assert out[3]["n_boiler"] == 2 and out[3]["boiler_permille"] == 1000
+    assert out[4]["n_boiler"] == 0 and out[4]["boilerplate"] is False
+
+
+def test_vocab_stats_planted(spark):
+    from log_collector_spark.textops import analysis as A
+    df = spark.createDataFrame(
+        [(1, "a b a", "s1"), (2, "a c", "s1"), (3, "z z z z", "s2")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r.asDict() for r in A.vocab_stats(df).collect()}
+    assert out["s1"] == {"source": "s1", "n_docs": 2, "total_tokens": 5,
+                         "distinct_tokens": 3, "ttr_permille": 600}
+    assert out["s2"]["distinct_tokens"] == 1
+    assert out["s2"]["ttr_permille"] == 250
+
+
+def test_pii_scan_planted(spark):
+    """pii: email/ipv4/digit-run classes counted per group; ipv4 also
+    matches the digit-run class (classes are independent scans)."""
+    from log_collector_spark.textops import analysis as A
+    df = spark.createDataFrame(
+        [(1, "g1", "contact a@b.com and c.d@e.org now"),
+         (2, "g1", "host 10.0.0.1 port 8080"),
+         (3, "g2", "nothing here")],
+        "event_id long, event_type string, props string")
+    out = {r["event_type"]: r.asDict() for r in A.pii_scan(df).collect()}
+    g1 = out["g1"]
+    assert g1["email_matches"] == 2 and g1["email_rows"] == 1
+    assert g1["ipv4_matches"] == 1 and g1["ipv4_rows"] == 1
+    assert g1["digit_run_matches"] == 2 and g1["digit_run_rows"] == 1
+    assert out["g2"]["email_matches"] == 0 and out["g2"]["n_rows"] == 1

@@ -138,6 +138,31 @@ def q_broadcast_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("decimal(38,2)").alias("revenue")))
 
 
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shaped pricing summary: one 6-group partial-agg shuffle."""
+    from log_collector_spark.operators import analytics as an
+    return an.pricing_summary(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped top-10 revenue orders: broadcast dim + TakeOrdered top-k."""
+    from log_collector_spark.operators import analytics as an
+    return an.shipping_priority(_tbl(spark, sf_dir, "customer"),
+                                _tbl(spark, sf_dir, "orders"),
+                                _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped 6-way star join: all dims broadcast, one fact shuffle."""
+    from log_collector_spark.operators import analytics as an
+    return an.local_supplier_volume(_tbl(spark, sf_dir, "region"),
+                                    _tbl(spark, sf_dir, "nation"),
+                                    _tbl(spark, sf_dir, "customer"),
+                                    _tbl(spark, sf_dir, "supplier"),
+                                    _tbl(spark, sf_dir, "orders"),
+                                    _tbl(spark, sf_dir, "lineitem"))
+
+
 IP_RANGE_ROWS = [
     # contiguous /16-ish ranges inside 10.0.0.0/8 (16 pipe-separated columns)
     "10.0.0.0|10.0.63.255|ZoneA|P1|C1|d|op|0|0|tz|tz|adm|1|A|AS|area1",
@@ -434,6 +459,18 @@ def q_boilerplate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.boilerplate_segments(_docs(spark, sf_dir))
 
 
+def q_kmv_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV distinct-token sketch vs exact, with error permille."""
+    from log_collector_spark.textops import analysis as A
+    return A.kmv_distinct(_docs(spark, sf_dir))
+
+
+def q_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 tokens: (group, token) partial agg + rank window."""
+    from log_collector_spark.textops import analysis as A
+    return A.top_terms_per_source(_docs(spark, sf_dir))
+
+
 def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary via fingerprint hash-groupBy."""
     from log_collector_spark.textops import dedup as D
@@ -602,6 +639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "success_error_events": q_success_error_events,
         "minute_buckets_events": q_minute_buckets_events,
         "broadcast_enrich_revenue": q_broadcast_enrich_revenue,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_shipping_priority": q_tpch_shipping_priority,
+        "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
         "conversation_stats_events": q_conversation_stats_events,
@@ -624,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats_documents": q_vocab_stats_documents,
         "pii_scan_events": q_pii_scan_events,
         "boilerplate_documents": q_boilerplate_documents,
+        "kmv_distinct_documents": q_kmv_distinct_documents,
+        "top_terms_documents": q_top_terms_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -724,6 +766,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
         """,
+        "tpch_pricing_summary": _an().sql_pricing_summary(),
+        "tpch_shipping_priority": _an().sql_shipping_priority(),
+        "tpch_local_supplier_volume": _an().sql_local_supplier_volume(),
         "ip_range_lookup": """
             WITH ranges AS (
                 SELECT * FROM (VALUES
@@ -872,6 +917,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats_documents": _ta().sql_vocab_stats(),
         "pii_scan_events": _ta().sql_pii_scan(),
         "boilerplate_documents": _td().sql_boilerplate_segments(),
+        "kmv_distinct_documents": _ta().sql_kmv_distinct(),
+        "top_terms_documents": _ta().sql_top_terms_per_source(),
         "exact_dedup_documents": _td().sql_exact_dedup_summary(),
         "ngram_jaccard_pairs": _td().sql_ngram_jaccard_pairs(),
         "minhash_lsh_pairs": _td().sql_minhash_lsh_pairs(),
@@ -968,6 +1015,11 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _td().sql_incremental_dedup(
             new_pred="doc_id % 7 <> 0", seen_pred="doc_id % 7 = 0"),
     }
+
+
+def _an():
+    from log_collector_spark.operators import analytics
+    return analytics
 
 
 def _ta():

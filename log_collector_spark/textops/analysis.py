@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from log_collector_spark.textops import common as C
 
@@ -434,4 +435,133 @@ def sql_pii_scan(table: str = "events", group_col: str = "event_type",
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                {sel}
         FROM {table} GROUP BY {group_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (deterministic approximate count-distinct)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # sketch size; relative error ~ 1/sqrt(k-2) ~ 13%
+
+
+def kmv_distinct(df: DataFrame, group_col: str = "source",
+                 text_col: str = "text", k: int = KMV_K) -> DataFrame:
+    """Per-group distinct-token estimate via a k-minimum-values sketch over
+    the deterministic 60-bit hash: est = (k-1) * 2^60 / h_k where h_k is the
+    k-th smallest distinct hash (exact count when the group has < k values).
+
+    Unlike HLL (`approx_count_distinct`), KMV on ``h60`` is cross-engine
+    deterministic, so it oracle-checks. The sketch is mergeable — union two
+    groups' k-min sets and re-take the k smallest — which is what makes it
+    the 100-TB shape: per-partition top-k heaps, then a k-value-per-group
+    merge; the shuffle carries k longs per group, never the token set. This
+    sandbox form computes the exact distinct count alongside (for the
+    err_permille column), which dominates the cost — drop ``n_exact`` at
+    scale and only the sketch shuffle remains.
+
+    The estimate divides in DOUBLE ((k-1)*2^60 overflows BIGINT for k > 9;
+    the numerator is exactly representable, int64→double rounding of h_k is
+    IEEE round-to-nearest in both engines, division is IEEE — so the floor
+    is identical bit-for-bit)."""
+    hashes = (df.select(group_col,
+                        F.explode(C.tokens(F.col(text_col))).alias("tok"))
+                .select(group_col, C.h60(F.col("tok")).alias("h"))
+                .distinct())
+    w = Window.partitionBy(group_col).orderBy("h")
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    kth = (ranked.filter(F.col("rn") == k)
+                 .select(group_col, F.col("h").alias("h_k")))
+    exact = (hashes.groupBy(group_col)
+                   .agg(F.count(F.lit(1)).alias("n_exact")))
+    num = float((k - 1) * (1 << 60))
+    est = F.when(F.col("h_k").isNotNull(),
+                 F.floor(F.lit(num) / F.col("h_k").cast("double")))
+    return (exact.join(kth, group_col, "left")
+            .select(group_col, "n_exact",
+                    F.coalesce("h_k", F.lit(0)).alias("h_k"),
+                    F.coalesce(est, F.col("n_exact")).cast("long")
+                     .alias("n_est"))
+            .withColumn(
+                "err_permille",
+                C.permille(F.abs(F.col("n_est") - F.col("n_exact")),
+                           F.col("n_exact"))))
+
+
+def sql_kmv_distinct(table: str = "documents", group_col: str = "source",
+                     k: int = KMV_K) -> str:
+    tok = C.sql_tokens("text")
+    h = C.sql_h60("tok")
+    num = (k - 1) * (1 << 60)
+    return f"""
+        WITH hashes AS (
+            SELECT DISTINCT {group_col}, {h} AS h
+            FROM (SELECT {group_col}, unnest({tok}) AS tok FROM {table})
+        ), ranked AS (
+            SELECT {group_col}, h,
+                   ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY h)
+                       AS rn
+            FROM hashes
+        ), kth AS (
+            SELECT {group_col}, h AS h_k FROM ranked WHERE rn = {k}
+        ), exact AS (
+            SELECT {group_col}, COUNT(*) AS n_exact
+            FROM ranked GROUP BY {group_col}
+        )
+        SELECT e.{group_col},
+               CAST(e.n_exact AS BIGINT) AS n_exact,
+               CAST(COALESCE(t.h_k, 0) AS BIGINT) AS h_k,
+               CAST(COALESCE(FLOOR({num} / CAST(t.h_k AS DOUBLE)),
+                             e.n_exact) AS BIGINT) AS n_est,
+               {C.sql_permille(
+                   "ABS(CAST(COALESCE(FLOOR(" + str(num)
+                   + " / CAST(t.h_k AS DOUBLE)), e.n_exact) AS BIGINT)"
+                   " - e.n_exact)", "e.n_exact")} AS err_permille
+        FROM exact e LEFT JOIN kth t USING ({group_col})
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k terms
+# ---------------------------------------------------------------------------
+
+TOP_TERMS_K = 5
+
+
+def top_terms_per_source(df: DataFrame, group_col: str = "source",
+                         text_col: str = "text",
+                         k: int = TOP_TERMS_K) -> DataFrame:
+    """Top-k tokens per group by count (ties broken lexicographically).
+
+    One (group, token) hash aggregate with map-side partial combine — the
+    shuffle carries count partials, never rows — then a rank window
+    partitioned by group. The window sorts each group's vocabulary;
+    vocabulary (not corpus) sized, and at 100 TB a `HAVING count >= t`
+    pre-filter bounds it further without changing the top-k set (any t below
+    the k-th count)."""
+    counts = (df.select(group_col,
+                        F.explode(C.tokens(F.col(text_col))).alias("token"))
+                .groupBy(group_col, "token")
+                .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(),
+                                              F.col("token"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= k))
+
+
+def sql_top_terms_per_source(table: str = "documents",
+                             group_col: str = "source",
+                             k: int = TOP_TERMS_K) -> str:
+    tok = C.sql_tokens("text")
+    return f"""
+        WITH counts AS (
+            SELECT {group_col}, tok AS token, COUNT(*) AS n
+            FROM (SELECT {group_col}, unnest({tok}) AS tok FROM {table})
+            GROUP BY {group_col}, tok
+        )
+        SELECT {group_col}, token, CAST(n AS BIGINT) AS n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY {group_col}
+                    ORDER BY n DESC, token) AS BIGINT) AS rank
+        FROM counts
+        QUALIFY rank <= {k}
     """

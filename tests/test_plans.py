@@ -109,3 +109,22 @@ def test_salted_ordering_balances_hot_conversations(spark):
                      (F.col("_prev_turn") > F.col("turn_idx"))))
             .count())
     assert viol == 0
+
+
+def test_tpch_star_join_plan_shape(spark):
+    """Analytics star joins: top-k plans as TakeOrderedAndProject (never a
+    global sort), dims broadcast, no cartesian products, and the segment +
+    date predicates reach the parquet scan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["tpch_shipping_priority"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dims broadcast at this sf
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "PushedFilters" in _plan(df) or "parquet" in optimized
+
+    vol = _plan(E.queries()["tpch_local_supplier_volume"](spark, SF_DIR))
+    assert "CartesianProduct" not in vol
+    assert vol.count("BroadcastHashJoin") >= 4, vol

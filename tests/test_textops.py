@@ -49,6 +49,11 @@ ORACLE_CHECKED = [
     "vocab_stats_documents",
     "pii_scan_events",
     "boilerplate_documents",
+    "kmv_distinct_documents",
+    "top_terms_documents",
+    "tpch_pricing_summary",
+    "tpch_shipping_priority",
+    "tpch_local_supplier_volume",
 ]
 
 
@@ -298,3 +303,39 @@ def test_pii_scan_planted(spark):
     assert g1["ipv4_matches"] == 1 and g1["ipv4_rows"] == 1
     assert g1["digit_run_matches"] == 2 and g1["digit_run_rows"] == 1
     assert out["g2"]["email_matches"] == 0 and out["g2"]["n_rows"] == 1
+
+
+def test_kmv_distinct_planted(spark):
+    """kmv: a group with fewer than k distinct tokens falls back to the
+    exact count (err 0); with k=4 the estimate is floor(3*2^60 / h_4) of
+    the python-side md5-prefix hashes."""
+    import hashlib
+    from log_collector_spark.textops import analysis as A
+
+    toks = [f"tok{i}" for i in range(12)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks), "big"), (2, "a b c", "small")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r.asDict() for r in A.kmv_distinct(df, k=4).collect()}
+    assert out["small"] == {"source": "small", "n_exact": 3, "h_k": 0,
+                            "n_est": 3, "err_permille": 0}
+    hs = sorted(int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                for t in toks)
+    import math
+    expected = math.floor(float(3 * (1 << 60)) / float(hs[3]))
+    assert out["big"]["n_exact"] == 12
+    assert out["big"]["h_k"] == hs[3]
+    assert out["big"]["n_est"] == expected
+
+
+def test_top_terms_planted(spark):
+    """top_terms: counts rank desc, ties break lexicographically, k cuts."""
+    from log_collector_spark.textops import analysis as A
+    df = spark.createDataFrame(
+        [(1, "b b a a c", "s1"), (2, "d", "s1"), (3, "z", "s2")],
+        "doc_id long, text string, source string")
+    out = [(r["token"], r["n"], r["rank"])
+           for r in A.top_terms_per_source(df, k=3).collect()
+           if r["source"] == "s1"]
+    assert sorted(out, key=lambda t: t[2]) == [("a", 2, 1), ("b", 2, 2),
+                                               ("c", 1, 3)]

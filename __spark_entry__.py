@@ -516,6 +516,12 @@ def q_embedding_neardup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_guarded(_embs(spark, sf_dir))
 
 
+def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-label vs own label: mislabeled-example screen."""
+    from log_collector_spark.textops import similarity as S
+    return S.knn_label_consistency(_embs(spark, sf_dir))
+
+
 def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k (broadcast queries, windowed rank)."""
     from log_collector_spark.textops import similarity as S
@@ -673,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_guarded": q_embedding_neardup_guarded,
+        "knn_label_consistency": q_knn_label_consistency,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -926,6 +933,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _td().sql_simhash_pairs(),
         "embedding_neardup": _td().sql_embedding_neardup_pairs(),
         "embedding_neardup_guarded": _td().sql_embedding_neardup_guarded(),
+        "knn_label_consistency": _ts().sql_knn_label_consistency(),
         "ann_topk_brute": _ts().sql_brute_force_topk(),
         "ann_topk_lsh": _ts().sql_lsh_ann_topk(),
         "ann_topk_ivf": _ts().sql_ivf_ann_topk(),

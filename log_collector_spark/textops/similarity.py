@@ -240,3 +240,80 @@ def sql_lsh_ann_topk(table: str = "embeddings", k: int = TOP_K,
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# kNN label consistency (mislabel detection over the embedding space)
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def knn_label_consistency(df: DataFrame, vec_col: str = "embedding",
+                          label_col: str = "label",
+                          k: int = KNN_K) -> DataFrame:
+    """Per-vector label QA: majority label among the k nearest neighbors
+    (exact integer dot, self excluded; neighbor ties break on cand_id,
+    majority ties on the smaller label) vs the vector's own label — the
+    cleanlab-style mislabeled-example screen for a labeled training set.
+
+    This exact form scores all pairs (the corpus side carries its label, so
+    no join-back); at 100 TB the candidate set comes from the IVF cells the
+    corpus is partitioned by (see :func:`ivf_ann_topk`) and the rest of the
+    plan — top-k window, (vec, neighbor-label) count, majority window — is
+    unchanged and shuffles only k rows per vector."""
+    q = df.select("vec_id", F.col(label_col).cast("long").alias("label"),
+                  C.quantized_embedding(F.col(vec_col)).alias("q"))
+    corpus = q.select(F.col("vec_id").alias("cand_id"),
+                      F.col("label").alias("cand_label"),
+                      F.col("q").alias("cv"))
+    scored = (q.join(F.broadcast(corpus),
+                     F.col("cand_id") != F.col("vec_id"))
+               .select("vec_id", "label", "cand_label",
+                       C.int_dot(F.col("q"), F.col("cv")).alias("dot"),
+                       "cand_id"))
+    wk = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cand_id"))
+    knn = scored.withColumn("rn", F.row_number().over(wk)) \
+                .filter(F.col("rn") <= k)
+    votes = (knn.groupBy("vec_id", "label", "cand_label")
+                .agg(F.count(F.lit(1)).alias("n")))
+    wm = Window.partitionBy("vec_id").orderBy(F.desc("n"),
+                                              F.asc("cand_label"))
+    return (votes.withColumn("mrn", F.row_number().over(wm))
+            .filter(F.col("mrn") == 1)
+            .select("vec_id", "label",
+                    F.col("cand_label").alias("majority_label"),
+                    F.col("n").alias("n_majority"),
+                    (F.col("cand_label") != F.col("label"))
+                    .alias("mismatch")))
+
+
+def sql_knn_label_consistency(table: str = "embeddings",
+                              k: int = KNN_K) -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    return f"""
+        WITH q AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label, {qe} AS q
+            FROM {table}
+        ), knn AS (
+            SELECT * FROM (
+                SELECT a.vec_id, a.label, c.label AS cand_label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_dot_product(a.q, c.q) DESC,
+                                    c.vec_id) AS rn
+                FROM q a JOIN q c ON c.vec_id <> a.vec_id
+            ) WHERE rn <= {k}
+        ), votes AS (
+            SELECT vec_id, label, cand_label, COUNT(*) AS n
+            FROM knn GROUP BY 1, 2, 3
+        )
+        SELECT vec_id, label, cand_label AS majority_label,
+               CAST(n AS BIGINT) AS n_majority,
+               cand_label <> label AS mismatch
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY n DESC, cand_label) AS mrn
+            FROM votes
+        ) WHERE mrn = 1
+    """

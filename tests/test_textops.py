@@ -54,6 +54,7 @@ ORACLE_CHECKED = [
     "tpch_pricing_summary",
     "tpch_shipping_priority",
     "tpch_local_supplier_volume",
+    "knn_label_consistency",
 ]
 
 
@@ -339,3 +340,24 @@ def test_top_terms_planted(spark):
            if r["source"] == "s1"]
     assert sorted(out, key=lambda t: t[2]) == [("a", 2, 1), ("b", 2, 2),
                                                ("c", 1, 3)]
+
+
+def test_knn_label_consistency_planted(spark):
+    """knn: two tight clusters; the one mislabeled vector in cluster A gets
+    majority label from its 3 true neighbors (mismatch), clean vectors in
+    both clusters agree with their neighborhoods."""
+    from log_collector_spark.textops import similarity as S
+    rows = [(1, [10.0, 0.0], 1), (2, [11.0, 0.0], 1), (3, [12.0, 0.0], 1),
+            (4, [13.0, 0.0], 2),                       # planted mislabel
+            (5, [0.0, 10.0], 2), (6, [0.0, 11.0], 2),
+            (7, [0.0, 12.0], 2), (8, [0.0, 13.0], 2)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r.asDict()
+           for r in S.knn_label_consistency(df, k=3).collect()}
+    assert out[4] == {"vec_id": 4, "label": 2, "majority_label": 1,
+                      "n_majority": 3, "mismatch": True}
+    assert out[1]["majority_label"] == 1 and out[1]["mismatch"] is False
+    assert out[1]["n_majority"] == 2  # v2, v3 agree; v4 votes its bad label
+    assert out[5] == {"vec_id": 5, "label": 2, "majority_label": 2,
+                      "n_majority": 3, "mismatch": False}

@@ -112,3 +112,32 @@ def start_minute_bucket_stream(spark: SparkSession, input_dir: str,
             .option("checkpointLocation", checkpoint_loc)
             .trigger(availableNow=True)
             .format("parquet").option("path", out_dir).start())
+
+
+def start_session_window_stream(spark: SparkSession, input_dir: str,
+                                checkpoint_loc: str, out_dir: str, *,
+                                gap: str = "30 minutes",
+                                watermark: str = "24 hours"):
+    """Streaming gap-sessionization — the continuous twin of the batch
+    ``sessionize_events`` query: per-conversation event-time session windows
+    (``session_window`` merges rows closer than ``gap``; state closes and
+    emits once the watermark passes the session end, which is also what
+    bounds the state store — sessions, not history).
+
+    At 100 TB/day the state is one open session per active conversation —
+    keyed state, partitioned by the grouping key across executors."""
+    src = read_transcript_stream(spark, input_dir)
+    agg = (src.withWatermark("ts", watermark)
+              .groupBy("conv_id",
+                       F.session_window("ts", gap).alias("w"))
+              .agg(F.count(F.lit(1)).alias("n_turns"),
+                   F.min("turn_idx").alias("first_turn"),
+                   F.max("turn_idx").alias("last_turn"))
+              .select("conv_id",
+                      F.col("w.start").alias("session_start"),
+                      F.col("w.end").alias("session_end"),
+                      "n_turns", "first_turn", "last_turn"))
+    return (agg.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_loc)
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out_dir).start())

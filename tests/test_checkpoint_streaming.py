@@ -438,3 +438,29 @@ def test_stream_dedup_across_batches_and_restarts(spark, tmp_path):
     assert got2.count() == 4  # only the fresh row was appended
     assert got2.filter(F.col("conv_id") == "c3").count() == 1
     assert got2.select("fp").distinct().count() == 4
+
+
+def test_stream_session_windows_match_batch(spark, tmp_path):
+    """Streaming session_window aggregation equals the batch session_window
+    ground truth on the same input (every emitted session, exact bounds and
+    counts) once availableNow drains."""
+    from log_collector_spark.streaming import pipeline as sp
+
+    input_dir = pl.transcripts_path(SF_DIR)
+    ckpt = str(tmp_path / "sck")
+    out = str(tmp_path / "sout")
+    q = sp.start_session_window_stream(spark, input_dir, ckpt, out,
+                                       gap="30 minutes")
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    src = spark.read.parquet(input_dir)
+    truth = (src.groupBy("conv_id",
+                         F.session_window("ts", "30 minutes").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n_true"))
+                .select("conv_id", F.col("w.start").alias("session_start"),
+                        F.col("n_true")))
+    joined = got.join(truth, ["conv_id", "session_start"], "left")
+    bad = joined.filter((F.col("n_true").isNull()) |
+                        (F.col("n_turns") != F.col("n_true"))).count()
+    assert bad == 0

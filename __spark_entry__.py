@@ -638,6 +638,20 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup(new, seen)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows / 48-token stride per doc —
+    a pure narrow explode (no shuffle at any corpus size)."""
+    from log_collector_spark.textops import chunking as K
+    return K.chunk_documents(_docs(spark, sf_dir))
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate-then-split the token stream
+    every 512 tokens in salted-hash order, shard-local windows."""
+    from log_collector_spark.textops import chunking as K
+    return K.pack_sequences(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -690,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_time_counts": q_rollup_time_counts,
         "percentile_latency": q_percentile_latency,
         "incremental_dedup": q_incremental_dedup,
+        "chunk_documents": q_chunk_documents,
+        "pack_documents": q_pack_documents,
     }
 
 
@@ -1022,6 +1038,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "incremental_dedup": _td().sql_incremental_dedup(
             new_pred="doc_id % 7 <> 0", seen_pred="doc_id % 7 = 0"),
+        "chunk_documents": _tk().sql_chunk_documents(),
+        "pack_documents": _tk().sql_pack_sequences(),
     }
 
 
@@ -1053,3 +1071,8 @@ def _ts():
 def _tm():
     from log_collector_spark.textops import multimodal
     return multimodal
+
+
+def _tk():
+    from log_collector_spark.textops import chunking
+    return chunking

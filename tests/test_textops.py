@@ -55,6 +55,8 @@ ORACLE_CHECKED = [
     "tpch_shipping_priority",
     "tpch_local_supplier_volume",
     "knn_label_consistency",
+    "chunk_documents",
+    "pack_documents",
 ]
 
 
@@ -361,3 +363,61 @@ def test_knn_label_consistency_planted(spark):
     assert out[1]["n_majority"] == 2  # v2, v3 agree; v4 votes its bad label
     assert out[5] == {"vec_id": 5, "label": 2, "majority_label": 2,
                       "n_majority": 3, "mismatch": False}
+
+
+def test_chunk_documents_planted(spark):
+    """chunking: full coverage with stride overlap, clamped tail, 1 chunk
+    for short docs, 0 chunks for empty text."""
+    from log_collector_spark.textops import chunking as K
+
+    texts = {1: " ".join(f"t{i}" for i in range(150)),  # 150 toks: 3 chunks
+             2: "one",                                   # 1 chunk of 1
+             3: " ".join(f"t{i}" for i in range(64)),    # exactly w: 1 chunk
+             4: "",                                      # no chunks
+             5: " ".join(f"t{i}" for i in range(65))}    # w+1: 2 chunks
+    df = spark.createDataFrame([(k, v) for k, v in texts.items()],
+                               "doc_id long, text string")
+    out = {}
+    for r in K.chunk_documents(df).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"]))
+    for v in out.values():
+        v.sort()
+    assert out[1] == [(0, 64), (1, 64), (2, 54)]  # 2*48+54 = 150 covered
+    assert out[2] == [(0, 1)]
+    assert out[3] == [(0, 64)]
+    assert 4 not in out
+    assert out[5] == [(0, 64), (1, 17)]  # tail starts at tok 49, covers 65
+    # overlap law: chunk i spans [i*stride, i*stride + size); union = all
+    for doc, chunks in out.items():
+        n = len(texts[doc].split())
+        covered = max(i * K.CHUNK_STRIDE + sz for i, sz in chunks)
+        assert covered == n, (doc, covered, n)
+
+
+def test_pack_sequences_planted(spark):
+    """packing: within each (group, shard) stream, docs are laid contiguously
+    (cum_before accounting), packs cut exactly at the budget, long docs
+    straddle the right number of packs."""
+    from pyspark.sql import functions as F
+    from log_collector_spark.textops import chunking as K
+
+    df = spark.createDataFrame(
+        [(i, "w " * (200 + 7 * i), "s") for i in range(40)],
+        "doc_id long, text string, source string")
+    rows = sorted((r.asDict() for r in K.pack_sequences(df).collect()),
+                  key=lambda r: (r["shard"], r["cum_before"]))
+    assert len(rows) == 40 and all(r["pack_span"] >= 1 for r in rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1  # salt actually spreads the stream
+    for shard, rs in by_shard.items():
+        cum = 0
+        for r in rs:  # contiguous head-to-tail layout per shard
+            assert r["cum_before"] == cum
+            assert r["pack_first"] == cum // K.PACK_BUDGET
+            end = cum + max(r["n_tokens"], 1) - 1
+            assert r["pack_last"] == end // K.PACK_BUDGET
+            assert r["pack_span"] == r["pack_last"] - r["pack_first"] + 1
+            cum += r["n_tokens"]

@@ -355,8 +355,21 @@ def main() -> None:
     # flagship end-to-end (the BASELINE.json metric): cold includes JVM +
     # python-worker first-touch; warm is the steady-state number that
     # extrapolates to cluster scale
+    t_session0 = time.perf_counter()
     sec_cold, n_turns = run_flagship(spark, SF_DIR)
     timings["pipeline_e2e_cold"] = sec_cold
+    # C2 JIT ramp: the codegen/Arrow hot loops keep compiling over the first
+    # ~2 min of a session regardless of workload (observed on the 32-core
+    # ladder children: 56, 42, 45, 13, 8.1, 8.3 s — the floor appears only
+    # after ~3 min of wall; see BASELINE.md). Without a ramp the warm
+    # flagship and the first half of the query suite measure the compiler,
+    # not the plans, and round-over-round per-query deltas are meaningless.
+    # Un-timed flagship passes until ~110 s of session wall has elapsed
+    # (cold counts toward it) push the session past the cliff.
+    ramp = 0
+    while time.perf_counter() - t_session0 < 110 and ramp < 8:
+        run_flagship(spark, SF_DIR)
+        ramp += 1
     # min-of-3 warm runs: the host shows 10-18% stochastic steal (see
     # BASELINE.md methodology) — a single warm sample can be 3-6x off
     sec = min(run_flagship(spark, SF_DIR)[0] for _ in range(3))

@@ -128,3 +128,23 @@ def test_tpch_star_join_plan_shape(spark):
     vol = _plan(E.queries()["tpch_local_supplier_volume"](spark, SF_DIR))
     assert "CartesianProduct" not in vol
     assert vol.count("BroadcastHashJoin") >= 4, vol
+
+
+def test_chunking_plan_shapes(spark):
+    """chunk_documents is a narrow explode (zero Exchange at any corpus
+    size); pack_sequences shuffles exactly once, on its (group, shard)
+    window key."""
+    from log_collector_spark.textops import chunking as K
+
+    # raw read (the driver queries add the sandbox-only _spread round-robin
+    # for single-file tables; real corpora scan as many splits)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+    chunk = _plan(K.chunk_documents(docs))
+    assert "Exchange" not in chunk, chunk
+    assert "EvalPython" not in chunk
+
+    pack = _plan(K.pack_sequences(docs))
+    assert pack.count("Exchange") == 1, pack
+    assert "hashpartitioning(source" in pack, pack  # the (group, shard) key
+    assert "EvalPython" not in pack

@@ -130,9 +130,9 @@ def pack_sequences(df: DataFrame, group_col: str = "source",
     h = C.h60(F.concat(F.lit(PACK_SALT), F.col(id_col).cast("string")))
     base = df.select(
         F.col(id_col), F.col(group_col),
-        (h % shards).alias("shard"),
         h.alias("h"),
-        F.size(C.tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+        F.size(C.tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn("shard", F.col("h") % shards)  # md5 computed once per row
     w = (Window.partitionBy(group_col, "shard")
                .orderBy("h", id_col)
                .rowsBetween(Window.unboundedPreceding, -1))

@@ -238,7 +238,7 @@ def run_scaling() -> dict:
     # within a sweep; per-sweep ratios swung 0.70-0.91 on identical code and
     # are reported below for transparency.) A wall budget caps total scaling
     # time; at least one full sweep always completes.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "1300"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "1600"))
     t0 = time.perf_counter()
     sweep_effs = []
     # 2 alternating sweeps × 3 runs = 6 long samples per headline level
@@ -257,6 +257,15 @@ def run_scaling() -> dict:
     for cpus in SCALE_LADDER:
         if cpus not in out and time.perf_counter() - t0 < budget:
             record(_run_child(cpus))
+    # spend leftover budget on extra headline-pair sweeps: the per-level
+    # minimum needs ONE quiet sample per level, and a steal storm can span a
+    # whole sweep — more spaced samples are the only defense
+    while time.perf_counter() - t0 < budget - 450:
+        lo_res, hi_res = _run_child(SCALE_LO), _run_child(SCALE_HI)
+        record(lo_res)
+        record(hi_res)
+        sweep_effs.append(
+            (lo_res["sec"] / hi_res["sec"]) / (SCALE_HI / SCALE_LO))
     lo, hi = out[SCALE_LO], out[SCALE_HI]
     eff = (lo["sec"] / hi["sec"]) / (SCALE_HI / SCALE_LO)
     return {
@@ -309,7 +318,9 @@ Methodology (emulating N vs 4N executors on one 32-vCPU shared VM):
   equally busy (same turbo frequency) at every level — a real cluster
   compares equally-busy nodes at both sizes,
 - the headline pair is measured in 2 alternating A/B sweeps
-  (wall-budgeted) of 3 long runs each. The host shows up to 10-18%
+  (wall-budgeted) of 3 long runs each, plus extra pair sweeps while
+  budget remains (a steal storm can span a whole sweep; more spaced
+  samples are the only defense). The host shows up to 10-18%
   stochastic hypervisor steal (/proc/stat); steal only INFLATES wall
   time, so the per-level minimum over all sweeps is a consistent
   estimator of quiet-host capability — the quantity the N-vs-4N

@@ -638,6 +638,27 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup(new, seen)
 
 
+def _props_with_drift(ev: DataFrame):
+    """Deterministic payload drift, mirrored in the oracle SQL: %7 → a new
+    schema with extra keys, %13 → invalid JSON, else the original props."""
+    return (F.when(ev["event_id"] % 7 == 0,
+                   F.concat(F.lit('{"k":'),
+                            (ev["event_id"] % 100).cast("string"),
+                            F.lit(',"extra":"x","u":'),
+                            ev["user_id"].cast("string"), F.lit("}")))
+             .when(ev["event_id"] % 13 == 0, F.lit("not json"))
+             .otherwise(ev["props"]))
+
+
+def q_schema_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema drift profile: per event_type, frequency of each
+    top-level JSON payload key (count + permille); invalid payloads count
+    rows but no keys."""
+    ev = _events(spark, sf_dir)
+    src = ev.select("event_type", _props_with_drift(ev).alias("props"))
+    return agg_ops.json_schema_profile(src)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 64-token windows / 48-token stride per doc —
     a pure narrow explode (no shuffle at any corpus size)."""
@@ -706,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "chunk_documents": q_chunk_documents,
         "pack_documents": q_pack_documents,
+        "schema_profile_events": q_schema_profile_events,
     }
 
 
@@ -1040,6 +1062,34 @@ def oracle_sql() -> dict[str, str]:
             new_pred="doc_id % 7 <> 0", seen_pred="doc_id % 7 = 0"),
         "chunk_documents": _tk().sql_chunk_documents(),
         "pack_documents": _tk().sql_pack_sequences(),
+        "schema_profile_events": f"""
+            WITH src AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 7 = 0 THEN
+                                '{{"k":' || CAST(event_id % 100 AS VARCHAR)
+                                || ',"extra":"x","u":'
+                                || CAST(user_id AS VARCHAR) || '}}'
+                            WHEN event_id % 13 = 0 THEN 'not json'
+                            ELSE props END AS props
+                FROM events
+            ), ex AS (
+                SELECT event_type,
+                       unnest(CASE WHEN json_valid(props)
+                                   AND json_type(props) = 'OBJECT'
+                              THEN json_keys(props)
+                              ELSE [] END) AS key
+                FROM src
+            ), per AS (
+                SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n
+                FROM ex GROUP BY event_type, key
+            ), totals AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM src GROUP BY event_type
+            )
+            SELECT p.event_type, p.key, p.n, t.n_rows,
+                   {_tc().sql_permille("p.n", "t.n_rows")} AS permille
+            FROM per p JOIN totals t USING (event_type)
+        """,
     }
 
 

@@ -149,3 +149,29 @@ def turn_lag_features(df: DataFrame) -> DataFrame:
             .withColumn("gap_s",
                         F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
             .withColumn("turn_rank", F.row_number().over(w)))
+
+
+def json_schema_profile(df: DataFrame, group_col: str = "event_type",
+                        json_col: str = "props") -> DataFrame:
+    """Dynamic-schema drift profile: per group, how often each top-level
+    JSON key occurs in the payload, as count + permille of the group's rows.
+
+    The reference's records are schema-dynamic (parser output keys vary per
+    line — grok/api/Match.java:142-207, §1.1 of SURVEY.md); a production
+    pipeline watches the key distribution per source to catch upstream
+    format drift. Invalid / non-object payloads contribute to ``n_rows``
+    but emit no keys (the F3 stance: never throw per-row). One explode +
+    two hash aggregates on the group key; the per-group totals frame is
+    tiny and broadcast back, so the corpus shuffles once on
+    (group, key) partials at any scale."""
+    from log_collector_spark.textops import common as C
+
+    keys = F.coalesce(F.json_object_keys(F.col(json_col)),
+                      F.array().cast("array<string>"))
+    ex = df.select(F.col(group_col), F.explode(keys).alias("key"))
+    per = ex.groupBy(group_col, "key").agg(F.count(F.lit(1)).alias("n"))
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    return (per.join(F.broadcast(totals), group_col)
+               .select(group_col, "key", "n", "n_rows",
+                       C.permille(F.col("n"), F.col("n_rows"))
+                        .alias("permille")))

@@ -57,6 +57,7 @@ ORACLE_CHECKED = [
     "knn_label_consistency",
     "chunk_documents",
     "pack_documents",
+    "schema_profile_events",
 ]
 
 
@@ -421,3 +422,19 @@ def test_pack_sequences_planted(spark):
             assert r["pack_last"] == end // K.PACK_BUDGET
             assert r["pack_span"] == r["pack_last"] - r["pack_first"] + 1
             cum += r["n_tokens"]
+
+
+def test_json_schema_profile_planted(spark):
+    """schema profile: invalid payloads count toward n_rows but emit no
+    keys; permille is keys-per-group-rows."""
+    from log_collector_spark.operators.aggregate import json_schema_profile
+
+    df = spark.createDataFrame(
+        [("A", '{"a":1,"b":2}'), ("A", '{"a":1}'), ("A", "junk"),
+         ("B", "[1,2]"), ("B", '{"x":true}')],
+        "event_type string, props string")
+    out = {(r["event_type"], r["key"]):
+           (r["n"], r["n_rows"], r["permille"])
+           for r in json_schema_profile(df).collect()}
+    assert out == {("A", "a"): (2, 3, 666), ("A", "b"): (1, 3, 333),
+                   ("B", "x"): (1, 2, 500)}

@@ -626,6 +626,18 @@ def q_percentile_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", lat, {"p50": 0.5, "p95": 0.95, "p99": 0.99})
 
 
+def q_hist_percentile_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch percentiles (bin lower bounds, width 100)
+    over the same synthetic latency as percentile_latency — the scale path
+    validated against the exact rank-selection baseline."""
+    from log_collector_spark.textops.common import h60
+    ev = _events(spark, sf_dir)
+    lat = h60(F.col("event_id").cast("string")) % 5000
+    return agg_ops.histogram_percentiles(
+        ev, "event_type", lat,
+        {"p50_lo": 0.5, "p95_lo": 0.95, "p99_lo": 0.99})
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-committed-corpus dedup: anti-join of new-batch fingerprints
     (doc_id % 7 != 0) against the committed set (% 7 == 0); within-batch
@@ -728,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_documents": q_pack_documents,
         "schema_profile_events": q_schema_profile_events,
+        "hist_percentile_latency": q_hist_percentile_latency,
     }
 
 
@@ -1062,6 +1075,30 @@ def oracle_sql() -> dict[str, str]:
             new_pred="doc_id % 7 <> 0", seen_pred="doc_id % 7 = 0"),
         "chunk_documents": _tk().sql_chunk_documents(),
         "pack_documents": _tk().sql_pack_sequences(),
+        "hist_percentile_latency": f"""
+            WITH lat AS (
+                SELECT event_type,
+                       {_tc().sql_h60("CAST(event_id AS VARCHAR)")} % 5000 AS v
+                FROM events
+            ), bins AS (
+                SELECT event_type, (v // 100) * 100 AS bin, COUNT(*) AS c
+                FROM lat GROUP BY event_type, bin
+            ), cum AS (
+                SELECT event_type, bin,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY bin)
+                           AS cum,
+                       SUM(c) OVER (PARTITION BY event_type) AS n
+                FROM bins
+            )
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MIN(CASE WHEN cum >= FLOOR(0.5 * (n - 1)) + 1
+                                 THEN bin END) AS BIGINT) AS p50_lo,
+                   CAST(MIN(CASE WHEN cum >= FLOOR(0.95 * (n - 1)) + 1
+                                 THEN bin END) AS BIGINT) AS p95_lo,
+                   CAST(MIN(CASE WHEN cum >= FLOOR(0.99 * (n - 1)) + 1
+                                 THEN bin END) AS BIGINT) AS p99_lo
+            FROM cum GROUP BY event_type
+        """,
         "schema_profile_events": f"""
             WITH src AS (
                 SELECT event_type,

@@ -175,3 +175,39 @@ def json_schema_profile(df: DataFrame, group_col: str = "event_type",
                .select(group_col, "key", "n", "n_rows",
                        C.permille(F.col("n"), F.col("n_rows"))
                         .alias("permille")))
+
+
+def histogram_percentiles(df: DataFrame, group_col: str, value: Column,
+                          quantiles: dict[str, float],
+                          bin_width: int = 100) -> DataFrame:
+    """Mergeable histogram-sketch percentiles — the 100-TB companion of
+    :func:`exact_percentiles`.
+
+    The value is bucketed into fixed ``bin_width`` bins; the q-percentile
+    estimate is the LOWER BOUND of the bin holding the rank-selected element
+    (same rank spec as the exact op: 0-based index floor(q*(n-1))), so the
+    estimate is exact to within bin_width and NEVER exceeds the true value.
+    Scale shape: per-partition (group, bin) counts partially aggregate
+    map-side and merge by addition — one tiny shuffle of bin partials and a
+    per-group window over ~#bins rows, where the exact op must shuffle and
+    sort every value. Integer in/out, so the DuckDB oracle hashes
+    identically."""
+    binned = df.select(
+        F.col(group_col),
+        (F.floor(value.cast("long") / bin_width) * bin_width)
+         .cast("long").alias("bin"))
+    counts = binned.groupBy(group_col, "bin").agg(
+        F.count(F.lit(1)).alias("c"))
+    w_cum = (Window.partitionBy(group_col).orderBy("bin")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (counts.withColumn("cum", F.sum("c").over(w_cum))
+                 .withColumn("n", F.sum("c").over(
+                     Window.partitionBy(group_col))))
+    aggs = [
+        F.min(F.when(
+            F.col("cum") >= F.floor(F.lit(q) * (F.col("n") - 1)) + 1,
+            F.col("bin"))).cast("long").alias(name)
+        for name, q in quantiles.items()
+    ]
+    return cum.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n"), *aggs)

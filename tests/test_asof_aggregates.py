@@ -114,3 +114,30 @@ def test_incremental_dedup_semantics(spark):
     got = sorted(r["doc_id"] for r in incremental_dedup(new, seen).collect())
     # 1&2 normalize to the same text → min-id 1 survives; 4 is anti-joined out
     assert got == [1, 3]
+
+
+def test_histogram_percentiles_bracket_exact(spark):
+    """Sketch contract: each histogram estimate is the lower bound of the
+    bin holding the exact rank-selected value — exact - bin_width <
+    estimate <= exact, on both a spec fixture and real synthetic latency."""
+    from log_collector_spark.operators.aggregate import histogram_percentiles
+    from log_collector_spark.textops.common import h60
+
+    rows = [("g", v) for v in range(100)] + [("h", 7)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    qs = {"p50": 0.5, "p95": 0.95}
+    hist = {r["grp"]: r for r in histogram_percentiles(
+        df, "grp", F.col("v"), qs, bin_width=10).collect()}
+    # exact p50=49 → bin 40; p95=94 → bin 90; single value 7 → bin 0
+    assert hist["g"]["p50"] == 40 and hist["g"]["p95"] == 90
+    assert hist["h"]["p50"] == 0 and hist["h"]["n"] == 1
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lat = h60(F.col("event_id").cast("string")) % 5000
+    exact = {r["event_type"]: r for r in exact_percentiles(
+        ev, "event_type", lat, qs).collect()}
+    est = {r["event_type"]: r for r in histogram_percentiles(
+        ev, "event_type", lat, qs, bin_width=100).collect()}
+    for t, e in exact.items():
+        for p in qs:
+            assert e[p] - 100 < est[t][p] <= e[p], (t, p, e[p], est[t][p])

@@ -58,6 +58,7 @@ ORACLE_CHECKED = [
     "chunk_documents",
     "pack_documents",
     "schema_profile_events",
+    "hist_percentile_latency",
 ]
 
 

@@ -626,6 +626,13 @@ def q_percentile_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", lat, {"p50": 0.5, "p95": 0.95, "p99": 0.99})
 
 
+def q_token_rarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token fraction per doc (corpus count <= 2): the gibberish/OCR
+    screen; vocab-side join, shuffle carries (token, count) partials."""
+    from log_collector_spark.textops import analysis as A
+    return A.token_rarity(_docs(spark, sf_dir))
+
+
 def q_hist_percentile_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram-sketch percentiles (bin lower bounds, width 100)
     over the same synthetic latency as percentile_latency — the scale path
@@ -741,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "schema_profile_events": q_schema_profile_events,
         "hist_percentile_latency": q_hist_percentile_latency,
+        "token_rarity_documents": q_token_rarity_documents,
     }
 
 
@@ -1075,6 +1083,7 @@ def oracle_sql() -> dict[str, str]:
             new_pred="doc_id % 7 <> 0", seen_pred="doc_id % 7 = 0"),
         "chunk_documents": _tk().sql_chunk_documents(),
         "pack_documents": _tk().sql_pack_sequences(),
+        "token_rarity_documents": _ta().sql_token_rarity(),
         "hist_percentile_latency": f"""
             WITH lat AS (
                 SELECT event_type,

@@ -565,3 +565,66 @@ def sql_top_terms_per_source(table: str = "documents",
         FROM counts
         QUALIFY rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Token-rarity quality signal (corpus-frequency-based gibberish screen)
+# ---------------------------------------------------------------------------
+
+RARE_MAX_COUNT = 2  # a token occurring <= this many times corpus-wide is rare
+
+
+def token_rarity(df: DataFrame, text_col: str = "text",
+                 rare_max: int = RARE_MAX_COUNT) -> DataFrame:
+    """Per-document rare-token fraction: tokens whose CORPUS-WIDE count is
+    <= ``rare_max`` are rare; a document dominated by them is gibberish /
+    OCR noise / mangled encoding (the corpus-level complement of the
+    within-doc :func:`repetition_signals`).
+
+    Shape: one (token) hash aggregate builds the vocabulary counts
+    (map-side partials — the shuffle carries (token, count), never rows),
+    then the exploded doc-tokens join the vocabulary on token and roll up
+    per doc. The vocabulary is corpus-frequency sized (Zipf: far smaller
+    than the corpus) — broadcast it when it fits, bucket both sides on
+    token when it doesn't. Empty docs survive with zero counts
+    (explode_outer + null-token guard)."""
+    ex = df.select("doc_id",
+                   F.explode_outer(C.tokens(F.col(text_col))).alias("tok"))
+    vocab = (ex.filter(F.col("tok").isNotNull())
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("corpus_n")))
+    joined = ex.join(vocab, "tok", "left")
+    return (joined.groupBy("doc_id")
+            .agg(F.count("tok").alias("n_tokens"),
+                 F.count(F.when(F.col("corpus_n") <= rare_max, True))
+                  .alias("n_rare"))
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_rare").cast("long").alias("n_rare"),
+                    C.permille(F.col("n_rare"), F.col("n_tokens"))
+                     .alias("rare_permille")))
+
+
+def sql_token_rarity(table: str = "documents",
+                     rare_max: int = RARE_MAX_COUNT) -> str:
+    tok = C.sql_tokens("text")
+    return f"""
+        WITH ex AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(tok) = 0
+                               THEN [CAST(NULL AS VARCHAR)] ELSE tok END)
+                       AS tok
+            FROM (SELECT doc_id, {tok} AS tok FROM {table})
+        ), vocab AS (
+            SELECT tok, COUNT(*) AS corpus_n
+            FROM ex WHERE tok IS NOT NULL GROUP BY tok
+        )
+        SELECT e.doc_id,
+               CAST(COUNT(e.tok) AS BIGINT) AS n_tokens,
+               CAST(COUNT(CASE WHEN v.corpus_n <= {rare_max} THEN 1 END)
+                    AS BIGINT) AS n_rare,
+               {C.sql_permille(
+                   "COUNT(CASE WHEN v.corpus_n <= " + str(rare_max)
+                   + " THEN 1 END)", "COUNT(e.tok)")} AS rare_permille
+        FROM ex e LEFT JOIN vocab v USING (tok)
+        GROUP BY e.doc_id
+    """

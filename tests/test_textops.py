@@ -59,6 +59,7 @@ ORACLE_CHECKED = [
     "pack_documents",
     "schema_profile_events",
     "hist_percentile_latency",
+    "token_rarity_documents",
 ]
 
 
@@ -439,3 +440,22 @@ def test_json_schema_profile_planted(spark):
            for r in json_schema_profile(df).collect()}
     assert out == {("A", "a"): (2, 3, 666), ("A", "b"): (1, 3, 333),
                    ("B", "x"): (1, 2, 500)}
+
+
+def test_token_rarity_planted(spark):
+    """rarity: corpus-wide counts decide rareness (a token frequent in one
+    doc but nowhere else is still rare only if total <= rare_max); empty
+    docs survive with zeros."""
+    from log_collector_spark.textops import analysis as A
+
+    df = spark.createDataFrame(
+        [(1, "common common zzq"),   # zzq appears once corpus-wide
+         (2, "common xylo xylo"),    # xylo: 2 <= rare_max → rare
+         (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_rare"], r["rare_permille"])
+           for r in A.token_rarity(df).collect()}
+    # 'common' occurs 3x corpus-wide → not rare
+    assert out[1] == (3, 1, 333)
+    assert out[2] == (3, 2, 666)
+    assert out[3] == (0, 0, 0)

@@ -56,15 +56,30 @@ def default_pattern_path() -> str:
     return os.path.join(os.path.dirname(__file__), "data", "grok_patterns.txt")
 
 
+def _default_patterns_text() -> str:
+    """Read the bundled dictionary via importlib.resources, NOT a __file__
+    path: under ``spark-submit --py-files pkg.zip`` (the north_rule
+    deployment shape) the package is zipimported on every executor and
+    ``open(os.path.dirname(__file__)/...)`` fails — the resources API reads
+    through the zip loader."""
+    from importlib import resources
+    return (resources.files("log_collector_spark.grok")
+            .joinpath("data").joinpath("grok_patterns.txt")
+            .read_text(encoding="utf-8"))
+
+
 def load_pattern_file(path: str | None = None) -> dict[str, str]:
     """Load a grok pattern dictionary file into name -> regex."""
-    path = path or default_pattern_path()
+    if path is None:
+        text = _default_patterns_text()
+    else:
+        with open(path, "r", encoding="utf-8") as fh:
+            text = fh.read()
     patterns: dict[str, str] = {}
-    with open(path, "r", encoding="utf-8") as fh:
-        for line in fh:
-            m = _PATTERN_LINE.match(line.rstrip("\n"))
-            if m:
-                patterns[m.group(1)] = m.group(2)
+    for line in text.splitlines():
+        m = _PATTERN_LINE.match(line)
+        if m:
+            patterns[m.group(1)] = m.group(2)
     return patterns
 
 

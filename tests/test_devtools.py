@@ -29,3 +29,32 @@ def test_verify_cli_prints_example_result_pairs(tmp_path):
     assert '"logtime":1495644683000' in r.stdout
     assert r.stdout.count("example:") == 2
     assert "{}" in r.stdout  # failed line prints an empty map
+
+
+def test_py_files_zip_is_self_contained(tmp_path):
+    """north_rule deployment shape: under `spark-submit --py-files pkg.zip`
+    every executor zipimports the package — the bundled grok dictionary must
+    load through the zip (importlib.resources), not an on-disk __file__
+    path. Builds the dist zip and parses a line with the kernel imported
+    FROM THE ZIP in a clean subprocess."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(["bash", "scripts/package.sh"], cwd=repo,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    zip_path = os.path.join(repo, "dist", "log_collector_spark.zip")
+    child = f"""
+import sys
+sys.path = [p for p in sys.path if p not in ("", {repo!r})]
+sys.path.insert(0, {zip_path!r})
+import log_collector_spark
+assert {zip_path!r} in log_collector_spark.__file__, \\
+    f"imported from {{log_collector_spark.__file__}}, not the zip"
+from log_collector_spark.grok import GrokCompiler, parse_line, serialize_record
+cg = GrokCompiler().compile(
+    r"\\[%{{NOTSPACE:logtype}}\\] %{{GREEDYDATA:payload}}")
+print(serialize_record(parse_line(cg, "[elk] hello world")))
+"""
+    r = subprocess.run([sys.executable, "-c", child],
+                       capture_output=True, text=True, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert '"logtype":"elk"' in r.stdout and '"payload":"hello world"' in r.stdout

@@ -692,6 +692,48 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.pack_sequences(_docs(spark, sf_dir))
 
 
+def q_locf_backfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-fill: a synthetic reading (event_id % 1000, nulled on every
+    7th event) is carried forward per user under (ts, event_id) order —
+    one shuffle on user_id, running last(ignorenulls) per sorted group."""
+    ev = _events(spark, sf_dir)
+    raw = (F.when(ev["event_id"] % 7 == 0, F.lit(None))
+            .otherwise(ev["event_id"] % 1000)).cast("long")
+    base = ev.select("event_id", "user_id", "ts", raw.alias("raw_v"))
+    return agg_ops.locf_backfill(
+        base, "user_id", ["ts", "event_id"], F.col("raw_v")
+    ).select("event_id", "user_id", "raw_v", "filled_v")
+
+
+def q_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization audit: canonical form lengths, control-char count,
+    changed flag, 60-bit hash of the normalized text (narrow, no shuffle)."""
+    from log_collector_spark.textops import analysis as A
+    return A.normalize_profile(_docs(spark, sf_dir))
+
+
+def q_cooccur_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed token co-occurrence: top-30 pairs within 3 tokens, with
+    integer lift score — collocation mining, linear in corpus tokens."""
+    from log_collector_spark.textops import analysis as A
+    return A.cooccur_topk(_docs(spark, sf_dir))
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4x512, mergeable cells) probed for the exact top-20
+    tokens; est >= exact by construction, overcount is the audit column."""
+    from log_collector_spark.textops import analysis as A
+    return A.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered similarity self-join — provably the same
+    pairs as the brute-force inverted-index join (the oracle), generating
+    candidates from rarest-first shingle prefixes only."""
+    from log_collector_spark.textops import dedup as D
+    return D.ngram_jaccard_prefix(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -749,6 +791,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_profile_events": q_schema_profile_events,
         "hist_percentile_latency": q_hist_percentile_latency,
         "token_rarity_documents": q_token_rarity_documents,
+        "locf_backfill_events": q_locf_backfill_events,
+        "normalize_documents": q_normalize_documents,
+        "cooccur_topk_documents": q_cooccur_topk_documents,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     }
 
 
@@ -1084,6 +1131,27 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _tk().sql_chunk_documents(),
         "pack_documents": _tk().sql_pack_sequences(),
         "token_rarity_documents": _ta().sql_token_rarity(),
+        "locf_backfill_events": """
+            WITH src AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE event_id % 1000 END AS raw_v
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(raw_v AS BIGINT) AS raw_v,
+                   CAST(LAST_VALUE(raw_v IGNORE NULLS) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS filled_v
+            FROM src
+        """,
+        "normalize_documents": _ta().sql_normalize_profile(),
+        "cooccur_topk_documents": _ta().sql_cooccur_topk(),
+        "cms_heavy_hitters": _ta().sql_cms_heavy_hitters(),
+        # the brute-force all-pairs SQL doubles as the losslessness proof of
+        # the prefix-filtered candidate generation (identical pair set)
+        "ngram_jaccard_prefix": _td().sql_ngram_jaccard_pairs(),
         "hist_percentile_latency": f"""
             WITH lat AS (
                 SELECT event_type,

@@ -211,3 +211,21 @@ def histogram_percentiles(df: DataFrame, group_col: str, value: Column,
     ]
     return cum.groupBy(group_col).agg(
         F.max("n").cast("long").alias("n"), *aggs)
+
+
+def locf_backfill(df: DataFrame, group_col: str, order_cols: list[str],
+                  value: Column, out_col: str = "filled_v") -> DataFrame:
+    """Last-observation-carried-forward imputation: null values take the
+    most recent non-null value of the same group under the given total
+    order (the gap-fill every metrics/telemetry store offers; reference has
+    no analog — its records never carry nulls, F3 drops the whole row).
+
+    ``last(ignorenulls) over rowsBetween(unboundedPreceding, current)`` is
+    a running aggregate, not a rank: Spark evaluates it in one pass over
+    each sorted group, so the cost is exactly one shuffle on ``group_col``
+    plus a per-group sort — the same shape as any sessionization. Rows
+    before a group's first observation stay null (no lookahead)."""
+    w = (Window.partitionBy(group_col).orderBy(*order_cols)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(
+        out_col, F.last(value, ignorenulls=True).over(w).cast("long"))

@@ -628,3 +628,243 @@ def sql_token_rarity(table: str = "documents",
         FROM ex e LEFT JOIN vocab v USING (tok)
         GROUP BY e.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (cleaning stage ahead of dedup/tokenization)
+# ---------------------------------------------------------------------------
+
+# ASCII control characters (incl. DEL); mapped to spaces before collapsing
+CTRL_CLASS = r"[\x00-\x1f\x7f]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form: lowercase, control chars -> space, whitespace
+    runs collapsed to one space, trimmed. Pure Catalyst string ops."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(col), CTRL_CLASS, " "), r"\s+", " "))
+
+
+def normalize_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization audit row per doc: raw/normalized lengths, control-char
+    count, whether normalization changed anything, and the 60-bit hash of
+    the canonical form (the dedup key the cleaning stage feeds downstream).
+
+    Narrow projection, no shuffle at any corpus size; the hash keeps the
+    output row small so the full text never leaves the scan stage."""
+    text = F.col(text_col)
+    norm = normalize_text(text)
+    return df.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.regexp_count(text, F.lit(CTRL_CLASS)).cast("long").alias("n_ctrl"),
+        (norm != text).alias("changed"),
+        C.h60(norm).alias("norm_h60"),
+    )
+
+
+def sql_normalize_profile(table: str = "documents") -> str:
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))")
+    return f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_raw,
+               CAST(length({norm}) AS BIGINT) AS n_chars_norm,
+               CAST(len(regexp_extract_all(text, '[\\x00-\\x1f\\x7f]'))
+                    AS BIGINT) AS n_ctrl,
+               {norm} <> text AS changed,
+               {C.sql_h60(norm)} AS norm_h60
+        FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Windowed token co-occurrence (corpus collocation mining)
+# ---------------------------------------------------------------------------
+
+COOC_WINDOW = 3   # max token distance counted as co-occurring
+COOC_TOPK = 30
+
+
+def cooccur_topk(df: DataFrame, text_col: str = "text",
+                 window: int = COOC_WINDOW, topk: int = COOC_TOPK) -> DataFrame:
+    """Top-k co-occurring token pairs within a ``window``-token distance,
+    with an integer lift score (the PMI argument, permille, before the log).
+
+    Pair generation is a NARROW array transform per doc — work is linear in
+    corpus tokens x window, never quadratic in vocabulary or doc length
+    (contrast a per-doc all-pairs cross join). The pair hash-agg map-side
+    combines; the global top-k is a TakeOrderedAndProject (no full sort, no
+    single-partition window over the corpus); token marginals then attach to
+    the k survivors by broadcasting the k-row side, streaming the vocabulary
+    counts past it. lift_permille = 1000 * P(a,b)/(P(a)P(b)) with every
+    probability replaced by its count numerator (the shared denominators
+    cancel up to the constant), computed in exact integer arithmetic:
+    (n_pair * n_total_tokens * 1000) DIV (n_a * n_b)."""
+    toks = C.tokens(F.lower(F.col(text_col)))
+
+    def _pairs_of(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(n >= 2, F.flatten(F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + window, n)),
+                lambda j: F.concat_ws(
+                    " ",
+                    F.least(F.element_at(t, i), F.element_at(t, j)),
+                    F.greatest(F.element_at(t, i), F.element_at(t, j)))),
+        ))).otherwise(F.array().cast("array<string>"))
+
+    # single-binding shape (see common.shingles): tokenization evaluates once
+    pairs_col = F.element_at(F.transform(F.array(toks), _pairs_of), 1)
+    pair_counts = (df.select(F.explode(pairs_col).alias("pair"))
+                     .groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair")))
+    top = (pair_counts.orderBy(F.desc("n_pair"), F.asc("pair")).limit(topk)
+           .select("pair", "n_pair",
+                   F.split(F.col("pair"), " ").getItem(0).alias("tok_a"),
+                   F.split(F.col("pair"), " ").getItem(1).alias("tok_b")))
+    tok_counts = (df.select(F.explode(toks).alias("tok"))
+                    .groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok")))
+    totals = tok_counts.agg(F.sum("n_tok").cast("long").alias("n_total"))
+    half = (tok_counts.join(F.broadcast(top),
+                            tok_counts["tok"] == top["tok_a"])
+            .select("pair", "n_pair", "tok_b",
+                    F.col("n_tok").alias("n_a")))
+    joined = (tok_counts.alias("tc2")
+              .join(F.broadcast(half), F.col("tc2.tok") == F.col("tok_b"))
+              .select("pair", "n_pair", "n_a",
+                      F.col("tc2.n_tok").alias("n_b"))
+              .crossJoin(F.broadcast(totals)))
+    return joined.select(
+        "pair",
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr("(n_pair * n_total * 1000) DIV (n_a * n_b)")
+         .cast("long").alias("lift_permille"))
+
+
+def sql_cooccur_topk(table: str = "documents",
+                     window: int = COOC_WINDOW,
+                     topk: int = COOC_TOPK) -> str:
+    tok = C.sql_tokens("lower(text)")
+    return f"""
+        WITH toks AS (SELECT doc_id, {tok} AS t FROM {table}),
+        pr AS (
+            SELECT unnest(flatten(list_transform(range(1, len(t)),
+                       i -> list_transform(
+                           range(i + 1, least(i + {window}, len(t)) + 1),
+                           j -> CASE WHEN t[i] <= t[j]
+                                     THEN t[i] || ' ' || t[j]
+                                     ELSE t[j] || ' ' || t[i] END))))
+                   AS pair
+            FROM toks WHERE len(t) >= 2
+        ), pc AS (
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair
+            FROM pr GROUP BY pair
+        ), top AS (
+            SELECT pair, n_pair,
+                   string_split(pair, ' ')[1] AS tok_a,
+                   string_split(pair, ' ')[2] AS tok_b
+            FROM pc ORDER BY n_pair DESC, pair LIMIT {topk}
+        ), tc AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+        ), tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM tc)
+        SELECT top.pair, top.n_pair,
+               a.n_tok AS n_a, b.n_tok AS n_b,
+               CAST((top.n_pair * tot.n_total * 1000)
+                    // (a.n_tok * b.n_tok) AS BIGINT) AS lift_permille
+        FROM top
+        JOIN tc a ON a.tok = top.tok_a
+        JOIN tc b ON b.tok = top.tok_b
+        CROSS JOIN tot
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4     # hash rows; estimate = min over rows
+CMS_WIDTH = 512   # counters per row
+CMS_TOPK = 20
+
+
+def cms_heavy_hitters(df: DataFrame, text_col: str = "text",
+                      depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                      topk: int = CMS_TOPK) -> DataFrame:
+    """Count-min sketch over the corpus token stream, validated in-query
+    against exact counts for the ``topk`` most frequent tokens.
+
+    The sketch is depth x width counters: cell (r, c) sums the counts of
+    every token with h60(r || ':' || token) % width == c. It is MERGEABLE —
+    shard sketches union by cell-wise addition, which is exactly what the
+    hash aggregate's map-side partials do, so the shuffle after the vocab
+    count carries at most depth*width rows per partition. The vocabulary
+    subplan feeds the cells, the top-k, and the marginal join; Spark's
+    ReusedExchange serves all three from one shuffle (at 100 TB you would
+    checkpoint the vocab instead). Estimate = min over rows of the probed
+    cell; by construction est >= exact (overcount only, never under), so
+    the output carries overcount = est - n as the audit column."""
+    toks = C.tokens(F.lower(F.col(text_col)))
+    vocab = (df.select(F.explode(toks).alias("tok"))
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    probes = vocab.select(
+        "tok", "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     (C.h60(F.concat(F.lit(f"{r}:"), F.col("tok"))) % width)
+                     .alias("col"))
+            for r in range(depth)])).alias("p"))
+    cells = (probes.groupBy(F.col("p.row").alias("row"),
+                            F.col("p.col").alias("col"))
+                   .agg(F.sum("n").alias("cell")))
+    top = vocab.orderBy(F.desc("n"), F.asc("tok")).limit(topk)
+    top_probes = top.select(
+        "tok", "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     (C.h60(F.concat(F.lit(f"{r}:"), F.col("tok"))) % width)
+                     .alias("col"))
+            for r in range(depth)])).alias("p"))
+    est = (cells.join(F.broadcast(top_probes),
+                      (cells["row"] == F.col("p.row")) &
+                      (cells["col"] == F.col("p.col")))
+                .groupBy("tok")
+                .agg(F.max("n").alias("n"), F.min("cell").alias("est")))
+    return est.select(
+        "tok",
+        F.col("n").cast("long").alias("n"),
+        F.col("est").cast("long").alias("est"),
+        (F.col("est") - F.col("n")).cast("long").alias("overcount"))
+
+
+def sql_cms_heavy_hitters(table: str = "documents",
+                          depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                          topk: int = CMS_TOPK) -> str:
+    tok = C.sql_tokens("lower(text)")
+    cell_exprs = " UNION ALL ".join(
+        f"SELECT {r} AS rr, {C.sql_h60(repr(str(r) + ':') + ' || tok')} % {width} AS cc, n FROM vocab"
+        for r in range(depth))
+    probe_exprs = " UNION ALL ".join(
+        f"SELECT tok, n, {r} AS rr, {C.sql_h60(repr(str(r) + ':') + ' || tok')} % {width} AS cc FROM top"
+        for r in range(depth))
+    return f"""
+        WITH vocab AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest({tok}) AS tok FROM {table}) GROUP BY tok
+        ), rows_ AS ({cell_exprs}),
+        cells AS (
+            SELECT rr, cc, CAST(SUM(n) AS BIGINT) AS cell
+            FROM rows_ GROUP BY rr, cc
+        ), top AS (
+            SELECT tok, n FROM vocab ORDER BY n DESC, tok LIMIT {topk}
+        ), tp AS ({probe_exprs})
+        SELECT tp.tok, CAST(MAX(tp.n) AS BIGINT) AS n,
+               CAST(MIN(c.cell) AS BIGINT) AS est,
+               CAST(MIN(c.cell) - MAX(tp.n) AS BIGINT) AS overcount
+        FROM tp JOIN cells c ON c.rr = tp.rr AND c.cc = tp.cc
+        GROUP BY tp.tok
+    """

@@ -896,3 +896,67 @@ def sql_boilerplate_segments(table: str = "documents", k: int = BOILER_K,
                    >= 500 AS boilerplate
         FROM segs s LEFT JOIN hits h USING (doc_id)
     """
+
+
+def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
+                         k: int = SHINGLE_K,
+                         num: int = JACCARD_NUM,
+                         den: int = JACCARD_DEN) -> DataFrame:
+    """Prefix-filtered set-similarity self-join: identical output to
+    :func:`ngram_jaccard_pairs`, but candidate generation indexes only each
+    document's PREFIX under a rarest-first global shingle order (the
+    SSJoin/PPJoin principle, Chaudhuri et al. / Bayardo et al. / Xiao et al.).
+
+    For Jaccard threshold t = num/den, any pair with J >= t has
+    |A∩B| >= ceil(t*|A|): if the first |A| - ceil(t*|A|) + 1 shingles of A
+    (sorted by (document-frequency, shingle)) missed the intersection
+    entirely, the remaining ceil(t*|A|) - 1 slots could not hold it —
+    so indexing just the prefix provably loses NO qualifying pair, while
+    the candidate join degree of a shingle drops from df to its count
+    among prefixes (frequent shingles sort last and fall out of prefixes
+    entirely — the principled version of the ``max_df`` guard, with zero
+    recall loss). Verification computes the exact intersection by joining
+    the candidate pairs (broadcast — they are filter-survivors, tiny
+    relative to the corpus) back to the full shingle index.
+
+    Cost shape: one (shingle) hash-agg for document frequencies, one join
+    + per-doc window sort to rank shingles (the prefix build — at 100 TB
+    this table is what you checkpoint), the prefix self-join, and the
+    verify join. The oracle is the brute-force all-pairs SQL of
+    ngram_jaccard_pairs — equality IS the losslessness proof."""
+    from pyspark.sql.window import Window
+
+    docs = doc_shingles(df, text_col, k)
+    inv = docs.select("doc_id", "n_shingles",
+                      F.explode("shingles").alias("sh"))
+    dfreq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # ceil(num/den * n) in exact integer arithmetic
+    alpha = F.floor((F.col("n_shingles") * num + den - 1) / den)
+    plen = (F.col("n_shingles") - alpha + 1).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    pref = (inv.join(dfreq, "sh")
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= plen)
+               .select("doc_id", "sh"))
+    cand = (pref.alias("a")
+            .join(pref.alias("b"),
+                  (F.col("a.sh") == F.col("b.sh")) &
+                  (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    ia = inv.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n_shingles").alias("size_a"), "sh")
+    ib = inv.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n_shingles").alias("size_b"), "sh")
+    pairs = (ia.join(F.broadcast(cand), "doc_a")
+               .join(ib, ["doc_b", "sh"])
+               .groupBy("doc_a", "doc_b")
+               .agg(F.count(F.lit(1)).alias("inter"),
+                    F.first("size_a").alias("size_a"),
+                    F.first("size_b").alias("size_b")))
+    union = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return (pairs.withColumn("uni", union.cast("long"))
+                 .filter(F.col("inter") * den >= F.lit(num) * F.col("uni"))
+                 .select("doc_a", "doc_b",
+                         F.col("inter").cast("long").alias("inter"), "uni"))

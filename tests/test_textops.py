@@ -60,6 +60,11 @@ ORACLE_CHECKED = [
     "schema_profile_events",
     "hist_percentile_latency",
     "token_rarity_documents",
+    "locf_backfill_events",
+    "normalize_documents",
+    "cooccur_topk_documents",
+    "cms_heavy_hitters",
+    "ngram_jaccard_prefix",
 ]
 
 
@@ -459,3 +464,45 @@ def test_token_rarity_planted(spark):
     assert out[1] == (3, 1, 333)
     assert out[2] == (3, 2, 666)
     assert out[3] == (0, 0, 0)
+
+def test_prefix_filter_equals_bruteforce(spark):
+    """PPJoin prefix filtering is lossless: the prefix-indexed join returns
+    the EXACT pair set of the full inverted-index join at the same
+    threshold (the prefix-filter principle, verified end-to-end)."""
+    from log_collector_spark.textops import dedup as D
+
+    docs = _docs_df(spark)
+    full = {(r["doc_a"], r["doc_b"]): (r["inter"], r["uni"])
+            for r in D.ngram_jaccard_pairs(docs).collect()}
+    pref = {(r["doc_a"], r["doc_b"]): (r["inter"], r["uni"])
+            for r in D.ngram_jaccard_prefix(docs).collect()}
+    D.unpersist_shingles()
+    assert full, "vacuous: no similar pairs at this sf"
+    assert pref == full
+
+
+def test_cms_never_undercounts(spark):
+    """Count-min estimates are >= exact counts for every probed token."""
+    from log_collector_spark.textops import analysis as A
+
+    rows = A.cms_heavy_hitters(_docs_df(spark)).collect()
+    assert rows
+    assert all(r["est"] >= r["n"] and r["overcount"] == r["est"] - r["n"]
+               for r in rows)
+
+
+def test_locf_semantics_tiny(spark):
+    """LOCF: nulls take the latest prior non-null of the same group; rows
+    before the first observation stay null; groups are independent."""
+    from pyspark.sql import functions as F
+
+    from log_collector_spark.operators import aggregate as agg
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 10), ("a", 3, None), ("a", 4, None),
+         ("a", 5, 20), ("b", 1, None), ("b", 2, 7)],
+        "g string, i int, v int")
+    out = {(r["g"], r["i"]): r["filled_v"]
+           for r in agg.locf_backfill(df, "g", ["i"], F.col("v")).collect()}
+    assert out == {("a", 1): None, ("a", 2): 10, ("a", 3): 10,
+                   ("a", 4): 10, ("a", 5): 20, ("b", 1): None, ("b", 2): 7}

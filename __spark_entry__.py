@@ -734,6 +734,57 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_prefix(_docs(spark, sf_dir))
 
 
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first-touch funnel signup→view→click→purchase: per-step user
+    reach + permille vs step 1 — a chain of per-user min-aggregates, every
+    join co-partitioned on user_id (operators/behavior.py)."""
+    from log_collector_spark.operators import behavior as B
+    return B.funnel_counts(_events(spark, sf_dir))
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: distinct active users per (first-seen
+    epoch-day cohort, day offset) — one user-keyed join + one hash agg."""
+    from log_collector_spark.operators import behavior as B
+    return B.retention_cohorts(_events(spark, sf_dir))
+
+
+def q_anomaly_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact trailing z-score volume anomalies per (event_type,
+    hour): flag when (m*x-S)^2 > 9*(m*Q-S^2) over the prior 24 observed
+    buckets — no float mean/stddev, so the flags hash identically across
+    engines."""
+    from log_collector_spark.operators import behavior as B
+    return B.hour_anomaly_flags(_events(spark, sf_dir))
+
+
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval join as a bucketized equi-join: every 97th event opens
+    a 10-minute window; events inside any window pair with it via a shuffle
+    equi-join on the time bucket (<= 2 buckets per window, lossless) instead
+    of the O(|W|*|E|) BroadcastNestedLoop a raw range predicate plans. The
+    DuckDB oracle runs the plain inequality join (IEJoin) to prove the pair
+    set is exact."""
+    from log_collector_spark.operators.interval import interval_join
+    ev = _events(spark, sf_dir)
+    t_us = F.unix_micros(F.col("ts").cast("timestamp")).cast("long")
+    evs = ev.select(F.col("event_id"), t_us.alias("t_us"))
+    wins = (ev.filter(F.col("event_id") % 97 == 0)
+              .select(F.col("event_id").alias("window_id"),
+                      t_us.alias("start_us"),
+                      (t_us + 600_000_000).alias("end_us")))
+    out = interval_join(evs, wins)
+    return out.select("window_id", "event_id")
+
+
+def q_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget sampling in salted-hash order (the
+    pretraining mixture op: hit a token target per domain, whole docs only,
+    append-stable) — one shuffle on source + a per-group running sum."""
+    from log_collector_spark.textops import analysis as A
+    return A.token_budget_sample(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -796,6 +847,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_topk_documents": q_cooccur_topk_documents,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "funnel_events": q_funnel_events,
+        "retention_cohorts": q_retention_cohorts,
+        "anomaly_hours_events": q_anomaly_hours_events,
+        "interval_join_events": q_interval_join_events,
+        "token_budget_documents": q_token_budget_documents,
     }
 
 
@@ -1204,7 +1260,30 @@ def oracle_sql() -> dict[str, str]:
                    {_tc().sql_permille("p.n", "t.n_rows")} AS permille
             FROM per p JOIN totals t USING (event_type)
         """,
+        "funnel_events": _bh().sql_funnel_counts(),
+        "retention_cohorts": _bh().sql_retention_cohorts(),
+        "anomaly_hours_events": _bh().sql_hour_anomaly_flags(),
+        # plain inequality join — DuckDB's IEJoin is the independent
+        # implementation proving the bucketized equi-join is lossless
+        "interval_join_events": """
+            WITH wins AS (
+                SELECT event_id AS window_id,
+                       epoch_us(ts) AS start_us,
+                       epoch_us(ts) + 600000000 AS end_us
+                FROM events WHERE event_id % 97 = 0
+            )
+            SELECT w.window_id, e.event_id
+            FROM wins w JOIN events e
+              ON epoch_us(e.ts) >= w.start_us
+             AND epoch_us(e.ts) < w.end_us
+        """,
+        "token_budget_documents": _ta().sql_token_budget_sample(),
     }
+
+
+def _bh():
+    from log_collector_spark.operators import behavior
+    return behavior
 
 
 def _an():

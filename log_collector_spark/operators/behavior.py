@@ -1,0 +1,220 @@
+"""User-behavior analytics over the event log: ordered funnels, retention
+cohorts, and integer-exact trailing anomaly flags.
+
+The reference's analytic surface is counters and minute buckets
+(reference/src/main/java/io/sugo/collect/metrics/ReaderMetrics.java:14-35);
+these are the next-layer queries every log/telemetry product computes from
+the routed event stream (SURVEY §2.12 extensions). All outputs are
+BIGINT/VARCHAR/BOOLEAN and all arithmetic is integer-exact so the DuckDB
+oracles hash identically (textops/common.py convention).
+
+Scale notes (10^12-event design point):
+- the funnel is a chain of per-user min-aggregates joined on ``user_id`` —
+  every join is key-co-partitioned (one shuffle key throughout) and each
+  step's frame shrinks monotonically; no window over the raw stream,
+- retention joins the raw stream to a per-user first-seen frame on
+  ``user_id`` (co-partitioned sort-merge at scale, AQE handles hot users),
+  then one hash agg on (cohort_day, day_offset),
+- anomaly flags aggregate first (events → per-(type,hour) counts, map-side
+  partial combine), so the window runs over ~#hours rows per type — never
+  over raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from log_collector_spark.textops import common as C
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+ANOMALY_LOOKBACK = 24   # trailing buckets in the baseline window
+ANOMALY_MIN_OBS = 8     # flag only with at least this many baseline buckets
+ANOMALY_Z2 = 9          # flag when (x - mean)^2 > Z2 * variance  (|z| > 3)
+
+
+def _us(ts: Column) -> Column:
+    """Event-time in exact epoch microseconds (Spark TimestampType and the
+    parquet physical value are both µs — no truncation on either engine).
+    The parquet column arrives as TIMESTAMP_NTZ; the cast is exact because
+    session.py pins the session timezone to UTC."""
+    return F.unix_micros(ts.cast("timestamp")).cast("long")
+
+
+def funnel_counts(events: DataFrame, steps: list[str] | None = None,
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Ordered-funnel user counts: a user reaches step k if an event of
+    step k's type occurs at-or-after the user's earliest qualifying time for
+    step k-1 (classic first-touch funnel; ties at equal timestamps count —
+    ``>=`` — matching the SQL oracle exactly).
+
+    Output: one row per step ``(step_idx, step, users, permille)`` where
+    permille is vs step-1 reach. The step frames are per-user scalars, so
+    the chain's cost is one user-keyed shuffle per step over a monotonically
+    shrinking frame.
+    """
+    steps = steps or FUNNEL_STEPS
+    t = _us(F.col(ts_col))
+    reached: list[DataFrame] = []
+    cur = (events.filter(F.col(type_col) == steps[0])
+                 .groupBy(user_col).agg(F.min(t).alias("t")))
+    reached.append(cur)
+    for step in steps[1:]:
+        nxt = (events.filter(F.col(type_col) == step)
+                     .select(F.col(user_col), t.alias("et"))
+                     .join(cur, user_col)
+                     .filter(F.col("et") >= F.col("t"))
+                     .groupBy(user_col).agg(F.min("et").alias("t")))
+        reached.append(nxt)
+        cur = nxt
+    counts = None
+    for i, (step, frame) in enumerate(zip(steps, reached), start=1):
+        one = (frame.agg(F.count(F.lit(1)).alias("users"))
+                    .select(F.lit(i).cast("long").alias("step_idx"),
+                            F.lit(step).alias("step"), "users"))
+        counts = one if counts is None else counts.unionByName(one)
+    base = counts.filter(F.col("step_idx") == 1) \
+                 .select(F.col("users").alias("base_users"))
+    return (counts.join(F.broadcast(base))
+                  .select("step_idx", "step", "users",
+                          C.permille(F.col("users"), F.col("base_users"))
+                           .alias("permille")))
+
+
+def sql_funnel_counts(table: str = "events",
+                      steps: list[str] | None = None) -> str:
+    steps = steps or FUNNEL_STEPS
+    t = "epoch_us(ts)"
+    ctes = [f"s1 AS (SELECT user_id, MIN({t}) AS t FROM {table} "
+            f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN({t.replace('ts', 'e.ts')}) AS t "
+            f"FROM {table} e JOIN s{i - 1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{step}' "
+            f"AND {t.replace('ts', 'e.ts')} >= p.t GROUP BY e.user_id)")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step_idx, '{s}' AS step, "
+        f"CAST(COUNT(*) AS BIGINT) AS users FROM s{i}"
+        for i, s in enumerate(steps, start=1))
+    return f"""
+        WITH {', '.join(ctes)},
+        counts AS ({selects}),
+        base AS (SELECT users AS base_users FROM counts WHERE step_idx = 1)
+        SELECT step_idx, step, users,
+               {C.sql_permille('users', 'base_users')} AS permille
+        FROM counts, base
+    """
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen epoch-day,
+    counted distinct per (cohort_day, day_offset) of later activity.
+
+    Day arithmetic is integer floor over epoch-µs (UTC — session.py pins the
+    timezone), identical in both engines. The distinct-user count partially
+    aggregates the (cohort, offset, user) triple map-side before the final
+    count, so the shuffle carries near-distinct triples, not raw events.
+    """
+    # subtract-mod before the divide: the quotient is then an exact integer
+    # (< 2^53) in the double division, so both engines floor identically
+    us = _us(F.col(ts_col))
+    day = ((us - us % 86_400_000_000) / 86_400_000_000).cast("long")
+    first = (events.groupBy(user_col)
+                   .agg(F.min(day).alias("cohort_day")))
+    act = events.select(F.col(user_col), day.alias("day"))
+    return (act.join(first, user_col)
+               .groupBy("cohort_day",
+                        (F.col("day") - F.col("cohort_day"))
+                        .cast("long").alias("day_offset"))
+               .agg(F.countDistinct(user_col).cast("long").alias("users")))
+
+
+def sql_retention_cohorts(table: str = "events") -> str:
+    day = ("CAST((epoch_us(ts) - epoch_us(ts) % 86400000000) "
+           "/ 86400000000 AS BIGINT)")
+    return f"""
+        WITH first AS (
+            SELECT user_id, MIN({day}) AS cohort_day
+            FROM {table} GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               {day.replace('ts', 'e.ts')} - f.cohort_day AS day_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
+        FROM {table} e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """
+
+
+def hour_anomaly_flags(events: DataFrame, type_col: str = "event_type",
+                       ts_col: str = "ts",
+                       lookback: int = ANOMALY_LOOKBACK,
+                       min_obs: int = ANOMALY_MIN_OBS,
+                       z2: int = ANOMALY_Z2) -> DataFrame:
+    """Trailing z-score volume-anomaly flags per (event_type, hour bucket),
+    in EXACT integer arithmetic (no float mean/stddev — engines would
+    disagree in the last ulp and flip borderline flags).
+
+    An hour with count x is flagged against the previous ``lookback``
+    observed buckets (m buckets, sum S, sum-of-squares Q) when
+
+        m >= min_obs  AND  (m*x - S)^2 > z2 * (m*Q - S^2)
+
+    which is |x - mean| > sqrt(z2) * sigma cleared of denominators: both
+    sides are products of BIGINTs derived from counts (m <= 24, x bounded by
+    the per-hour event volume), exact in Spark longs and DuckDB BIGINTs.
+    Zero-variance baselines (m*Q == S^2) flag any deviation — desired: a
+    metronome-steady signal that jumps IS the anomaly.
+
+    Scale shape: raw events collapse to per-(type, hour) counts first
+    (map-side partial combine), so the window scans ~#hours rows per type;
+    the single window shuffle is on ``type_col``.
+    """
+    hour = (_us(F.col(ts_col)) - _us(F.col(ts_col)) % 3_600_000_000)
+    hour_ms = (hour / 1000).cast("long")
+    counts = (events.groupBy(F.col(type_col),
+                             hour_ms.alias("hour_ms"))
+                    .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy(type_col).orderBy("hour_ms")
+               .rowsBetween(-lookback, -1))
+    m = F.count(F.lit(1)).over(w)
+    s = F.sum("n").over(w)
+    q = F.sum(F.col("n") * F.col("n")).over(w)
+    lhs = (m * F.col("n") - s)
+    flagged = (m >= min_obs) & (lhs * lhs > F.lit(z2) * (m * q - s * s))
+    return counts.select(
+        type_col, "hour_ms", F.col("n").cast("long").alias("n"),
+        F.coalesce(m, F.lit(0)).cast("long").alias("m"),
+        F.coalesce(flagged, F.lit(False)).alias("flagged"))
+
+
+def sql_hour_anomaly_flags(table: str = "events",
+                           lookback: int = ANOMALY_LOOKBACK,
+                           min_obs: int = ANOMALY_MIN_OBS,
+                           z2: int = ANOMALY_Z2) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT event_type,
+                   CAST((epoch_us(ts) - epoch_us(ts) % 3600000000) / 1000
+                        AS BIGINT) AS hour_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM {table} GROUP BY 1, 2
+        ), win AS (
+            SELECT event_type, hour_ms, n,
+                   COUNT(*) OVER w AS m,
+                   SUM(n) OVER w AS s,
+                   SUM(n * n) OVER w AS q
+            FROM counts
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
+                         ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, hour_ms, n,
+               CAST(COALESCE(m, 0) AS BIGINT) AS m,
+               COALESCE(m >= {min_obs}
+                        AND (m*n - s)*(m*n - s) > {z2} * (m*q - s*s),
+                        FALSE) AS flagged
+        FROM win
+    """

@@ -868,3 +868,67 @@ def sql_cms_heavy_hitters(table: str = "documents",
         FROM tp JOIN cells c ON c.rr = tp.rr AND c.cc = tp.cc
         GROUP BY tp.tok
     """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling (pretraining data mixing)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 800  # per-source token budget for the demo query
+
+
+def token_budget_sample(df: DataFrame, group_col: str = "source",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        budget: int = TOKEN_BUDGET,
+                        salt: str = SPLIT_SALT) -> DataFrame:
+    """Greedy token-budget sampling per domain: walk each domain's docs in
+    salted-hash order and keep whole documents while the running token total
+    stays within ``budget`` — how a pretraining mixture hits a per-source
+    token target rather than a doc-count cap (:func:`domain_cap`).
+
+    The hash order gives the same guarantees as ``domain_cap``: uniform
+    within the domain, RNG-free, and append-stable (new docs can only evict
+    later-ranked survivors, never reorder earlier ones). A doc is kept iff
+    the budget minus all earlier-ranked docs' tokens still covers it ENTIRELY
+    (no doc splitting — chunking is :mod:`textops.chunking`'s job), i.e.
+    ``cum_tokens <= budget`` with cum including the doc itself.
+
+    One shuffle on ``group_col`` + a per-group running sum (same cost shape
+    as any sessionization). Low domain cardinality makes hot groups — at
+    corpus scale pre-aggregate per-doc token counts map-side (done here:
+    ``size(tokens())`` is computed in the narrow stage before the shuffle)
+    and let AQE split the skewed sort partitions.
+    """
+    from pyspark.sql import Window
+    tok_n = F.size(C.tokens(F.col(text_col))).cast("long")
+    h = C.h60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = (Window.partitionBy(group_col)
+               .orderBy(h.asc(), F.col(id_col).asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    base = df.select(F.col(id_col), F.col(group_col), tok_n.alias("tok_n"))
+    return (base.withColumn("cum_tokens",
+                            F.sum("tok_n").over(w).cast("long"))
+                .withColumn("kept", F.col("cum_tokens") <= budget))
+
+
+def sql_token_budget_sample(table: str = "documents",
+                            group_col: str = "source",
+                            id_col: str = "doc_id", text_col: str = "text",
+                            budget: int = TOKEN_BUDGET,
+                            salt: str = SPLIT_SALT) -> str:
+    h = C.sql_h60(f"'{salt}' || {id_col}")
+    tok_n = f"CAST(len({C.sql_tokens(text_col)}) AS BIGINT)"
+    return f"""
+        WITH base AS (
+            SELECT {id_col}, {group_col}, {tok_n} AS tok_n,
+                   {h} AS h
+            FROM {table}
+        )
+        SELECT {id_col}, {group_col}, tok_n,
+               CAST(SUM(tok_n) OVER (PARTITION BY {group_col}
+                                     ORDER BY h, {id_col}
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens,
+               cum_tokens <= {budget} AS kept
+        FROM base
+    """

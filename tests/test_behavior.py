@@ -1,0 +1,135 @@
+"""Behavior analytics (funnel / retention / anomaly), interval join, and
+token-budget sampling — edge cases on tiny frames; the DuckDB oracle covers
+them at sf0.01."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from log_collector_spark.operators.behavior import (
+    funnel_counts, hour_anomaly_flags, retention_cohorts)
+from log_collector_spark.operators.interval import interval_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_funnel_order_matters(spark):
+    # u1 completes in order; u2 purchases BEFORE clicking (must not reach
+    # step 4); u3 only signs up; u4 never signs up (invisible to the funnel)
+    rows = [
+        (1, "signup", "2024-01-01T00:00"), (1, "view", "2024-01-01T01:00"),
+        (1, "click", "2024-01-01T02:00"), (1, "purchase", "2024-01-01T03:00"),
+        (2, "signup", "2024-01-01T00:00"), (2, "view", "2024-01-01T01:00"),
+        (2, "purchase", "2024-01-01T01:30"), (2, "click", "2024-01-01T02:00"),
+        (3, "signup", "2024-01-01T00:00"),
+        (4, "view", "2024-01-01T00:00"), (4, "click", "2024-01-01T01:00"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, _ts(s)) for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: r["users"] for r in funnel_counts(df).collect()}
+    assert got == {"signup": 3, "view": 2, "click": 2, "purchase": 1}
+
+
+def test_funnel_equal_timestamp_counts(spark):
+    # >= tie rule: a view at exactly the signup instant reaches step 2
+    df = spark.createDataFrame(
+        [(1, "signup", _ts("2024-01-01T00:00")),
+         (1, "view", _ts("2024-01-01T00:00"))],
+        "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: r["users"] for r in funnel_counts(df).collect()}
+    assert got["view"] == 1
+    permille = {r["step"]: r["permille"] for r in funnel_counts(df).collect()}
+    assert permille["signup"] == 1000
+
+
+def test_retention_cohorts_offsets(spark):
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01T05:00")),   # cohort day d0
+         (1, _ts("2024-01-01T23:00")),   # same day -> offset 0 (dedup'd)
+         (1, _ts("2024-01-03T00:00")),   # offset 2
+         (2, _ts("2024-01-03T01:00"))],  # cohort d0+2, offset 0
+        "user_id long, ts timestamp")
+    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    got = {(r["cohort_day"], r["day_offset"]): r["users"]
+           for r in retention_cohorts(df).collect()}
+    assert got == {(d0, 0): 1, (d0, 2): 1, (d0 + 2, 0): 1}
+
+
+def test_hour_anomaly_integer_zscore(spark):
+    # 10 steady hours at n=4, then a spike hour: m=10, S=40, Q=160,
+    # variance term m*Q - S^2 = 0 -> any deviation flags (x=40:
+    # (10*40-40)^2 = 129600 > 0). The steady hours never flag and hours
+    # before min_obs=8 baseline rows never flag.
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(10):
+        for i in range(4):
+            rows.append(("a", base + dt.timedelta(hours=h, minutes=i)))
+    rows += [("a", base + dt.timedelta(hours=10, minutes=i))
+             for i in range(40)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["hour_ms"]: (r["n"], r["m"], r["flagged"])
+           for r in hour_anomaly_flags(df).collect()}
+    spike_ms = int((base + dt.timedelta(hours=10)).replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert out[spike_ms] == (40, 10, True)
+    flagged = [v for v in out.values() if v[2]]
+    assert flagged == [(40, 10, True)]
+    # first hour has an empty baseline window
+    first_ms = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert out[first_ms] == (4, 0, False)
+
+
+def test_interval_join_boundaries_and_bucket_straddle(spark):
+    # bucket_us=100; window [95, 195) straddles two buckets; containment is
+    # half-open and each matching pair appears exactly once
+    events = spark.createDataFrame(
+        [(1, 94), (2, 95), (3, 150), (4, 194), (5, 195)],
+        "event_id long, t_us long")
+    windows = spark.createDataFrame(
+        [(7, 95, 195)], "window_id long, start_us long, end_us long")
+    out = interval_join(events, windows, bucket_us=100)
+    got = sorted((r["window_id"], r["event_id"]) for r in out.collect())
+    assert got == [(7, 2), (7, 3), (7, 4)]
+
+
+def test_interval_join_window_aligned_to_bucket(spark):
+    # window exactly one bucket wide and aligned: [100, 200) covers only
+    # bucket 1 (end-1 keeps bucket 2 out), no duplicate pairs
+    events = spark.createDataFrame(
+        [(1, 100), (2, 199), (3, 200)], "event_id long, t_us long")
+    windows = spark.createDataFrame(
+        [(9, 100, 200)], "window_id long, start_us long, end_us long")
+    out = interval_join(events, windows, bucket_us=100)
+    got = sorted((r["window_id"], r["event_id"]) for r in out.collect())
+    assert got == [(9, 1), (9, 2)]
+
+
+def test_token_budget_sample_greedy_whole_docs(spark):
+    from log_collector_spark.textops.analysis import token_budget_sample
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", "d e"), (3, "s", "f g h i"),
+         (4, "t", "x " * 50)],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: (r["tok_n"], r["kept"])
+           for r in token_budget_sample(docs, budget=6).collect()}
+    assert out[4] == (50, False)          # oversize doc alone busts budget
+    kept_tokens = sum(n for n, k in out.values() if k)
+    assert kept_tokens <= 6
+    # greedy: exactly the prefix of the hash order is kept — recompute order
+    rows = token_budget_sample(docs, budget=6).collect()
+    s_rows = sorted((r["cum_tokens"], r["kept"]) for r in rows
+                    if r["source"] == "s")
+    seen_false = False
+    for _, kept in s_rows:
+        assert not (kept and seen_false)  # no kept row after a dropped one
+        seen_false = seen_false or not kept

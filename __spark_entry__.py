@@ -785,6 +785,32 @@ def q_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.token_budget_sample(_docs(spark, sf_dir))
 
 
+def q_ohlc_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup per (event_type, hour): open/close by
+    (event-time, event_id) order via min_by/max_by partials — one hash agg,
+    no window over raw events; value quantized to 0.001 for the hash-stable
+    oracle (which uses DuckDB's ordered FIRST/LAST as the independent
+    formulation)."""
+    from log_collector_spark.operators import behavior as B
+    return B.ohlc_hours(_events(spark, sf_dir))
+
+
+def q_tfidf_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by integer TF-IDF (tf * 1e6 // df) — token
+    shuffle join (vocab not broadcastable at corpus scale) + per-doc top-k
+    window."""
+    from log_collector_spark.textops import analysis as A
+    return A.tfidf_topk(_docs(spark, sf_dir))
+
+
+def q_source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct shared 8-gram shingles
+    per source pair — join fan-out bounded by (#sources choose 2) per
+    shingle, independent of corpus size."""
+    from log_collector_spark.textops import analysis as A
+    return A.source_overlap(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -852,6 +878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_hours_events": q_anomaly_hours_events,
         "interval_join_events": q_interval_join_events,
         "token_budget_documents": q_token_budget_documents,
+        "ohlc_hours_events": q_ohlc_hours_events,
+        "tfidf_topk_documents": q_tfidf_topk_documents,
+        "source_overlap_documents": q_source_overlap_documents,
     }
 
 
@@ -1278,6 +1307,9 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) < w.end_us
         """,
         "token_budget_documents": _ta().sql_token_budget_sample(),
+        "ohlc_hours_events": _bh().sql_ohlc_hours(),
+        "tfidf_topk_documents": _ta().sql_tfidf_topk(),
+        "source_overlap_documents": _ta().sql_source_overlap(),
     }
 
 

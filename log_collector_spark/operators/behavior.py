@@ -218,3 +218,51 @@ def sql_hour_anomaly_flags(table: str = "events",
                         FALSE) AS flagged
         FROM win
     """
+
+
+def ohlc_hours(events: DataFrame, type_col: str = "event_type",
+               ts_col: str = "ts", value_col: str = "value",
+               id_col: str = "event_id") -> DataFrame:
+    """OHLC downsampling per (type, hour): open/close are the value at the
+    first/last event of the bucket under the total order (event-time,
+    ``id_col``), high/low are min/max — the classic telemetry rollup
+    (candlesticks for metrics), one hash aggregate with map-side partials
+    (min_by/max_by partials merge associatively, same scale shape as A2's
+    minute buckets; no window over raw events).
+
+    The double ``value`` is quantized to 0.001 (round-half-up BIGINT, the
+    ``common.quantized_embedding`` convention) so the DuckDB oracle — which
+    uses ordered aggregates ``first(v ORDER BY ...)`` as the independent
+    formulation — hashes identically."""
+    us = _us(F.col(ts_col))
+    v = F.round(F.col(value_col).cast("double") * 1000, 0).cast("long")
+    hour_ms = ((us - us % 3_600_000_000) / 1000).cast("long")
+    key = F.struct(us.alias("us"), F.col(id_col).alias("eid"))
+    return (events.select(F.col(type_col), hour_ms.alias("hour_ms"),
+                          v.alias("v"), key.alias("k"))
+                  .groupBy(type_col, "hour_ms")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.min_by("v", "k").alias("open"),
+                       F.max_by("v", "k").alias("close"),
+                       F.max("v").alias("high"),
+                       F.min("v").alias("low")))
+
+
+def sql_ohlc_hours(table: str = "events") -> str:
+    return f"""
+        WITH src AS (
+            SELECT event_type,
+                   CAST((epoch_us(ts) - epoch_us(ts) % 3600000000) / 1000
+                        AS BIGINT) AS hour_ms,
+                   CAST(ROUND(value * 1000) AS BIGINT) AS v,
+                   epoch_us(ts) AS us, event_id
+            FROM {table}
+        )
+        SELECT event_type, hour_ms,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(FIRST(v ORDER BY us, event_id) AS BIGINT) AS open,
+               CAST(LAST(v ORDER BY us, event_id) AS BIGINT) AS close,
+               CAST(MAX(v) AS BIGINT) AS high,
+               CAST(MIN(v) AS BIGINT) AS low
+        FROM src GROUP BY 1, 2
+    """

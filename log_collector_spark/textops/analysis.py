@@ -932,3 +932,115 @@ def sql_token_budget_sample(table: str = "documents",
                cum_tokens <= {budget} AS kept
         FROM base
     """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction and cross-source n-gram overlap
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+OVERLAP_K = 8  # 8-gram shingles, same unit as eval-set decontamination
+
+
+def tfidf_topk(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", topk: int = TFIDF_TOPK) -> DataFrame:
+    """Per-document top-k keywords by integer TF-IDF: score =
+    tf * 1_000_000 // df (term frequency in the doc over document frequency
+    in the corpus; the permille trick scaled up so ranks never tie on
+    rounding). Ties break (score desc, token asc) — fully deterministic.
+
+    Plan shape at corpus scale: one (doc, token) hash agg with map-side
+    combine, one (token) hash agg for the df side, an equi-join on token
+    (shuffle join — the vocabulary is NOT broadcastable at 10^9 docs), and
+    a per-doc top-k window. The window partitions by doc_id over ~tokens
+    rows; no global sort anywhere."""
+    from pyspark.sql import Window
+    tf = (df.select(F.col(id_col),
+                    F.explode(C.tokens(F.lower(F.col(text_col))))
+                     .alias("token"))
+            .groupBy(id_col, "token")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.groupBy("token")
+               .agg(F.count(F.lit(1)).alias("df")))
+    scored = (tf.join(dfreq, "token")
+                .withColumn("score",
+                            F.floor(F.col("tf") * 1_000_000 / F.col("df"))
+                             .cast("long")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rk") <= topk)
+                  .select(id_col, "token", F.col("tf").cast("long").alias("tf"),
+                          F.col("df").cast("long").alias("df"),
+                          "score", "rk"))
+
+
+def sql_tfidf_topk(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text", topk: int = TFIDF_TOPK) -> str:
+    tok = C.sql_tokens(f"lower({text_col})")
+    return f"""
+        WITH tf AS (
+            SELECT {id_col}, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT {id_col}, unnest({tok}) AS token FROM {table})
+            GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), scored AS (
+            SELECT tf.{id_col}, tf.token, tf.tf, dfreq.df,
+                   CAST((tf.tf * 1000000) // dfreq.df AS BIGINT) AS score
+            FROM tf JOIN dfreq USING (token)
+        )
+        SELECT {id_col}, token, tf, df, score, rk FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY {id_col}
+                       ORDER BY score DESC, token) AS BIGINT) AS rk
+            FROM scored
+        ) WHERE rk <= {topk}
+    """
+
+
+def source_overlap(df: DataFrame, group_col: str = "source",
+                   text_col: str = "text", k: int = OVERLAP_K,
+                   max_groups_per_shingle: int | None = None) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair (a < b),
+    how many distinct ``k``-gram shingles they share — the corpus-level
+    companion of eval-set decontamination (which screens one eval set
+    against the corpus; this screens every source against every other).
+
+    Plan shape: distinct (source, shingle) — one hash agg with map-side
+    combine — then a shingle-keyed self-join. A shingle present in s
+    sources contributes s(s-1)/2 pairs, so join fan-out is bounded by
+    (#sources choose 2) PER SHINGLE, independent of corpus size; with
+    thousands of sources set ``max_groups_per_shingle`` to drop
+    boilerplate shingles present nearly everywhere (the ``max_df`` guard —
+    they carry no contamination signal). Output is the sparse upper
+    triangle: pairs sharing nothing emit no row."""
+    sh = (df.select(F.col(group_col).alias("g"),
+                    F.explode(C.shingles(C.tokens(F.lower(F.col(text_col))),
+                                         k)).alias("sh"))
+            .distinct())
+    if max_groups_per_shingle is not None:
+        counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("ng"))
+        sh = (sh.join(counts.filter(F.col("ng") <= max_groups_per_shingle),
+                      "sh").select("g", "sh"))
+    a = sh.select(F.col("g").alias("src_a"), "sh")
+    b = sh.select(F.col("g").alias("src_b"), "sh")
+    return (a.join(b, "sh")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("shared")))
+
+
+def sql_source_overlap(table: str = "documents", group_col: str = "source",
+                       text_col: str = "text", k: int = OVERLAP_K) -> str:
+    sh = C.sql_shingles(C.sql_tokens(f"lower({text_col})"), k)
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT {group_col} AS g, shingle
+            FROM (SELECT {group_col}, unnest({sh}) AS shingle FROM {table})
+        )
+        SELECT a.g AS src_a, b.g AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.g < b.g
+        GROUP BY 1, 2
+    """

@@ -133,3 +133,64 @@ def test_token_budget_sample_greedy_whole_docs(spark):
     for _, kept in s_rows:
         assert not (kept and seen_false)  # no kept row after a dropped one
         seen_false = seen_false or not kept
+
+
+def test_ohlc_hours_first_last_by_time_then_id(spark):
+    from log_collector_spark.operators.behavior import ohlc_hours
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # same timestamp -> event_id breaks the tie for open
+        (1, "a", base, 5.0), (2, "a", base, 7.0),
+        (3, "a", base + dt.timedelta(minutes=30), 1.25),
+        (4, "a", base + dt.timedelta(minutes=59), 9.0),
+        (5, "a", base + dt.timedelta(hours=1), 2.0),  # next bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double")
+    out = {r["hour_ms"]: r for r in ohlc_hours(df).collect()}
+    h0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    r = out[h0]
+    assert (r["open"], r["close"], r["high"], r["low"], r["n"]) == \
+        (5000, 9000, 9000, 1250, 4)
+    assert out[h0 + 3_600_000]["open"] == 2000
+
+
+def test_tfidf_rare_token_outranks_common(spark):
+    from log_collector_spark.textops.analysis import tfidf_topk
+    docs = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common common other")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["rk"]): (r["token"], r["score"])
+           for r in tfidf_topk(docs, topk=2).collect()}
+    # every token here scores tf * 1e6 // df = 1_000_000 (common: 2//2,
+    # rare/other: 1//1) -> ties everywhere, broken by token asc
+    assert out[(1, 1)][0] == "common"
+    assert out[(1, 2)] == ("rare", 1_000_000)
+    assert out[(2, 1)][0] == "common"
+    assert out[(2, 2)] == ("other", 1_000_000)
+
+
+def test_source_overlap_counts_distinct_shared_shingles(spark):
+    from log_collector_spark.textops.analysis import source_overlap
+    # 2-gram shingles; "a b" shared by s1/s2 (duplicated in s1 -> distinct
+    # still counts once); "x y" only in s3
+    docs = spark.createDataFrame(
+        [(1, "s1", "a b"), (2, "s1", "a b"), (3, "s2", "a b c"),
+         (4, "s3", "x y")],
+        "doc_id long, source string, text string")
+    got = {(r["src_a"], r["src_b"]): r["shared"]
+           for r in source_overlap(docs, k=2).collect()}
+    assert got == {("s1", "s2"): 1}
+
+
+def test_source_overlap_max_groups_guard(spark):
+    from log_collector_spark.textops.analysis import source_overlap
+    docs = spark.createDataFrame(
+        [(1, "s1", "a b"), (2, "s2", "a b"), (3, "s3", "a b"),
+         (4, "s1", "p q"), (5, "s2", "p q")],
+        "doc_id long, source string, text string")
+    got = {(r["src_a"], r["src_b"]): r["shared"]
+           for r in source_overlap(docs, k=2,
+                                   max_groups_per_shingle=2).collect()}
+    # "a b" is in 3 sources -> dropped by the guard; only "p q" survives
+    assert got == {("s1", "s2"): 1}

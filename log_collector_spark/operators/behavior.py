@@ -226,9 +226,10 @@ def ohlc_hours(events: DataFrame, type_col: str = "event_type",
     """OHLC downsampling per (type, hour): open/close are the value at the
     first/last event of the bucket under the total order (event-time,
     ``id_col``), high/low are min/max — the classic telemetry rollup
-    (candlesticks for metrics), one hash aggregate with map-side partials
-    (min_by/max_by partials merge associatively, same scale shape as A2's
-    minute buckets; no window over raw events).
+    (candlesticks for metrics), one aggregate pass with map-side partials
+    (min_by/max_by partials merge associatively; Catalyst plans
+    SortAggregate because the composite (us, id) ordering key isn't
+    hash-buffer-able — still partial+final, no window over raw events).
 
     The double ``value`` is quantized to 0.001 (round-half-up BIGINT, the
     ``common.quantized_embedding`` convention) so the DuckDB oracle — which

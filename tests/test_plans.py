@@ -148,3 +148,42 @@ def test_chunking_plan_shapes(spark):
     assert pack.count("Exchange") == 1, pack
     assert "hashpartitioning(source" in pack, pack  # the (group, shard) key
     assert "EvalPython" not in pack
+
+
+def test_interval_join_plans_as_equi_join_not_bnl(spark):
+    """The bucketized range join must plan as a hash/sort-merge EQUI-join —
+    a BroadcastNestedLoopJoin or CartesianProduct here means the bucket key
+    fell out of the join condition and the op is O(|W|*|E|) again."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["interval_join_events"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+
+
+def test_anomaly_window_runs_over_aggregated_buckets(spark):
+    """hour_anomaly_flags must aggregate events -> (type, hour) counts
+    BEFORE the trailing window: exactly one HashAggregate pair below the
+    Window node, never a Window over the raw scan."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["anomaly_hours_events"](spark, SF_DIR))
+    assert "Window" in plan, plan
+    # the window's child subtree must contain the hash aggregate
+    win_idx = plan.index("Window")
+    assert "HashAggregate" in plan[win_idx:], plan
+
+
+def test_ohlc_is_one_aggregate_pass_no_window(spark):
+    """min_by over a composite (us, event_id) key isn't hash-buffer-able, so
+    Catalyst picks SortAggregate — what matters at scale is that the partial
+    functions still combine map-side and there is no Window over raw
+    events."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["ohlc_hours_events"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan, plan  # map-side combine is in the plan
+    assert "EvalPython" not in plan, plan

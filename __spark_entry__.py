@@ -811,6 +811,40 @@ def q_source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.source_overlap(_docs(spark, sf_dir))
 
 
+def q_quality_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic subsampling: keep a doc iff
+    h60(salt||id) % 1000 < alpha-token permille — the soft quality filter,
+    RNG-free and append-stable; pure narrow projection, zero shuffle."""
+    from log_collector_spark.textops import analysis as A
+    return A.quality_sample(_docs(spark, sf_dir))
+
+
+def q_keyword_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search (AND over the token set): distinct-token
+    semi-join + count == k; the shuffle carries at most |docs|*k rows."""
+    from log_collector_spark.textops import analysis as A
+    return A.keyword_search(_docs(spark, sf_dir))
+
+
+def q_transition_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user stream
+    (lag window on user_id, then a tiny (prev, curr) hash agg)."""
+    from log_collector_spark.operators import behavior as B
+    return B.transition_counts(_events(spark, sf_dir))
+
+
+def q_winsorized_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust stats: clamp the synthetic latency into the exact
+    per-type [p05, p95] rank-selection bounds, then aggregate — outliers
+    saturate instead of distorting the sum; the bounds frame is a tiny
+    broadcast."""
+    from log_collector_spark.operators import behavior as B
+    from log_collector_spark.textops.common import h60
+    ev = _events(spark, sf_dir)
+    lat = h60(F.col("event_id").cast("string")) % 5000
+    return B.winsorized_stats(ev, "event_type", lat)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -881,6 +915,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_hours_events": q_ohlc_hours_events,
         "tfidf_topk_documents": q_tfidf_topk_documents,
         "source_overlap_documents": q_source_overlap_documents,
+        "quality_sample_documents": q_quality_sample_documents,
+        "keyword_search_documents": q_keyword_search_documents,
+        "transition_counts_events": q_transition_counts_events,
+        "winsorized_latency": q_winsorized_latency,
     }
 
 
@@ -1310,6 +1348,39 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_hours_events": _bh().sql_ohlc_hours(),
         "tfidf_topk_documents": _ta().sql_tfidf_topk(),
         "source_overlap_documents": _ta().sql_source_overlap(),
+        "quality_sample_documents": _ta().sql_quality_sample(),
+        "keyword_search_documents": _ta().sql_keyword_search(),
+        "transition_counts_events": _bh().sql_transition_counts(),
+        "winsorized_latency": f"""
+            WITH lat AS (
+                SELECT event_type,
+                       {_tc().sql_h60("CAST(event_id AS VARCHAR)")} % 5000 AS v
+                FROM events
+            ), ranked AS (
+                SELECT event_type, v,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+                           AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS cnt
+                FROM lat
+            ), bounds AS (
+                SELECT event_type,
+                       MAX(CASE WHEN rn = CAST(FLOOR(0.05 * (cnt - 1)) AS BIGINT) + 1
+                                THEN v END) AS lo,
+                       MAX(CASE WHEN rn = CAST(FLOOR(0.95 * (cnt - 1)) AS BIGINT) + 1
+                                THEN v END) AS hi
+                FROM ranked GROUP BY event_type
+            )
+            SELECT l.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(GREATEST(b.lo, LEAST(b.hi, l.v))) AS BIGINT)
+                       AS sum_w,
+                   CAST(MIN(GREATEST(b.lo, LEAST(b.hi, l.v))) AS BIGINT)
+                       AS min_w,
+                   CAST(MAX(GREATEST(b.lo, LEAST(b.hi, l.v))) AS BIGINT)
+                       AS max_w
+            FROM lat l JOIN bounds b USING (event_type)
+            GROUP BY 1
+        """,
     }
 
 

@@ -267,3 +267,68 @@ def sql_ohlc_hours(table: str = "events") -> str:
                CAST(MIN(v) AS BIGINT) AS low
         FROM src GROUP BY 1, 2
     """
+
+
+def transition_counts(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix of event types per user stream:
+    count of (prev_type -> type) adjacencies under the per-user
+    (event-time, id) total order — the "what do users do next" aggregate.
+    One shuffle on ``user_col`` for the lag window, then a tiny
+    (prev, curr) hash agg; a user's first event has no predecessor and
+    emits no row."""
+    w = Window.partitionBy(user_col).orderBy(_us(F.col(ts_col)),
+                                             F.col(id_col))
+    lagged = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("event_type"))
+    return (lagged.filter(F.col("prev_type").isNotNull())
+                  .groupBy("prev_type", "event_type")
+                  .agg(F.count(F.lit(1)).alias("n")))
+
+
+def sql_transition_counts(table: str = "events") -> str:
+    return f"""
+        WITH lagged AS (
+            SELECT LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev_type,
+                   event_type
+            FROM {table}
+        )
+        SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lagged WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+def winsorized_stats(events: DataFrame, group_col: str, value: Column,
+                     lo_q: float = 0.05, hi_q: float = 0.95) -> DataFrame:
+    """Robust per-group stats: clamp each value into the group's exact
+    [lo_q, hi_q] rank-selection percentile bounds (winsorization — outliers
+    saturate instead of distorting the sum), then aggregate. Integer in/out.
+
+    Two passes over the values: the exact-percentile frame (one shuffle +
+    per-group sort, see ``aggregate.exact_percentiles``) is a tiny
+    per-group scalar table broadcast back onto the stream, so the clamped
+    aggregate adds only a map-side join + one hash agg. At 100 TB swap the
+    bound-finder for the mergeable histogram sketch
+    (``aggregate.histogram_percentiles``) — same clamp stage."""
+    from log_collector_spark.operators.aggregate import exact_percentiles
+
+    bounds = exact_percentiles(events, group_col, value,
+                               {"lo": lo_q, "hi": hi_q}) \
+        .select(group_col, "lo", "hi")
+    v = value.cast("long").alias("v")
+    base = events.select(F.col(group_col), v)
+    clamped = (base.join(F.broadcast(bounds), group_col)
+                   .select(F.col(group_col),
+                           F.greatest(F.col("lo"),
+                                      F.least(F.col("hi"), F.col("v")))
+                            .alias("w")))
+    return (clamped.groupBy(group_col)
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("w").cast("long").alias("sum_w"),
+                        F.min("w").cast("long").alias("min_w"),
+                        F.max("w").cast("long").alias("max_w")))

@@ -1044,3 +1044,91 @@ def sql_source_overlap(table: str = "documents", group_col: str = "source",
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.g < b.g
         GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic subsampling and conjunctive keyword search
+# ---------------------------------------------------------------------------
+
+QS_SALT = "qsample:v1|"
+
+
+def quality_sample(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   salt: str = QS_SALT) -> DataFrame:
+    """Quality-weighted downsampling, RNG-free: each doc is kept with
+    probability proportional to its quality permille — kept iff
+    ``h60(salt || id) % 1000 < quality_permille`` (the CCNet/FineWeb-style
+    soft filter: don't hard-drop mid-quality docs, thin them). Deterministic
+    and append-stable: a doc's keep/drop never changes as the corpus grows.
+
+    Quality here is the stopword-permille proxy from
+    :func:`quality_signals`'s family kept deliberately simple (alpha-token
+    permille), so the whole op is a narrow pure-Catalyst projection — zero
+    shuffle at any corpus size."""
+    toks = C.tokens(F.lower(F.col(text_col)))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    quality = C.permille(alpha, F.size(toks))
+    draw = C.h60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1000
+    return df.select(
+        F.col(id_col),
+        quality.alias("quality_permille"),
+        draw.cast("long").alias("draw"),
+        (draw < quality).alias("kept"))
+
+
+def sql_quality_sample(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text", salt: str = QS_SALT) -> str:
+    toks = C.sql_tokens(f"lower({text_col})")
+    alpha = (f"len(list_filter({toks}, "
+             f"t -> regexp_matches(t, '^[a-z]+$')))")
+    quality = C.sql_permille(alpha, f"len({toks})")
+    draw = f"{C.sql_h60(repr(salt) + ' || ' + id_col)} % 1000"
+    return f"""
+        SELECT {id_col},
+               {quality} AS quality_permille,
+               CAST({draw} AS BIGINT) AS draw,
+               {draw} < {quality} AS kept
+        FROM {table}
+    """
+
+
+KEYWORDS = ["data", "model", "training"]
+
+
+def keyword_search(df: DataFrame, keywords: list[str] | None = None,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Conjunctive keyword search: docs containing ALL query terms (AND
+    semantics over the token set, not substring match). The query list is a
+    tiny broadcast; per doc the match reduces to a distinct-token semi-join
+    + count == k — one (doc, token) hash agg over only the tokens that are
+    query terms, so the shuffle carries at most |docs| * k rows at any
+    corpus size."""
+    keywords = keywords or KEYWORDS
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.array_distinct(
+                          C.tokens(F.lower(F.col(text_col))))).alias("tok"))
+              .filter(F.col("tok").isin(keywords)))
+    return (toks.groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_hit"))
+                .filter(F.col("n_hit") == len(keywords))
+                .select(id_col, F.col("n_hit").cast("long").alias("n_hit")))
+
+
+def sql_keyword_search(table: str = "documents",
+                       keywords: list[str] | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    keywords = keywords or KEYWORDS
+    kw = ", ".join(f"'{k}'" for k in keywords)
+    toks = C.sql_tokens(f"lower({text_col})")
+    return f"""
+        SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM (
+            SELECT DISTINCT {id_col}, tok
+            FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table})
+            WHERE tok IN ({kw})
+        )
+        GROUP BY {id_col} HAVING COUNT(*) = {len(keywords)}
+    """

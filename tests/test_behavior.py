@@ -194,3 +194,69 @@ def test_source_overlap_max_groups_guard(spark):
                                    max_groups_per_shingle=2).collect()}
     # "a b" is in 3 sources -> dropped by the guard; only "p q" survives
     assert got == {("s1", "s2"): 1}
+
+
+def test_transition_counts_orders_per_user(spark):
+    from log_collector_spark.operators.behavior import transition_counts
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: a -> b -> b ; u2: b -> a; first events emit no transition
+        (1, 1, "a", base), (2, 1, "b", base + dt.timedelta(minutes=1)),
+        (3, 1, "b", base + dt.timedelta(minutes=2)),
+        (4, 2, "b", base), (5, 2, "a", base + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    got = {(r["prev_type"], r["event_type"]): r["n"]
+           for r in transition_counts(df).collect()}
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+
+
+def test_transition_counts_tie_broken_by_event_id(spark):
+    from log_collector_spark.operators.behavior import transition_counts
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(2, 1, "x", base), (1, 1, "y", base)],  # same ts -> id order: y,x
+        "event_id long, user_id long, event_type string, ts timestamp")
+    got = {(r["prev_type"], r["event_type"]): r["n"]
+           for r in transition_counts(df).collect()}
+    assert got == {("y", "x"): 1}
+
+
+def test_winsorized_stats_clamps_outliers(spark):
+    from log_collector_spark.operators.behavior import winsorized_stats
+    # 21 values 0..19 plus one huge outlier; p05 bound = v[floor(.05*21)]=v[1]
+    vals = list(range(20)) + [10_000]
+    df = spark.createDataFrame([(i, "g", v) for i, v in enumerate(vals)],
+                               "i long, g string, v long")
+    [r] = winsorized_stats(df, "g", F.col("v")).collect()
+    # sorted vals; n=21: lo = idx floor(.05*20)=1 -> 1, hi = floor(.95*20)=19 -> 19
+    assert (r["n"], r["min_w"], r["max_w"]) == (21, 1, 19)
+    expected_sum = sum(min(19, max(1, v)) for v in vals)
+    assert r["sum_w"] == expected_sum
+
+
+def test_quality_sample_deterministic_and_bounded(spark):
+    from log_collector_spark.textops.analysis import quality_sample
+    docs = spark.createDataFrame(
+        [(1, "clean words only here"), (2, "9999 #### $$$$ 1234")],
+        "doc_id long, text string")
+    a = {r["doc_id"]: (r["quality_permille"], r["draw"], r["kept"])
+         for r in quality_sample(docs).collect()}
+    b = {r["doc_id"]: (r["quality_permille"], r["draw"], r["kept"])
+         for r in quality_sample(docs).collect()}
+    assert a == b                       # RNG-free
+    assert a[1][0] == 1000              # all-alpha doc
+    assert a[2][0] == 0 and not a[2][2]  # zero quality can never be kept
+    for q, draw, kept in a.values():
+        assert kept == (draw < q)
+
+
+def test_keyword_search_requires_all_terms(spark):
+    from log_collector_spark.textops.analysis import keyword_search
+    docs = spark.createDataFrame(
+        [(1, "data model training loop"), (2, "data model"),
+         (3, "training data data data model")],
+        "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in keyword_search(docs).collect())
+    assert got == [1, 3]  # doc 2 misses 'training'; dup tokens count once

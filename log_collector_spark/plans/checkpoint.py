@@ -39,8 +39,17 @@ def _ckpt_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, CKPT_TABLE)
 
 
+def _table_exists(path: str) -> bool:
+    """The checkpoint tables legitimately don't exist on a first run —
+    check before spark.read so Spark's datasource doesn't log a scary
+    (but caught) FileNotFoundException at ERROR level."""
+    return os.path.isdir(path)
+
+
 def committed_files(spark: SparkSession, ckpt_dir: str) -> set[str]:
     path = _ckpt_path(ckpt_dir)
+    if not _table_exists(path):
+        return set()
     try:
         rows = spark.read.parquet(path).select("src_file").distinct().collect()
     except Exception:
@@ -50,6 +59,8 @@ def committed_files(spark: SparkSession, ckpt_dir: str) -> set[str]:
 
 def committed_batches(spark: SparkSession, ckpt_dir: str) -> set[str]:
     path = _ckpt_path(ckpt_dir)
+    if not _table_exists(path):
+        return set()
     try:
         rows = spark.read.parquet(path).select("batch_id").distinct().collect()
     except Exception:
@@ -98,6 +109,8 @@ def pending_files(spark: SparkSession, input_dir: str,
                  if filename_regex is not None or f.endswith(".parquet")]
     if not all_files:
         return []
+    if not _table_exists(_ckpt_path(ckpt_dir)):
+        return all_files
     try:
         done = spark.read.parquet(_ckpt_path(ckpt_dir)).select("src_file")
     except Exception:
@@ -154,6 +167,8 @@ def truncated_files(spark: SparkSession, ckpt_dir: str) -> list[str]:
     offset > current length → restart from 0). File-granularity analog: a
     committed file whose on-disk size SHRANK was truncated/rotated in place
     — its checkpoint entry is stale."""
+    if not _table_exists(_filestate_path(ckpt_dir)):
+        return []
     try:
         rows = (spark.read.parquet(_filestate_path(ckpt_dir))
                 .groupBy("src_file")

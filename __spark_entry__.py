@@ -845,6 +845,21 @@ def q_winsorized_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.winsorized_stats(ev, "event_type", lat)
 
 
+def q_semantic_dedup_embeddings(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: connected components over the
+    guarded embedding near-dup pairs → one kept representative (min vec_id)
+    per semantic cluster. Composes the two scale-safe primitives: sign-LSH
+    bucketed pair generation (bounded per-bucket work) + min-label
+    propagation (shuffles only (id, label) pairs)."""
+    from log_collector_spark.textops import dedup as D
+    embs = _embs(spark, sf_dir)
+    pairs = (D.embedding_neardup_guarded(embs)
+              .select(F.col("vec_a").alias("doc_a"),
+                      F.col("vec_b").alias("doc_b")))
+    return D.dedup_clusters(embs, pairs=pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -919,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search_documents": q_keyword_search_documents,
         "transition_counts_events": q_transition_counts_events,
         "winsorized_latency": q_winsorized_latency,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     }
 
 
@@ -1381,6 +1397,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lat l JOIN bounds b USING (event_type)
             GROUP BY 1
         """,
+        "semantic_dedup_embeddings": _td().sql_clusters_over(
+            _td().sql_embedding_neardup_guarded(), "vec_a", "vec_b"),
     }
 
 

@@ -732,15 +732,16 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
         edges.unpersist()
 
 
-def sql_dedup_clusters(table: str = "documents") -> str:
-    """DuckDB oracle: recursive-CTE transitive closure + min per source.
-    All-pairs reachability is fine at oracle scale (and only there)."""
+def sql_clusters_over(pairs_sql: str, a_col: str, b_col: str) -> str:
+    """DuckDB oracle for connected components over ANY pair query:
+    recursive-CTE transitive closure + min per source. All-pairs
+    reachability is fine at oracle scale (and only there)."""
     return f"""
-        WITH RECURSIVE pairs AS ({sql_minhash_lsh_pairs(table)}),
+        WITH RECURSIVE pairs AS ({pairs_sql}),
         edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            SELECT {a_col} AS src, {b_col} AS dst FROM pairs
             UNION
-            SELECT doc_b, doc_a FROM pairs
+            SELECT {b_col}, {a_col} FROM pairs
         ),
         reach(src, dst) AS (
             SELECT src, dst FROM edges
@@ -753,6 +754,10 @@ def sql_dedup_clusters(table: str = "documents") -> str:
         )
         SELECT doc_id, cluster, doc_id = cluster AS keep FROM lab
     """
+
+
+def sql_dedup_clusters(table: str = "documents") -> str:
+    return sql_clusters_over(sql_minhash_lsh_pairs(table), "doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

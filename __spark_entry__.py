@@ -860,6 +860,40 @@ def q_semantic_dedup_embeddings(spark: SparkSession,
     return D.dedup_clusters(embs, pairs=pairs)
 
 
+def q_rolling_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day: distinct
+    (day, user) pairs explode into <= 7 report days (bounded narrow
+    duplication) — exact WAU with no sketch and no window over raw
+    events."""
+    from log_collector_spark.operators import behavior as B
+    return B.rolling_active_users(_events(spark, sf_dir))
+
+
+def q_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: events vs a deterministically drifted copy
+    (%13 removed, %7 value-changed, %101 re-keyed as added) classified by a
+    full-outer join on (key, h60-row-hash) — only (key, hash) pairs
+    shuffle, never the payload."""
+    from log_collector_spark.operators import behavior as B
+    from log_collector_spark.textops.common import h60
+    ev = _events(spark, sf_dir)
+    vq = F.round(F.col("value").cast("double") * 1000, 0).cast("long")
+    base = ev.select("event_id", "event_type", "user_id", vq.alias("vq"))
+    changed_vq = (F.col("vq") +
+                  F.when(F.col("event_id") % 7 == 0, 1).otherwise(0))
+    new = (base.filter(F.col("event_id") % 13 != 0)
+               .select("event_id", "event_type", "user_id",
+                       changed_vq.alias("vq")))
+    added = (base.filter(F.col("event_id") % 101 == 0)
+                 .select((F.col("event_id") + 10_000_000).alias("event_id"),
+                         "event_type", "user_id", "vq"))
+    row_hash = h60(F.concat_ws(
+        "|", F.col("event_id").cast("string"), F.col("event_type"),
+        F.col("user_id").cast("string"), F.col("vq").cast("string")))
+    return B.snapshot_diff(base, new.unionByName(added), "event_id",
+                           row_hash)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -935,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_counts_events": q_transition_counts_events,
         "winsorized_latency": q_winsorized_latency,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "rolling_wau_events": q_rolling_wau_events,
+        "snapshot_diff_events": q_snapshot_diff_events,
     }
 
 
@@ -1399,6 +1435,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dedup_embeddings": _td().sql_clusters_over(
             _td().sql_embedding_neardup_guarded(), "vec_a", "vec_b"),
+        "rolling_wau_events": _bh().sql_rolling_active_users(),
+        "snapshot_diff_events": f"""
+            WITH base AS (
+                SELECT event_id, event_type, user_id,
+                       CAST(ROUND(value * 1000) AS BIGINT) AS vq
+                FROM events
+            ), newsnap AS (
+                SELECT event_id, event_type, user_id,
+                       vq + CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS vq
+                FROM base WHERE event_id % 13 <> 0
+                UNION ALL
+                SELECT event_id + 10000000, event_type, user_id, vq
+                FROM base WHERE event_id % 101 = 0
+            ), o AS (
+                SELECT event_id AS k,
+                       {_tc().sql_h60("CAST(event_id AS VARCHAR) || '|' || event_type || '|' || CAST(user_id AS VARCHAR) || '|' || CAST(vq AS VARCHAR)")} AS h_old
+                FROM base
+            ), n AS (
+                SELECT event_id AS k,
+                       {_tc().sql_h60("CAST(event_id AS VARCHAR) || '|' || event_type || '|' || CAST(user_id AS VARCHAR) || '|' || CAST(vq AS VARCHAR)")} AS h_new
+                FROM newsnap
+            )
+            SELECT COALESCE(o.k, n.k) AS event_id,
+                   CASE WHEN o.h_old IS NULL THEN 'added'
+                        WHEN n.h_new IS NULL THEN 'removed'
+                        WHEN o.h_old <> n.h_new THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN n ON o.k = n.k
+        """,
     }
 
 

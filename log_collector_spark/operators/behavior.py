@@ -332,3 +332,72 @@ def winsorized_stats(events: DataFrame, group_col: str, value: Column,
                         F.sum("w").cast("long").alias("sum_w"),
                         F.min("w").cast("long").alias("min_w"),
                         F.max("w").cast("long").alias("max_w")))
+
+
+ROLLING_DAYS = 7
+
+
+def rolling_active_users(events: DataFrame, user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         days: int = ROLLING_DAYS) -> DataFrame:
+    """Rolling ``days``-day distinct active users per day (the WAU metric
+    for days=7): for each active day d, count users active in
+    [d-days+1, d].
+
+    Exact, no sketch, and no window over raw events: the stream collapses
+    to DISTINCT (day, user) first (hash agg with map-side combine), each
+    pair then explodes into the <= ``days`` report-days it contributes to —
+    a narrow, bounded ×days duplication — and one final distinct-count per
+    report day. Only days that had at least one event are reported (the
+    report-day set is semi-joined against observed days, so a silent day
+    emits no row rather than a phantom window)."""
+    us = _us(F.col(ts_col))
+    day = ((us - us % 86_400_000_000) / 86_400_000_000).cast("long")
+    pairs = events.select(day.alias("day"), F.col(user_col).alias("u")) \
+                  .distinct()
+    contrib = pairs.select(
+        F.explode(F.sequence(F.col("day"),
+                             F.col("day") + days - 1)).alias("report_day"),
+        "u")
+    observed = pairs.select(F.col("day").alias("report_day")).distinct()
+    return (contrib.join(observed, "report_day")
+                   .groupBy("report_day")
+                   .agg(F.countDistinct("u").cast("long").alias("users")))
+
+
+def sql_rolling_active_users(table: str = "events",
+                             days: int = ROLLING_DAYS) -> str:
+    day = ("CAST((epoch_us(ts) - epoch_us(ts) % 86400000000) "
+           "/ 86400000000 AS BIGINT)")
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT {day} AS day, user_id AS u FROM {table}
+        ), contrib AS (
+            SELECT unnest(range(day, day + {days})) AS report_day, u
+            FROM pairs
+        ), observed AS (SELECT DISTINCT day AS report_day FROM pairs)
+        SELECT c.report_day, CAST(COUNT(DISTINCT c.u) AS BIGINT) AS users
+        FROM contrib c JOIN observed o USING (report_day)
+        GROUP BY 1
+    """
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
+                  row_hash) -> DataFrame:
+    """Table-snapshot reconciliation: full-outer join on the key, classify
+    each key as added / removed / changed / unchanged by comparing a
+    cross-engine-stable row hash (caller supplies the hash expression —
+    h60 over a canonical column serialization, never engine-native hashing).
+
+    One co-partitioned shuffle join on the key; the hash is computed in the
+    narrow stage so only (key, hash) pairs move — the row payload never
+    shuffles, which is what makes reconciling two 100-TB snapshots
+    tractable."""
+    o = old.select(F.col(key_col).alias("k"), row_hash.alias("h_old"))
+    n = new.select(F.col(key_col).alias("k"), row_hash.alias("h_new"))
+    j = o.join(n, "k", "full_outer")
+    status = (F.when(F.col("h_old").isNull(), F.lit("added"))
+               .when(F.col("h_new").isNull(), F.lit("removed"))
+               .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+               .otherwise(F.lit("unchanged")))
+    return j.select(F.col("k").alias(key_col), status.alias("status"))

@@ -260,3 +260,35 @@ def test_keyword_search_requires_all_terms(spark):
         "doc_id long, text string")
     got = sorted(r["doc_id"] for r in keyword_search(docs).collect())
     assert got == [1, 3]  # doc 2 misses 'training'; dup tokens count once
+
+
+def test_rolling_active_users_window_and_observed_days(spark):
+    from log_collector_spark.operators.behavior import rolling_active_users
+    d = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, d), (2, d),                          # day 0: users 1,2
+        (1, d + dt.timedelta(days=2)),           # day 2: user 1
+        (3, d + dt.timedelta(days=9)),           # day 9: user 3 (day 0+7 gap)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    got = {r["report_day"]: r["users"]
+           for r in rolling_active_users(df, days=7).collect()}
+    # only observed days report: 0, 2, 9
+    assert set(got) == {d0, d0 + 2, d0 + 9}
+    assert got[d0] == 2          # users 1,2
+    assert got[d0 + 2] == 2      # users 1,2 still in 7-day window; 1 deduped
+    assert got[d0 + 9] == 1      # old activity aged out
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    from log_collector_spark.operators.behavior import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long")
+    new = spark.createDataFrame(
+        [(1, 10), (2, 99), (4, 40)], "k long, v long")
+    h = F.concat(F.col("k").cast("string"), F.lit("|"),
+                 F.col("v").cast("string"))
+    got = {r["k"]: r["status"]
+           for r in snapshot_diff(old, new, "k", h).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -894,6 +894,22 @@ def q_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                            row_hash)
 
 
+def q_label_centroid_embeddings(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-(label, dim) centroid sums over quantized embeddings: narrow
+    posexplode + one map-side-combined hash agg — exact, mergeable class
+    statistics (#labels x dims output rows at any corpus size)."""
+    from log_collector_spark.textops import similarity as S
+    return S.label_centroid_stats(_embs(spark, sf_dir))
+
+
+def q_trigram_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step behavioral paths per user stream: both lags in one
+    WindowExec pass, trigram hash agg, TakeOrderedAndProject top-k."""
+    from log_collector_spark.operators import behavior as B
+    return B.trigram_paths(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -971,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "rolling_wau_events": q_rolling_wau_events,
         "snapshot_diff_events": q_snapshot_diff_events,
+        "label_centroid_embeddings": q_label_centroid_embeddings,
+        "trigram_paths_events": q_trigram_paths_events,
     }
 
 
@@ -1464,6 +1482,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS status
             FROM o FULL OUTER JOIN n ON o.k = n.k
         """,
+        "label_centroid_embeddings": _ts().sql_label_centroid_stats(),
+        "trigram_paths_events": _bh().sql_trigram_paths(),
     }
 
 

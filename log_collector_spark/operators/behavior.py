@@ -401,3 +401,57 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
                .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
                .otherwise(F.lit("unchanged")))
     return j.select(F.col("k").alias(key_col), status.alias("status"))
+
+
+TRIGRAM_TOPK = 20
+
+
+def trigram_paths(events: DataFrame, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  id_col: str = "event_id",
+                  topk: int = TRIGRAM_TOPK) -> DataFrame:
+    """Top-k 3-step behavioral paths: (a -> b -> c) event-type trigrams
+    over each user's (event-time, id)-ordered stream, ranked by count with
+    lexicographic tie-break — :func:`transition_counts` extended one step,
+    the path-mining primitive behind "users who did X then Y then Z".
+
+    One shuffle on ``user_col`` evaluates both lags in a single WindowExec
+    pass; the trigram hash agg combines map-side, and the top-k is
+    TakeOrderedAndProject (per-partition heads, never a global sort of the
+    full trigram vocabulary)."""
+    w = Window.partitionBy(user_col).orderBy(_us(F.col(ts_col)),
+                                             F.col(id_col))
+    lagged = events.select(
+        F.lag(type_col, 2).over(w).alias("t1"),
+        F.lag(type_col, 1).over(w).alias("t2"),
+        F.col(type_col).alias("t3"))
+    counts = (lagged.filter(F.col("t1").isNotNull())
+                    .groupBy("t1", "t2", "t3")
+                    .agg(F.count(F.lit(1)).alias("n")))
+    top = counts.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"),
+                         F.asc("t3")).limit(topk)
+    rk = Window.partitionBy(F.pmod(F.xxhash64("t1"), F.lit(1))).orderBy(
+        F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
+    return top.withColumn("rank", F.row_number().over(rk).cast("long"))
+
+
+def sql_trigram_paths(table: str = "events",
+                      topk: int = TRIGRAM_TOPK) -> str:
+    return f"""
+        WITH lagged AS (
+            SELECT LAG(event_type, 2) OVER w AS t1,
+                   LAG(event_type, 1) OVER w AS t2,
+                   event_type AS t3
+            FROM {table}
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id)
+        ), counts AS (
+            SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lagged WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+        )
+        SELECT t1, t2, t3, n, CAST(rank AS BIGINT) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       ORDER BY n DESC, t1, t2, t3) AS rank
+            FROM counts
+        ) WHERE rank <= {topk}
+    """

@@ -317,3 +317,46 @@ def sql_knn_label_consistency(table: str = "embeddings",
             FROM votes
         ) WHERE mrn = 1
     """
+
+
+def label_centroid_stats(df: DataFrame,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid sums in long format: element-wise sums of the
+    quantized vectors per (label, dim), plus the member count — the
+    class-separation audit a labeled embedding table gets before training
+    (centroid = s / n, computed by the consumer; emitting the integer SUM
+    keeps the output exact and mergeable across shards).
+
+    Plan shape: posexplode is a narrow ×dims expansion (dims is a small
+    constant), then ONE hash agg on (label, dim) with map-side combine —
+    the same partial-aggregation shape as a word count, no join, no
+    window. Works unchanged at 10^9 vectors because the output is
+    #labels × dims rows."""
+    q = df.select("label",
+                  F.posexplode(C.quantized_embedding(F.col(vec_col)))
+                   .alias("dim", "v"))
+    return (q.groupBy("label", "dim")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("v").cast("long").alias("s"),
+                  F.min("v").cast("long").alias("lo"),
+                  F.max("v").cast("long").alias("hi"))
+             .select(F.col("label").cast("long").alias("label"),
+                     F.col("dim").cast("long").alias("dim"),
+                     "n", "s", "lo", "hi"))
+
+
+def sql_label_centroid_stats(table: str = "embeddings") -> str:
+    q = C.sql_quantized_embedding("embedding")
+    return f"""
+        WITH base AS (SELECT label, {q} AS q FROM {table}),
+        ex AS (
+            SELECT label, t.dim AS dim, q[t.dim + 1] AS v
+            FROM base, unnest(range(0, len(q))) AS t(dim)
+        )
+        SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(MIN(v) AS BIGINT) AS lo,
+               CAST(MAX(v) AS BIGINT) AS hi
+        FROM ex GROUP BY 1, 2
+    """

@@ -910,6 +910,18 @@ def q_trigram_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.trigram_paths(_events(spark, sf_dir))
 
 
+def q_dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validity profile in one aggregate pass (nulls, invalid
+    JSON, non-positive values, out-of-range timestamps per event_type);
+    runs over the same deterministically drifted payload as
+    schema_profile_events so the invalid-JSON counter is non-trivial."""
+    from log_collector_spark.operators import behavior as B
+    ev = _events(spark, sf_dir)
+    src = ev.select("event_id", "ts", "user_id", "event_type", "value",
+                    _props_with_drift(ev).alias("props"))
+    return B.dq_profile(src)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -989,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_events": q_snapshot_diff_events,
         "label_centroid_embeddings": q_label_centroid_embeddings,
         "trigram_paths_events": q_trigram_paths_events,
+        "dq_profile_events": q_dq_profile_events,
     }
 
 
@@ -1484,6 +1497,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_centroid_embeddings": _ts().sql_label_centroid_stats(),
         "trigram_paths_events": _bh().sql_trigram_paths(),
+        "dq_profile_events": f"""
+            WITH src AS (
+                SELECT event_id, ts, user_id, event_type, value,
+                       CASE WHEN event_id % 7 = 0 THEN
+                                '{{"k":' || CAST(event_id % 100 AS VARCHAR)
+                                || ',"extra":"x","u":'
+                                || CAST(user_id AS VARCHAR) || '}}'
+                            WHEN event_id % 13 = 0 THEN 'not json'
+                            ELSE props END AS props
+                FROM events
+            )
+            {_bh().sql_dq_profile("src")}
+        """,
     }
 
 

@@ -455,3 +455,53 @@ def sql_trigram_paths(table: str = "events",
             FROM counts
         ) WHERE rank <= {topk}
     """
+
+
+def dq_profile(events: DataFrame) -> DataFrame:
+    """Data-quality validity profile of the event stream in ONE aggregate
+    pass: per event_type, null/blank counts, invalid-JSON payloads,
+    non-positive values, and out-of-range timestamps — the dbt-style test
+    summary a pipeline runs before promoting a batch. Every check is a
+    conditional sum inside a single map-side-combined hash agg, so the
+    cost is one scan + one tiny shuffle regardless of how many checks are
+    added (never one job per check).
+
+    ``json_object_keys`` returning NULL marks unparseable payloads — the
+    F3 stance (never throw per-row) applied to validation. The ts range
+    check brackets [2000-01-01, 2035-01-01) in epoch-µs."""
+    props_bad = F.json_object_keys(F.col("props")).isNull()
+    us = _us(F.col("ts"))
+    lo, hi = 946_684_800_000_000, 2_051_222_400_000_000
+    checks = {
+        "n": F.lit(True),
+        "null_user": F.col("user_id").isNull(),
+        "null_ts": F.col("ts").isNull(),
+        "bad_props": props_bad,
+        "nonpos_value": F.col("value") <= 0,
+        "ts_out_of_range": F.col("ts").isNotNull() & ((us < lo) | (us >= hi)),
+    }
+    aggs = [F.sum(F.coalesce(c.cast("long"), F.lit(0))).alias(name)
+            for name, c in checks.items()]
+    return events.groupBy("event_type").agg(*aggs)
+
+
+def sql_dq_profile(table: str = "events") -> str:
+    return f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_user,
+               CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_ts,
+               CAST(SUM(CASE WHEN json_valid(props)
+                             THEN (CASE WHEN json_type(props) = 'OBJECT'
+                                        THEN 0 ELSE 1 END)
+                             ELSE 1 END) AS BIGINT) AS bad_props,
+               CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nonpos_value,
+               CAST(SUM(CASE WHEN ts IS NOT NULL
+                             AND (epoch_us(ts) < 946684800000000
+                                  OR epoch_us(ts) >= 2051222400000000)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_range
+        FROM {table} GROUP BY event_type
+    """

@@ -922,6 +922,59 @@ def q_dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.dq_profile(src)
 
 
+def q_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style first-occurrence line dedup: repeated 3-word
+    segments survive only at their corpus-wide min (doc_id, pos); one
+    window shuffle over the 60-bit segment hash (packed-int64 canonical
+    key), per-doc kept/total rollup."""
+    from log_collector_spark.textops import dedup as D
+    return D.line_dedup(_docs(spark, sf_dir))
+
+
+def q_normalized_dedup_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Gopher-style fuzzy-exact dedup: strip all non-alphanumerics +
+    lowercase, hash-groupBy the normalized fingerprint, emit per-doc
+    canonical-survivor decisions."""
+    from log_collector_spark.textops import dedup as D
+    return D.normalized_dedup(_docs(spark, sf_dir))
+
+
+def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-style robust outliers: |v - median| > 5 * MAD per event
+    type, exact rank-selection medians (two shuffles) + broadcast clamp."""
+    from log_collector_spark.operators import behavior as B
+    return B.mad_outliers(_events(spark, sf_dir))
+
+
+def q_pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: 8 x 4-bit nearest-centroid codes
+    packed into one int64 + squared reconstruction error — pure Catalyst,
+    zero shuffle."""
+    from log_collector_spark.textops import similarity as S
+    return S.pq_codes(_embs(spark, sf_dir))
+
+
+def q_mixture_weights_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Data-mixing rates: per-source token shares vs hash-derived target
+    weights -> clamped sampling permille; one hash agg + broadcast
+    totals."""
+    from log_collector_spark.textops import analysis as A
+    return A.mixture_weights(_docs(spark, sf_dir))
+
+
+def q_contamination_score_documents(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Graded eval-contamination: permille of each train doc's distinct
+    8-grams found in the eval slice (doc_id %% 50 == 0) — broadcast eval
+    membership join, per-doc map-side-combined counts."""
+    from log_collector_spark.textops import dedup as D
+    docs = _docs(spark, sf_dir)
+    return D.contamination_score(docs.filter(F.col("doc_id") % 50 != 0),
+                                 docs.filter(F.col("doc_id") % 50 == 0))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grok_parse_events": q_grok_parse_events,
@@ -1002,6 +1055,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_embeddings": q_label_centroid_embeddings,
         "trigram_paths_events": q_trigram_paths_events,
         "dq_profile_events": q_dq_profile_events,
+        "line_dedup_documents": q_line_dedup_documents,
+        "normalized_dedup_documents": q_normalized_dedup_documents,
+        "contamination_score_documents": q_contamination_score_documents,
+        "mad_outliers_events": q_mad_outliers_events,
+        "pq_codes_embeddings": q_pq_codes_embeddings,
+        "mixture_weights_documents": q_mixture_weights_documents,
     }
 
 
@@ -1510,6 +1569,12 @@ def oracle_sql() -> dict[str, str]:
             )
             {_bh().sql_dq_profile("src")}
         """,
+        "line_dedup_documents": _td().sql_line_dedup(),
+        "normalized_dedup_documents": _td().sql_normalized_dedup(),
+        "contamination_score_documents": _td().sql_contamination_score(),
+        "mad_outliers_events": _bh().sql_mad_outliers(),
+        "pq_codes_embeddings": _ts().sql_pq_codes(),
+        "mixture_weights_documents": _ta().sql_mixture_weights(),
     }
 
 

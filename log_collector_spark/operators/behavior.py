@@ -505,3 +505,90 @@ def sql_dq_profile(table: str = "events") -> str:
                              THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_range
         FROM {table} GROUP BY event_type
     """
+
+
+MAD_K = 5  # outlier iff |v - median| > MAD_K * MAD (≈ 3.4σ for normal data)
+
+
+def mad_outliers(events: DataFrame, group_col: str = "event_type",
+                 value: Column | None = None, k: int = MAD_K) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation:
+    a value is anomalous iff |v - median| > k * MAD — the
+    breakdown-point-0.5 alternative to z-scores, immune to the outliers
+    it hunts (mean/stddev are dragged by the very tail they're meant to
+    flag; the Hampel-filter rule every metrics pipeline runs on latency
+    streams). Integer in/out: both medians use the exact rank-selection
+    spec of ``aggregate.exact_percentiles``.
+
+    Returns (group, n, median_v, mad_v, n_outliers).
+
+    Plan: two rank-selection passes (each one shuffle on ``group_col`` +
+    per-group sort — the exact-median floor), each emitting a
+    #groups-row scalar frame broadcast back onto the stream, then a
+    single map-side-combined count. Grouping by a low-cardinality column
+    makes the window partitions coarse — at 100 TB swap the two exact
+    medians for approx_percentile (or the mergeable
+    ``aggregate.histogram_percentiles`` sketch) and keep the identical
+    broadcast-clamp-count tail; this operator is the correctness
+    baseline the sketch version is validated against."""
+    from log_collector_spark.operators.aggregate import exact_percentiles
+
+    if value is None:
+        value = F.round(F.col("value").cast("double") * 1000, 0)
+    base = events.select(F.col(group_col),
+                         value.cast("long").alias("v"))
+    med = exact_percentiles(base, group_col, F.col("v"),
+                            {"med": 0.5}).select(group_col, "med")
+    dev = (base.join(F.broadcast(med), group_col)
+               .select(F.col(group_col), F.col("med"),
+                       F.abs(F.col("v") - F.col("med")).alias("d")))
+    mad = exact_percentiles(dev, group_col, F.col("d"),
+                            {"mad": 0.5}).select(group_col, "mad")
+    return (dev.join(F.broadcast(mad), group_col)
+               .groupBy(group_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.max("med").cast("long").alias("median_v"),
+                    F.max("mad").cast("long").alias("mad_v"),
+                    F.sum(F.when(F.col("d") > k * F.col("mad"), 1)
+                           .otherwise(0)).cast("long").alias("n_outliers")))
+
+
+def sql_mad_outliers(table: str = "events", group_col: str = "event_type",
+                     k: int = MAD_K) -> str:
+    vq = "CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT)"
+    return f"""
+        WITH base AS (
+            SELECT {group_col} AS g, {vq} AS v FROM {table}
+        ), r1 AS (
+            SELECT g, v,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS cnt
+            FROM base
+        ), med AS (
+            SELECT g, MAX(CASE WHEN rn = CAST(floor(0.5 * (cnt - 1))
+                                              AS BIGINT) + 1
+                               THEN v END) AS med
+            FROM r1 GROUP BY g
+        ), dev AS (
+            SELECT b.g, m.med, abs(b.v - m.med) AS d
+            FROM base b JOIN med m ON b.g = m.g
+        ), r2 AS (
+            SELECT g, d,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS cnt
+            FROM dev
+        ), mad AS (
+            SELECT g, MAX(CASE WHEN rn = CAST(floor(0.5 * (cnt - 1))
+                                              AS BIGINT) + 1
+                               THEN d END) AS mad
+            FROM r2 GROUP BY g
+        )
+        SELECT dev.g AS {group_col},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(dev.med) AS BIGINT) AS median_v,
+               CAST(MAX(mad.mad) AS BIGINT) AS mad_v,
+               CAST(SUM(CASE WHEN dev.d > {k} * mad.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev JOIN mad ON dev.g = mad.g
+        GROUP BY dev.g
+    """

@@ -1132,3 +1132,80 @@ def sql_keyword_search(table: str = "documents",
         )
         GROUP BY {id_col} HAVING COUNT(*) = {len(keywords)}
     """
+
+
+# ---------------------------------------------------------------------------
+# Mixture reweighting (per-source sampling rates to hit a target data mix)
+# ---------------------------------------------------------------------------
+
+
+def mixture_weights(df: DataFrame, group_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Per-source sampling rates that reshape the corpus toward a target
+    token mixture — the "data mixing" step every LLM pipeline runs after
+    filtering (DoReMi/Pile-style domain weights, here with deterministic
+    hash-derived targets so the oracle shares the exact constants).
+
+    Target share of source s ∝ ``h60(s) % 100 + 1`` (a stand-in for the
+    externally-chosen domain weights). With T total corpus tokens, the
+    target token budget is ``T_s = T * w_s // Σw``, and the downsampling
+    rate is ``rate_permille = min(1000, T_s * 1000 // tokens_s)`` — a
+    source over its budget is sampled down, a source under it keeps
+    everything (rates > 1 would be epoch-repeat factors; clamped here).
+
+    Returns (source, n_docs, n_tokens, share_permille, weight,
+    rate_permille).
+
+    Plan: one map-side-combined hash agg to (source, doc/token counts) —
+    a #sources-row frame; the corpus-wide totals then attach via a
+    broadcast of a ONE-row aggregate (no second scan: totals re-aggregate
+    the tiny per-source frame). Everything after the first agg is
+    driver-scale. Applying the rates is a narrow filter downstream
+    (``h60(doc_id) % 1000 < rate_permille``), same shape as
+    :func:`split_assign`."""
+    ntok = F.size(C.tokens(F.col(text_col))).cast("long")
+    per = (df.select(F.col(group_col), ntok.alias("ntok"))
+             .groupBy(group_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum("ntok").cast("long").alias("n_tokens")))
+    w = (C.h60(F.col(group_col)) % 100 + 1).cast("long")
+    weighted = per.withColumn("weight", w)
+    totals = weighted.agg(
+        F.sum("n_tokens").cast("long").alias("t_total"),
+        F.sum("weight").cast("long").alias("w_total"))
+    j = weighted.crossJoin(F.broadcast(totals))
+    return j.select(
+        F.col(group_col),
+        "n_docs", "n_tokens",
+        F.expr("(n_tokens * 1000) DIV t_total").cast("long")
+         .alias("share_permille"),
+        "weight",
+        F.least(F.lit(1000).cast("long"),
+                F.expr("((t_total * weight) DIV w_total) * 1000 DIV n_tokens")
+                 .cast("long")).alias("rate_permille"))
+
+
+def sql_mixture_weights(table: str = "documents",
+                        group_col: str = "source") -> str:
+    tok = C.sql_tokens("text")
+    wexpr = f"{C.sql_h60(group_col)} % 100 + 1"
+    return f"""
+        WITH per AS (
+            SELECT {group_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({tok})) AS BIGINT) AS n_tokens,
+                   CAST({wexpr} AS BIGINT) AS weight
+            FROM {table} GROUP BY {group_col}
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total,
+                   CAST(SUM(weight) AS BIGINT) AS w_total
+            FROM per
+        )
+        SELECT {group_col}, n_docs, n_tokens,
+               CAST((n_tokens * 1000) // t_total AS BIGINT)
+                   AS share_permille,
+               weight,
+               CAST(least(1000, ((t_total * weight) // w_total) * 1000
+                                // n_tokens) AS BIGINT) AS rate_permille
+        FROM per CROSS JOIN tot
+    """

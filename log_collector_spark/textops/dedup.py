@@ -965,3 +965,213 @@ def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
                  .filter(F.col("inter") * den >= F.lit(num) * F.col("uni"))
                  .select("doc_a", "doc_b",
                          F.col("inter").cast("long").alias("inter"), "uni"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level first-occurrence line dedup (RefinedWeb/CCNet-style)
+# ---------------------------------------------------------------------------
+
+# pos fits in 20 bits (a doc would need > 1M segments to overflow; the
+# packing below is doc_id * 2^20 + pos and doc_id < 2^40 keeps it in int64)
+_LINE_POS_BITS = 20
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               k: int = BOILER_K) -> DataFrame:
+    """Corpus-wide first-occurrence segment dedup: every repeated "line"
+    (non-overlapping ``k``-word segment — the newline-free stand-in, same
+    unit as :func:`boilerplate_segments`) is kept ONLY at its canonical
+    first occurrence (min (doc_id, position) corpus-wide) and dropped
+    everywhere else — the CCNet / RefinedWeb line-dedup rule, where
+    boilerplate removal keeps zero copies but line dedup keeps exactly one.
+
+    Returns per-doc (doc_id, n_segments, n_kept, kept_permille).
+
+    Plan: explode to (doc_id, pos, h60(segment)); one window over the
+    60-bit hash computes the corpus-wide min of the PACKED occurrence key
+    ``doc_id * 2^20 + pos`` (single int64 — min over a packed integer is
+    engine-order-free, unlike struct ordering), so canonical selection is
+    a single shuffle on a high-cardinality key with no join back. The
+    per-doc rollup is a map-side-combined hash agg. Text never shuffles —
+    only (hash, packed-key) pairs move. At 100 TB this is the standard
+    hash-partition dedup pass; skew is bounded because even a segment
+    repeated 10^6 times sorts within one partition's bucket."""
+    from pyspark.sql.window import Window
+
+    segs = df.select(
+        "doc_id", C.segments(C.tokens(F.col(text_col)), k).alias("segs"))
+    ex = segs.select(
+        "doc_id", F.posexplode("segs").alias("pos", "seg")) \
+        .select("doc_id", "pos", C.h60(F.col("seg")).alias("seg_h"))
+    packed = (F.col("doc_id") * (1 << _LINE_POS_BITS) +
+              F.col("pos")).cast("long")
+    w = Window.partitionBy("seg_h")
+    marked = ex.select(
+        "doc_id",
+        (packed == F.min(packed).over(w)).alias("keep"))
+    per_doc = (marked.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_segments"),
+                    F.sum(F.col("keep").cast("long")).cast("long")
+                     .alias("n_kept")))
+    return (df.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_segments", F.lit(0)).cast("long")
+                     .alias("n_segments"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                     .alias("n_kept"))
+            .withColumn("kept_permille",
+                        C.permille(F.col("n_kept"), F.col("n_segments"))))
+
+
+def sql_line_dedup(table: str = "documents", k: int = BOILER_K) -> str:
+    tok = C.sql_tokens("text")
+    segs = C.sql_segments("tok", k)
+    h = C.sql_h60("seg")
+    pack = f"doc_id * {1 << _LINE_POS_BITS} + pos"
+    return f"""
+        WITH segs AS (
+            SELECT doc_id, {segs} AS segs
+            FROM (SELECT doc_id, {tok} AS tok FROM {table})
+        ), ex AS (
+            SELECT doc_id, i AS pos, {h} AS seg_h
+            FROM (
+                SELECT doc_id, i, segs[i + 1] AS seg
+                FROM segs, unnest(range(0, len(segs))) AS t(i)
+            )
+        ), marked AS (
+            SELECT doc_id,
+                   ({pack}) = MIN({pack}) OVER (PARTITION BY seg_h) AS keep
+            FROM ex
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept
+            FROM marked GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+               {C.sql_permille("COALESCE(p.n_kept, 0)",
+                               "COALESCE(p.n_segments, 0)")} AS kept_permille
+        FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Aggressive-normalization dedup (Gopher-style "fuzzy exact")
+# ---------------------------------------------------------------------------
+
+
+def normalized_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc dedup decisions under AGGRESSIVE normalization: lowercase,
+    strip every non-alphanumeric rune to a bare letter/digit stream, then
+    exact-match — the Gopher/MassiveText "exact dedup after normalization"
+    rule that catches re-punctuated / re-spaced mirrors which byte-exact
+    dedup misses (exact_dedup_summary only collapses whitespace+case).
+
+    Returns (doc_id, norm_h, group_n, canonical): every doc with its
+    60-bit normalized fingerprint, its duplicate-group size, and whether
+    it is the group's canonical survivor (min doc_id — the materialized
+    keep/drop decision a real pipeline writes back).
+
+    Plan: one hash-groupBy of (norm_h → min doc_id, count) — the only
+    shuffle moves 16-byte pairs; the group table joins back on norm_h,
+    left un-hinted so AQE picks broadcast vs shuffle by its real size.
+    Text never shuffles."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", "")
+    fp = df.select("doc_id", C.h60(norm).alias("norm_h"))
+    groups = (fp.groupBy("norm_h")
+              .agg(F.min("doc_id").alias("keep_id"),
+                   F.count(F.lit(1)).cast("long").alias("group_n")))
+    return (fp.join(groups, "norm_h")
+            .select("doc_id", "norm_h", "group_n",
+                    (F.col("doc_id") == F.col("keep_id")).alias("canonical")))
+
+
+def sql_normalized_dedup(table: str = "documents") -> str:
+    norm = "regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')"
+    h = C.sql_h60(norm)
+    return f"""
+        WITH fp AS (SELECT doc_id, {h} AS norm_h FROM {table}),
+        groups AS (
+            SELECT norm_h, MIN(doc_id) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS group_n
+            FROM fp GROUP BY norm_h
+        )
+        SELECT f.doc_id, f.norm_h, g.group_n,
+               f.doc_id = g.keep_id AS canonical
+        FROM fp f JOIN groups g USING (norm_h)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Graded contamination scoring (overlap fraction, not just a flag)
+# ---------------------------------------------------------------------------
+
+
+def contamination_score(train_df: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text",
+                        k: int = DECONTAM_K) -> DataFrame:
+    """Graded eval-set contamination: for each training doc, the fraction
+    of its DISTINCT word ``k``-grams that appear anywhere in the eval set
+    — the thresholdable overlap score (e.g. "drop if > 70% of 8-grams are
+    eval n-grams") that refines :func:`decontaminate`'s binary flag; this
+    is the n-gram-overlap metric GPT-3/PaLM-style contamination audits
+    report.
+
+    Returns (doc_id, n_shingles, n_overlap, overlap_permille).
+
+    Same broadcast shape as :func:`decontaminate`: the eval shingle set is
+    tiny and broadcast; the train side is a narrow shingle→explode with a
+    broadcast membership LEFT join, aggregated per doc with map-side
+    combine. The only shuffle is the per-doc counts hash agg."""
+    def _sh(col):
+        return F.explode(F.array_distinct(
+            C.shingles(C.tokens(F.col(col)), k))).alias("sh")
+
+    eval_sh = eval_df.select(_sh(text_col)).distinct() \
+                     .withColumn("in_eval", F.lit(1))
+    scored = (train_df.select("doc_id", _sh(text_col))
+              .join(F.broadcast(eval_sh), "sh", "left")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                   F.sum(F.coalesce("in_eval", F.lit(0))).cast("long")
+                    .alias("n_overlap")))
+    return (train_df.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shingles", F.lit(0)).cast("long")
+                     .alias("n_shingles"),
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                     .alias("n_overlap"))
+            .withColumn("overlap_permille",
+                        C.permille(F.col("n_overlap"), F.col("n_shingles"))))
+
+
+def sql_contamination_score(table: str = "documents", eval_mod: int = 50,
+                            k: int = DECONTAM_K) -> str:
+    sh = f"list_distinct({C.sql_shingles(C.sql_tokens('text'), k)})"
+    return f"""
+        WITH eval_sh AS (
+            SELECT DISTINCT unnest({sh}) AS sh
+            FROM {table} WHERE doc_id % {eval_mod} = 0
+        ), train_sh AS (
+            SELECT doc_id, unnest({sh}) AS sh
+            FROM {table} WHERE doc_id % {eval_mod} <> 0
+        ), scored AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_overlap
+            FROM train_sh t LEFT JOIN eval_sh e ON t.sh = e.sh
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(s.n_overlap, 0) AS BIGINT) AS n_overlap,
+               {C.sql_permille("COALESCE(s.n_overlap, 0)",
+                               "COALESCE(s.n_shingles, 0)")}
+                   AS overlap_permille
+        FROM {table} d LEFT JOIN scored s USING (doc_id)
+        WHERE d.doc_id % {eval_mod} <> 0
+    """

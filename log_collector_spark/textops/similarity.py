@@ -360,3 +360,95 @@ def sql_label_centroid_stats(table: str = "embeddings") -> str:
                CAST(MAX(v) AS BIGINT) AS hi
         FROM ex GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al.) — vector compression for billion-scale
+# ANN: the 64-dim vector becomes PQ_M 4-bit codes (here 8 codes = one int64)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8      # subvectors per embedding
+PQ_DSUB = 8   # dims per subvector (PQ_M * PQ_DSUB = 64)
+PQ_KS = 16    # centroids per subspace → 4-bit codes
+_rng_pq = random.Random(7)
+# fixed seeded integer codebooks (same magnitude as the quantized
+# embeddings: round(x*1000) lands in ~[-530, 460] on the synthetic corpus);
+# embedded verbatim into the oracle SQL like EMB_PLANES / IVF_CENTROIDS
+PQ_CODEBOOKS = [[[_rng_pq.randrange(-500, 501) for _ in range(PQ_DSUB)]
+                 for _ in range(PQ_KS)] for _ in range(PQ_M)]
+
+
+def pq_codes(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization encoding: split the quantized embedding into
+    ``PQ_M`` subvectors, assign each to its nearest of ``PQ_KS`` codebook
+    centroids (squared-L2, ties to the lowest centroid id), and pack the
+    codes into ONE int64 — the 16-byte-per-vector representation that makes
+    billion-vector ANN fit in memory (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search"; the IVF+PQ pairing is the FAISS
+    workhorse). Also returns the total squared reconstruction error, the
+    quantity PQ training minimizes and the quality metric a pipeline
+    monitors per batch.
+
+    Returns (vec_id, pq_code, err_q).
+
+    Plan: pure Catalyst — per-subvector argmin over a 16-element literal
+    codebook array via ``array_min`` of PACKED (dist * 16 + cid) int64s
+    (min over a packed integer = lexicographic (dist, cid), so
+    tie-breaking is engine-order-free), then an integer dot to pack the 8
+    nibbles. No shuffle, no UDF: at 100 TB this encodes in one narrow
+    scan-and-write pass, and the codes column is what the serving index
+    stores. Codebooks here are seeded constants (training them is a
+    k-means job upstream); assignment — the 100-TB-side cost — is the
+    part this operator owns."""
+    q = _quantized(df, vec_col)
+
+    def _packed_best(qcol: Column, m: int) -> Column:
+        cents = F.array(*[
+            F.struct(
+                F.lit(c).alias("cid"),
+                F.array(*[F.lit(v) for v in PQ_CODEBOOKS[m][c]]).alias("cv"))
+            for c in range(PQ_KS)])
+        sub = F.slice(qcol, m * PQ_DSUB + 1, PQ_DSUB)
+        return F.array_min(F.transform(
+            cents,
+            lambda s: F.aggregate(
+                F.zip_with(sub, s["cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ) * PQ_KS + s["cid"]))
+
+    packed = [ _packed_best(F.col("q"), m).alias(f"p_{m}")
+               for m in range(PQ_M) ]
+    enc = q.select("vec_id", *packed)
+    code = sum((F.col(f"p_{m}") % PQ_KS) * (PQ_KS ** m) for m in range(PQ_M))
+    err = sum(F.floor(F.col(f"p_{m}") / PQ_KS) for m in range(PQ_M))
+    return enc.select(
+        "vec_id",
+        code.cast("long").alias("pq_code"),
+        err.cast("long").alias("err_q"))
+
+
+def sql_pq_codes(table: str = "embeddings") -> str:
+    qe = C.sql_quantized_embedding("embedding")
+
+    def best(m: int) -> str:
+        terms = []
+        for c in range(PQ_KS):
+            d = " + ".join(
+                f"(q[{m * PQ_DSUB + d + 1}] - ({PQ_CODEBOOKS[m][c][d]}))"
+                f" * (q[{m * PQ_DSUB + d + 1}] - ({PQ_CODEBOOKS[m][c][d]}))"
+                for d in range(PQ_DSUB))
+            terms.append(f"CAST({d} AS BIGINT) * {PQ_KS} + {c}")
+        return "least(" + ", ".join(terms) + ")"
+
+    packs = ", ".join(f"{best(m)} AS p_{m}" for m in range(PQ_M))
+    code = " + ".join(f"(p_{m} % {PQ_KS}) * {PQ_KS ** m}"
+                      for m in range(PQ_M))
+    err = " + ".join(f"(p_{m} // {PQ_KS})" for m in range(PQ_M))
+    return f"""
+        WITH q AS (SELECT vec_id, {qe} AS q FROM {table}),
+        enc AS (SELECT vec_id, {packs} FROM q)
+        SELECT vec_id,
+               CAST({code} AS BIGINT) AS pq_code,
+               CAST({err} AS BIGINT) AS err_q
+        FROM enc
+    """

@@ -292,3 +292,22 @@ def test_snapshot_diff_classifies_all_states(spark):
     got = {r["k"]: r["status"]
            for r in snapshot_diff(old, new, "k", h).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_mad_outliers_planted(spark):
+    """mad_outliers: lower-median rank selection for both the median and
+    the MAD; a zero-MAD group flags every nonzero deviation; a clean
+    even-count group flags nothing."""
+    from pyspark.sql import functions as F
+    from log_collector_spark.operators import behavior as B
+    rows = ([("spike", v) for v in [10, 10, 10, 10, 1000]] +
+            [("clean", v) for v in [1, 2, 3, 4]])
+    df = spark.createDataFrame(rows, "event_type string, v long")
+    out = {r["event_type"]: r.asDict()
+           for r in B.mad_outliers(df, value=F.col("v")).collect()}
+    assert out["spike"] == {"event_type": "spike", "n": 5, "median_v": 10,
+                            "mad_v": 0, "n_outliers": 1}
+    # sorted [1,2,3,4]: median at idx floor(0.5*3)=1 -> 2; d=[1,0,1,2],
+    # sorted [0,1,1,2] -> mad 1; outlier needs d > 5 -> none
+    assert out["clean"] == {"event_type": "clean", "n": 4, "median_v": 2,
+                            "mad_v": 1, "n_outliers": 0}

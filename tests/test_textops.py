@@ -506,3 +506,118 @@ def test_locf_semantics_tiny(spark):
            for r in agg.locf_backfill(df, "g", ["i"], F.col("v")).collect()}
     assert out == {("a", 1): None, ("a", 2): 10, ("a", 3): 10,
                    ("a", 4): 10, ("a", 5): 20, ("b", 1): None, ("b", 2): 7}
+
+
+def test_line_dedup_first_occurrence(spark):
+    """line_dedup: a repeated 3-word segment survives only at its min
+    (doc_id, pos) occurrence; later copies (across AND within docs) drop;
+    sub-k docs report 0/0."""
+    from log_collector_spark.textops import dedup as D
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"),        # [a b c][d e f] both canonical
+         (2, "a b c x y z"),        # [a b c] dup -> keeps only [x y z]
+         (3, "d e f d e f"),        # both copies lose to doc 1 pos 1
+         (4, "hi")],                # < 3 tokens -> no segments
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in D.line_dedup(df, k=3).collect()}
+    assert out[1] == {"doc_id": 1, "n_segments": 2, "n_kept": 2,
+                      "kept_permille": 1000}
+    assert out[2] == {"doc_id": 2, "n_segments": 2, "n_kept": 1,
+                      "kept_permille": 500}
+    assert out[3] == {"doc_id": 3, "n_segments": 2, "n_kept": 0,
+                      "kept_permille": 0}
+    assert out[4] == {"doc_id": 4, "n_segments": 0, "n_kept": 0,
+                      "kept_permille": 0}
+
+
+def test_normalized_dedup_groups_punct_variants(spark):
+    """normalized_dedup: re-punctuated/re-spaced/case variants collapse to
+    one group whose min doc_id is canonical; distinct text stands alone."""
+    from log_collector_spark.textops import dedup as D
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "HELLO-WORLD"),
+         (4, "different text")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["group_n"], r["canonical"])
+           for r in D.normalized_dedup(df).collect()}
+    assert out == {1: (3, True), 2: (3, False), 3: (3, False), 4: (1, True)}
+
+
+def test_contamination_score_planted(spark):
+    """contamination_score: overlap permille = distinct shared 8-grams /
+    distinct train 8-grams; disjoint and sub-k docs score 0."""
+    from log_collector_spark.textops import dedup as D
+    eval_df = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "x a b c d e f g h i y"),   # 4 shingles, 2 in eval
+         (2, "q w e r t y u i o p z"),   # 4 shingles, 0 in eval
+         (3, "a b c")],                  # < 8 tokens
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in D.contamination_score(train, eval_df).collect()}
+    assert out[1] == {"doc_id": 1, "n_shingles": 4, "n_overlap": 2,
+                      "overlap_permille": 500}
+    assert out[2]["n_overlap"] == 0 and out[2]["overlap_permille"] == 0
+    assert out[3] == {"doc_id": 3, "n_shingles": 0, "n_overlap": 0,
+                      "overlap_permille": 0}
+
+
+def test_pq_codes_match_reference_encoder(spark):
+    """pq_codes: the Catalyst encoder agrees with a straight-line Python
+    reimplementation (argmin with lowest-centroid tie-break, nibble
+    packing, residual SSE) on planted vectors."""
+    from log_collector_spark.textops import similarity as S
+    from log_collector_spark.textops.common import EMB_SCALE
+
+    vecs = [
+        (1, [0.1] * 64),
+        (2, [((d * 37) % 100 - 50) / 100.0 for d in range(64)]),
+        (3, [0.1] * 64),  # identical to vec 1 -> identical code
+    ]
+
+    def encode(v):
+        q = [round(x * EMB_SCALE) for x in v]
+        code = err = 0
+        for m in range(S.PQ_M):
+            sub = q[m * S.PQ_DSUB:(m + 1) * S.PQ_DSUB]
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(sub, cent)) * S.PQ_KS + c)
+                for c, cent in enumerate(S.PQ_CODEBOOKS[m]))
+            code += (best % S.PQ_KS) * (S.PQ_KS ** m)
+            err += best // S.PQ_KS
+        return code, err
+
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["pq_code"], r["err_q"])
+           for r in S.pq_codes(df).collect()}
+    for vid, v in vecs:
+        assert out[vid] == encode(v), f"vec {vid}"
+    assert out[1] == out[3]
+
+
+def test_mixture_weights_budget_semantics(spark):
+    """mixture_weights: rates follow T_s = T*w/Σw with a 1000 clamp, and
+    shares/rates reproduce the integer formula computed directly."""
+    import hashlib
+    from log_collector_spark.textops import analysis as A
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [(i, "tok " * (i + 1), src)
+            for i, src in enumerate(["alpha"] * 3 + ["beta"] * 2)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string")
+    toks = {"alpha": 1 + 2 + 3, "beta": 4 + 5}
+    w = {s: h60(s) % 100 + 1 for s in toks}
+    t_total, w_total = sum(toks.values()), sum(w.values())
+    out = {r["source"]: r.asDict()
+           for r in A.mixture_weights(df).collect()}
+    for s in toks:
+        exp_rate = min(1000, (t_total * w[s] // w_total) * 1000 // toks[s])
+        assert out[s]["n_tokens"] == toks[s]
+        assert out[s]["weight"] == w[s]
+        assert out[s]["share_permille"] == toks[s] * 1000 // t_total
+        assert out[s]["rate_permille"] == exp_rate

@@ -964,6 +964,22 @@ def q_mixture_weights_documents(spark: SparkSession,
     return A.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_kmeans_step_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd k-means iteration vs the IVF centroids: pure-Catalyst
+    argmin assignment + one (cell, dim) hash agg -> exact sums, floored
+    new centroids, per-coordinate drift."""
+    from log_collector_spark.textops import similarity as S
+    return S.kmeans_step(_embs(spark, sf_dir))
+
+
+def q_bpe_pair_counts_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """BPE merge-step statistic: corpus-wide adjacent char-pair counts,
+    narrow nested transform + hash agg + TakeOrderedAndProject top-20."""
+    from log_collector_spark.textops import analysis as A
+    return A.bpe_pair_counts(_docs(spark, sf_dir))
+
+
 def q_contamination_score_documents(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Graded eval-contamination: permille of each train doc's distinct
@@ -1061,6 +1077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_events": q_mad_outliers_events,
         "pq_codes_embeddings": q_pq_codes_embeddings,
         "mixture_weights_documents": q_mixture_weights_documents,
+        "kmeans_step_embeddings": q_kmeans_step_embeddings,
+        "bpe_pair_counts_documents": q_bpe_pair_counts_documents,
     }
 
 
@@ -1575,6 +1593,8 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers_events": _bh().sql_mad_outliers(),
         "pq_codes_embeddings": _ts().sql_pq_codes(),
         "mixture_weights_documents": _ta().sql_mixture_weights(),
+        "kmeans_step_embeddings": _ts().sql_kmeans_step(),
+        "bpe_pair_counts_documents": _ta().sql_bpe_pair_counts(),
     }
 
 

@@ -1209,3 +1209,61 @@ def sql_mixture_weights(table: str = "documents",
                                 // n_tokens) AS BIGINT) AS rate_permille
         FROM per CROSS JOIN tot
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step pair counting (tokenizer-training primitive)
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    topk: int = BPE_TOPK) -> DataFrame:
+    """Corpus-wide adjacent character-pair counts — the inner statistic of
+    one BPE tokenizer-training merge step (the argmax pair becomes the
+    next merge; re-running after applying merges trains the vocabulary).
+    Returns the top ``topk`` (pair, n) rows ordered by (n DESC, pair).
+
+    Plan: pair generation is a NARROW nested array transform per doc
+    (flatten of per-token character bigrams — work linear in corpus
+    bytes, nothing leaves the row until the count), then one
+    map-side-combined hash agg on the pair and a TakeOrderedAndProject
+    global top-k (no full sort, no single-partition window). At 100 TB
+    this is exactly the map-reduce pair-count every distributed BPE
+    trainer runs; the agg output is vocabulary-sized, not corpus-sized."""
+    toks = C.tokens(F.lower(F.col(text_col)))
+
+    def _pairs_of(t: Column) -> Column:
+        return F.flatten(F.transform(
+            t,
+            lambda tok: F.when(
+                F.length(tok) >= 2,
+                F.transform(F.sequence(F.lit(1), F.length(tok) - 1),
+                            lambda i: F.substr(tok, i, F.lit(2)))
+            ).otherwise(F.array().cast("array<string>"))))
+
+    pairs_col = F.element_at(F.transform(F.array(toks), _pairs_of), 1)
+    return (df.select(F.explode(pairs_col).alias("pair"))
+              .groupBy("pair")
+              .agg(F.count(F.lit(1)).cast("long").alias("n"))
+              .orderBy(F.desc("n"), F.asc("pair"))
+              .limit(topk))
+
+
+def sql_bpe_pair_counts(table: str = "documents",
+                        topk: int = BPE_TOPK) -> str:
+    tok = C.sql_tokens("lower(text)")
+    return f"""
+        WITH toks AS (SELECT {tok} AS t FROM {table}),
+        pairs AS (
+            SELECT unnest(flatten(list_transform(t,
+                       tok -> list_transform(range(1, length(tok)),
+                                             i -> substring(tok, i, 2)))))
+                   AS pair
+            FROM toks
+        )
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT {topk}
+    """

@@ -452,3 +452,83 @@ def sql_pq_codes(table: str = "embeddings") -> str:
                CAST({err} AS BIGINT) AS err_q
         FROM enc
     """
+
+
+def kmeans_step(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd iteration of k-means over the quantized embeddings against
+    the IVF coarse centroids — the training job that produces the
+    IVF/PQ codebooks the ANN operators consume (assign → per-cell mean →
+    recenter), expressed as a single Spark aggregation so each iteration
+    is one pass over the corpus.
+
+    Returns (cell, dim, n, sum_q, new_c, drift) — one row per
+    (centroid, dimension): member count, exact coordinate sum, the
+    floored new centroid coordinate, and |new - old| (the convergence
+    metric a training loop thresholds on).
+
+    Plan: assignment is the pure-Catalyst argmin of `_ivf_cell_scores`
+    (no shuffle, no join — centroids are literals, at scale a broadcast
+    variable refreshed per iteration); posexplode to (cell, dim, x) and
+    ONE map-side-combined hash agg on (cell, dim) — K*dims output rows
+    regardless of corpus size, the mergeable-statistic shape that makes
+    distributed k-means scale. The floored mean uses the positive-mod
+    identity ``(s - ((s % n + n) % n)) / n`` so the quotient is an exact
+    double in both engines (truncating DIV vs flooring // differ on
+    negative sums)."""
+    q = _quantized(df, vec_col)
+    cell = F.array_min(_ivf_cell_scores(F.col("q")))["cid"]
+    # the argmin lands in its own projection: resolving the lambda-built
+    # struct in the same select as a generator (posexplode) strips the
+    # struct's field names (col1/col2) and the ["cid"] access fails
+    assigned = q.select(cell.alias("cell"), "q")
+    ex = assigned.select("cell", F.posexplode("q").alias("dim", "x"))
+    agg = (ex.groupBy("cell", "dim")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("x").cast("long").alias("sum_q")))
+    posmod = (F.col("sum_q") % F.col("n") + F.col("n")) % F.col("n")
+    new_c = ((F.col("sum_q") - posmod) / F.col("n")).cast("long")
+    cents = F.array(*[F.lit(c).cast("array<bigint>") for c in IVF_CENTROIDS])
+    old_c = F.element_at(F.element_at(cents, F.col("cell").cast("int") + 1),
+                         F.col("dim").cast("int") + 1)
+    return (agg.select(F.col("cell").cast("long").alias("cell"),
+                       F.col("dim").cast("long").alias("dim"),
+                       "n", "sum_q", new_c.alias("new_c"),
+                       F.abs(new_c - old_c).cast("long").alias("drift")))
+
+
+def sql_kmeans_step(table: str = "embeddings") -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    cent_rows = ", ".join(
+        f"({i}, {_IVF_C2[i]}, {c}::BIGINT[])"
+        for i, c in enumerate(IVF_CENTROIDS))
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), cent AS (
+            SELECT * FROM (VALUES {cent_rows}) AS t(cid, c2, c)
+        ), assign AS (
+            SELECT vec_id, q, cid,
+                   c2 - 2 * CAST(list_dot_product(q, c) AS BIGINT) AS dist
+            FROM q CROSS JOIN cent
+        ), cells AS (
+            SELECT vec_id, q, cid AS cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY dist, cid) AS rn
+                FROM assign
+            ) WHERE rn = 1
+        ), ex AS (
+            SELECT cell, i AS dim, q[i + 1] AS x
+            FROM cells, unnest(range(0, len(q))) AS t(i)
+        ), agg AS (
+            SELECT cell, dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sum_q
+            FROM ex GROUP BY cell, dim
+        )
+        SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS BIGINT) AS dim,
+               n, sum_q,
+               CAST((sum_q - ((sum_q % n + n) % n)) / n AS BIGINT) AS new_c,
+               CAST(abs(CAST((sum_q - ((sum_q % n + n) % n)) / n AS BIGINT)
+                        - c.c[dim + 1]) AS BIGINT) AS drift
+        FROM agg JOIN cent c ON c.cid = agg.cell
+    """

@@ -621,3 +621,36 @@ def test_mixture_weights_budget_semantics(spark):
         assert out[s]["weight"] == w[s]
         assert out[s]["share_permille"] == toks[s] * 1000 // t_total
         assert out[s]["rate_permille"] == exp_rate
+
+
+def test_kmeans_step_planted(spark):
+    """kmeans_step: two identical vectors land in one cell; sums double,
+    the floored mean recovers the vector, drift matches the codebook."""
+    from log_collector_spark.textops import similarity as S
+    from log_collector_spark.textops.common import EMB_SCALE
+
+    v = [0.2] * 64
+    q = [round(x * EMB_SCALE) for x in v]
+    dists = [(S._IVF_C2[c] - 2 * sum(a * b for a, b in zip(q, cent)), c)
+             for c, cent in enumerate(S.IVF_CENTROIDS)]
+    cell = min(dists)[1]
+    df = spark.createDataFrame([(1, v), (2, v)],
+                               "vec_id long, embedding array<float>")
+    rows = S.kmeans_step(df).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["cell"] == cell and r["n"] == 2
+        assert r["sum_q"] == 2 * q[r["dim"]]
+        assert r["new_c"] == q[r["dim"]]
+        assert r["drift"] == abs(q[r["dim"]] - S.IVF_CENTROIDS[cell][r["dim"]])
+
+
+def test_bpe_pair_counts_planted(spark):
+    """bpe_pair_counts: within-token adjacent char pairs, single-char
+    tokens contribute nothing, ties order by pair."""
+    from log_collector_spark.textops import analysis as A
+    df = spark.createDataFrame(
+        [(1, "aaab ab"), (2, "z AB")], "doc_id long, text string")
+    out = [(r["pair"], r["n"]) for r in A.bpe_pair_counts(df).collect()]
+    # aaab -> aa,aa,ab ; ab -> ab ; AB lowercased -> ab ; z -> nothing
+    assert out == [("ab", 3), ("aa", 2)]

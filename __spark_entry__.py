@@ -964,6 +964,27 @@ def q_mixture_weights_documents(spark: SparkSession,
     return A.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: active users split into new (first-ever
+    day) vs returning, plus event totals — two hash aggs, no windows."""
+    from log_collector_spark.operators import behavior as B
+    return B.new_vs_returning(_events(spark, sf_dir))
+
+
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotency debounce: drop events < 1s after the previous event of
+    the same (user, type) key — one window pass, one shuffle."""
+    from log_collector_spark.operators import behavior as B
+    return B.debounce_events(_events(spark, sf_dir))
+
+
+def q_scd2_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: per-user state-change rows with [valid_from,
+    valid_to) epoch-us intervals; lag+lead share one shuffle+sort."""
+    from log_collector_spark.operators import behavior as B
+    return B.scd2_intervals(_events(spark, sf_dir))
+
+
 def q_kmeans_step_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd k-means iteration vs the IVF centroids: pure-Catalyst
     argmin assignment + one (cell, dim) hash agg -> exact sums, floored
@@ -1079,6 +1100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights_documents": q_mixture_weights_documents,
         "kmeans_step_embeddings": q_kmeans_step_embeddings,
         "bpe_pair_counts_documents": q_bpe_pair_counts_documents,
+        "new_vs_returning_events": q_new_vs_returning_events,
+        "debounce_events": q_debounce_events,
+        "scd2_intervals_events": q_scd2_intervals_events,
     }
 
 
@@ -1595,6 +1619,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights_documents": _ta().sql_mixture_weights(),
         "kmeans_step_embeddings": _ts().sql_kmeans_step(),
         "bpe_pair_counts_documents": _ta().sql_bpe_pair_counts(),
+        "new_vs_returning_events": _bh().sql_new_vs_returning(),
+        "debounce_events": _bh().sql_debounce_events(),
+        "scd2_intervals_events": _bh().sql_scd2_intervals(),
     }
 
 

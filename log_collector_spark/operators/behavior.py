@@ -592,3 +592,158 @@ def sql_mad_outliers(table: str = "events", group_col: str = "event_type",
         FROM dev JOIN mad ON dev.g = mad.g
         GROUP BY dev.g
     """
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def new_vs_returning(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Daily growth accounting: per UTC day, total events, distinct active
+    users, and the new/returning split (new = the user's first-ever active
+    day is this day) — the acquisition-vs-retention decomposition behind
+    every DAU dashboard.
+
+    Returns (day_num, n_events, n_active, n_new, n_returning) with
+    ``day_num`` = epoch days (integer — cross-engine exact).
+
+    Plan: distinct (user, day) pairs in one hash agg that ALSO carries the
+    per-pair event count (so totals need no second scan); the per-user
+    first day is a map-side-combined min over those pairs (user-key
+    shuffle), re-joined on user — at 100 TB both aggs shuffle only
+    (user, day, count) triples, and the user-level frame is the smaller
+    side AQE can broadcast. No window functions, so no per-user sort."""
+    day = (_us(F.col(ts_col)) / _US_PER_DAY).cast("long")
+    pairs = (events.select(F.col(user_col).alias("u"), day.alias("day_num"))
+             .groupBy("u", "day_num")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ev")))
+    first = pairs.groupBy("u").agg(F.min("day_num").alias("first_day"))
+    return (pairs.join(first, "u")
+            .groupBy("day_num")
+            .agg(F.sum("n_ev").cast("long").alias("n_events"),
+                 F.count(F.lit(1)).cast("long").alias("n_active"),
+                 F.sum(F.when(F.col("day_num") == F.col("first_day"), 1)
+                        .otherwise(0)).cast("long").alias("n_new"))
+            .withColumn("n_returning",
+                        (F.col("n_active") - F.col("n_new")).cast("long")))
+
+
+def sql_new_vs_returning(table: str = "events") -> str:
+    return f"""
+        WITH pairs AS (
+            SELECT user_id AS u, epoch_us(ts) // {_US_PER_DAY} AS day_num,
+                   CAST(COUNT(*) AS BIGINT) AS n_ev
+            FROM {table} GROUP BY 1, 2
+        ), first AS (
+            SELECT u, MIN(day_num) AS first_day FROM pairs GROUP BY u
+        )
+        SELECT p.day_num,
+               CAST(SUM(p.n_ev) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN p.day_num = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(COUNT(*) - SUM(CASE WHEN p.day_num = f.first_day
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_returning
+        FROM pairs p JOIN first f ON p.u = f.u
+        GROUP BY p.day_num
+    """
+
+
+DEBOUNCE_US = 1_000_000  # suppress same-key events within 1 s of the previous
+
+
+def debounce_events(events: DataFrame, key_cols: list[str] | None = None,
+                    ts_col: str = "ts",
+                    gap_us: int = DEBOUNCE_US) -> DataFrame:
+    """Duplicate-event suppression: an event is dropped when the previous
+    RAW event with the same (user, type) key is less than ``gap_us`` ago —
+    the idempotency debounce every ingest pipeline applies to
+    double-click/retry storms (the batch twin of streaming
+    ``dropDuplicatesWithinWatermark``).
+
+    Returns (event_id, user_id, event_type, gap_us, keep) — gap NULL on
+    each key's first event. Lag semantics (gap to the previous raw event,
+    not to the last KEPT one): deterministic in one window pass; the
+    last-kept variant is a running recurrence — that's the stateful
+    streaming operator's job (streaming/dedup.py), not a batch window.
+
+    Plan: ONE window over (user, type) ordered by (ts, event_id) — a
+    single shuffle on a high-cardinality compound key; no joins. At
+    100 TB this is the cheapest possible shape for any per-key
+    previous-row rule."""
+    keys = key_cols or ["user_id", "event_type"]
+    us = _us(F.col(ts_col))
+    w = Window.partitionBy(*keys).orderBy(us, "event_id")
+    gap = (us - F.lag(us).over(w)).cast("long")
+    return (events
+            .select("event_id", *keys, gap.alias("gap_us"))
+            .withColumn("keep",
+                        F.col("gap_us").isNull() |
+                        (F.col("gap_us") >= gap_us)))
+
+
+def sql_debounce_events(table: str = "events",
+                        gap_us: int = DEBOUNCE_US) -> str:
+    return f"""
+        SELECT event_id, user_id, event_type, gap_us,
+               (gap_us IS NULL OR gap_us >= {gap_us}) AS keep
+        FROM (
+            SELECT event_id, user_id, event_type,
+                   CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_us(ts), event_id) AS BIGINT) AS gap_us
+            FROM {table}
+        )
+    """
+
+
+def scd2_intervals(events: DataFrame, key_col: str = "user_id",
+                   state_col: str = "event_type",
+                   ts_col: str = "ts") -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    key's event stream into state-validity intervals — a row per state
+    CHANGE carrying [valid_from, valid_to) in epoch-µs, open (NULL) on the
+    current state. The warehouse operation that turns an event log into a
+    point-in-time-joinable dimension table (the reference's as-of join
+    consumes exactly this shape).
+
+    Plan: both the change detection (lag) and the interval close (lead
+    over the surviving change rows) partition by the SAME key and
+    ordering, so Catalyst plans ONE shuffle + sort and the second window
+    reuses the first's partitioning (no re-shuffle — the sort order is
+    inherited). Output is change-rows only: at 100 TB it shrinks by the
+    run-length of stable states."""
+    us = _us(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(us, "event_id")
+    marked = events.select(
+        F.col(key_col), F.col(state_col).alias("state"),
+        us.alias("valid_from_us"), "event_id",
+        (F.lag(state_col).over(w).isNull() |
+         (F.lag(state_col).over(w) != F.col(state_col))).alias("chg"))
+    changes = marked.filter(F.col("chg"))
+    w2 = Window.partitionBy(key_col).orderBy("valid_from_us", "event_id")
+    return (changes
+            .select(F.col(key_col), "state", "valid_from_us",
+                    F.lead("valid_from_us").over(w2).alias("valid_to_us"))
+            .select(F.col(key_col), "state",
+                    F.col("valid_from_us").cast("long").alias("valid_from_us"),
+                    F.col("valid_to_us").cast("long").alias("valid_to_us")))
+
+
+def sql_scd2_intervals(table: str = "events") -> str:
+    return f"""
+        WITH marked AS (
+            SELECT user_id, event_type AS state,
+                   CAST(epoch_us(ts) AS BIGINT) AS valid_from_us, event_id,
+                   (LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type) AS chg
+            FROM {table}
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT user_id, state, valid_from_us,
+               CAST(LEAD(valid_from_us) OVER (
+                   PARTITION BY user_id
+                   ORDER BY valid_from_us, event_id) AS BIGINT) AS valid_to_us
+        FROM marked WHERE chg
+    """

@@ -311,3 +311,62 @@ def test_mad_outliers_planted(spark):
     # sorted [0,1,1,2] -> mad 1; outlier needs d > 5 -> none
     assert out["clean"] == {"event_type": "clean", "n": 4, "median_v": 2,
                             "mad_v": 1, "n_outliers": 0}
+
+
+def test_new_vs_returning_planted(spark):
+    """new_vs_returning: first-ever-day users are new, later days count
+    them returning; event totals ride along."""
+    from datetime import datetime
+    from log_collector_spark.operators import behavior as B
+    d0, d1 = datetime(2026, 1, 1, 10), datetime(2026, 1, 2, 10)
+    df = spark.createDataFrame(
+        [(1, 100, d0), (2, 100, d0), (3, 200, d0), (4, 100, d1)],
+        "event_id long, user_id long, ts timestamp")
+    out = {r["day_num"]: r.asDict()
+           for r in B.new_vs_returning(df).collect()}
+    day0 = 20454  # 2026-01-01 epoch days
+    assert out[day0]["n_events"] == 3
+    assert out[day0]["n_active"] == 2 and out[day0]["n_new"] == 2
+    assert out[day0]["n_returning"] == 0
+    assert out[day0 + 1] == {"day_num": day0 + 1, "n_events": 1,
+                             "n_active": 1, "n_new": 0, "n_returning": 1}
+
+
+def test_debounce_events_planted(spark):
+    """debounce: first per key survives (NULL gap), < 1s gap drops,
+    >= 1s keeps; keys never interfere."""
+    from datetime import datetime
+    from log_collector_spark.operators import behavior as B
+    t = datetime(2026, 1, 1, 10, 0, 0)
+    mk = lambda ms: datetime.fromtimestamp(t.timestamp() + ms / 1000.0)
+    df = spark.createDataFrame(
+        [(1, 7, "click", mk(0)), (2, 7, "click", mk(500)),
+         (3, 7, "click", mk(2000)), (4, 8, "click", mk(600))],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    out = {r["event_id"]: (r["gap_us"], r["keep"])
+           for r in B.debounce_events(df).collect()}
+    assert out[1] == (None, True)
+    assert out[2] == (500_000, False)
+    assert out[3] == (1_500_000, True)
+    assert out[4] == (None, True)
+
+
+def test_scd2_intervals_planted(spark):
+    """scd2_intervals: consecutive same states collapse; each change row
+    closes at the next change; the last interval is open (NULL)."""
+    from datetime import datetime, timezone
+    from log_collector_spark.operators import behavior as B
+    base = datetime(2026, 1, 1, tzinfo=timezone.utc).timestamp()
+    mk = lambda s: datetime.utcfromtimestamp(base + s)
+    df = spark.createDataFrame(
+        [(1, 7, "A", mk(0)), (2, 7, "A", mk(10)),
+         (3, 7, "B", mk(20)), (4, 7, "A", mk(30))],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    rows = sorted((r["state"], r["valid_from_us"], r["valid_to_us"])
+                  for r in B.scd2_intervals(df).collect())
+    us0 = int(base) * 1_000_000
+    assert rows == [
+        ("A", us0, us0 + 20_000_000),
+        ("A", us0 + 30_000_000, None),
+        ("B", us0 + 20_000_000, us0 + 30_000_000),
+    ]

@@ -391,7 +391,8 @@ def main() -> None:
     wide = {"grok_parse_events", "window_lag_events", "tx_per_turn_json",
             "multiline_assemble_events", "csv_parse_lineitem",
             "tokenize_documents", "quality_score_documents",
-            "json_flatten_events"}
+            "json_flatten_events", "debounce_events",
+            "scd2_intervals_events"}
     qs = entry_mod.queries()
     for name, fn in qs.items():
         def one_sample() -> float:

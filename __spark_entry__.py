@@ -964,6 +964,21 @@ def q_mixture_weights_documents(spark: SparkSession,
     return A.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_hll_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principles HyperLogLog distinct-token sketch per source: 64
+    integer registers, fixed-point harmonic mean, linear-counting table —
+    register MAX agg shuffles <= 64 rows per group."""
+    from log_collector_spark.textops import analysis as A
+    return A.hll_distinct(_docs(spark, sf_dir))
+
+
+def q_pct_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile-rank (permille) normalization of the value
+    column — one window pass, rank ties share a rank."""
+    from log_collector_spark.operators import behavior as B
+    return B.pct_rank_events(_events(spark, sf_dir))
+
+
 def q_new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily growth accounting: active users split into new (first-ever
     day) vs returning, plus event totals — two hash aggs, no windows."""
@@ -1103,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_vs_returning_events": q_new_vs_returning_events,
         "debounce_events": q_debounce_events,
         "scd2_intervals_events": q_scd2_intervals_events,
+        "hll_distinct_documents": q_hll_distinct_documents,
+        "pct_rank_events": q_pct_rank_events,
     }
 
 
@@ -1622,6 +1639,8 @@ def oracle_sql() -> dict[str, str]:
         "new_vs_returning_events": _bh().sql_new_vs_returning(),
         "debounce_events": _bh().sql_debounce_events(),
         "scd2_intervals_events": _bh().sql_scd2_intervals(),
+        "hll_distinct_documents": _ta().sql_hll_distinct(),
+        "pct_rank_events": _bh().sql_pct_rank_events(),
     }
 
 

@@ -747,3 +747,52 @@ def sql_scd2_intervals(table: str = "events") -> str:
                    ORDER BY valid_from_us, event_id) AS BIGINT) AS valid_to_us
         FROM marked WHERE chg
     """
+
+
+def pct_rank_events(events: DataFrame, group_col: str = "event_type",
+                    value: Column | None = None) -> DataFrame:
+    """Per-group percentile-rank normalization: each value mapped to its
+    integer permille rank ``(rank - 1) * 1000 // (n - 1)`` within the
+    group — the distribution-free feature scaling (uniformizing transform)
+    a training pipeline applies before mixing heterogeneous metrics; ties
+    share a rank (``rank()``), so equal inputs get equal outputs
+    regardless of engine sort order.
+
+    Returns (event_id, group, vq, pct_permille).
+
+    Plan: ONE window (shuffle on ``group_col`` + per-group sort) — the
+    exact-rank floor, same cost class as any exact quantile. Grouping is
+    low-cardinality here, so at 100 TB the production form is the
+    two-pass equivalent: broadcast per-group histogram-sketch CDF
+    (``aggregate.histogram_percentiles``) + a narrow map-side lookup;
+    this operator is its correctness baseline."""
+    if value is None:
+        value = F.round(F.col("value").cast("double") * 1000, 0)
+    base = events.select("event_id", F.col(group_col),
+                         value.cast("long").alias("vq"))
+    w = Window.partitionBy(group_col).orderBy("vq")
+    cnt = Window.partitionBy(group_col)
+    return (base
+            .withColumn("rk", F.rank().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(cnt))
+            .select("event_id", group_col, "vq",
+                    F.when(F.col("n") > 1,
+                           F.expr("((rk - 1) * 1000) DIV (n - 1)"))
+                     .otherwise(0).cast("long").alias("pct_permille")))
+
+
+def sql_pct_rank_events(table: str = "events",
+                        group_col: str = "event_type") -> str:
+    vq = "CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT)"
+    return f"""
+        SELECT event_id, {group_col}, vq,
+               CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000) // (n - 1)
+                         ELSE 0 END AS BIGINT) AS pct_permille
+        FROM (
+            SELECT event_id, {group_col}, {vq} AS vq,
+                   RANK() OVER (PARTITION BY {group_col}
+                                ORDER BY {vq}) AS rk,
+                   COUNT(*) OVER (PARTITION BY {group_col}) AS n
+            FROM {table}
+        )
+    """

@@ -1267,3 +1267,133 @@ def sql_bpe_pair_counts(table: str = "documents",
         FROM pairs GROUP BY pair
         ORDER BY n DESC, pair LIMIT {topk}
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (integer registers — oracle-checkable HLL)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64          # registers (p = 6 index bits)
+HLL_P = 6
+_HLL_WBITS = 60 - HLL_P          # 54-bit rank word
+_HLL_RMAX = _HLL_WBITS + 1       # rho when the rank word is all zeros
+# harmonic sum is scaled by 2^47 so alpha_m * m^2 * 2^47 / 1000 stays in
+# int64 (the textbook 2^-M sum is fractional; fixed-point keeps the whole
+# estimator in exact integer arithmetic in both engines)
+_HLL_SCALE_BITS = 47
+# alpha_64 = 0.709 (Flajolet et al.), as the exact integer
+# floor(709 * m^2 * 2^47 / 1000)
+_HLL_A = 709 * HLL_M * HLL_M * (1 << _HLL_SCALE_BITS) // 1000
+# linear-counting table: round(m * ln(m / V)) for V = 1..m — computed ONCE
+# here in Python and embedded as the same literal array in both engines
+# (ln never runs inside either engine, so no float divergence)
+import math as _math
+_HLL_LC = [round(HLL_M * _math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
+# small-range threshold: 5m/2 (the standard HLL switchover)
+_HLL_LC_THRESH = 5 * HLL_M // 2
+
+
+def hll_distinct(df: DataFrame, group_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Per-group distinct-token estimate via a REAL HyperLogLog sketch —
+    64 integer registers over the deterministic 60-bit hash (6 index bits,
+    rho = leading-zero rank of the remaining 54), harmonic mean in 2^47
+    fixed point, linear-counting small-range correction from a
+    precomputed integer table. The canonical mergeable distinct sketch
+    (register-wise MAX merges partitions/groups), here built from
+    first principles so it oracle-checks — ``approx_count_distinct``'s
+    own HLL++ is engine-internal and unverifiable against DuckDB.
+
+    Returns (group, n_exact, v_zero, n_est, err_permille) — mirroring
+    :func:`kmv_distinct` so the two sketches compare per group.
+
+    Plan: tokens → (group, idx, rho) → ONE map-side-combined MAX agg on
+    (group, idx) — the shuffle carries at most m rows per group (the
+    sketch, never the token set), then a per-group sum of m terms. The
+    n_exact column (for err_permille) is the expensive exact pass —
+    drop it at 100 TB and only the register shuffle remains."""
+    hashes = (df.select(group_col,
+                        F.explode(C.tokens(F.col(text_col))).alias("tok"))
+                .select(group_col, C.h60(F.col("tok")).alias("h"))
+                .distinct())
+    w = F.shiftright(F.col("h"), HLL_P)
+    rho = (F.when(w > 0, F.lit(_HLL_RMAX) - F.length(F.bin(w)))
+            .otherwise(_HLL_RMAX).cast("long"))
+    regs = (hashes.select(group_col,
+                          (F.col("h") % HLL_M).alias("idx"),
+                          rho.alias("rho"))
+                  .groupBy(group_col, "idx")
+                  .agg(F.max("rho").alias("m_reg")))
+    # pyspark's F.shiftleft only takes a literal shift count — the SQL
+    # function form accepts a column expression
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST({_HLL_SCALE_BITS} - least(m_reg, {_HLL_SCALE_BITS}) AS INT))")
+    per_group = (regs.groupBy(group_col)
+                 .agg(F.sum(term).cast("long").alias("s_present"),
+                      F.count(F.lit(1)).cast("long").alias("n_regs")))
+    v_zero = (F.lit(HLL_M) - F.col("n_regs")).cast("long")
+    s_total = (F.col("s_present") +
+               v_zero * (1 << _HLL_SCALE_BITS)).cast("long")
+    raw = F.expr(f"{_HLL_A} DIV s_total").cast("long")
+    lc = F.element_at(F.lit(_HLL_LC).cast("array<bigint>"),
+                      F.col("v_zero").cast("int"))
+    est = F.when((raw < _HLL_LC_THRESH) & (F.col("v_zero") > 0), lc) \
+           .otherwise(raw).cast("long")
+    exact = hashes.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"))
+    return (exact.join(per_group, group_col)
+            .withColumn("v_zero", v_zero)
+            .withColumn("s_total", s_total)
+            .select(group_col, "n_exact", "v_zero",
+                    est.alias("n_est"))
+            .withColumn("err_permille",
+                        C.permille(F.abs(F.col("n_est") - F.col("n_exact")),
+                                   F.col("n_exact"))))
+
+
+def sql_hll_distinct(table: str = "documents",
+                     group_col: str = "source") -> str:
+    tok = C.sql_tokens("text")
+    h = C.sql_h60("tok")
+    lc = "[" + ", ".join(str(x) for x in _HLL_LC) + "]"
+    return f"""
+        WITH hashes AS (
+            SELECT DISTINCT {group_col}, {h} AS h
+            FROM (SELECT {group_col}, unnest({tok}) AS tok FROM {table})
+        ), regs AS (
+            SELECT {group_col}, h % {HLL_M} AS idx,
+                   MAX(CASE WHEN (h >> {HLL_P}) > 0
+                            THEN {_HLL_RMAX} - length(bin(h >> {HLL_P}))
+                            ELSE {_HLL_RMAX} END) AS m_reg
+            FROM hashes GROUP BY 1, 2
+        ), pg AS (
+            SELECT {group_col},
+                   CAST(SUM(1::BIGINT << ({_HLL_SCALE_BITS} -
+                            least(m_reg, {_HLL_SCALE_BITS}))) AS BIGINT)
+                       AS s_present,
+                   CAST(COUNT(*) AS BIGINT) AS n_regs
+            FROM regs GROUP BY {group_col}
+        ), est AS (
+            SELECT {group_col},
+                   CAST({HLL_M} - n_regs AS BIGINT) AS v_zero,
+                   CAST(s_present + ({HLL_M} - n_regs)
+                        * {1 << _HLL_SCALE_BITS} AS BIGINT) AS s_total
+            FROM pg
+        ), ex AS (
+            SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM hashes GROUP BY {group_col}
+        )
+        SELECT e.{group_col}, ex.n_exact, e.v_zero,
+               CAST(CASE WHEN ({_HLL_A} // s_total) < {_HLL_LC_THRESH}
+                          AND e.v_zero > 0
+                         THEN ({lc})[e.v_zero]
+                         ELSE {_HLL_A} // s_total END AS BIGINT) AS n_est,
+               {C.sql_permille(
+                   "ABS(CAST(CASE WHEN (" + str(_HLL_A)
+                   + " // s_total) < " + str(_HLL_LC_THRESH)
+                   + " AND e.v_zero > 0 THEN (" + lc + ")[e.v_zero] ELSE "
+                   + str(_HLL_A) + " // s_total END AS BIGINT) - ex.n_exact)",
+                   "ex.n_exact")} AS err_permille
+        FROM est e JOIN ex ON e.{group_col} = ex.{group_col}
+    """

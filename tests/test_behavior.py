@@ -370,3 +370,16 @@ def test_scd2_intervals_planted(spark):
         ("A", us0 + 30_000_000, None),
         ("B", us0 + 20_000_000, us0 + 30_000_000),
     ]
+
+
+def test_pct_rank_planted(spark):
+    """pct_rank: ties share a rank; permille spans 0..1000; singleton
+    groups pin to 0."""
+    from pyspark.sql import functions as F
+    from log_collector_spark.operators import behavior as B
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 30),
+            (5, "b", 7)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, v long")
+    out = {r["event_id"]: r["pct_permille"]
+           for r in B.pct_rank_events(df, value=F.col("v")).collect()}
+    assert out == {1: 0, 2: 333, 3: 333, 4: 1000, 5: 0}

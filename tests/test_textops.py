@@ -654,3 +654,41 @@ def test_bpe_pair_counts_planted(spark):
     out = [(r["pair"], r["n"]) for r in A.bpe_pair_counts(df).collect()]
     # aaab -> aa,aa,ab ; ab -> ab ; AB lowercased -> ab ; z -> nothing
     assert out == [("ab", 3), ("aa", 2)]
+
+
+def test_hll_distinct_matches_reference_sketch(spark):
+    """hll_distinct: the Spark register pipeline reproduces a straight-line
+    Python HLL (same hash, fixed-point harmonic mean, LC table) and the
+    exact counts are right."""
+    import hashlib
+    from log_collector_spark.textops import analysis as A
+
+    docs = [(1, "alpha beta gamma delta", "s1"),
+            (2, "alpha beta epsilon", "s1"),
+            (3, "zeta eta", "s2")]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref_est(tokens):
+        regs = {}
+        for t in set(tokens):
+            h = h60(t)
+            idx, w = h % A.HLL_M, h >> A.HLL_P
+            rho = A._HLL_RMAX - w.bit_length() if w > 0 else A._HLL_RMAX
+            regs[idx] = max(regs.get(idx, 0), rho)
+        v = A.HLL_M - len(regs)
+        s = sum(1 << (A._HLL_SCALE_BITS - min(m, A._HLL_SCALE_BITS))
+                for m in regs.values()) + v * (1 << A._HLL_SCALE_BITS)
+        raw = A._HLL_A // s
+        if raw < A._HLL_LC_THRESH and v > 0:
+            return A._HLL_LC[v - 1], v
+        return raw, v
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {r["source"]: r.asDict() for r in A.hll_distinct(df).collect()}
+    exp_s1, v_s1 = ref_est("alpha beta gamma delta epsilon".split())
+    exp_s2, v_s2 = ref_est("zeta eta".split())
+    assert out["s1"]["n_exact"] == 5 and out["s2"]["n_exact"] == 2
+    assert out["s1"]["n_est"] == exp_s1 and out["s1"]["v_zero"] == v_s1
+    assert out["s2"]["n_est"] == exp_s2 and out["s2"]["v_zero"] == v_s2

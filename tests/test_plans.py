@@ -187,3 +187,44 @@ def test_ohlc_is_one_aggregate_pass_no_window(spark):
     assert "Window" not in plan, plan
     assert "partial_min_by" in plan, plan  # map-side combine is in the plan
     assert "EvalPython" not in plan, plan
+
+
+def test_pq_codes_is_narrow_zero_shuffle(spark):
+    """PQ encoding must stay a pure narrow projection: no shuffle, no
+    Python nodes, no joins — the codes column is computed scan-side."""
+    from log_collector_spark.textops import similarity as S
+    df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = _plan(S.pq_codes(df))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_kmeans_step_single_shuffle_no_join(spark):
+    """One Lloyd iteration = one (cell, dim) hash-agg shuffle; centroid
+    lookup is a literal array access, never a join."""
+    from log_collector_spark.textops import similarity as S
+    df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = _plan(S.kmeans_step(df))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_scd2_lag_and_lead_share_one_shuffle(spark):
+    """Both windows partition by the same key with compatible ordering, so
+    Catalyst plans ONE Exchange (+ sort) for the lag + lead pair."""
+    from log_collector_spark.operators import behavior as B
+    import __spark_entry__ as E
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    plan = _plan(B.scd2_intervals(ev))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_hll_registers_combine_map_side(spark):
+    """The register MAX aggregation must partially aggregate map-side —
+    the shuffle carries at most m rows per group, never the token set."""
+    from log_collector_spark.textops import analysis as A
+    df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(A.hll_distinct(df))
+    assert "partial_max" in plan, plan

@@ -408,6 +408,16 @@ def main() -> None:
         reps = 2 if first < 3.0 else 1
         timings[name] = min([first] + [one_sample() for _ in range(reps)])
 
+    # second flagship window, ~minutes after the first: a hypervisor steal
+    # storm is minutes-long and can poison all three back-to-back warm
+    # samples (observed: 12.0 s recorded vs 2.2 s re-measured in a quiet
+    # window) — a sample spaced past the query suite escapes the storm
+    timings["pipeline_e2e"] = min(
+        timings["pipeline_e2e"],
+        min(run_flagship(spark, SF_DIR)[0] for _ in range(2)))
+    sec = timings["pipeline_e2e"]
+    tps = n_turns / sec
+
     scaling = None
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         spark.stop()  # free the JVM before the child runs

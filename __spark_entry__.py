@@ -964,6 +964,14 @@ def q_mixture_weights_documents(spark: SparkSession,
     return A.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_novelty_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc marginal-diversity score: permille of distinct 3-gram
+    shingles first introduced (min doc_id corpus-wide) by this doc — one
+    window shuffle over the shingle hash."""
+    from log_collector_spark.textops import dedup as D
+    return D.novelty_score(_docs(spark, sf_dir))
+
+
 def q_hll_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-principles HyperLogLog distinct-token sketch per source: 64
     integer registers, fixed-point harmonic mean, linear-counting table —
@@ -1120,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals_events": q_scd2_intervals_events,
         "hll_distinct_documents": q_hll_distinct_documents,
         "pct_rank_events": q_pct_rank_events,
+        "novelty_score_documents": q_novelty_score_documents,
     }
 
 
@@ -1641,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_intervals_events": _bh().sql_scd2_intervals(),
         "hll_distinct_documents": _ta().sql_hll_distinct(),
         "pct_rank_events": _bh().sql_pct_rank_events(),
+        "novelty_score_documents": _td().sql_novelty_score(),
     }
 
 

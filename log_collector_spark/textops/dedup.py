@@ -1175,3 +1175,71 @@ def sql_contamination_score(table: str = "documents", eval_mod: int = 50,
         FROM {table} d LEFT JOIN scored s USING (doc_id)
         WHERE d.doc_id % {eval_mod} <> 0
     """
+
+
+def novelty_score(df: DataFrame, text_col: str = "text",
+                  k: int = SHINGLE_K) -> DataFrame:
+    """Per-doc novelty: the fraction of the doc's DISTINCT word k-gram
+    shingles whose corpus-wide first occurrence (min doc_id) is this doc —
+    the marginal-diversity signal data-selection pipelines use to prefer
+    docs that introduce new content over ones that restate the corpus
+    (ingest order = doc_id, the same canonical order as line_dedup).
+
+    Returns (doc_id, n_shingles, n_novel, novelty_permille).
+
+    Plan: the shared persisted shingle table (release with
+    :func:`unpersist_shingles`) explodes to (doc_id, h60(shingle)); one
+    window over the 60-bit hash takes the corpus-wide min doc_id (single
+    shuffle on a high-cardinality key, no join-back); the per-doc rollup
+    map-side combines. Text never shuffles — only (hash, id) pairs."""
+    from pyspark.sql.window import Window
+
+    docs = doc_shingles(df, text_col, k)
+    inv = (docs.select("doc_id", "n_shingles",
+                       F.explode("shingles").alias("sh"))
+               .select("doc_id", "n_shingles",
+                       C.h60(F.col("sh")).alias("sh_h")))
+    w = Window.partitionBy("sh_h")
+    marked = inv.withColumn(
+        "novel", F.col("doc_id") == F.min("doc_id").over(w))
+    per = (marked.groupBy("doc_id")
+           .agg(F.max("n_shingles").cast("long").alias("n_shingles"),
+                F.sum(F.col("novel").cast("long")).cast("long")
+                 .alias("n_novel")))
+    return (df.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shingles", F.lit(0)).cast("long")
+                     .alias("n_shingles"),
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                     .alias("n_novel"))
+            .withColumn("novelty_permille",
+                        C.permille(F.col("n_novel"), F.col("n_shingles"))))
+
+
+def sql_novelty_score(table: str = "documents", k: int = SHINGLE_K) -> str:
+    h = C.sql_h60("sh")
+    return f"""
+        WITH docs AS ({_sql_doc_shingles(table, k)}),
+        inv AS (
+            SELECT doc_id, n_shingles, {h} AS sh_h
+            FROM (SELECT doc_id, n_shingles, unnest(shingles) AS sh
+                  FROM docs)
+        ), marked AS (
+            SELECT doc_id, n_shingles,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY sh_h) AS novel
+            FROM inv
+        ), per AS (
+            SELECT doc_id,
+                   CAST(MAX(n_shingles) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel
+            FROM marked GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+               {C.sql_permille("COALESCE(p.n_novel, 0)",
+                               "COALESCE(p.n_shingles, 0)")}
+                   AS novelty_permille
+        FROM {table} d LEFT JOIN per p USING (doc_id)
+    """

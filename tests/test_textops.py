@@ -692,3 +692,25 @@ def test_hll_distinct_matches_reference_sketch(spark):
     assert out["s1"]["n_exact"] == 5 and out["s2"]["n_exact"] == 2
     assert out["s1"]["n_est"] == exp_s1 and out["s1"]["v_zero"] == v_s1
     assert out["s2"]["n_est"] == exp_s2 and out["s2"]["v_zero"] == v_s2
+
+
+def test_novelty_score_first_introduction_wins(spark):
+    """novelty: doc 1 introduces all its shingles; a verbatim later copy
+    introduces none; a half-new doc scores the exact permille; short docs
+    report 0/0."""
+    from log_collector_spark.textops import dedup as D
+    df = spark.createDataFrame(
+        [(1, "a b c d"),        # shingles {a b c, b c d} both novel
+         (2, "a b c d"),        # same shingles -> nothing novel
+         (3, "b c d e"),        # {b c d (seen), c d e (new)} -> 500
+         (4, "x y")],           # < 3 tokens
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in D.novelty_score(df).collect()}
+    D.unpersist_shingles()
+    assert out[1] == {"doc_id": 1, "n_shingles": 2, "n_novel": 2,
+                      "novelty_permille": 1000}
+    assert out[2]["n_novel"] == 0 and out[2]["novelty_permille"] == 0
+    assert out[3] == {"doc_id": 3, "n_shingles": 2, "n_novel": 1,
+                      "novelty_permille": 500}
+    assert out[4] == {"doc_id": 4, "n_shingles": 0, "n_novel": 0,
+                      "novelty_permille": 0}

@@ -964,6 +964,15 @@ def q_mixture_weights_documents(spark: SparkSession,
     return A.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_centroid_outliers_embeddings(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """OOD embedding screen: exact squared distance to the assigned IVF
+    centroid; flagged when the origin explains the vector better than its
+    own nearest centroid. Pure Catalyst, zero shuffle."""
+    from log_collector_spark.textops import similarity as S
+    return S.centroid_outliers(_embs(spark, sf_dir))
+
+
 def q_novelty_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc marginal-diversity score: permille of distinct 3-gram
     shingles first introduced (min doc_id corpus-wide) by this doc — one
@@ -1129,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_documents": q_hll_distinct_documents,
         "pct_rank_events": q_pct_rank_events,
         "novelty_score_documents": q_novelty_score_documents,
+        "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
     }
 
 
@@ -1651,6 +1661,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_documents": _ta().sql_hll_distinct(),
         "pct_rank_events": _bh().sql_pct_rank_events(),
         "novelty_score_documents": _td().sql_novelty_score(),
+        "centroid_outliers_embeddings": _ts().sql_centroid_outliers(),
     }
 
 

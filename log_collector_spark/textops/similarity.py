@@ -532,3 +532,71 @@ def sql_kmeans_step(table: str = "embeddings") -> str:
                         - c.c[dim + 1]) AS BIGINT) AS drift
         FROM agg JOIN cent c ON c.cid = agg.cell
     """
+
+
+# outlier iff the assignment's relative score |v-c|² - |v|² = |c|² - 2·v·c
+# is positive: the vector is then FARTHER from its own (nearest!) centroid
+# than from the origin — no centroid explains it better than zero, the
+# geometric "off-distribution" rule. margin shifts the boundary; tuned
+# per-corpus in production.
+CENTROID_OUTLIER_MARGIN = 0
+
+
+def centroid_outliers(df: DataFrame, vec_col: str = "embedding",
+                      margin: int = CENTROID_OUTLIER_MARGIN) -> DataFrame:
+    """Embedding outlier screen: each vector's integer squared-L2 distance
+    to its assigned IVF centroid; vectors whose distance exceeds the
+    threshold are flagged — the garbage/OOD detector a pipeline runs on
+    freshly-embedded batches before they enter the index (far-from-every-
+    centroid vectors are encoder failures or off-distribution inputs).
+
+    Returns (vec_id, cell, dist2, rel, outlier) — ``dist2`` is the FULL
+    exact squared distance |v - c|² (the assignment argmin drops the
+    constant |v|² term; it is added back so the reported metric is the
+    real distance); ``rel`` = |v - c|² - |v|² is the origin-relative score
+    the flag thresholds on (see CENTROID_OUTLIER_MARGIN).
+
+    Plan: pure Catalyst, zero shuffle — assignment argmin + one more
+    literal-codebook dot per row, computed scan-side; at 100 TB this is a
+    narrow projection emitted during the same pass that writes the cell
+    partition key."""
+    q = _quantized(df, vec_col)
+    scores = _ivf_cell_scores(F.col("q"))
+    best = q.select("vec_id", "q", F.array_min(scores).alias("b"))
+    v2 = C.int_dot(F.col("q"), F.col("q"))
+    return (best
+            .select("vec_id",
+                    F.col("b")["cid"].cast("long").alias("cell"),
+                    (F.col("b")["dist"] + v2).cast("long").alias("dist2"),
+                    F.col("b")["dist"].cast("long").alias("rel"))
+            .withColumn("outlier", F.col("rel") > margin))
+
+
+def sql_centroid_outliers(table: str = "embeddings",
+                          margin: int = CENTROID_OUTLIER_MARGIN) -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    cent_rows = ", ".join(
+        f"({i}, {_IVF_C2[i]}, {c}::BIGINT[])"
+        for i, c in enumerate(IVF_CENTROIDS))
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), cent AS (
+            SELECT * FROM (VALUES {cent_rows}) AS t(cid, c2, c)
+        ), assign AS (
+            SELECT vec_id, cid,
+                   c2 - 2 * CAST(list_dot_product(q, c) AS BIGINT) AS rel,
+                   c2 - 2 * CAST(list_dot_product(q, c) AS BIGINT)
+                      + CAST(list_dot_product(q, q) AS BIGINT) AS dist2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c2 - 2 * CAST(list_dot_product(q, c)
+                                              AS BIGINT), cid) AS rn
+            FROM q CROSS JOIN cent
+        )
+        SELECT vec_id, CAST(cid AS BIGINT) AS cell,
+               CAST(dist2 AS BIGINT) AS dist2,
+               CAST(rel AS BIGINT) AS rel,
+               rel > {margin} AS outlier
+        FROM assign WHERE rn = 1
+    """

@@ -714,3 +714,21 @@ def test_novelty_score_first_introduction_wins(spark):
                       "novelty_permille": 500}
     assert out[4] == {"doc_id": 4, "n_shingles": 0, "n_novel": 0,
                       "novelty_permille": 0}
+
+
+def test_centroid_outliers_geometry(spark):
+    """centroid_outliers: a vector sitting ON its centroid has dist2 = 0
+    and is inlier; the zero vector is farther from every centroid than
+    from the origin -> outlier, assigned to the min-norm centroid."""
+    from log_collector_spark.textops import similarity as S
+    cid = 3
+    v_on = [c / 1000.0 for c in S.IVF_CENTROIDS[cid]]
+    df = spark.createDataFrame(
+        [(1, v_on), (2, [0.0] * 64)], "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r.asDict()
+           for r in S.centroid_outliers(df).collect()}
+    assert out[1]["cell"] == cid and out[1]["dist2"] == 0
+    assert out[1]["rel"] == -S._IVF_C2[cid] and out[1]["outlier"] is False
+    best = min((c2, i) for i, c2 in enumerate(S._IVF_C2))
+    assert out[2]["cell"] == best[1] and out[2]["dist2"] == best[0]
+    assert out[2]["outlier"] is True

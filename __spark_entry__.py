@@ -964,6 +964,14 @@ def q_mixture_weights_documents(spark: SparkSession,
     return A.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_length_histogram_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-source token-length histogram over power-of-2 buckets — one
+    map-side-combined hash agg; buckets merge across shards."""
+    from log_collector_spark.textops import analysis as A
+    return A.length_histogram(_docs(spark, sf_dir))
+
+
 def q_centroid_outliers_embeddings(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """OOD embedding screen: exact squared distance to the assigned IVF
@@ -1139,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_rank_events": q_pct_rank_events,
         "novelty_score_documents": q_novelty_score_documents,
         "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
+        "length_histogram_documents": q_length_histogram_documents,
     }
 
 
@@ -1662,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         "pct_rank_events": _bh().sql_pct_rank_events(),
         "novelty_score_documents": _td().sql_novelty_score(),
         "centroid_outliers_embeddings": _ts().sql_centroid_outliers(),
+        "length_histogram_documents": _ta().sql_length_histogram(),
     }
 
 

@@ -1397,3 +1397,46 @@ def sql_hll_distinct(table: str = "documents",
                    "ex.n_exact")} AS err_permille
         FROM est e JOIN ex ON e.{group_col} = ex.{group_col}
     """
+
+
+def length_histogram(df: DataFrame, group_col: str = "source",
+                     text_col: str = "text") -> DataFrame:
+    """Per-group token-length histogram over power-of-2 buckets
+    (bucket = floor(log2(n_tokens)) + 1 via binary-string length — the
+    same cross-engine `bin()` primitive the HLL rho uses; bucket 0 holds
+    empty docs). The length-distribution profile batching/curriculum
+    schedulers consume, and the canonical mergeable histogram: buckets add
+    across shards/groups.
+
+    Returns (group, bucket, n_docs, sum_tokens).
+
+    Plan: one narrow projection + one map-side-combined hash agg on
+    (group, bucket) — output is #groups x ~40 rows at any corpus size;
+    the only shuffle carries the histogram cells."""
+    ntok = F.size(C.tokens(F.col(text_col))).cast("long")
+    bucket = (F.when(ntok > 0, F.length(F.bin(ntok)))
+               .otherwise(0).cast("long"))
+    return (df.select(F.col(group_col), ntok.alias("ntok"),
+                      bucket.alias("bucket"))
+              .groupBy(group_col, "bucket")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   F.sum("ntok").cast("long").alias("sum_tokens")))
+
+
+def sql_length_histogram(table: str = "documents",
+                         group_col: str = "source") -> str:
+    tok = C.sql_tokens("text")
+    return f"""
+        SELECT {group_col}, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS sum_tokens
+        FROM (
+            SELECT {group_col},
+                   CAST(len({tok}) AS BIGINT) AS ntok,
+                   CAST(CASE WHEN len({tok}) > 0
+                             THEN length(bin(CAST(len({tok}) AS BIGINT)))
+                             ELSE 0 END AS BIGINT) AS bucket
+            FROM {table}
+        )
+        GROUP BY {group_col}, bucket
+    """

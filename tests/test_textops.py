@@ -732,3 +732,17 @@ def test_centroid_outliers_geometry(spark):
     best = min((c2, i) for i, c2 in enumerate(S._IVF_C2))
     assert out[2]["cell"] == best[1] and out[2]["dist2"] == best[0]
     assert out[2]["outlier"] is True
+
+
+def test_length_histogram_buckets(spark):
+    """length_histogram: bucket = floor(log2(ntok)) + 1, empties in
+    bucket 0, counts and token sums add up."""
+    from log_collector_spark.textops import analysis as A
+    df = spark.createDataFrame(
+        [(1, "a", "s"), (2, "a b", "s"), (3, "a b c", "s"),
+         (4, "a b c d", "s"), (5, "", "s")],
+        "doc_id long, text string, source string")
+    out = {r["bucket"]: (r["n_docs"], r["sum_tokens"])
+           for r in A.length_histogram(df).collect()}
+    # ntok 1 -> bucket 1; 2,3 -> bucket 2; 4 -> bucket 3; 0 -> bucket 0
+    assert out == {0: (1, 0), 1: (1, 1), 2: (2, 5), 3: (1, 4)}

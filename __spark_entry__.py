@@ -964,6 +964,13 @@ def q_mixture_weights_documents(spark: SparkSession,
     return A.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_activity_grid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour traffic heatmap per event type — integer epoch
+    arithmetic, one hash agg, <= 168 cells per group."""
+    from log_collector_spark.operators import behavior as B
+    return B.activity_grid(_events(spark, sf_dir))
+
+
 def q_length_histogram_documents(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Per-source token-length histogram over power-of-2 buckets — one
@@ -1148,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_score_documents": q_novelty_score_documents,
         "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
         "length_histogram_documents": q_length_histogram_documents,
+        "activity_grid_events": q_activity_grid_events,
     }
 
 
@@ -1672,6 +1680,7 @@ def oracle_sql() -> dict[str, str]:
         "novelty_score_documents": _td().sql_novelty_score(),
         "centroid_outliers_embeddings": _ts().sql_centroid_outliers(),
         "length_histogram_documents": _ta().sql_length_histogram(),
+        "activity_grid_events": _bh().sql_activity_grid(),
     }
 
 

@@ -796,3 +796,46 @@ def sql_pct_rank_events(table: str = "events",
             FROM {table}
         )
     """
+
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def activity_grid(events: DataFrame, group_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Day-of-week x hour-of-day activity grid per group — the traffic
+    heatmap behind capacity planning and anomaly baselining (the trailing
+    z-score operator's natural seasonal refinement). Pure integer epoch
+    arithmetic: dow = (epoch_days + 4) % 7 (1970-01-01 was a Thursday;
+    0 = Sunday), hour = epoch_hours % 24 — both UTC-exact in both engines,
+    no calendar functions whose week conventions could diverge.
+
+    Returns (group, dow, hour, n, n_users).
+
+    Plan: one narrow projection + one map-side-combined hash agg on
+    (group, dow, hour) — at most #groups x 168 output cells at any corpus
+    size. count_distinct(user) adds the standard partial-distinct
+    expansion; drop it (or sketch it) if the cell cardinality ever
+    matters at 100 TB."""
+    us = _us(F.col(ts_col))
+    dow = ((us / _US_PER_DAY).cast("long") + 4) % 7
+    hour = (us / _US_PER_HOUR).cast("long") % 24
+    return (events.select(F.col(group_col), dow.alias("dow"),
+                          hour.alias("hour"), "user_id")
+            .groupBy(group_col, "dow", "hour")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.count_distinct("user_id").cast("long").alias("n_users")))
+
+
+def sql_activity_grid(table: str = "events",
+                      group_col: str = "event_type") -> str:
+    return f"""
+        SELECT {group_col},
+               CAST((epoch_us(ts) // {_US_PER_DAY} + 4) % 7 AS BIGINT)
+                   AS dow,
+               CAST(epoch_us(ts) // {_US_PER_HOUR} % 24 AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM {table}
+        GROUP BY 1, 2, 3
+    """

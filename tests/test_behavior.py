@@ -383,3 +383,18 @@ def test_pct_rank_planted(spark):
     out = {r["event_id"]: r["pct_permille"]
            for r in B.pct_rank_events(df, value=F.col("v")).collect()}
     assert out == {1: 0, 2: 333, 3: 333, 4: 1000, 5: 0}
+
+
+def test_activity_grid_dow_hour(spark):
+    """activity_grid: epoch arithmetic lands known instants in the right
+    (dow, hour) cells; distinct users counted per cell."""
+    from log_collector_spark.operators import behavior as B
+    # 1970-01-01 00:xx was a Thursday -> dow (0=Sun) = 4
+    rows = [(1, 7, "a", dt.datetime(1970, 1, 1, 0, 5)),
+            (2, 8, "a", dt.datetime(1970, 1, 1, 0, 50)),
+            (3, 7, "a", dt.datetime(1970, 1, 4, 23, 1))]  # Sunday 23h
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = {(r["dow"], r["hour"]): (r["n"], r["n_users"])
+           for r in B.activity_grid(df).collect()}
+    assert out == {(4, 0): (2, 2), (0, 23): (1, 1)}

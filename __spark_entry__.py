@@ -964,6 +964,14 @@ def q_mixture_weights_documents(spark: SparkSession,
     return A.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_corpus_yield_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-funnel yield per source: quality filter -> dedup
+    canonical -> decontamination, applied sequentially; flags join on
+    doc_id only, one final hash agg."""
+    from log_collector_spark.textops import dedup as D
+    return D.corpus_yield(_docs(spark, sf_dir))
+
+
 def q_activity_grid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week x hour traffic heatmap per event type — integer epoch
     arithmetic, one hash agg, <= 168 cells per group."""
@@ -1156,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
         "length_histogram_documents": q_length_histogram_documents,
         "activity_grid_events": q_activity_grid_events,
+        "corpus_yield_documents": q_corpus_yield_documents,
     }
 
 
@@ -1681,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_outliers_embeddings": _ts().sql_centroid_outliers(),
         "length_histogram_documents": _ta().sql_length_histogram(),
         "activity_grid_events": _bh().sql_activity_grid(),
+        "corpus_yield_documents": _td().sql_corpus_yield(),
     }
 
 

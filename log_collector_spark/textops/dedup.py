@@ -1243,3 +1243,73 @@ def sql_novelty_score(table: str = "documents", k: int = SHINGLE_K) -> str:
                    AS novelty_permille
         FROM {table} d LEFT JOIN per p USING (doc_id)
     """
+
+
+def corpus_yield(df: DataFrame, text_col: str = "text",
+                 group_col: str = "source",
+                 eval_mod: int = 50) -> DataFrame:
+    """End-to-end cleaning-funnel yield report: how many docs per source
+    survive each stage of the standard pretraining pipeline —
+    quality filter → normalized-dedup canonical pick → eval-set
+    decontamination — the per-batch accounting every data team publishes
+    with a corpus release. Stages are applied SEQUENTIALLY (a doc counts
+    at stage k only if it passed stages 1..k-1), over the training slice
+    (doc_id % eval_mod != 0; the eval slice is the decontamination
+    reference, as in decontaminate()).
+
+    Returns (group, n_input, n_quality, n_dedup, n_clean) with
+    n_input >= n_quality >= n_dedup >= n_clean.
+
+    Plan: three flag frames (quality = narrow scan, dedup = one
+    fingerprint hash-agg + join-back, contamination = broadcast eval
+    semi-join) joined on doc_id — all three shuffles move (doc_id, flag)
+    pairs, never text — then ONE per-source hash agg of conditional
+    sums. Composes only operators that are themselves oracle-checked."""
+    from log_collector_spark.textops.analysis import quality_features
+
+    train = df.filter(F.col("doc_id") % eval_mod != 0)
+    evald = df.filter(F.col("doc_id") % eval_mod == 0)
+    q = quality_features(train, text_col).select("doc_id", "quality_keep")
+    d = normalized_dedup(train, text_col).select("doc_id", "canonical")
+    c = decontaminate(train, evald, text_col).select(
+        "doc_id", "contaminated")
+    flags = (train.select("doc_id", F.col(group_col))
+             .join(q, "doc_id").join(d, "doc_id").join(c, "doc_id"))
+    keep_q = F.col("quality_keep")
+    keep_d = keep_q & F.col("canonical")
+    keep_c = keep_d & ~F.col("contaminated")
+    return (flags.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_input"),
+                 F.sum(keep_q.cast("long")).cast("long").alias("n_quality"),
+                 F.sum(keep_d.cast("long")).cast("long").alias("n_dedup"),
+                 F.sum(keep_c.cast("long")).cast("long").alias("n_clean")))
+
+
+def sql_corpus_yield(table: str = "documents",
+                     group_col: str = "source", eval_mod: int = 50) -> str:
+    from log_collector_spark.textops.analysis import sql_quality_features
+
+    train = f"(SELECT * FROM {table} WHERE doc_id % {eval_mod} <> 0)"
+    return f"""
+        WITH q AS (
+            SELECT doc_id, quality_keep
+            FROM ({sql_quality_features(train)})
+        ), d AS (
+            SELECT doc_id, canonical
+            FROM ({sql_normalized_dedup(train)})
+        ), c AS ({sql_decontaminate(table, eval_mod)})
+        SELECT t.{group_col},
+               CAST(COUNT(*) AS BIGINT) AS n_input,
+               CAST(SUM(CASE WHEN q.quality_keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN q.quality_keep AND d.canonical
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+               CAST(SUM(CASE WHEN q.quality_keep AND d.canonical
+                             AND NOT c.contaminated
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        FROM {train} t
+        JOIN q ON q.doc_id = t.doc_id
+        JOIN d ON d.doc_id = t.doc_id
+        JOIN c ON c.doc_id = t.doc_id
+        GROUP BY t.{group_col}
+    """

@@ -746,3 +746,26 @@ def test_length_histogram_buckets(spark):
            for r in A.length_histogram(df).collect()}
     # ntok 1 -> bucket 1; 2,3 -> bucket 2; 4 -> bucket 3; 0 -> bucket 0
     assert out == {0: (1, 0), 1: (1, 1), 2: (2, 5), 3: (1, 4)}
+
+
+def test_corpus_yield_sequential_funnel(spark):
+    """corpus_yield: stages apply in order — a non-canonical dup passes
+    quality but falls at dedup; a contaminated doc falls only at the last
+    stage; counts are monotone non-increasing."""
+    from log_collector_spark.textops import dedup as D
+    good = ("this is a perfectly reasonable document with plenty of "
+            "ordinary words inside it")
+    rows = [(50, "s", "shared eight gram run of words here now"),
+            (1, "s", good),          # clean survivor
+            (2, "s", good),          # exact dup of 1 -> falls at dedup
+            (3, "s", "x!!"),         # fails quality
+            # shares an 8-gram with eval doc 50 -> falls at decontam
+            (4, "s", good + " shared eight gram run of words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r.asDict()
+           for r in D.corpus_yield(df, eval_mod=50).collect()}
+    r = out["s"]
+    assert r["n_input"] == 4
+    assert r["n_quality"] == 3          # doc 3 out
+    assert r["n_dedup"] == 2            # doc 2 out (doc 1 canonical)
+    assert r["n_clean"] == 1            # doc 4 out (contaminated)

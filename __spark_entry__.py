@@ -964,6 +964,13 @@ def q_mixture_weights_documents(spark: SparkSession,
     return A.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_basket_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket event-type pairs per (user, day): distinct-collapsed
+    baskets, within-basket self-join bounded by the type vocabulary."""
+    from log_collector_spark.operators import behavior as B
+    return B.basket_pairs(_events(spark, sf_dir))
+
+
 def q_corpus_yield_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cleaning-funnel yield per source: quality filter -> dedup
     canonical -> decontamination, applied sequentially; flags join on
@@ -1165,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram_documents": q_length_histogram_documents,
         "activity_grid_events": q_activity_grid_events,
         "corpus_yield_documents": q_corpus_yield_documents,
+        "basket_pairs_events": q_basket_pairs_events,
     }
 
 
@@ -1691,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram_documents": _ta().sql_length_histogram(),
         "activity_grid_events": _bh().sql_activity_grid(),
         "corpus_yield_documents": _td().sql_corpus_yield(),
+        "basket_pairs_events": _bh().sql_basket_pairs(),
     }
 
 

@@ -839,3 +839,63 @@ def sql_activity_grid(table: str = "events",
         FROM {table}
         GROUP BY 1, 2, 3
     """
+
+
+def basket_pairs(events: DataFrame, user_col: str = "user_id",
+                 type_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Market-basket co-occurrence: which event types appear together in
+    the same (user, UTC day) session-basket, with support counts — the
+    association signal behind "users who X also Y" features and
+    cross-feature adoption dashboards.
+
+    Returns (type_a, type_b, n_baskets, support_permille) with
+    type_a < type_b, support = baskets containing both / total baskets.
+
+    Plan: distinct (user, day, type) in one hash agg; each basket then
+    emits its within-basket pairs via a self-equi-join on the basket key
+    — fan-out per basket is (k choose 2) with k bounded by the type
+    vocabulary (single digits), NOT by basket event count, because the
+    distinct collapses first. One more tiny agg on the pair. At 100 TB
+    the join key (user, day) is high-cardinality and unskewed by
+    construction."""
+    day = (_us(F.col(ts_col)) / _US_PER_DAY).cast("long")
+    basket = (events.select(F.col(user_col).alias("u"),
+                            day.alias("day_num"),
+                            F.col(type_col).alias("t"))
+              .distinct())
+    totals = (basket.select("u", "day_num").distinct()
+              .agg(F.count(F.lit(1)).cast("long").alias("n_total")))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (a.join(b, (F.col("a.u") == F.col("b.u")) &
+                       (F.col("a.day_num") == F.col("b.day_num")) &
+                       (F.col("a.t") < F.col("b.t")))
+             .groupBy(F.col("a.t").alias("type_a"),
+                      F.col("b.t").alias("type_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_baskets")))
+    return (pairs.crossJoin(F.broadcast(totals))
+            .select("type_a", "type_b", "n_baskets",
+                    F.expr("(n_baskets * 1000) DIV n_total").cast("long")
+                     .alias("support_permille")))
+
+
+def sql_basket_pairs(table: str = "events") -> str:
+    return f"""
+        WITH basket AS (
+            SELECT DISTINCT user_id AS u,
+                   epoch_us(ts) // {_US_PER_DAY} AS day_num,
+                   event_type AS t
+            FROM {table}
+        ), tot AS (
+            SELECT COUNT(*) AS n FROM (
+                SELECT DISTINCT u, day_num FROM basket)
+        )
+        SELECT a.t AS type_a, b.t AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_baskets,
+               CAST((COUNT(*) * 1000) // MAX(tot.n) AS BIGINT)
+                   AS support_permille
+        FROM basket a
+        JOIN basket b ON a.u = b.u AND a.day_num = b.day_num AND a.t < b.t
+        CROSS JOIN tot
+        GROUP BY a.t, b.t
+    """

@@ -398,3 +398,22 @@ def test_activity_grid_dow_hour(spark):
     out = {(r["dow"], r["hour"]): (r["n"], r["n_users"])
            for r in B.activity_grid(df).collect()}
     assert out == {(4, 0): (2, 2), (0, 23): (1, 1)}
+
+
+def test_basket_pairs_distinct_collapse(spark):
+    """basket_pairs: repeats inside a basket don't inflate counts; pairs
+    are ordered (a < b); support is over distinct (user, day) baskets."""
+    from log_collector_spark.operators import behavior as B
+    d = dt.datetime(2026, 1, 1, 9)
+    rows = [(1, 7, "view", d), (2, 7, "view", d), (3, 7, "click", d),
+            (4, 8, "view", d), (5, 8, "click", d), (6, 8, "buy", d),
+            (7, 9, "view", d)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = {(r["type_a"], r["type_b"]): (r["n_baskets"], r["support_permille"])
+           for r in B.basket_pairs(df).collect()}
+    # 3 baskets total; (click, view) in baskets of users 7 and 8
+    assert out[("click", "view")] == (2, 666)
+    assert out[("buy", "click")] == (1, 333)
+    assert out[("buy", "view")] == (1, 333)
+    assert len(out) == 3

@@ -504,16 +504,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: sign-LSH bucket + integer-cosine verify."""
+    """Embedding near-dup pairs: sign-LSH bucket + integer-cosine verify.
+    The scale-safe GUARDED variant (overfull buckets sub-split with the full
+    8-plane key — the max_df analog for the embedding family) is the public
+    default; the unguarded 4-plane form is a pytest-only oracle baseline."""
     from log_collector_spark.textops import dedup as D
     return D.embedding_neardup_pairs(_embs(spark, sf_dir))
-
-
-def q_embedding_neardup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-size-guarded near-dup: overfull sign-LSH buckets sub-split with
-    the full 8-plane key (the max_df analog for the embedding family)."""
-    from log_collector_spark.textops import dedup as D
-    return D.embedding_neardup_guarded(_embs(spark, sf_dir))
 
 
 def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1114,7 +1110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_guarded": q_embedding_neardup_guarded,
         "knn_label_consistency": q_knn_label_consistency,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1415,7 +1410,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _td().sql_dedup_clusters(),
         "simhash_pairs": _td().sql_simhash_pairs(),
         "embedding_neardup": _td().sql_embedding_neardup_pairs(),
-        "embedding_neardup_guarded": _td().sql_embedding_neardup_guarded(),
         "knn_label_consistency": _ts().sql_knn_label_consistency(),
         "ann_topk_brute": _ts().sql_brute_force_topk(),
         "ann_topk_lsh": _ts().sql_lsh_ann_topk(),

@@ -38,9 +38,12 @@ def interval_join(events: DataFrame, windows: DataFrame, *,
 
     ``events`` carries an exact integer event-time column ``event_ts`` (epoch
     µs) plus payload columns; ``windows`` carries ``win_start``/``win_end``
-    (epoch µs) plus payload. Requires every window's length <= ``bucket_us``
-    (asserted structurally: longer windows would need more covered buckets —
-    use a larger bucket or split the window upstream).
+    (epoch µs) plus payload. Windows of ANY length are joined losslessly:
+    the explode below emits every bucket from bucket(start) to
+    bucket(end-1), so a long window simply covers more buckets. ``bucket_us``
+    is purely a fan-out/skew knob — it should stay >= the typical window
+    length so most windows land in 1-2 buckets (a window of length L
+    replicates into ceil(L/bucket_us)+1 rows at most).
 
     Returns the inner-join of the two payloads (all columns of both inputs).
     """

@@ -1093,7 +1093,10 @@ def sql_quality_sample(table: str = "documents", id_col: str = "doc_id",
     """
 
 
-KEYWORDS = ["data", "model", "training"]
+# Terms that actually co-occur in the synthetic corpus (ADVICE r3: the old
+# ["data","model","training"] default returned 0 rows on every sf table, so
+# the registered oracle never exercised the AND-count semantics).
+KEYWORDS = ["data", "table", "scan"]
 
 
 def keyword_search(df: DataFrame, keywords: list[str] | None = None,
@@ -1174,15 +1177,22 @@ def mixture_weights(df: DataFrame, group_col: str = "source",
         F.sum("n_tokens").cast("long").alias("t_total"),
         F.sum("weight").cast("long").alias("w_total"))
     j = weighted.crossJoin(F.broadcast(totals))
+    # div-by-zero guards (ANSI mode fails the JOB on integer x/0 — the
+    # never-throw F3 invariant): an all-empty source keeps everything
+    # (rate 1000); an all-empty corpus has no shares to apportion.
+    share = F.when(F.col("t_total") > 0,
+                   F.expr("(n_tokens * 1000) DIV t_total")).otherwise(0)
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.least(F.lit(1000).cast("long"),
+                F.expr("((t_total * weight) DIV w_total) * 1000 DIV n_tokens"))
+    ).otherwise(1000)
     return j.select(
         F.col(group_col),
         "n_docs", "n_tokens",
-        F.expr("(n_tokens * 1000) DIV t_total").cast("long")
-         .alias("share_permille"),
+        share.cast("long").alias("share_permille"),
         "weight",
-        F.least(F.lit(1000).cast("long"),
-                F.expr("((t_total * weight) DIV w_total) * 1000 DIV n_tokens")
-                 .cast("long")).alias("rate_permille"))
+        rate.cast("long").alias("rate_permille"))
 
 
 def sql_mixture_weights(table: str = "documents",
@@ -1202,11 +1212,14 @@ def sql_mixture_weights(table: str = "documents",
             FROM per
         )
         SELECT {group_col}, n_docs, n_tokens,
-               CAST((n_tokens * 1000) // t_total AS BIGINT)
-                   AS share_permille,
+               CAST(CASE WHEN t_total > 0
+                         THEN (n_tokens * 1000) // t_total
+                         ELSE 0 END AS BIGINT) AS share_permille,
                weight,
-               CAST(least(1000, ((t_total * weight) // w_total) * 1000
-                                // n_tokens) AS BIGINT) AS rate_permille
+               CAST(CASE WHEN n_tokens > 0
+                         THEN least(1000, ((t_total * weight) // w_total)
+                                          * 1000 // n_tokens)
+                         ELSE 1000 END AS BIGINT) AS rate_permille
         FROM per CROSS JOIN tot
     """
 

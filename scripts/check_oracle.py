@@ -25,7 +25,11 @@ def norm_cell(v):
     if v is None:
         return None
     if isinstance(v, Decimal):
-        return float(v)
+        # Exact compare — NEVER float(v): a DECIMAL(38,10) carries ~19
+        # significant digits vs float64's ~16, so the float path was blind
+        # to exactly the low-order divergence the driver hash catches
+        # (VERDICT r3 item 2). normalize() makes 1.20 == 1.2000.
+        return ("dec", str(v.normalize()))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

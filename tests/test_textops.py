@@ -33,7 +33,6 @@ ORACLE_CHECKED = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_neardup",
-    "embedding_neardup_guarded",
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",
@@ -145,7 +144,7 @@ def test_embedding_guard_subset_and_exact_when_no_overfull(spark):
 
     embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     full = {(r["vec_a"], r["vec_b"]) for r in
-            D.embedding_neardup_pairs(embs).collect()}
+            D.embedding_neardup_unguarded(embs).collect()}
     # cap larger than the corpus → no bucket overfull → identical result
     same = {(r["vec_a"], r["vec_b"]) for r in
             D.embedding_neardup_guarded(embs, max_bucket=10**6).collect()}

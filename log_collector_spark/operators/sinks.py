@@ -159,3 +159,104 @@ class MetricSender:
             self._fail.extend(metrics)
             if len(self._fail) > self.max_backlog:
                 del self._fail[:len(self._fail) - self.max_backlog]
+
+
+# ---------------------------------------------------------------------------
+# W7 continued: KairosDB DTO shapes, end-to-end (VERDICT r3 item 9)
+# ---------------------------------------------------------------------------
+
+
+class ReaderMetricsState:
+    """Python mirror of the reference's per-source metric state
+    (metrics/ReaderMetrics.java): cumulative success/error counters plus a
+    "pre" snapshot, so each tick emits either a DELTA (``processed`` style,
+    ReaderMetrics.java success()/error()) or the CHANGED cumulative
+    per-ceil-minute datapoints (``raw`` style, allSuccessMap()).
+
+    Ceil-minute bucketing is the reference's
+    ``(long) Math.ceil(ts / 60000d) * 60000`` (A2 semantics); buckets older
+    than one day are evicted at read time, exactly like the Java."""
+
+    ONE_DAY_MS = 24 * 60 * 60 * 1000
+
+    def __init__(self) -> None:
+        self.success_total = 0
+        self.error_total = 0
+        self.success_map: dict[int, int] = {}
+        self._pre_success = 0
+        self._pre_error = 0
+        self._pre_map: dict[int, int] = {}
+
+    @staticmethod
+    def _bucket(ts_ms: int) -> int:
+        return -(-ts_ms // 60000) * 60000  # ceil to the minute, int-exact
+
+    def increment_success(self, ts_ms: int | None = None) -> None:
+        self.success_total += 1
+        if ts_ms is not None:
+            b = self._bucket(ts_ms)
+            self.success_map[b] = self.success_map.get(b, 0) + 1
+
+    def increment_error(self) -> None:
+        self.error_total += 1
+
+    def success_delta(self) -> int:
+        d = self.success_total - self._pre_success
+        self._pre_success = self.success_total
+        return d
+
+    def error_delta(self) -> int:
+        d = self.error_total - self._pre_error
+        self._pre_error = self.error_total
+        return d
+
+    def all_success_datapoints(self, now_ms: int) -> list[list[int]]:
+        """raw-style datapoints: [bucket_ts, CUMULATIVE count] for every
+        bucket that changed since the previous tick (allSuccessMap():
+        emits the cumulative value, not the difference), younger than one
+        day. Sorted by bucket for deterministic serialization (the Java
+        iterates a hash map — order there is incidental, not semantic)."""
+        out: list[list[int]] = []
+        for ts in sorted(self.success_map):
+            if now_ms - ts > self.ONE_DAY_MS:
+                del self.success_map[ts]
+                self._pre_map.pop(ts, None)
+                continue
+            cur = self.success_map[ts]
+            pre = self._pre_map.get(ts, 0)
+            self._pre_map[ts] = cur
+            if cur != pre:
+                out.append([ts, cur])
+        return out
+
+
+def build_kairos_batch(metric_map: dict[str, ReaderMetricsState],
+                       host: str, now_ms: int,
+                       style: str = "processed") -> list[dict]:
+    """One MetricSender tick's DTO list (AbstractReader.java:83-114,
+    field-for-field):
+
+    - ``processed``: success as KairosDBMetricSingle
+      {name, type, tags, timestamp, value=delta}
+    - ``raw``: success as KairosDBMetricMultiple
+      {name, type, tags, datapoints=[[ceil-minute ts, cumulative], ...]}
+    - error is ALWAYS the Single delta shape, both styles.
+
+    Tags are {"from": source_key, "host": host}; type is "long"."""
+    if style not in ("processed", "raw"):
+        raise ValueError(f"unknown metric style {style!r}")
+    out: list[dict] = []
+    for key, rm in metric_map.items():
+        tags = {"from": key, "host": host}
+        if style == "processed":
+            out.append({"name": READ_LINE_METRIC_NAME, "type": "long",
+                        "tags": tags, "timestamp": now_ms,
+                        "value": rm.success_delta()})
+        else:
+            out.append({"name": READ_LINE_METRIC_NAME, "type": "long",
+                        "tags": tags,
+                        "datapoints": rm.all_success_datapoints(now_ms)})
+        out.append({"name": READ_ERROR_METRIC_NAME, "type": "long",
+                    "tags": tags, "timestamp": now_ms,
+                    "value": rm.error_delta()})
+    return out

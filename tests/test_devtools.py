@@ -58,3 +58,26 @@ print(serialize_record(parse_line(cg, "[elk] hello world")))
                        capture_output=True, text=True, cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr
     assert '"logtype":"elk"' in r.stdout and '"payload":"hello world"' in r.stdout
+
+
+def test_check_oracle_decimal_compare_is_exact():
+    """VERDICT r3 item 2: the local gate must not be float-blind — two
+    DECIMAL(38,10) values differing past float64's ~16 significant digits
+    must compare unequal, while scale-only differences (1.20 vs 1.2000)
+    stay equal."""
+    import importlib.util
+    import os
+    from decimal import Decimal
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts", "check_oracle.py"))
+    co = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(co)
+
+    a = Decimal("123456789.1234567890")
+    b = Decimal("123456789.1234567891")  # differs at the 19th digit
+    assert float(a) == float(b)          # the OLD compare was blind to this
+    assert co.norm_cell(a) != co.norm_cell(b)
+    assert co.norm_cell(Decimal("1.20")) == co.norm_cell(Decimal("1.2000"))
+    assert co.norm_cell(Decimal("0.00")) == co.norm_cell(Decimal("0"))

@@ -213,3 +213,73 @@ def test_kairos_metric_shape_matches_reference():
          "tags": {"from": "x.log", "host": "node1"},
          "type": "long", "value": 1, "timestamp": 123},
     ]
+
+
+def test_kairos_dto_processed_and_raw_golden():
+    """Both KairosDB DTO styles, field-for-field against the reference
+    (AbstractReader.java:89-114 + metrics/ReaderMetrics.java):
+    processed = Single {name,type,tags,timestamp,value=delta};
+    raw = Multiple {name,type,tags,datapoints=[[ceil-min ts, cumulative]]}
+    with changed-only emission and one-day eviction; error is always the
+    Single delta shape."""
+    import json
+
+    from log_collector_spark.operators.sinks import (
+        READ_ERROR_METRIC_NAME, READ_LINE_METRIC_NAME, ReaderMetricsState,
+        build_kairos_batch)
+
+    t0 = 1700000000000  # 2023-11-14T22:13:20Z — mid-minute
+    minute = -(-t0 // 60000) * 60000
+
+    # ---- processed style: delta semantics across two ticks
+    rm = ReaderMetricsState()
+    for _ in range(5):
+        rm.increment_success(t0)
+    rm.increment_error()
+    batch1 = build_kairos_batch({"a.log": rm}, "h1", t0 + 1000, "processed")
+    assert json.loads(json.dumps(batch1)) == [
+        {"name": READ_LINE_METRIC_NAME, "type": "long",
+         "tags": {"from": "a.log", "host": "h1"},
+         "timestamp": t0 + 1000, "value": 5},
+        {"name": READ_ERROR_METRIC_NAME, "type": "long",
+         "tags": {"from": "a.log", "host": "h1"},
+         "timestamp": t0 + 1000, "value": 1},
+    ]
+    rm.increment_success(t0)
+    rm.increment_success(t0)
+    batch2 = build_kairos_batch({"a.log": rm}, "h1", t0 + 2000, "processed")
+    assert batch2[0]["value"] == 2      # delta, not cumulative
+    assert batch2[1]["value"] == 0      # no new errors
+
+    # ---- raw style: cumulative datapoints, changed-only, eviction
+    rm = ReaderMetricsState()
+    for _ in range(3):
+        rm.increment_success(t0)            # bucket: ceil minute of t0
+    rm.increment_success(t0 + 60000)        # next bucket
+    batch1 = build_kairos_batch({"b.log": rm}, "h2", t0 + 1000, "raw")
+    assert json.loads(json.dumps(batch1)) == [
+        {"name": READ_LINE_METRIC_NAME, "type": "long",
+         "tags": {"from": "b.log", "host": "h2"},
+         "datapoints": [[minute, 3], [minute + 60000, 1]]},
+        {"name": READ_ERROR_METRIC_NAME, "type": "long",
+         "tags": {"from": "b.log", "host": "h2"},
+         "timestamp": t0 + 1000, "value": 0},
+    ]
+    # second tick: only the bucket that changed re-emits, CUMULATIVE value
+    rm.increment_success(t0)
+    batch2 = build_kairos_batch({"b.log": rm}, "h2", t0 + 2000, "raw")
+    assert batch2[0]["datapoints"] == [[minute, 4]]
+    # third tick a day later: everything evicted, nothing changed
+    later = t0 + 25 * 3600 * 1000
+    batch3 = build_kairos_batch({"b.log": rm}, "h2", later, "raw")
+    assert batch3[0]["datapoints"] == []
+    assert rm.success_map == {}
+
+    # exact ceil-minute rule: a timestamp ON the minute stays there
+    rm2 = ReaderMetricsState()
+    rm2.increment_success(minute)
+    assert list(rm2.success_map) == [minute]
+
+    import pytest
+    with pytest.raises(ValueError):
+        build_kairos_batch({}, "h", 0, "weird")

@@ -38,6 +38,8 @@ ORACLE_CHECKED = [
     "ann_topk_ivf",
     "ngram_jaccard_maxdf",
     "multimodal_features",
+    "decode_wav_documents",
+    "decode_ppm_documents",
     "token_topk_documents",
     "sessionize_events",
     "scan_prune_recent",
@@ -768,3 +770,65 @@ def test_corpus_yield_sequential_funnel(spark):
     assert r["n_quality"] == 3          # doc 3 out
     assert r["n_dedup"] == 2            # doc 2 out (doc 1 canonical)
     assert r["n_clean"] == 1            # doc 4 out (contaminated)
+
+
+def test_wav_codec_kernel():
+    """Pure-Python WAV codec: encode→decode round-trip equals the synth
+    arithmetic; the generic parser also handles shapes the encoder never
+    emits (8-bit, stereo, odd-sized word-aligned extra chunks)."""
+    import struct
+
+    from log_collector_spark.textops import multimodal as M
+
+    for mid in (0, 7, 123, 999):
+        f = M.decode_wav(M.encode_wav(mid))
+        samples = M._synth_samples(mid)
+        assert f["n_samples"] == len(samples)
+        assert f["sample_sum"] == sum(samples)
+        assert f["sample_min"] == min(samples)
+        assert f["sample_max"] == max(samples)
+        assert (f["n_channels"], f["sample_rate"], f["bits"]) == (1, 8000, 16)
+
+    # 8-bit stereo with a LIST chunk of odd size before data (word-aligned)
+    fmt = struct.pack("<IHHIIHH", 16, 1, 2, 11025, 11025 * 2, 2, 8)
+    data = bytes([128, 130, 126, 128])  # 2 frames x 2 channels, unsigned
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = b"WAVE" + b"fmt " + fmt + extra + b"data" + struct.pack("<I", 4) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    f = M.decode_wav(wav)
+    assert (f["n_channels"], f["bits"], f["n_samples"]) == (2, 8, 2)
+    assert f["sample_sum"] == 0 + 2 - 2 + 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        M.decode_wav(b"RIFX" + b"\x00" * 20)
+    with pytest.raises(ValueError):  # float PCM (format 3)
+        bad_fmt = struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        M.decode_wav(b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+                     + b"fmt " + bad_fmt)
+
+
+def test_ppm_codec_kernel():
+    """Pure-Python PPM codec: round-trip equals synth arithmetic; the header
+    tokenizer handles comments and arbitrary whitespace; truncation raises."""
+    import pytest
+
+    from log_collector_spark.textops import multimodal as M
+
+    for mid in (0, 5, 47, 500):
+        f = M.decode_ppm(M.encode_ppm(mid))
+        w, h = mid % 16 + 1, mid % 12 + 1
+        px = [((mid + i) * 37) % 256 for i in range(w * h * 3)]
+        assert (f["width"], f["height"], f["maxval"]) == (w, h, 255)
+        assert f["pixel_sum"] == sum(px)
+        assert f["pixel_min"] == min(px)
+        assert f["pixel_max"] == max(px)
+
+    # comments + multi-whitespace header (netpbm spec)
+    img = b"P6 # cmt\n 2\t1 # another\n 255\n" + bytes(range(6))
+    f = M.decode_ppm(img)
+    assert (f["width"], f["height"], f["pixel_sum"]) == (2, 1, 15)
+    with pytest.raises(ValueError):
+        M.decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):
+        M.decode_ppm(b"P6\n2 2\n255\n\x00\x01")  # truncated pixels

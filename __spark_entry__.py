@@ -524,6 +524,38 @@ def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(_embs(spark, sf_dir))
 
 
+def q_ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the LSH ANN index vs brute-force ground truth
+    (textops/evalops.py — the published quality metric of the index)."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.ann_recall(_embs(spark, sf_dir))
+
+
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch calibration: estimated vs exact Jaccard per LSH
+    candidate pair (threshold-free — rejected pairs included)."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.minhash_estimate_error(_docs(spark, sf_dir))
+
+
+def q_ivf_balance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-population skew report (hot cell = hot partition at scale)."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.ivf_balance(_embs(spark, sf_dir))
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chars-per-token fertility (tokenizer-change gate)."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, shard) sequence-packing waste report."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.packing_efficiency(_docs(spark, sf_dir))
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k with Hamming-1 multiprobe."""
     from log_collector_spark.textops import similarity as S
@@ -1130,6 +1162,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "knn_label_consistency": q_knn_label_consistency,
         "ann_topk_brute": q_ann_topk_brute,
+        "ann_recall_embeddings": q_ann_recall_embeddings,
+        "minhash_estimate_error": q_minhash_estimate_error,
+        "ivf_balance_embeddings": q_ivf_balance_embeddings,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "packing_efficiency": q_packing_efficiency,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "multimodal_features": q_multimodal_features,
@@ -1432,6 +1469,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _td().sql_embedding_neardup_pairs(),
         "knn_label_consistency": _ts().sql_knn_label_consistency(),
         "ann_topk_brute": _ts().sql_brute_force_topk(),
+        "ann_recall_embeddings": _te().sql_ann_recall(),
+        "minhash_estimate_error": _te().sql_minhash_estimate_error(),
+        "ivf_balance_embeddings": _te().sql_ivf_balance(),
+        "tokenizer_fertility": _te().sql_tokenizer_fertility(),
+        "packing_efficiency": _te().sql_packing_efficiency(),
         "ann_topk_lsh": _ts().sql_lsh_ann_topk(),
         "ann_topk_ivf": _ts().sql_ivf_ann_topk(),
         "multimodal_features": _tm().sql_fake_features(),
@@ -1757,3 +1799,8 @@ def _tm():
 def _tk():
     from log_collector_spark.textops import chunking
     return chunking
+
+
+def _te():
+    from log_collector_spark.textops import evalops
+    return evalops

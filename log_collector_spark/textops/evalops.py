@@ -1,0 +1,349 @@
+"""Pipeline-evaluation operators: measure the quality of the approximate
+operators against their exact counterparts, and the efficiency of the
+layout/packing stages — the reports a training-data pipeline publishes with
+every corpus release.
+
+These are engine extensions (SURVEY §2.12 family): the reference stops at
+routing counters (reference/src/main/java/io/sugo/collect/metrics/*); a
+100-TB data pipeline additionally needs *evaluation of its own index
+structures* — ANN recall, sketch calibration, partition balance, packing
+waste — computed distributed, not by sampling to the driver.
+
+All outputs are integer permille / counts on the repo's h60 / quantized
+primitives (textops/common.py), so every operator here is a
+``queries()`` + ``oracle_sql()`` pair under the driver's typed value-hash.
+
+Scale shapes (100 TB):
+- ann_recall joins two top-k frames on (query_id, cand_id) — both are
+  |queries|·k rows, tiny relative to the corpus; one shuffle each side.
+- minhash_estimate_error reuses the persisted shingle table (dedup's
+  single-tokenize invariant) and moves only (doc_id, signature) pairs.
+- ivf_balance is one map-side-combined count per cell — #cells rows.
+- packing_efficiency aggregates pack_sequences' (group, shard) frame —
+  one extra hash agg over columns that already exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from log_collector_spark.textops import common as C
+
+# ---------------------------------------------------------------------------
+# ANN recall@k: LSH candidates vs brute-force ground truth
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-query recall@k of the LSH ANN index against the exact
+    brute-force top-k (the evaluation every ANN deployment publishes).
+
+    recall_permille = |lsh_topk ∩ brute_topk| * 1000 / k. Both sides are
+    deterministic (integer dot, vec_id tiebreaks), so this is exact, not a
+    sampled estimate. The join is on (query_id, cand_id) over two
+    |queries|·k-row frames — negligible at any corpus size; the expensive
+    parts (the top-ks themselves) are the operators under test."""
+    from log_collector_spark.textops import similarity as S
+
+    brute = S.brute_force_topk(df, vec_col).select(
+        "query_id", F.col("cand_id").alias("truth_id"))
+    lsh = S.lsh_ann_topk(df, vec_col).select(
+        "query_id", F.col("cand_id").alias("lsh_id"))
+    hits = (brute.join(lsh, (brute["query_id"] == lsh["query_id"]) &
+                       (brute["truth_id"] == lsh["lsh_id"]))
+            .groupBy(brute["query_id"].alias("query_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    per_q = brute.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_truth"))
+    return (per_q.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                     .alias("n_hits"),
+                    "k_truth")
+            .withColumn("recall_permille",
+                        C.permille(F.col("n_hits"), F.col("k_truth"))))
+
+
+def sql_ann_recall(table: str = "embeddings") -> str:
+    from log_collector_spark.textops import similarity as S
+
+    return f"""
+        WITH brute AS ({S.sql_brute_force_topk(table)}),
+        lsh AS ({S.sql_lsh_ann_topk(table)}),
+        per_q AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_truth
+            FROM brute GROUP BY query_id
+        ), hits AS (
+            SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM brute b JOIN lsh l
+              ON l.query_id = b.query_id AND l.cand_id = b.cand_id
+            GROUP BY b.query_id
+        )
+        SELECT p.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               p.k_truth,
+               CAST(CASE WHEN p.k_truth > 0
+                    THEN COALESCE(h.n_hits, 0) * 1000 // p.k_truth
+                    ELSE 0 END AS BIGINT) AS recall_permille
+        FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch calibration: estimated vs exact Jaccard per candidate pair
+# ---------------------------------------------------------------------------
+
+
+def minhash_estimate_error(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """For every LSH band-bucket candidate pair (NO Jaccard threshold —
+    calibration must see the rejected pairs too): the signature-estimated
+    Jaccard (matching permutations * 1000 / NUM_PERM) vs the exact
+    shingle-set Jaccard, plus the absolute error. This is how you size
+    NUM_PERM/bands for a corpus: if abs_err blows past the band design's
+    tolerance, the sketch is too small.
+
+    Reuses dedup's persisted shingle table (tokenize once); only
+    (doc_id, 8-slot signature) rows and candidate ids shuffle."""
+    from log_collector_spark.textops import dedup as D
+
+    docs = D.doc_shingles(df, text_col, D.SHINGLE_K)
+    sigs = D.minhash_signatures(df, text_col, D.SHINGLE_K, shingles=docs)
+    bands = []
+    for b in range(D.BANDS):
+        cols = [F.col(f"mh_{b * D.ROWS_PER_BAND + r}")
+                for r in range(D.ROWS_PER_BAND)]
+        sig = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        bands.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bs")) \
+                 .select("doc_id", "bs.band", "bs.sig")
+    cand = (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.band") == F.col("b.band")) &
+                  (F.col("a.sig") == F.col("b.sig")) &
+                  (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sig_cols = [f"mh_{i}" for i in range(D.NUM_PERM)]
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(c).alias(f"a_{c}") for c in sig_cols])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(c).alias(f"b_{c}") for c in sig_cols])
+    matches = sum(F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+                  for c in sig_cols)
+    est = (matches * 1000 / D.NUM_PERM).cast("long")
+    j = (cand.join(sa, "doc_a").join(sb, "doc_b")
+         .select("doc_a", "doc_b", est.alias("est_permille")))
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shingles").alias("sh_a"),
+                     F.col("n_shingles").alias("size_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shingles").alias("sh_b"),
+                     F.col("n_shingles").alias("size_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = (F.col("size_a") + F.col("size_b")).cast("long") - inter
+    exact = C.permille(inter, uni)
+    return (j.join(da, "doc_a").join(db, "doc_b")
+            .select("doc_a", "doc_b", "est_permille",
+                    exact.alias("exact_permille"))
+            .withColumn("abs_err_permille",
+                        F.abs(F.col("est_permille")
+                              - F.col("exact_permille")).cast("long")))
+
+
+def sql_minhash_estimate_error(table: str = "documents") -> str:
+    from log_collector_spark.textops import dedup as D
+
+    band_rows = ", ".join(
+        "({b}, md5(CAST(mh_{i0} AS VARCHAR) || ',' || CAST(mh_{i1} AS VARCHAR)))"
+        .format(b=b, i0=b * D.ROWS_PER_BAND, i1=b * D.ROWS_PER_BAND + 1)
+        for b in range(D.BANDS))
+    matches = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(D.NUM_PERM))
+    inter = "len(list_intersect(da.shingles, db.shingles))"
+    uni = f"da.n_shingles + db.n_shingles - {inter}"
+    return f"""
+        WITH sigs AS ({D._sql_minhash_signatures(table, D.SHINGLE_K)}),
+        banded AS (
+            SELECT doc_id, t.band, t.sig
+            FROM sigs, LATERAL (VALUES {band_rows}) AS t(band, sig)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(({matches}) * 1000 / {D.NUM_PERM} AS BIGINT)
+                       AS est_permille
+            FROM cand c
+            JOIN sigs a ON a.doc_id = c.doc_a
+            JOIN sigs b ON b.doc_id = c.doc_b
+        ),
+        docs AS ({D._sql_doc_shingles(table, D.SHINGLE_K)})
+        SELECT e.doc_a, e.doc_b, e.est_permille,
+               CAST(CASE WHEN {uni} > 0 THEN {inter} * 1000 // ({uni})
+                    ELSE 0 END AS BIGINT) AS exact_permille,
+               CAST(abs(e.est_permille
+                        - CASE WHEN {uni} > 0 THEN {inter} * 1000 // ({uni})
+                               ELSE 0 END) AS BIGINT) AS abs_err_permille
+        FROM est e
+        JOIN docs da ON da.doc_id = e.doc_a
+        JOIN docs db ON db.doc_id = e.doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF cell balance (index-partition skew report)
+# ---------------------------------------------------------------------------
+
+
+def ivf_balance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-IVF-cell population report: count, share, and a hot flag for
+    cells holding > 2x the average — the skew diagnosis you run BEFORE
+    betting a 100-TB ANN layout on cell = partition key (a hot cell is a
+    hot partition). One map-side-combined count; #cells output rows."""
+    from log_collector_spark.textops import similarity as S
+
+    q = S._quantized(df, vec_col)
+    cell = F.array_min(S._ivf_cell_scores(F.col("q")))["cid"]
+    per = (q.select(cell.alias("cell"))
+           .groupBy("cell")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_vectors")))
+    total = per.agg(F.sum("n_vectors").cast("long").alias("total"))
+    return (per.crossJoin(F.broadcast(total))
+            .select(F.col("cell").cast("long").alias("cell"),
+                    "n_vectors",
+                    C.permille(F.col("n_vectors"), F.col("total"))
+                     .alias("share_permille"),
+                    (F.col("n_vectors") * S.IVF_K > F.col("total") * 2)
+                     .alias("hot")))
+
+
+def sql_ivf_balance(table: str = "embeddings") -> str:
+    from log_collector_spark.textops import similarity as S
+
+    qe = C.sql_quantized_embedding("embedding")
+    cent_rows = ", ".join(
+        f"({i}, {S._IVF_C2[i]}, {c}::BIGINT[])"
+        for i, c in enumerate(S.IVF_CENTROIDS))
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), cent AS (
+            SELECT * FROM (VALUES {cent_rows}) AS t(cid, c2, c)
+        ), assign AS (
+            SELECT vec_id, cid,
+                   c2 - 2 * CAST(list_dot_product(q, c) AS BIGINT) AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY c2 - 2 * CAST(
+                                          list_dot_product(q, c) AS BIGINT),
+                                      cid) AS rn
+            FROM q CROSS JOIN cent
+        ), per AS (
+            SELECT cid AS cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM assign WHERE rn = 1 GROUP BY cid
+        ), tot AS (
+            SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM per
+        )
+        SELECT CAST(cell AS BIGINT) AS cell, n_vectors,
+               CAST(CASE WHEN total > 0 THEN n_vectors * 1000 // total
+                    ELSE 0 END AS BIGINT) AS share_permille,
+               n_vectors * {S.IVF_K} > total * 2 AS hot
+        FROM per CROSS JOIN tot
+    """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (chars/bytes per token, per source)
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(df: DataFrame, group_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Per-source tokenizer fertility: how many characters one token costs
+    (chars_per_token_permille = chars * 1000 / tokens). The first statistic
+    a tokenizer change gets evaluated on — a fertility regression inflates
+    every downstream token budget. Pure Catalyst, one hash agg."""
+    toks = F.size(C.tokens(F.col(text_col))).cast("long")
+    per = (df.select(F.col(group_col),
+                     toks.alias("ntok"),
+                     F.length(F.col(text_col)).cast("long").alias("nchr"))
+           .groupBy(group_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("ntok").cast("long").alias("n_tokens"),
+                F.sum("nchr").cast("long").alias("n_chars")))
+    return per.withColumn(
+        "chars_per_token_permille",
+        C.permille(F.col("n_chars"), F.col("n_tokens")))
+
+
+def sql_tokenizer_fertility(table: str = "documents",
+                            group_col: str = "source") -> str:
+    tok = C.sql_tokens("text")
+    return f"""
+        WITH per AS (
+            SELECT {group_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({tok})) AS BIGINT) AS n_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars
+            FROM {table} GROUP BY {group_col}
+        )
+        SELECT {group_col}, n_docs, n_tokens, n_chars,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN n_chars * 1000 // n_tokens ELSE 0 END AS BIGINT)
+                   AS chars_per_token_permille
+        FROM per
+    """
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing efficiency (capacity vs used tokens per shard)
+# ---------------------------------------------------------------------------
+
+
+def packing_efficiency(df: DataFrame, group_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Per-(group, shard) packing report over :func:`chunking.pack_sequences`:
+    pack count, used tokens, capacity (packs * budget) and the waste
+    permille — the number that tells you whether the packing budget/shard
+    count is burning accelerator hours on padding. One extra hash agg over
+    the packing frame's existing columns."""
+    from log_collector_spark.textops import chunking as K
+
+    packed = K.pack_sequences(df, group_col=group_col, text_col=text_col)
+    per = (packed.groupBy(group_col, "shard")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("used_tokens"),
+                (F.max("pack_last") + 1).cast("long").alias("n_packs")))
+    cap = F.col("n_packs") * K.PACK_BUDGET
+    return (per.withColumn("capacity", cap.cast("long"))
+            .withColumn("waste_permille",
+                        C.permille(F.col("capacity") - F.col("used_tokens"),
+                                   F.col("capacity"))))
+
+
+def sql_packing_efficiency(table: str = "documents",
+                           group_col: str = "source") -> str:
+    from log_collector_spark.textops import chunking as K
+
+    return f"""
+        WITH packed AS ({K.sql_pack_sequences(table, group_col)}),
+        per AS (
+            SELECT {group_col}, CAST(shard AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS used_tokens,
+                   CAST(MAX(pack_last) + 1 AS BIGINT) AS n_packs
+            FROM packed GROUP BY {group_col}, shard
+        )
+        SELECT {group_col}, shard, n_docs, used_tokens, n_packs,
+               CAST(n_packs * {K.PACK_BUDGET} AS BIGINT) AS capacity,
+               CAST(CASE WHEN n_packs > 0
+                    THEN (n_packs * {K.PACK_BUDGET} - used_tokens) * 1000
+                         // (n_packs * {K.PACK_BUDGET})
+                    ELSE 0 END AS BIGINT) AS waste_permille
+        FROM per
+    """

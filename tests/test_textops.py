@@ -34,6 +34,11 @@ ORACLE_CHECKED = [
     "simhash_pairs",
     "embedding_neardup",
     "ann_topk_brute",
+    "ann_recall_embeddings",
+    "minhash_estimate_error",
+    "ivf_balance_embeddings",
+    "tokenizer_fertility",
+    "packing_efficiency",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ngram_jaccard_maxdf",

@@ -213,6 +213,33 @@ def q_tx_sink_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_ops.sink_tallies(routed)
 
 
+def q_tx_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool latency profile over the ROUTED frame (full parse→enrich→
+    route path under the hash): one hash agg, JVM json-path extraction."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.tool_latency(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_role_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation same-role-adjacency report under stable
+    (conv_id, turn_idx) order — dialog-structure QA, one shuffle."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.role_alternation(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn counts / span / role mix over routed rows."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.conversation_stats_ms(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_tokens_by_role_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token totals per role CLASS — exercises the role broadcast lookup
+    (left-join misses surface as a NULL class group)."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.tokens_by_role_class(pl.full_pipeline(spark, sf_dir))
+
+
 def q_tx_per_turn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn Gson-equal serialized records under stable ordering."""
     routed = pl.full_pipeline(spark, sf_dir)
@@ -1134,6 +1161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_events": q_window_lag_events,
         "conversation_stats_events": q_conversation_stats_events,
         "tx_sink_tallies": q_tx_sink_tallies,
+        "tx_tool_latency": q_tx_tool_latency,
+        "tx_role_alternation": q_tx_role_alternation,
+        "tx_conversation_stats": q_tx_conversation_stats,
+        "tx_tokens_by_role_class": q_tx_tokens_by_role_class,
         "tx_per_turn_json": q_tx_per_turn_json,
         "per_file_totals": q_per_file_totals,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
@@ -1354,6 +1385,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT {tx_sink_case} AS sink FROM {tx_view}
             ) WHERE sink IS NOT NULL GROUP BY sink
         """,
+        "tx_tool_latency": _tx().sql_tool_latency(tx_view),
+        "tx_role_alternation": _tx().sql_role_alternation(tx_view),
+        "tx_conversation_stats": _tx().sql_conversation_stats_ms(tx_view),
+        "tx_tokens_by_role_class": _tx().sql_tokens_by_role_class(tx_view),
         "tx_per_turn_json": f"""
             SELECT conv_id, turn_idx, {tx_json} AS parsed_json
             FROM {tx_view}
@@ -1804,3 +1839,8 @@ def _tk():
 def _te():
     from log_collector_spark.textops import evalops
     return evalops
+
+
+def _tx():
+    from log_collector_spark.operators import tx_stats
+    return tx_stats

@@ -1,0 +1,177 @@
+"""Per-conversation / per-tool aggregates over the ROUTED transcript frame.
+
+These run on the output of ``plans.pipeline.full_pipeline`` — scan → grok
+parse → role/tool broadcast enrich → rule routing — so their oracles
+re-verify the whole flagship path end-to-end, not just the final groupBy
+(the north-star surface: "windowed per-conversation and per-tool aggregates
+are computed with DataFrame groupBy/Window").
+
+Clean-row predicate is the routing rule itself (``parse_ok`` and not
+oversize) and the DuckDB side reconstructs it from the raw transcripts
+parquet (strlen < max, non-blank, not corrupt#), so a routing regression —
+not just an aggregation bug — fails these hashes.
+
+Plan shapes at 10^12 turns: every query here is ONE hash agg (or one
+window + one agg) keyed on conv_id / tool — the parse/enrich chain above it
+is narrow (zero shuffle; pipeline.py invariant), so total cost is a single
+exchange each. The payload-field extraction (latency/tokens) uses
+``get_json_object`` on the already-parsed capture — JVM-side, no second
+Python hop.
+
+Reference parity anchor: the reference's surface stops at counters
+(DefaultFileReader.java:246-248); these extend §2.8's windowed-aggregate
+family onto the transcript payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# The raw-parquet clean-row predicate (mirrors route_events' rules) for
+# DuckDB oracles, parameterized on the max-size the pipeline routes at.
+SQL_CLEAN = ("strlen(text) < 8192 AND trim(coalesce(text, '')) <> '' "
+             "AND text NOT LIKE 'corrupt#%'")
+
+_LAT = "CAST(regexp_extract(text, '\"latency_ms\":(\\d+)', 1) AS BIGINT)"
+_TOK = "CAST(regexp_extract(text, '\"tokens\":(\\d+)', 1) AS BIGINT)"
+
+# role → (role_class, is_human) / tool → (tool_category, is_side_effecting)
+# inline VALUES for the oracle (sources/transcripts.py lookup rows).
+_SQL_ROLE_LUT = ("(VALUES ('user','human',TRUE), ('assistant','model',FALSE),"
+                 " ('system','control',FALSE), ('tool','machine',FALSE))"
+                 " AS rl(role, role_class, is_human)")
+_SQL_TOOL_LUT = ("(VALUES ('bash','exec',TRUE), ('read','fs',FALSE),"
+                 " ('edit','fs',TRUE), ('search','query',FALSE),"
+                 " ('browse','net',FALSE), ('none','none',FALSE))"
+                 " AS tl(tool, tool_category, is_side_effecting)")
+
+
+def _clean(routed: DataFrame) -> DataFrame:
+    return routed.filter(F.col("parse_ok") & ~F.col("is_oversize"))
+
+
+def tool_latency(routed: DataFrame) -> DataFrame:
+    """Per-(tool, category) latency profile from the parsed payload: one
+    hash agg; latency extraction is a JVM json-path over the capture."""
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    return (_clean(routed)
+            .select("tool", "tool_category", "is_side_effecting",
+                    lat.alias("lat"))
+            .groupBy("tool", "tool_category", "is_side_effecting")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.sum("lat").cast("long").alias("latency_sum"),
+                 F.min("lat").cast("long").alias("latency_min"),
+                 F.max("lat").cast("long").alias("latency_max")))
+
+
+def sql_tool_latency(tx_view: str) -> str:
+    return f"""
+        SELECT tl.tool, tl.tool_category, tl.is_side_effecting,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM({_LAT}) AS BIGINT) AS latency_sum,
+               CAST(MIN({_LAT}) AS BIGINT) AS latency_min,
+               CAST(MAX({_LAT}) AS BIGINT) AS latency_max
+        FROM {tx_view} t
+        LEFT JOIN {_SQL_TOOL_LUT} ON tl.tool = t.tool
+        WHERE {SQL_CLEAN}
+        GROUP BY tl.tool, tl.tool_category, tl.is_side_effecting
+    """
+
+
+def role_alternation(routed: DataFrame) -> DataFrame:
+    """Per-conversation alternation report under stable (conv_id, turn_idx)
+    order: how many adjacent turn pairs repeat the same role (a dialog-
+    structure QA check). One window + one agg, both keyed on conv_id —
+    a single shuffle."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("role").over(w)
+    per_turn = (_clean(routed)
+                .select("conv_id", "turn_idx", "role")
+                .withColumn("same_as_prev",
+                            (F.col("role") == prev).cast("long")))
+    return (per_turn.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.coalesce(F.sum("same_as_prev"), F.lit(0)).cast("long")
+                  .alias("n_repeats"),
+                 F.countDistinct("role").cast("long").alias("n_roles")))
+
+
+def sql_role_alternation(tx_view: str) -> str:
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, turn_idx, role FROM {tx_view}
+            WHERE {SQL_CLEAN}
+        ), marked AS (
+            SELECT conv_id, role,
+                   CASE WHEN role = lag(role) OVER (
+                            PARTITION BY conv_id ORDER BY turn_idx)
+                        THEN 1 ELSE 0 END AS same_as_prev
+            FROM clean
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(COALESCE(SUM(same_as_prev), 0) AS BIGINT) AS n_repeats,
+               CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles
+        FROM marked GROUP BY conv_id
+    """
+
+
+def conversation_stats_ms(routed: DataFrame) -> DataFrame:
+    """operators.aggregate.conversation_stats with epoch-ms spans (the
+    repo's hash-stable timestamp convention) over the routed clean rows."""
+    from log_collector_spark.operators import aggregate as agg_ops
+
+    stats = agg_ops.conversation_stats(_clean(routed))
+    ms = lambda c: F.expr(f"unix_micros(cast({c} as timestamp)) div 1000")
+    return stats.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("max_turn_idx").cast("long").alias("max_turn_idx"),
+        ms("started_at").alias("started_ms"),
+        ms("ended_at").alias("ended_ms"),
+        F.col("user_turns").cast("long").alias("user_turns"),
+        F.col("assistant_turns").cast("long").alias("assistant_turns"))
+
+
+def sql_conversation_stats_ms(tx_view: str) -> str:
+    return f"""
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx,
+               CAST(epoch_ms(MIN(ts)) AS BIGINT) AS started_ms,
+               CAST(epoch_ms(MAX(ts)) AS BIGINT) AS ended_ms,
+               CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS user_turns,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS assistant_turns
+        FROM {tx_view}
+        WHERE {SQL_CLEAN}
+        GROUP BY conv_id
+    """
+
+
+def tokens_by_role_class(routed: DataFrame) -> DataFrame:
+    """Per-role-class token totals (exercises the role broadcast lookup):
+    one hash agg over 4 role classes."""
+    tok = F.get_json_object("payload", "$.tokens").cast("long")
+    return (_clean(routed)
+            .select("role_class", "is_human", tok.alias("tok"))
+            .groupBy("role_class", "is_human")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.sum("tok").cast("long").alias("tokens_sum"),
+                 F.max("tok").cast("long").alias("tokens_max")))
+
+
+def sql_tokens_by_role_class(tx_view: str) -> str:
+    return f"""
+        SELECT rl.role_class, rl.is_human,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM({_TOK}) AS BIGINT) AS tokens_sum,
+               CAST(MAX({_TOK}) AS BIGINT) AS tokens_max
+        FROM {tx_view} t
+        LEFT JOIN {_SQL_ROLE_LUT} ON rl.role = t.role
+        WHERE {SQL_CLEAN}
+        GROUP BY rl.role_class, rl.is_human
+    """

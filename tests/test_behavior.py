@@ -258,7 +258,8 @@ def test_keyword_search_requires_all_terms(spark):
         [(1, "data model training loop"), (2, "data model"),
          (3, "training data data data model")],
         "doc_id long, text string")
-    got = sorted(r["doc_id"] for r in keyword_search(docs).collect())
+    got = sorted(r["doc_id"] for r in keyword_search(
+        docs, keywords=["data", "model", "training"]).collect())
     assert got == [1, 3]  # doc 2 misses 'training'; dup tokens count once
 
 

@@ -247,3 +247,19 @@ def test_ppjoin_verify_never_broadcasts_candidates(spark):
         assert "doc_a" not in m.group(1), plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
     D.unpersist_shingles()
+
+
+def test_tx_stats_plan_parse_once_single_exchange(spark):
+    """tx_stats aggregates over the routed frame: the grok parse UDF
+    evaluates ONCE, both lookups broadcast, exactly one real (hash)
+    Exchange feeds the aggregate, and the transcript scan prunes to the
+    3 columns the query needs."""
+    import __spark_entry__ as E
+
+    df = E.queries()["tx_tool_latency"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, plan
+    assert "ReadSchema: struct<role:string,text:string,tool:string>" in plan

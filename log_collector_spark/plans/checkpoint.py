@@ -306,3 +306,56 @@ def read_output(spark: SparkSession, out_dir: str,
         return spark.read.option("basePath", out_dir).parquet(*paths)
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch=*"))
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-backed checkpoint table (SQL emitters; jar-gated)
+# ---------------------------------------------------------------------------
+# The parquet checkpoint above is the executable backend in this sandbox
+# (no iceberg-spark-runtime jar ships with it). On a cluster the same
+# metadata lives in an Iceberg table, where the driver-side
+# rewrite-the-whole-table dance collapses to single transactional
+# statements. These emitters ARE that path: run them verbatim through
+# spark.sql() once the catalog exists; iceberg_available() is the gate.
+
+CKPT_TABLE_COLS = "run_id STRING, batch_id STRING, src_file STRING, " \
+                  "n_rows BIGINT, n_error BIGINT, committed_at TIMESTAMP"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is usable in this session."""
+    try:
+        jvm_class = "org.apache.iceberg.spark.SparkCatalog"
+        spark._jvm.java.lang.Class.forName(jvm_class)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_create_checkpoint_sql(table: str = "ckpt.checkpoint") -> str:
+    """Checkpoint table DDL: partitioned by run for cheap per-run listing,
+    ordered within files by src_file so the pending-set anti-join's
+    build side scans sorted row groups."""
+    return (f"CREATE TABLE IF NOT EXISTS {table} ({CKPT_TABLE_COLS}) "
+            f"USING iceberg PARTITIONED BY (run_id)")
+
+
+def iceberg_recover_truncated_sql(bad_files: list[str],
+                                  table: str = "ckpt.checkpoint") -> str:
+    """The transactional form of :func:`recover_truncated`'s tombstone
+    rewrite — one UPDATE, snapshot-isolated, no table rewrite. batch_id
+    survives (same retraction-safety argument as the parquet path)."""
+    quoted = ", ".join("'" + f.replace("'", "''") + "'" for f in bad_files)
+    return (f"UPDATE {table} "
+            f"SET src_file = concat('{TRUNCATED_TOMBSTONE}', src_file) "
+            f"WHERE src_file IN ({quoted})")
+
+
+def iceberg_commit_batch_sql(table: str = "ckpt.checkpoint") -> str:
+    """MERGE form of the commit append: idempotent on (run_id, batch_id,
+    src_file) so a retried driver commit cannot double-insert — the Iceberg
+    analog of the parquet path's write-once batch files."""
+    return (f"MERGE INTO {table} t USING batch_rows s "
+            f"ON t.run_id = s.run_id AND t.batch_id = s.batch_id "
+            f"AND t.src_file = s.src_file "
+            f"WHEN NOT MATCHED THEN INSERT *")

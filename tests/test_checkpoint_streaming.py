@@ -464,3 +464,21 @@ def test_stream_session_windows_match_batch(spark, tmp_path):
     bad = joined.filter((F.col("n_true").isNull()) |
                         (F.col("n_turns") != F.col("n_true"))).count()
     assert bad == 0
+
+
+def test_iceberg_checkpoint_sql_emitters(spark):
+    """The Iceberg checkpoint backend is jar-gated in this sandbox; pin the
+    emitted SQL (the UPDATE keeps batch_id — the retraction-safety invariant
+    — and the MERGE key makes commits idempotent)."""
+    from log_collector_spark.plans import checkpoint as cp
+
+    assert cp.iceberg_available(spark) in (True, False)  # never raises
+    ddl = cp.iceberg_create_checkpoint_sql()
+    assert "USING iceberg" in ddl and "PARTITIONED BY (run_id)" in ddl
+    up = cp.iceberg_recover_truncated_sql(["/a/x.log", "/b/it's.log"])
+    assert up == ("UPDATE ckpt.checkpoint SET src_file = "
+                  "concat('truncated://', src_file) "
+                  "WHERE src_file IN ('/a/x.log', '/b/it''s.log')")
+    mg = cp.iceberg_commit_batch_sql()
+    assert "WHEN NOT MATCHED THEN INSERT *" in mg
+    assert "t.run_id = s.run_id" in mg and "t.src_file = s.src_file" in mg

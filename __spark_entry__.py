@@ -645,6 +645,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.fake_features(M.media_from_documents(_docs(spark, sf_dir)))
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-proxy quality score: mean corpus-bigram surprisal in millibits
+    (bit-length log — identical bin() semantics both engines)."""
+    from log_collector_spark.textops import lm_proxy as LM
+    return LM.bigram_surprisal(_docs(spark, sf_dir))
+
+
+def q_mean_shift_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-window CUSUM volume-shift score per (event_type, hour) — RANGE
+    frames over the epoch-hour index, gaps count as zero volume."""
+    from log_collector_spark.operators import changepoint as CP
+    return CP.mean_shift_hours(_tbl(spark, sf_dir, "events"))
+
+
 def q_decode_wav_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pure-Python WAV codec: encode(doc_id) → binary column →
     mapInPandas RIFF/PCM parse → integer sample stats. The oracle recomputes
@@ -1202,6 +1216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "decode_wav_documents": q_decode_wav_documents,
+        "bigram_surprisal_documents": q_bigram_surprisal,
+        "mean_shift_hours_events": q_mean_shift_hours,
         "decode_ppm_documents": q_decode_ppm_documents,
         "token_topk_documents": q_token_topk_documents,
         "sessionize_events": q_sessionize_events,
@@ -1513,6 +1529,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _ts().sql_ivf_ann_topk(),
         "multimodal_features": _tm().sql_fake_features(),
         "decode_wav_documents": _tm().sql_decode_wav_features(),
+        "bigram_surprisal_documents": _lm().sql_bigram_surprisal(),
+        "mean_shift_hours_events": _cp().sql_mean_shift_hours(),
         "decode_ppm_documents": _tm().sql_decode_ppm_features(),
         "token_topk_documents": """
             WITH counts AS (
@@ -1844,3 +1862,13 @@ def _te():
 def _tx():
     from log_collector_spark.operators import tx_stats
     return tx_stats
+
+
+def _lm():
+    from log_collector_spark.textops import lm_proxy
+    return lm_proxy
+
+
+def _cp():
+    from log_collector_spark.operators import changepoint
+    return changepoint

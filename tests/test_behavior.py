@@ -418,3 +418,47 @@ def test_basket_pairs_distinct_collapse(spark):
     assert out[("buy", "click")] == (1, 333)
     assert out[("buy", "view")] == (1, 333)
     assert len(out) == 3
+
+
+def test_bigram_surprisal_orders_junk_above_common(spark):
+    """A doc made of the corpus's dominant bigram scores near the floor;
+    a doc of unique junk scores the ceiling; <2-token docs report 0."""
+    from log_collector_spark.textops.lm_proxy import bigram_surprisal
+    common = "the cat " * 20          # "the cat"/"cat the" dominate
+    docs = spark.createDataFrame(
+        [(1, common), (2, "zq xv qj vk wx"), (3, "single"), (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in bigram_surprisal(docs).collect()}
+    assert out[3]["n_bigrams"] == 0 and out[3]["surprisal_millibits"] == 0
+    assert out[4]["n_bigrams"] == 0
+    assert out[1]["n_bigrams"] == 39
+    assert out[2]["n_bigrams"] == 4
+    assert out[2]["surprisal_millibits"] > out[1]["surprisal_millibits"]
+
+
+def test_mean_shift_detects_level_change(spark):
+    """A flat 5/hour series that jumps to 50/hour: the shift score peaks
+    exactly at the boundary hour and the windows count observed hours."""
+    import datetime as _dt
+
+    from log_collector_spark.operators.changepoint import mean_shift_hours
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(12):
+        per = 5 if h < 6 else 50
+        rows += [(f"e{h}_{i}", base + _dt.timedelta(hours=h, seconds=i),
+                  "deploy") for i in range(per)]
+    df = spark.createDataFrame(rows, "event_id string, ts timestamp, "
+                                     "event_type string")
+    out = {r["hour_idx"]: r.asDict()
+           for r in mean_shift_hours(df, w=6).collect()}
+    h0 = min(out)
+    boundary = h0 + 6
+    assert out[boundary]["sum_left"] == 30    # 6 x 5
+    assert out[boundary]["sum_right"] == 300  # 6 x 50
+    assert out[boundary]["shift_score"] == 270
+    assert out[boundary]["n_left"] == 6 and out[boundary]["n_right"] == 6
+    assert max(out.values(), key=lambda r: r["shift_score"])["hour_idx"] \
+        == boundary
+    # first hour has an empty left window
+    assert out[h0]["sum_left"] == 0 and out[h0]["n_left"] == 0

@@ -645,6 +645,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.fake_features(M.media_from_documents(_docs(spark, sf_dir)))
 
 
+def q_twa_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event_type (step interpolation,
+    integer cents x ms weights — the billing/SLO statistic)."""
+    from log_collector_spark.operators import behavior as B
+    return B.twa_value(_tbl(spark, sf_dir, "events"))
+
+
+def q_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token inverted-index dictionary rows: exact df/postings counts
+    for every token; posting-list fingerprint only under max_df (the hot
+    stop-word posting list never materializes as one shuffle value)."""
+    from log_collector_spark.textops import indexing as IX
+    return IX.inverted_index_stats(_docs(spark, sf_dir))
+
+
+def q_neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two degree histogram of the MinHash near-dup graph (the
+    dedup blast-radius / mega-cluster early-warning report)."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.neardup_degree_histogram(_docs(spark, sf_dir))
+
+
 def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-proxy quality score: mean corpus-bigram surprisal in millibits
     (bit-length log — identical bin() semantics both engines)."""
@@ -1218,6 +1240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_wav_documents": q_decode_wav_documents,
         "bigram_surprisal_documents": q_bigram_surprisal,
         "mean_shift_hours_events": q_mean_shift_hours,
+        "twa_value_events": q_twa_value_events,
+        "inverted_index_stats": q_inverted_index_stats,
+        "neardup_degree_histogram": q_neardup_degree_histogram,
         "decode_ppm_documents": q_decode_ppm_documents,
         "token_topk_documents": q_token_topk_documents,
         "sessionize_events": q_sessionize_events,
@@ -1531,6 +1556,9 @@ def oracle_sql() -> dict[str, str]:
         "decode_wav_documents": _tm().sql_decode_wav_features(),
         "bigram_surprisal_documents": _lm().sql_bigram_surprisal(),
         "mean_shift_hours_events": _cp().sql_mean_shift_hours(),
+        "twa_value_events": _bh().sql_twa_value(),
+        "inverted_index_stats": _tix().sql_inverted_index_stats(),
+        "neardup_degree_histogram": _te().sql_neardup_degree_histogram(),
         "decode_ppm_documents": _tm().sql_decode_ppm_features(),
         "token_topk_documents": """
             WITH counts AS (
@@ -1872,3 +1900,8 @@ def _lm():
 def _cp():
     from log_collector_spark.operators import changepoint
     return changepoint
+
+
+def _tix():
+    from log_collector_spark.textops import indexing
+    return indexing

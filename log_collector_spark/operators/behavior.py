@@ -899,3 +899,62 @@ def sql_basket_pairs(table: str = "events") -> str:
         CROSS JOIN tot
         GROUP BY a.t, b.t
     """
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (irregular-sample TWA, the billing/SLO statistic)
+# ---------------------------------------------------------------------------
+
+
+def twa_value(events: DataFrame, group_col: str = "event_type",
+              ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Per-group time-weighted average of an irregularly-sampled value:
+    each observation holds until the next one (step interpolation), so
+
+        twa = SUM(value_i * dt_i) / SUM(dt_i),  dt_i = ts_{i+1} - ts_i
+
+    in exact integers (value → cents via the repo's money convention,
+    dt in ms; the final epoch-less observation carries no weight). The
+    mean-of-samples lies when sampling is bursty; TWA is what uptime/
+    billing actually integrates. One window + one agg, both keyed on the
+    group — a single shuffle; the window frame is (ts, tiebreak) ordered
+    so duplicate timestamps are deterministic."""
+    from pyspark.sql.window import Window
+
+    ms = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 1000")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy(group_col).orderBy("t_ms", "event_id")
+    stepped = (events
+               .select(F.col(group_col), F.col("event_id"),
+                       ms.alias("t_ms"), cents.alias("v_c"))
+               .withColumn("dt_ms", F.lead("t_ms").over(w) - F.col("t_ms")))
+    return (stepped.filter(F.col("dt_ms").isNotNull())
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"),
+                 F.sum("dt_ms").cast("long").alias("dt_total_ms"),
+                 F.expr("CAST(sum(v_c * dt_ms) DIV sum(dt_ms) AS BIGINT)")
+                  .alias("twa_cents")))
+
+
+def sql_twa_value(table: str = "events", group_col: str = "event_type",
+                  ts_col: str = "ts", value_col: str = "value") -> str:
+    return f"""
+        WITH stepped AS (
+            SELECT {group_col},
+                   CAST(epoch_ms({ts_col}) AS BIGINT) AS t_ms,
+                   CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS v_c,
+                   lead(CAST(epoch_ms({ts_col}) AS BIGINT)) OVER (
+                       PARTITION BY {group_col}
+                       ORDER BY CAST(epoch_ms({ts_col}) AS BIGINT), event_id)
+                   - CAST(epoch_ms({ts_col}) AS BIGINT) AS dt_ms
+            FROM {table}
+        )
+        SELECT {group_col},
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dt_ms) AS BIGINT) AS dt_total_ms,
+               CAST(SUM(v_c * dt_ms) // SUM(dt_ms) AS BIGINT) AS twa_cents
+        FROM stepped
+        WHERE dt_ms IS NOT NULL
+        GROUP BY {group_col}
+    """

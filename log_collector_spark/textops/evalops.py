@@ -347,3 +347,51 @@ def sql_packing_efficiency(table: str = "documents",
                     ELSE 0 END AS BIGINT) AS waste_permille
         FROM per
     """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree histogram (dedup blast-radius report)
+# ---------------------------------------------------------------------------
+
+
+def neardup_degree_histogram(df: DataFrame,
+                             text_col: str = "text") -> DataFrame:
+    """Degree distribution of the MinHash-LSH near-dup graph, bucketed by
+    power of two (bucket = bitlen(degree)): the shape that says whether
+    dedup faces scattered pairs (degree 1-2) or a mega-cluster (one doc
+    connected to thousands — the template-page pathology that makes
+    connected components spin). Pairs come from the verified LSH join;
+    per-doc degree is one (doc, 1) agg over the pair list, the histogram
+    a second tiny agg."""
+    from log_collector_spark.textops import dedup as D
+
+    pairs = D.minhash_lsh_pairs(df, text_col)
+    deg = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+    bucket = F.length(F.bin(F.col("degree"))).cast("long")
+    return (deg.groupBy(bucket.alias("degree_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("degree").cast("long").alias("sum_degree"),
+                 F.max("degree").cast("long").alias("max_degree")))
+
+
+def sql_neardup_degree_histogram(table: str = "documents") -> str:
+    from log_collector_spark.textops import dedup as D
+
+    return f"""
+        WITH pairs AS ({D.sql_minhash_lsh_pairs(table)}),
+        deg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION ALL
+                SELECT doc_b AS doc_id FROM pairs
+            ) GROUP BY doc_id
+        )
+        SELECT CAST(length(bin(degree)) AS BIGINT) AS degree_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(degree) AS BIGINT) AS sum_degree,
+               CAST(MAX(degree) AS BIGINT) AS max_degree
+        FROM deg GROUP BY 1
+    """

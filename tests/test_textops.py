@@ -39,6 +39,11 @@ ORACLE_CHECKED = [
     "ivf_balance_embeddings",
     "tokenizer_fertility",
     "packing_efficiency",
+    "bigram_surprisal_documents",
+    "mean_shift_hours_events",
+    "twa_value_events",
+    "inverted_index_stats",
+    "neardup_degree_histogram",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ngram_jaccard_maxdf",

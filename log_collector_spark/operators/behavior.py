@@ -916,19 +916,44 @@ def twa_value(events: DataFrame, group_col: str = "event_type",
     in exact integers (value → cents via the repo's money convention,
     dt in ms; the final epoch-less observation carries no weight). The
     mean-of-samples lies when sampling is bursty; TWA is what uptime/
-    billing actually integrates. One window + one agg, both keyed on the
-    group — a single shuffle; the window frame is (ts, tiebreak) ordered
-    so duplicate timestamps are deterministic."""
+    billing actually integrates.
+
+    Scale shape: a window on the bare group would globally sort each
+    group in one task (5 event types × 10^12 rows = dead). Instead the
+    lead() runs per (group, DAY) — bounded partitions — and the
+    cross-day step intervals are stitched from the per-day boundary
+    frame (one row per (group, day): tiny) with a second lead over THAT.
+    The in-day + boundary intervals partition the global consecutive-pair
+    set exactly, so the result is identical to the naive global window
+    (the oracle computes the naive form)."""
     from pyspark.sql.window import Window
 
     ms = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 1000")
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
-    w = Window.partitionBy(group_col).orderBy("t_ms", "event_id")
-    stepped = (events
-               .select(F.col(group_col), F.col("event_id"),
-                       ms.alias("t_ms"), cents.alias("v_c"))
-               .withColumn("dt_ms", F.lead("t_ms").over(w) - F.col("t_ms")))
-    return (stepped.filter(F.col("dt_ms").isNotNull())
+    base = events.select(
+        F.col(group_col), F.col("event_id"),
+        ms.alias("t_ms"), cents.alias("v_c")
+    ).withColumn("day", F.expr("t_ms div 86400000"))
+    wd = Window.partitionBy(group_col, "day").orderBy("t_ms", "event_id")
+    in_day = (base
+              .withColumn("dt_ms", F.lead("t_ms").over(wd) - F.col("t_ms"))
+              .filter(F.col("dt_ms").isNotNull())
+              .select(group_col, "v_c", "dt_ms"))
+    # per-(group, day) boundary rows: last event's (t, v) and first t —
+    # struct max/min on (t_ms, event_id, ...) is deterministic (unique key)
+    per_day = (base.groupBy(group_col, "day")
+               .agg(F.max(F.struct("t_ms", "event_id", "v_c"))
+                     .alias("last"),
+                    F.min(F.struct("t_ms", "event_id")).alias("first")))
+    wg = Window.partitionBy(group_col).orderBy("day")
+    bridge = (per_day
+              .withColumn("next_first_t", F.lead("first.t_ms").over(wg))
+              .filter(F.col("next_first_t").isNotNull())
+              .select(F.col(group_col),
+                      F.col("last.v_c").alias("v_c"),
+                      (F.col("next_first_t") - F.col("last.t_ms"))
+                       .alias("dt_ms")))
+    return (in_day.unionAll(bridge)
             .groupBy(group_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"),
                  F.sum("dt_ms").cast("long").alias("dt_total_ms"),

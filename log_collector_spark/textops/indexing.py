@@ -38,17 +38,26 @@ def inverted_index_stats(df: DataFrame, id_col: str = "doc_id",
                      .alias("pos", "tok")))
     posting = F.concat_ws(":", F.col(id_col).cast("string"),
                           F.col("pos").cast("string"))
-    per_tok = (ex.groupBy("tok")
-               .agg(F.countDistinct(id_col).cast("long").alias("df"),
-                    F.count(F.lit(1)).cast("long").alias("n_postings"),
-                    F.min(id_col).cast("long").alias("first_doc"),
-                    F.max(id_col).cast("long").alias("last_doc"),
-                    F.concat_ws(",", F.array_sort(
-                        F.collect_list(posting))).alias("_plist")))
-    return per_tok.select(
-        "tok", "df", "n_postings", "first_doc", "last_doc",
-        F.when(F.col("df") <= max_df, C.h60(F.col("_plist")))
-         .otherwise(F.lit(None)).cast("long").alias("postings_h60"))
+    counts = (ex.groupBy("tok")
+              .agg(F.countDistinct(id_col).cast("long").alias("df"),
+                   F.count(F.lit(1)).cast("long").alias("n_postings"),
+                   F.min(id_col).cast("long").alias("first_doc"),
+                   F.max(id_col).cast("long").alias("last_doc")))
+    # The guard must be STRUCTURAL, not cosmetic: collecting every token's
+    # posting list and nulling hot ones afterwards would still materialize
+    # the stop-word list as one shuffle value. Filter to cold tokens FIRST
+    # (equi-join on tok — same key as the following agg, AQE reuses the
+    # partitioning), then collect only those lists.
+    cold = counts.filter(F.col("df") <= max_df).select("tok")
+    plists = (ex.join(cold, "tok")
+              .select("tok", posting.alias("p"))
+              .groupBy("tok")
+              .agg(F.concat_ws(",", F.array_sort(
+                   F.collect_list("p"))).alias("_plist")))
+    return (counts.join(plists, "tok", "left")
+            .select("tok", "df", "n_postings", "first_doc", "last_doc",
+                    C.h60(F.col("_plist")).cast("long")
+                     .alias("postings_h60")))
 
 
 def sql_inverted_index_stats(table: str = "documents",

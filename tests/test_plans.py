@@ -263,3 +263,33 @@ def test_tx_stats_plan_parse_once_single_exchange(spark):
     hash_exchanges = plan.count("Exchange hashpartitioning")
     assert hash_exchanges == 1, plan
     assert "ReadSchema: struct<role:string,text:string,tool:string>" in plan
+
+
+def test_twa_windows_are_day_bucketed(spark):
+    """twa_value must never sort a whole group in one window task: every
+    window Exchange carries the day column alongside the group."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["twa_value_events"](spark, SF_DIR))
+    import re
+    win_exchanges = [m.group(0) for m in
+                     re.finditer(r"Exchange hashpartitioning\([^)]*\)", plan)]
+    assert win_exchanges, plan
+    # the lead() window shuffle must include the day key; the final agg
+    # shuffle on the bare group is fine (post-reduction, tiny)
+    win_specs = [s for s in win_exchanges if "day" in s or "t_ms" in s]
+    assert any("day" in s for s in win_specs), plan
+
+
+def test_inverted_index_hot_tokens_never_collect(spark):
+    """The posting-list collect must sit ABOVE the cold-token join: a plan
+    that aggregates collect_list directly over the raw explode would
+    materialize stop-word lists as single shuffle values."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["inverted_index_stats"](spark, SF_DIR))
+    assert "collect_list" in plan, plan
+    # the collect_list agg's subtree must contain a join (the cold filter)
+    collect_at = plan.index("collect_list")
+    seg = plan[collect_at:]
+    assert "Join" in seg, plan

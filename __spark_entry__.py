@@ -667,6 +667,13 @@ def q_neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.neardup_degree_histogram(_docs(spark, sf_dir))
 
 
+def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One damped PageRank power iteration over the near-dup graph in
+    fixed-point integers (template/hub-document centrality)."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.pagerank_step(_docs(spark, sf_dir))
+
+
 def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-proxy quality score: mean corpus-bigram surprisal in millibits
     (bit-length log — identical bin() semantics both engines)."""
@@ -1243,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_value_events": q_twa_value_events,
         "inverted_index_stats": q_inverted_index_stats,
         "neardup_degree_histogram": q_neardup_degree_histogram,
+        "pagerank_step_documents": q_pagerank_step,
         "decode_ppm_documents": q_decode_ppm_documents,
         "token_topk_documents": q_token_topk_documents,
         "sessionize_events": q_sessionize_events,
@@ -1559,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "twa_value_events": _bh().sql_twa_value(),
         "inverted_index_stats": _tix().sql_inverted_index_stats(),
         "neardup_degree_histogram": _te().sql_neardup_degree_histogram(),
+        "pagerank_step_documents": _te().sql_pagerank_step(),
         "decode_ppm_documents": _tm().sql_decode_ppm_features(),
         "token_topk_documents": """
             WITH counts AS (

@@ -395,3 +395,77 @@ def sql_neardup_degree_histogram(table: str = "documents") -> str:
                CAST(MAX(degree) AS BIGINT) AS max_degree
         FROM deg GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# PageRank power-iteration step over the near-dup graph
+# ---------------------------------------------------------------------------
+
+PR_DAMP_PERMILLE = 850   # 0.85 damping, integer permille
+PR_UNIT = 1_000_000      # rank fixed-point unit (micro-ranks)
+
+
+def pagerank_step(df: DataFrame, text_col: str = "text",
+                  pairs: DataFrame | None = None) -> DataFrame:
+    """One damped PageRank power iteration over the (symmetrized)
+    MinHash near-dup graph, in exact fixed-point integers:
+
+        contrib(u)  = PR_UNIT DIV deg(u)          (uniform start)
+        rank'(v)    = (1-d) * PR_UNIT + d * SUM contrib(u->v),   d = 0.85
+
+    everything in micro-rank units and permille damping, so both engines
+    floor identically. One iteration is the distributed kernel — the loop
+    around it is the same driver pattern as kmeans_step/dedup_clusters
+    (each further iteration is one (node, rank) shuffle; text never moves).
+    Centrality over the dup graph ranks template/hub documents — the docs
+    whose removal collapses the most near-duplicate mass."""
+    from log_collector_spark.textops import dedup as D
+
+    if pairs is None:
+        pairs = D.minhash_lsh_pairs(df, text_col)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionAll(pairs.select(F.col("doc_b").alias("src"),
+                                    F.col("doc_a").alias("dst"))))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("deg"))
+    contrib = (edges.join(deg, "src")
+               .select("dst", F.expr(f"CAST({PR_UNIT} DIV deg AS BIGINT)")
+                        .alias("c")))
+    gathered = contrib.groupBy(F.col("dst").alias("doc_id")).agg(
+        F.sum("c").cast("long").alias("c_sum"))
+    base = (1000 - PR_DAMP_PERMILLE) * PR_UNIT
+    return (deg.select(F.col("src").alias("doc_id"), "deg")
+            .join(gathered, "doc_id", "left")
+            .select("doc_id", "deg",
+                    F.expr(f"CAST(({base} + {PR_DAMP_PERMILLE} * "
+                           f"coalesce(c_sum, 0)) DIV 1000 AS BIGINT)")
+                     .alias("rank_micro")))
+
+
+def sql_pagerank_step(table: str = "documents") -> str:
+    from log_collector_spark.textops import dedup as D
+
+    base = (1000 - PR_DAMP_PERMILLE) * PR_UNIT
+    return f"""
+        WITH pairs AS ({D.sql_minhash_lsh_pairs(table)}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src
+        ),
+        gathered AS (
+            SELECT e.dst AS doc_id,
+                   CAST(SUM({PR_UNIT} // d.deg) AS BIGINT) AS c_sum
+            FROM edges e JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        )
+        SELECT d.src AS doc_id, d.deg,
+               CAST(({base} + {PR_DAMP_PERMILLE} * COALESCE(g.c_sum, 0))
+                    // 1000 AS BIGINT) AS rank_micro
+        FROM deg d LEFT JOIN gathered g ON g.doc_id = d.src
+    """

@@ -44,6 +44,7 @@ ORACLE_CHECKED = [
     "twa_value_events",
     "inverted_index_stats",
     "neardup_degree_histogram",
+    "pagerank_step_documents",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ngram_jaccard_maxdf",
@@ -842,3 +843,17 @@ def test_ppm_codec_kernel():
         M.decode_ppm(b"P5\n1 1\n255\n\x00")
     with pytest.raises(ValueError):
         M.decode_ppm(b"P6\n2 2\n255\n\x00\x01")  # truncated pixels
+
+
+def test_pagerank_step_fixed_point_semantics(spark):
+    """Hand graph: path 1-2-3 (2 is the hub). One damped iteration from a
+    uniform start: leaves get 150k + 850*(1e6//2)//1000; the hub gets
+    150k + 850*(1e6//1 + 1e6//1)//1000 — the hub outranks the leaves."""
+    from log_collector_spark.textops import evalops as EV
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: (r["deg"], r["rank_micro"])
+           for r in EV.pagerank_step(None, pairs=pairs).collect()}
+    leaf = 150_000 + 850 * (10**6 // 2) // 1000
+    hub = 150_000 + 850 * (10**6 + 10**6) // 1000
+    assert out == {1: (1, leaf), 3: (1, leaf), 2: (2, hub)}
+    assert out[2][1] > out[1][1]

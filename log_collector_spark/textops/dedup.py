@@ -332,6 +332,28 @@ def _sql_minhash_signatures(table: str, k: int) -> str:
     """
 
 
+def lsh_band_candidates(sigs: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing at least one LSH band bucket
+    (band sig = md5 over the band's ROWS_PER_BAND signature slots) —
+    shared by the dedup join and the sketch-calibration report."""
+    bands = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}")
+                for r in range(ROWS_PER_BAND)]
+        sig = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        bands.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bs")) \
+                 .select("doc_id", "bs.band", "bs.sig")
+    return (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.band") == F.col("b.band")) &
+                  (F.col("a.sig") == F.col("b.sig")) &
+                  (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       k: int = SHINGLE_K,
                       num: int = JACCARD_NUM, den: int = JACCARD_DEN
@@ -348,22 +370,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     at 100 TB the shingle table is the thing you checkpoint, not recompute."""
     docs = doc_shingles(df, text_col, k)
     sigs = minhash_signatures(df, text_col, k, shingles=docs)
-    bands = []
-    for b in range(BANDS):
-        cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}")
-                for r in range(ROWS_PER_BAND)]
-        sig = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
-        bands.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bs")) \
-                 .select("doc_id", "bs.band", "bs.sig")
-    a = banded.alias("a")
-    b2 = banded.alias("b")
-    cand = (a.join(b2, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.sig") == F.col("b.sig")) &
-                   (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    cand = lsh_band_candidates(sigs)
     out = (cand
            .join(docs.select(F.col("doc_id").alias("doc_a"),
                              F.col("shingles").alias("sh_a"),

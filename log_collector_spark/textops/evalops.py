@@ -109,22 +109,7 @@ def minhash_estimate_error(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     docs = D.doc_shingles(df, text_col, D.SHINGLE_K)
     sigs = D.minhash_signatures(df, text_col, D.SHINGLE_K, shingles=docs)
-    bands = []
-    for b in range(D.BANDS):
-        cols = [F.col(f"mh_{b * D.ROWS_PER_BAND + r}")
-                for r in range(D.ROWS_PER_BAND)]
-        sig = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
-        bands.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bs")) \
-                 .select("doc_id", "bs.band", "bs.sig")
-    cand = (banded.alias("a")
-            .join(banded.alias("b"),
-                  (F.col("a.band") == F.col("b.band")) &
-                  (F.col("a.sig") == F.col("b.sig")) &
-                  (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    cand = D.lsh_band_candidates(sigs)
     sig_cols = [f"mh_{i}" for i in range(D.NUM_PERM)]
     sa = sigs.select(F.col("doc_id").alias("doc_a"),
                      *[F.col(c).alias(f"a_{c}") for c in sig_cols])

@@ -200,6 +200,18 @@ class ReaderMetricsState:
     def increment_error(self) -> None:
         self.error_total += 1
 
+    def add_success(self, n: int, ts_ms: int | None = None) -> None:
+        """Bulk form of increment_success for aggregated micro-batch counts
+        (all n land in ts_ms's ceil-minute bucket — the batch's event-time
+        summary; identical totals to n single increments)."""
+        self.success_total += n
+        if ts_ms is not None and n:
+            b = self._bucket(ts_ms)
+            self.success_map[b] = self.success_map.get(b, 0) + n
+
+    def add_error(self, n: int) -> None:
+        self.error_total += n
+
     def success_delta(self) -> int:
         d = self.success_total - self._pre_success
         self._pre_success = self.success_total

@@ -141,3 +141,65 @@ def start_session_window_stream(spark: SparkSession, input_dir: str,
             .option("checkpointLocation", checkpoint_loc)
             .trigger(availableNow=True)
             .format("parquet").option("path", out_dir).start())
+
+
+def start_metered_pipeline_stream(spark: SparkSession, input_dir: str,
+                                  checkpoint_loc: str, out_dir: str, *,
+                                  post=None, host: str = "spark",
+                                  style: str = "processed",
+                                  clock=None,
+                                  available_now: bool = True,
+                                  processing_time: str = "10 seconds"):
+    """The W7 loop end-to-end: each micro-batch fans routed rows out per
+    sink AND emits one KairosDB metric batch — the reference's 60-second
+    MetricSender tick (AbstractReader.java:69-135) mapped onto the
+    micro-batch cadence. Per-source success/error counts come from ONE
+    tiny groupBy on the routed frame (never per-row driver work); the
+    per-source ``ReaderMetricsState`` map lives on the driver exactly like
+    the reference's ``readMetricMap``, so `processed` emits deltas and
+    `raw` emits changed-only cumulative ceil-minute datapoints. Failed
+    POSTs back up in the sender and re-send next batch.
+
+    ``post``: callable receiving the JSON body (None = drop, test spy in
+    pytest); ``clock``: () -> epoch-ms for the tick timestamp (defaults to
+    wall clock; injectable for determinism)."""
+    import time as _time
+
+    from log_collector_spark.operators import sinks as sink_ops
+
+    src = read_transcript_stream(spark, input_dir)
+    states: dict[str, sink_ops.ReaderMetricsState] = {}
+    sender = sink_ops.MetricSender(post or (lambda body: None))
+    now_ms = clock or (lambda: int(_time.time() * 1000))
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        routed = pl.route_stage(
+            pl.enrich_stage(pl.parse_stage(batch_df), spark))
+        routed = routed.withColumn(
+            "src", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        (routed.filter(F.col("sink").isNotNull())
+               .write.mode("append").partitionBy("sink").parquet(out_dir))
+        per_src = (routed.groupBy("src")
+                   .agg(F.sum(F.when(F.col("parse_ok")
+                                     & ~F.col("is_oversize"), 1)
+                              .otherwise(0)).alias("ok"),
+                        F.sum(F.when(~F.col("parse_ok")
+                                     | F.col("is_oversize"), 1)
+                              .otherwise(0)).alias("err"),
+                        F.max("logtime").alias("t_ms"))
+                   .collect())  # one row per source file — driver-scale
+        for r in per_src:
+            rm = states.setdefault(r["src"] or "stream",
+                                   sink_ops.ReaderMetricsState())
+            rm.add_success(int(r["ok"] or 0), r["t_ms"])
+            rm.add_error(int(r["err"] or 0))
+        sender.send(sink_ops.build_kairos_batch(states, host, now_ms(),
+                                                style))
+
+    w = src.writeStream.foreachBatch(process) \
+        .option("checkpointLocation", checkpoint_loc)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()

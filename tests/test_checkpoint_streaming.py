@@ -482,3 +482,48 @@ def test_iceberg_checkpoint_sql_emitters(spark):
     mg = cp.iceberg_commit_batch_sql()
     assert "WHEN NOT MATCHED THEN INSERT *" in mg
     assert "t.run_id = s.run_id" in mg and "t.src_file = s.src_file" in mg
+
+
+def test_stream_metered_pipeline_emits_kairos_batches(spark, tmp_path):
+    """W7 end-to-end under foreachBatch: routed fan-out AND one KairosDB
+    DTO batch per micro-batch — deltas across batches, tags/type per the
+    reference DTOs, and the metric totals reconcile with the routed rows."""
+    import json
+
+    from log_collector_spark.streaming import pipeline as sp
+
+    input_dir = pl.transcripts_path(SF_DIR)
+    ckpt = str(tmp_path / "mck")
+    out = str(tmp_path / "mout")
+    bodies: list[str] = []
+    q = sp.start_metered_pipeline_stream(
+        spark, input_dir, ckpt, out,
+        post=bodies.append, clock=lambda: 1_700_000_000_000)
+    q.awaitTermination(300)
+
+    assert spark.read.parquet(out).count() == _expected_routed_count(spark)
+    assert bodies, "no metric batch posted"
+    metrics = [m for b in bodies for m in json.loads(b)]
+    for m in metrics:
+        assert m["type"] == "long"
+        assert set(m["tags"]) == {"from", "host"}
+        assert m["name"] in ("collector.line.read.success",
+                             "collector.line.read.error")
+    ok_total = sum(m["value"] for m in metrics
+                   if m["name"].endswith("success"))
+    err_total = sum(m["value"] for m in metrics
+                    if m["name"].endswith("error"))
+    df = pl.parse_stage(spark.read.parquet(input_dir))
+    n_ok = df.filter(F.col("parse_ok") & ~F.col("is_oversize")).count()
+    n_err = df.filter(~F.col("parse_ok") | F.col("is_oversize")).count()
+    assert ok_total == n_ok and err_total == n_err
+
+    # a second availableNow run sees no new files -> no new metric batch
+    # grows the totals (delta semantics: nothing changed, deltas are 0)
+    bodies2: list[str] = []
+    q2 = sp.start_metered_pipeline_stream(
+        spark, input_dir, ckpt, out,
+        post=bodies2.append, clock=lambda: 1_700_000_060_000)
+    q2.awaitTermination(300)
+    extra = sum(m["value"] for b in bodies2 for m in json.loads(b))
+    assert extra == 0

@@ -240,6 +240,27 @@ def q_tx_tokens_by_role_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tokens_by_role_class(pl.full_pipeline(spark, sf_dir))
 
 
+def q_tx_response_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant response-latency per conversation (user→assistant adjacent
+    pairs under stable turn order) over the routed frame."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.response_gaps(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_tool_chain_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call transition counts on adjacent tool turns (workflow mining
+    over agent transcripts)."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.tool_chain_bigrams(pl.full_pipeline(spark, sf_dir))
+
+
+def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gini of events-per-user via the histogram form (no
+    global sort — ranks from the tiny distinct-count-value frame)."""
+    from log_collector_spark.operators import behavior as B
+    return B.activity_gini(_tbl(spark, sf_dir, "events"))
+
+
 def q_tx_per_turn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn Gson-equal serialized records under stable ordering."""
     routed = pl.full_pipeline(spark, sf_dir)
@@ -1208,6 +1229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_role_alternation": q_tx_role_alternation,
         "tx_conversation_stats": q_tx_conversation_stats,
         "tx_tokens_by_role_class": q_tx_tokens_by_role_class,
+        "tx_response_gaps": q_tx_response_gaps,
+        "tx_tool_chain_bigrams": q_tx_tool_chain_bigrams,
+        "activity_gini_events": q_activity_gini,
         "tx_per_turn_json": q_tx_per_turn_json,
         "per_file_totals": q_per_file_totals,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
@@ -1438,6 +1462,9 @@ def oracle_sql() -> dict[str, str]:
         "tx_role_alternation": _tx().sql_role_alternation(tx_view),
         "tx_conversation_stats": _tx().sql_conversation_stats_ms(tx_view),
         "tx_tokens_by_role_class": _tx().sql_tokens_by_role_class(tx_view),
+        "tx_response_gaps": _tx().sql_response_gaps(tx_view),
+        "tx_tool_chain_bigrams": _tx().sql_tool_chain_bigrams(tx_view),
+        "activity_gini_events": _bh().sql_activity_gini(),
         "tx_per_turn_json": f"""
             SELECT conv_id, turn_idx, {tx_json} AS parsed_json
             FROM {tx_view}

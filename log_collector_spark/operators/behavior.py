@@ -983,3 +983,76 @@ def sql_twa_value(table: str = "events", group_col: str = "event_type",
         WHERE dt_ms IS NOT NULL
         GROUP BY {group_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Concentration report: exact integer Gini over per-user activity
+# ---------------------------------------------------------------------------
+
+
+def activity_gini(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Exact Gini coefficient (permille) of events-per-user — the
+    concentration number that says whether a corpus/traffic is a few whales
+    or a broad base.
+
+    Scale shape: Gini needs ranks, but ranking 10^9 users is a global
+    sort. Per-user counts are small integers, so the HISTOGRAM form is
+    exact and distributed-safe: group counts by value v (m_v users each);
+    users at value v occupy ranks (c_prev, c_prev + m_v], so
+
+        Σ rank_i·x_i = Σ_v v·(m_v·c_prev_v + m_v(m_v+1)/2)
+        gini = (2·Σ rank_i·x_i − (n+1)·Σx) · 1000 / (n·Σx)
+
+    Two hash aggs (user, then value) + one window over the tiny distinct-
+    value frame. Tie order is irrelevant (equal x ⇒ block sum independent
+    of permutation), so the statistic is engine-order-free."""
+    from pyspark.sql.window import Window
+
+    per_user = (events.groupBy(user_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    hist = per_user.groupBy("x").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("m"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn("c_prev",
+                           F.coalesce(F.sum("m").over(w), F.lit(0))
+                            .cast("long"))
+    term = (F.col("x") * (F.col("m") * F.col("c_prev")
+                          + F.expr("m * (m + 1) DIV 2"))).alias("ix")
+    tot = hist.select(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("m")).cast("long").alias("sx"),
+        F.sum(term).cast("long").alias("six"))
+    return tot.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("total_events"),
+        F.expr("CAST((2 * six - (n + 1) * sx) * 1000 DIV (n * sx) "
+               "AS BIGINT)").alias("gini_permille"))
+
+
+def sql_activity_gini(table: str = "events",
+                      user_col: str = "user_id") -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT {user_col}, CAST(COUNT(*) AS BIGINT) AS x
+            FROM {table} GROUP BY {user_col}
+        ), hist AS (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS m
+            FROM per_user GROUP BY x
+        ), cum AS (
+            SELECT x, m,
+                   CAST(COALESCE(SUM(m) OVER (ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS c_prev
+            FROM hist
+        ), tot AS (
+            SELECT CAST(SUM(m) AS BIGINT) AS n,
+                   CAST(SUM(x * m) AS BIGINT) AS sx,
+                   CAST(SUM(x * (m * c_prev + m * (m + 1) // 2))
+                        AS BIGINT) AS six
+            FROM cum
+        )
+        SELECT n AS n_users, sx AS total_events,
+               CAST((2 * six - (n + 1) * sx) * 1000 // (n * sx) AS BIGINT)
+                   AS gini_permille
+        FROM tot
+    """

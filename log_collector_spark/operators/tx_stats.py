@@ -175,3 +175,84 @@ def sql_tokens_by_role_class(tx_view: str) -> str:
         WHERE {SQL_CLEAN}
         GROUP BY rl.role_class, rl.is_human
     """
+
+
+def response_gaps(routed: DataFrame) -> DataFrame:
+    """Assistant response-latency per conversation: for every user →
+    assistant adjacent turn pair (stable (conv_id, turn_idx) order), the
+    gap in ms; per-conv count/total/max. The dialog-latency report a
+    transcript pipeline publishes. One window + one agg on conv_id."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = (_clean(routed)
+            .select("conv_id", "turn_idx", "role", "logtime")
+            .withColumn("prev_role", F.lag("role").over(w))
+            .withColumn("prev_t", F.lag("logtime").over(w)))
+    gaps = (base.filter((F.col("prev_role") == "user")
+                        & (F.col("role") == "assistant"))
+            .select("conv_id", (F.col("logtime") - F.col("prev_t"))
+                     .alias("gap_ms")))
+    return (gaps.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_responses"),
+                 F.sum("gap_ms").cast("long").alias("gap_total_ms"),
+                 F.max("gap_ms").cast("long").alias("gap_max_ms")))
+
+
+def sql_response_gaps(tx_view: str) -> str:
+    ms = "CAST(epoch_ms(strptime(regexp_extract(text, " \
+         r"'^\[(\S+)\] \[([^\]]+)\] (.*)$', 2), " \
+         "'%Y-%m-%d %H:%M:%S')) AS BIGINT)"
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, turn_idx, role, {ms} AS t_ms
+            FROM {tx_view} WHERE {SQL_CLEAN}
+        ), lagged AS (
+            SELECT conv_id, role, t_ms,
+                   lag(role) OVER w AS prev_role,
+                   lag(t_ms) OVER w AS prev_t
+            FROM clean
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_responses,
+               CAST(SUM(t_ms - prev_t) AS BIGINT) AS gap_total_ms,
+               CAST(MAX(t_ms - prev_t) AS BIGINT) AS gap_max_ms
+        FROM lagged
+        WHERE prev_role = 'user' AND role = 'assistant'
+        GROUP BY conv_id
+    """
+
+
+def tool_chain_bigrams(routed: DataFrame) -> DataFrame:
+    """Tool-call transition counts (tool_a -> tool_b on adjacent turns in
+    stable order, NULL-tool turns skipped over is NOT done — adjacency is
+    literal, the reference's per-line discipline): the workflow-mining
+    view of agent transcripts. One window + one tiny agg."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = (_clean(routed)
+            .filter(F.col("tool").isNotNull())
+            .select("conv_id", "turn_idx", "tool")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("prev_tool", F.lag("tool").over(
+                Window.partitionBy("conv_id").orderBy("rn"))))
+    return (base.filter(F.col("prev_tool").isNotNull())
+            .groupBy(F.col("prev_tool").alias("tool_a"),
+                     F.col("tool").alias("tool_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def sql_tool_chain_bigrams(tx_view: str) -> str:
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, turn_idx, tool FROM {tx_view}
+            WHERE {SQL_CLEAN} AND tool IS NOT NULL
+        ), lagged AS (
+            SELECT tool,
+                   lag(tool) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS prev_tool
+            FROM clean
+        )
+        SELECT prev_tool AS tool_a, tool AS tool_b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lagged WHERE prev_tool IS NOT NULL
+        GROUP BY 1, 2
+    """

@@ -45,6 +45,7 @@ ORACLE_CHECKED = [
     "inverted_index_stats",
     "neardup_degree_histogram",
     "pagerank_step_documents",
+    "activity_gini_events",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ngram_jaccard_maxdf",

@@ -181,3 +181,102 @@ def test_vectorized_batch_equals_single_row_oracle(lines):
         else:
             assert not bool(out["parse_ok"].iloc[i])
             assert out["parsed_json"].iloc[i] is None
+
+
+@given(st.integers(0, 2**40), st.integers(1, 400), st.integers(1, 4),
+       st.sampled_from([8, 16]))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_any_shape(seed, n, channels, bits):
+    """decode(encode-like bytes) over arbitrary PCM shapes: totals always
+    equal the raw sample arithmetic — the parser never mis-frames."""
+    import struct
+
+    from log_collector_spark.textops import multimodal as M
+
+    rng_vals = [((seed + i * 7919) % (256 if bits == 8 else 65536))
+                for i in range(n * channels)]
+    if bits == 16:
+        samples = [v - 32768 for v in rng_vals]
+        data = struct.pack("<%dh" % len(samples), *samples)
+    else:
+        samples = [v - 128 for v in rng_vals]
+        data = bytes(rng_vals)
+    rate = 8000
+    fmt = struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                      rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    wav = (b"RIFF" + struct.pack("<I", 28 + len(data)) + b"WAVE"
+           + b"fmt " + fmt + b"data" + struct.pack("<I", len(data)) + data)
+    f = M.decode_wav(wav)
+    assert f["n_channels"] == channels and f["bits"] == bits
+    assert f["n_samples"] == n
+    assert f["sample_sum"] == sum(samples)
+    assert f["sample_min"] == min(samples)
+    assert f["sample_max"] == max(samples)
+
+
+@given(st.integers(1, 40), st.integers(1, 30), st.integers(0, 2**32))
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_any_dims(w, h, seed):
+    from log_collector_spark.textops import multimodal as M
+
+    px = bytes(((seed + i) * 2654435761) % 256 for i in range(w * h * 3))
+    img = f"P6\n{w} {h}\n255\n".encode() + px
+    f = M.decode_ppm(img)
+    assert (f["width"], f["height"]) == (w, h)
+    assert f["pixel_sum"] == sum(px)
+    assert f["pixel_min"] == min(px) and f["pixel_max"] == max(px)
+
+
+@given(st.lists(st.tuples(st.integers(0, 10**12), st.booleans()),
+                min_size=0, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_reader_metrics_deltas_always_reconcile(ops):
+    """ReaderMetricsState invariant: across ANY interleaving of increments
+    and ticks, the sum of emitted deltas equals the cumulative totals, and
+    raw datapoints always report the current cumulative per bucket."""
+    from log_collector_spark.operators.sinks import ReaderMetricsState
+
+    rm = ReaderMetricsState()
+    emitted_s = emitted_e = 0
+    now = 10**13
+    for i, (ts, is_err) in enumerate(ops):
+        if is_err:
+            rm.increment_error()
+        else:
+            rm.increment_success(ts)
+        if i % 7 == 6:  # periodic tick
+            emitted_s += rm.success_delta()
+            emitted_e += rm.error_delta()
+            for bucket, cum in rm.all_success_datapoints(now):
+                assert rm.success_map[bucket] == cum
+    emitted_s += rm.success_delta()
+    emitted_e += rm.error_delta()
+    assert emitted_s == rm.success_total
+    assert emitted_e == rm.error_total
+    # a second immediate tick emits zero deltas and zero changed datapoints
+    assert rm.success_delta() == 0 and rm.error_delta() == 0
+    assert rm.all_success_datapoints(now) == []
+
+
+@given(st.lists(st.integers(1, 50), min_size=1, max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_gini_histogram_form_equals_sorted_definition(xs):
+    """The histogram-form Gini (behavior.activity_gini's math) equals the
+    classic sorted-rank definition on any multiset of positive counts."""
+    from collections import Counter
+
+    n, sx = len(xs), sum(xs)
+    s = sorted(xs)
+    six_sorted = sum((i + 1) * x for i, x in enumerate(s))
+    expected = (2 * six_sorted - (n + 1) * sx) * 1000 // (n * sx)
+
+    hist = Counter(xs)
+    c_prev, six_hist = 0, 0
+    for v in sorted(hist):
+        m = hist[v]
+        six_hist += v * (m * c_prev + m * (m + 1) // 2)
+        c_prev += m
+    got = (2 * six_hist - (n + 1) * sx) * 1000 // (n * sx)
+    assert got == expected
+    assert 0 <= got < 1000

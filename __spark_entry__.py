@@ -763,6 +763,18 @@ def q_percentile_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", lat, {"p50": 0.5, "p95": 0.95, "p99": 0.99})
 
 
+def q_hist_exact_percentile_latency(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Same percentile spec as percentile_latency but via the (group,
+    value)-histogram form — EXACT with no row-level sort (the 100-TB
+    path for integer metrics)."""
+    from log_collector_spark.textops.common import h60
+    ev = _events(spark, sf_dir)
+    lat = h60(F.col("event_id").cast("string")) % 5000
+    return agg_ops.histogram_exact_percentiles(
+        ev, "event_type", lat, {"p50": 0.5, "p95": 0.95, "p99": 0.99})
+
+
 def q_token_rarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rare-token fraction per doc (corpus count <= 2): the gibberish/OCR
     screen; vocab-side join, shuffle carries (token, count) partials."""
@@ -1281,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich_events": q_asof_enrich_events,
         "rollup_time_counts": q_rollup_time_counts,
         "percentile_latency": q_percentile_latency,
+        "hist_exact_percentile_latency": q_hist_exact_percentile_latency,
         "incremental_dedup": q_incremental_dedup,
         "chunk_documents": q_chunk_documents,
         "pack_documents": q_pack_documents,
@@ -1704,6 +1717,11 @@ def oracle_sql() -> dict[str, str]:
         # the brute-force all-pairs SQL doubles as the losslessness proof of
         # the prefix-filtered candidate generation (identical pair set)
         "ngram_jaccard_prefix": _td().sql_ngram_jaccard_pairs(),
+        "hist_exact_percentile_latency":
+            _ag().sql_histogram_exact_percentiles(
+                "events", "event_type",
+                f"{_tc().sql_h60('CAST(event_id AS VARCHAR)')} % 5000",
+                {"p50": 0.5, "p95": 0.95, "p99": 0.99}),
         "hist_percentile_latency": f"""
             WITH lat AS (
                 SELECT event_type,
@@ -1941,3 +1959,8 @@ def _cp():
 def _tix():
     from log_collector_spark.textops import indexing
     return indexing
+
+
+def _ag():
+    from log_collector_spark.operators import aggregate
+    return aggregate

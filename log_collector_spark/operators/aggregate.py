@@ -229,3 +229,62 @@ def locf_backfill(df: DataFrame, group_col: str, order_cols: list[str],
                .rowsBetween(Window.unboundedPreceding, 0))
     return df.withColumn(
         out_col, F.last(value, ignorenulls=True).over(w).cast("long"))
+
+
+def histogram_exact_percentiles(df: DataFrame, group_col: str,
+                                value: Column,
+                                quantiles: dict[str, float]) -> DataFrame:
+    """EXACT per-group percentiles with NO row-level sort — the 100-TB
+    path for integer-valued metrics (same rank spec as
+    :func:`exact_percentiles`: 0-based index floor(q*(n-1)) of the sorted
+    multiset).
+
+    The trick (same as behavior.activity_gini): aggregate to the
+    (group, value) histogram first — one map-side-combined shuffle over
+    near-distinct pairs — then run the cumulative window over THAT frame,
+    whose size is bounded by the value domain per group (e.g. 49,002
+    distinct cent values here), not the row count. The q-percentile is the
+    smallest value whose cumulative count reaches rank floor(q*(n-1))+1.
+    exact_percentiles stays as the sort-based correctness baseline; a
+    pytest asserts the two agree on the same input."""
+    hist = (df.select(F.col(group_col), value.cast("long").alias("v"))
+            .groupBy(group_col, "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    wv = Window.partitionBy(group_col).orderBy("v")
+    wg = Window.partitionBy(group_col)
+    cum = (hist.withColumn("cum", F.sum("m").over(wv).cast("long"))
+               .withColumn("n", F.sum("m").over(wg).cast("long")))
+    aggs = [
+        F.min(F.when(
+            F.col("cum") >= (F.floor(F.lit(q) * (F.col("n") - 1)) + 1),
+            F.col("v"))).alias(name)
+        for name, q in quantiles.items()
+    ]
+    return cum.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n"), *aggs)
+
+
+def sql_histogram_exact_percentiles(table: str, group_col: str,
+                                    value_sql: str,
+                                    quantiles: dict[str, float]) -> str:
+    aggs = ",\n               ".join(
+        f"CAST(MIN(CASE WHEN cum >= floor({q} * (n - 1)) + 1 "
+        f"THEN v END) AS BIGINT) AS {name}"
+        for name, q in quantiles.items())
+    return f"""
+        WITH hist AS (
+            SELECT {group_col}, {value_sql} AS v,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM {table} GROUP BY 1, 2
+        ), cum AS (
+            SELECT {group_col}, v, m,
+                   CAST(SUM(m) OVER (PARTITION BY {group_col}
+                        ORDER BY v) AS BIGINT) AS cum,
+                   CAST(SUM(m) OVER (PARTITION BY {group_col})
+                        AS BIGINT) AS n
+            FROM hist
+        )
+        SELECT {group_col}, CAST(MAX(n) AS BIGINT) AS n,
+               {aggs}
+        FROM cum GROUP BY {group_col}
+    """

@@ -141,3 +141,24 @@ def test_histogram_percentiles_bracket_exact(spark):
     for t, e in exact.items():
         for p in qs:
             assert e[p] - 100 < est[t][p] <= e[p], (t, p, e[p], est[t][p])
+
+
+def test_histogram_percentiles_equal_sort_based(spark):
+    """The histogram-form exact percentiles must agree with the sort-based
+    rank-selection baseline on the same input, including heavy ties and
+    single-element groups."""
+    from log_collector_spark.operators import aggregate as agg_ops
+
+    rows = ([("a", v) for v in [5, 1, 1, 1, 9, 9, 3, 7, 7, 7, 7]]
+            + [("b", 42)]
+            + [("c", v) for v in range(100)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+    a = {r["g"]: (r["n"], r["p50"], r["p95"], r["p99"])
+         for r in agg_ops.exact_percentiles(df, "g", F.col("v"), qs)
+         .collect()}
+    b = {r["g"]: (r["n"], r["p50"], r["p95"], r["p99"])
+         for r in agg_ops.histogram_exact_percentiles(df, "g", F.col("v"),
+                                                      qs).collect()}
+    assert a == b
+    assert b["b"] == (1, 42, 42, 42)

@@ -72,6 +72,7 @@ ORACLE_CHECKED = [
     "pack_documents",
     "schema_profile_events",
     "hist_percentile_latency",
+    "hist_exact_percentile_latency",
     "token_rarity_documents",
     "locf_backfill_events",
     "normalize_documents",

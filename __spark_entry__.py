@@ -695,6 +695,13 @@ def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.pagerank_step(_docs(spark, sf_dir))
 
 
+def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability: hourly distinct-user registers MAXed up to daily
+    estimates (sketches merged, never rebuilt from raw rows)."""
+    from log_collector_spark.textops import analysis as A
+    return A.hll_user_rollup(_tbl(spark, sf_dir, "events"))
+
+
 def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-proxy quality score: mean corpus-bigram surprisal in millibits
     (bit-length log — identical bin() semantics both engines)."""
@@ -1282,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "decode_wav_documents": q_decode_wav_documents,
         "bigram_surprisal_documents": q_bigram_surprisal,
+        "hll_user_rollup_events": q_hll_user_rollup,
         "mean_shift_hours_events": q_mean_shift_hours,
         "twa_value_events": q_twa_value_events,
         "inverted_index_stats": q_inverted_index_stats,
@@ -1603,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _tm().sql_fake_features(),
         "decode_wav_documents": _tm().sql_decode_wav_features(),
         "bigram_surprisal_documents": _lm().sql_bigram_surprisal(),
+        "hll_user_rollup_events": _ta().sql_hll_user_rollup(),
         "mean_shift_hours_events": _cp().sql_mean_shift_hours(),
         "twa_value_events": _bh().sql_twa_value(),
         "inverted_index_stats": _tix().sql_inverted_index_stats(),

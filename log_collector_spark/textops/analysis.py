@@ -1306,6 +1306,30 @@ _HLL_LC = [round(HLL_M * _math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
 _HLL_LC_THRESH = 5 * HLL_M // 2
 
 
+
+def _hll_est(frame: DataFrame) -> DataFrame:
+    """Append (v_zero, s_total, n_est) to a frame carrying
+    (s_present, n_regs): harmonic mean in 2^47 fixed point (integer DIV —
+    the scale constant exceeds float64 exactness) + linear-counting
+    small-range correction. Shared by the HLL sketches: registers merge
+    with MAX at any granularity and feed this same formula."""
+    f2 = (frame
+          .withColumn("v_zero",
+                      (F.lit(HLL_M) - F.col("n_regs")).cast("long"))
+          .withColumn("s_total",
+                      (F.col("s_present")
+                       + F.col("v_zero") * (1 << _HLL_SCALE_BITS))
+                      .cast("long"))
+          .withColumn("_raw",
+                      F.expr(f"CAST({_HLL_A} DIV s_total AS BIGINT)")))
+    lc = F.element_at(F.lit(_HLL_LC).cast("array<bigint>"),
+                      F.col("v_zero").cast("int"))
+    return (f2.withColumn(
+        "n_est",
+        F.when((F.col("_raw") < _HLL_LC_THRESH) & (F.col("v_zero") > 0), lc)
+         .otherwise(F.col("_raw")).cast("long")).drop("_raw"))
+
+
 def hll_distinct(df: DataFrame, group_col: str = "source",
                  text_col: str = "text") -> DataFrame:
     """Per-group distinct-token estimate via a REAL HyperLogLog sketch —
@@ -1452,4 +1476,130 @@ def sql_length_histogram(table: str = "documents",
             FROM {table}
         )
         GROUP BY {group_col}, bucket
+    """
+
+
+def hll_user_rollup(events: DataFrame, type_col: str = "event_type",
+                    user_col: str = "user_id",
+                    ts_col: str = "ts") -> DataFrame:
+    """HLL MERGEABILITY, demonstrated in one plan: hourly distinct-user
+    registers roll up to per-(type, day) estimates by register-wise MAX —
+    the hourly sketches are computed ONCE and merged, never rebuilt from
+    raw rows (the property that makes sketch tables worth storing: a year
+    of hourly sketches answers any coarser window without rescanning).
+
+    Returns per (event_type, day_idx): the merged-day estimate, the SUM of
+    the hourly estimates (which over-counts users active in several hours
+    — the number a naive consumer would add up), and n_hours.
+
+    Plan: raw rows → distinct (type, hour, user-hash) → hourly registers
+    (map-side MAX) → day registers (second tiny MAX over #hours × m rows)
+    → estimates. The only raw-data shuffle is the first distinct."""
+    h = C.h60(F.col(user_col).cast("string"))
+    hour = F.expr(f"unix_micros(cast({ts_col} as timestamp)) "
+                  f"div 1000 div 3600000")
+    hashes = (events.select(F.col(type_col).alias("event_type"),
+                            hour.cast("long").alias("hour_idx"),
+                            h.alias("h"))
+              .distinct())
+    w = F.shiftright(F.col("h"), HLL_P)
+    rho = (F.when(w > 0, F.lit(_HLL_RMAX) - F.length(F.bin(w)))
+            .otherwise(_HLL_RMAX).cast("long"))
+    hourly_regs = (hashes
+                   .select("event_type", "hour_idx",
+                           (F.col("h") % HLL_M).alias("idx"),
+                           rho.alias("rho"))
+                   .groupBy("event_type", "hour_idx", "idx")
+                   .agg(F.max("rho").alias("m_reg")))
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST({_HLL_SCALE_BITS} - least(m_reg, {_HLL_SCALE_BITS}) AS INT))")
+    hourly = _hll_est(
+        hourly_regs.groupBy("event_type", "hour_idx")
+        .agg(F.sum(term).cast("long").alias("s_present"),
+             F.count(F.lit(1)).cast("long").alias("n_regs")))
+    day = F.expr("hour_idx div 24")
+    day_regs = (hourly_regs
+                .groupBy("event_type", day.cast("long").alias("day_idx"),
+                         "idx")
+                .agg(F.max("m_reg").alias("m_reg")))  # the MERGE
+    daily = _hll_est(
+        day_regs.groupBy("event_type", "day_idx")
+        .agg(F.sum(term).cast("long").alias("s_present"),
+             F.count(F.lit(1)).cast("long").alias("n_regs")))
+    hourly_sums = (hourly
+                   .groupBy("event_type",
+                            F.expr("hour_idx div 24").cast("long")
+                             .alias("day_idx"))
+                   .agg(F.sum("n_est").cast("long")
+                         .alias("sum_hourly_est"),
+                        F.count(F.lit(1)).cast("long").alias("n_hours")))
+    return (daily.select("event_type", "day_idx",
+                         F.col("n_est").alias("n_est_day"))
+            .join(hourly_sums, ["event_type", "day_idx"]))
+
+
+def sql_hll_user_rollup(table: str = "events") -> str:
+    h = C.sql_h60("CAST(user_id AS VARCHAR)")
+    lc = "[" + ", ".join(str(x) for x in _HLL_LC) + "]"
+    term = (f"1::BIGINT << ({_HLL_SCALE_BITS} - "
+            f"least(m_reg, {_HLL_SCALE_BITS}))")
+
+    def est(prefix: str) -> str:
+        return (f"CAST(CASE WHEN ({_HLL_A} // {prefix}s_total) "
+                f"< {_HLL_LC_THRESH} AND {prefix}v_zero > 0 "
+                f"THEN ({lc})[{prefix}v_zero] "
+                f"ELSE {_HLL_A} // {prefix}s_total END AS BIGINT)")
+
+    return f"""
+        WITH hashes AS (
+            SELECT DISTINCT event_type,
+                   CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour_idx,
+                   {h} AS h
+            FROM {table}
+        ), hregs AS (
+            SELECT event_type, hour_idx, h % {HLL_M} AS idx,
+                   MAX(CASE WHEN (h >> {HLL_P}) > 0
+                            THEN {_HLL_RMAX} - length(bin(h >> {HLL_P}))
+                            ELSE {_HLL_RMAX} END) AS m_reg
+            FROM hashes GROUP BY 1, 2, 3
+        ), hourly AS (
+            SELECT event_type, hour_idx,
+                   CAST(SUM({term}) AS BIGINT) AS s_present,
+                   CAST(COUNT(*) AS BIGINT) AS n_regs
+            FROM hregs GROUP BY 1, 2
+        ), hourly_est AS (
+            SELECT event_type, hour_idx,
+                   CAST({HLL_M} - n_regs AS BIGINT) AS v_zero,
+                   CAST(s_present + ({HLL_M} - n_regs)
+                        * {1 << _HLL_SCALE_BITS} AS BIGINT) AS s_total
+            FROM hourly
+        ), dregs AS (
+            SELECT event_type, hour_idx // 24 AS day_idx, idx,
+                   MAX(m_reg) AS m_reg
+            FROM hregs GROUP BY 1, 2, 3
+        ), daily AS (
+            SELECT event_type, day_idx,
+                   CAST(SUM({term}) AS BIGINT) AS s_present,
+                   CAST(COUNT(*) AS BIGINT) AS n_regs
+            FROM dregs GROUP BY 1, 2
+        ), daily_est AS (
+            SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx,
+                   CAST({HLL_M} - n_regs AS BIGINT) AS v_zero,
+                   CAST(s_present + ({HLL_M} - n_regs)
+                        * {1 << _HLL_SCALE_BITS} AS BIGINT) AS s_total
+            FROM daily
+        ), hsum AS (
+            SELECT event_type,
+                   CAST(hour_idx // 24 AS BIGINT) AS day_idx,
+                   CAST(SUM({est('')}) AS BIGINT) AS sum_hourly_est,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours
+            FROM hourly_est GROUP BY 1, 2
+        )
+        SELECT d.event_type, d.day_idx,
+               {est('d.')} AS n_est_day,
+               s.sum_hourly_est, s.n_hours
+        FROM daily_est d
+        JOIN hsum s ON s.event_type = d.event_type
+                   AND s.day_idx = d.day_idx
     """

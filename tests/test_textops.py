@@ -46,6 +46,7 @@ ORACLE_CHECKED = [
     "neardup_degree_histogram",
     "pagerank_step_documents",
     "activity_gini_events",
+    "hll_user_rollup_events",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ngram_jaccard_maxdf",

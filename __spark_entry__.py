@@ -163,6 +163,34 @@ def q_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     _tbl(spark, sf_dir, "lineitem"))
 
 
+def q_tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped scan-bound revenue: all predicates pushed, no join."""
+    from log_collector_spark.operators import analytics as an
+    return an.forecast_revenue(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped promo permille per ship month: broadcast part dim."""
+    from log_collector_spark.operators import analytics as an
+    return an.promo_revenue_share(_tbl(spark, sf_dir, "lineitem"),
+                                  _tbl(spark, sf_dir, "part"))
+
+
+def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS via left-semi join with non-equi lateness check."""
+    from log_collector_spark.operators import analytics as an
+    return an.order_priority_counts(_tbl(spark, sf_dir, "orders"),
+                                    _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped HAVING-collapsed fact agg then dim joins, top-k."""
+    from log_collector_spark.operators import analytics as an
+    return an.large_order_customers(_tbl(spark, sf_dir, "customer"),
+                                    _tbl(spark, sf_dir, "orders"),
+                                    _tbl(spark, sf_dir, "lineitem"))
+
+
 IP_RANGE_ROWS = [
     # contiguous /16-ish ranges inside 10.0.0.0/8 (16 pipe-separated columns)
     "10.0.0.0|10.0.63.255|ZoneA|P1|C1|d|op|0|0|tz|tz|adm|1|A|AS|area1",
@@ -1240,6 +1268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
+        "tpch_forecast_revenue": q_tpch_forecast_revenue,
+        "tpch_promo_share": q_tpch_promo_share,
+        "tpch_order_priority": q_tpch_order_priority,
+        "tpch_large_orders": q_tpch_large_orders,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
         "conversation_stats_events": q_conversation_stats_events,
@@ -1436,6 +1468,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing_summary": _an().sql_pricing_summary(),
         "tpch_shipping_priority": _an().sql_shipping_priority(),
         "tpch_local_supplier_volume": _an().sql_local_supplier_volume(),
+        "tpch_forecast_revenue": _an().sql_forecast_revenue(),
+        "tpch_promo_share": _an().sql_promo_revenue_share(),
+        "tpch_order_priority": _an().sql_order_priority_counts(),
+        "tpch_large_orders": _an().sql_large_order_customers(),
         "ip_range_lookup": """
             WITH ranges AS (
                 SELECT * FROM (VALUES

@@ -220,3 +220,212 @@ def sql_local_supplier_volume(region_name: str = VOLUME_REGION,
         GROUP BY n.n_name
         ORDER BY n.n_name
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: four more TPC-H-shaped plans (Q6/Q14/Q4/Q18 analogues
+# over the synthetic schema, which lacks commitdate/receiptdate/shipmode —
+# the Q4 EXISTS predicate is adapted to "shipped >60 days after order").
+# Same integer-money convention as above.
+# ---------------------------------------------------------------------------
+
+FORECAST_FROM = "1996-01-01"
+FORECAST_TO = "1997-01-01"
+FORECAST_DISC_LO_BP = 500    # 0.05
+FORECAST_DISC_HI_BP = 700    # 0.07
+FORECAST_MAX_QTY = 24
+
+PROMO_TYPE = "PROMO"
+
+PRIORITY_FROM = "1996-01-01"
+PRIORITY_TO = "1996-04-01"
+PRIORITY_LATE_DAYS = 60
+
+LARGE_QTY_THRESHOLD = 150
+LARGE_TOPK = 10
+
+
+def forecast_revenue(lineitem: DataFrame,
+                     date_from: str = FORECAST_FROM,
+                     date_to: str = FORECAST_TO,
+                     disc_lo_bp: int = FORECAST_DISC_LO_BP,
+                     disc_hi_bp: int = FORECAST_DISC_HI_BP,
+                     max_qty: int = FORECAST_MAX_QTY) -> DataFrame:
+    """TPC-H Q6-shaped forecast revenue: zero joins, zero wide shuffles —
+    the whole query is a parquet scan with ALL THREE predicates pushed down
+    (shipdate range, discount band, quantity cap; `.explain` shows them in
+    PushedFilters), a 4-column ReadSchema, and a single global AGG whose
+    partials combine map-side.  At 100 TB this is the canonical
+    "scan-bound" query: throughput == storage bandwidth × selectivity.
+
+    Revenue here is the discounted slice price_c*disc_bp (micro-dollars),
+    exactly TPC-H's l_extendedprice*l_discount reading."""
+    disc = _bp("l_discount")
+    rev_u = _cents("l_extendedprice") * disc
+    base = lineitem.filter(
+        (F.col("l_shipdate") >= _ts(date_from))
+        & (F.col("l_shipdate") < _ts(date_to))
+        & (F.col("l_discount") >= disc_lo_bp / 10000.0 - 1e-9)
+        & (F.col("l_discount") <= disc_hi_bp / 10000.0 + 1e-9)
+        & (F.col("l_quantity") < max_qty))
+    # Re-check the band on the exact integer form so the double pushdown
+    # predicate is only a superset pre-filter (never the semantics).
+    base = base.filter((disc >= disc_lo_bp) & (disc <= disc_hi_bp))
+    return (base.agg(F.sum(rev_u).cast("bigint").alias("revenue_micros"),
+                     F.count(F.lit(1)).alias("n_items")))
+
+
+def sql_forecast_revenue(date_from: str = FORECAST_FROM,
+                         date_to: str = FORECAST_TO,
+                         disc_lo_bp: int = FORECAST_DISC_LO_BP,
+                         disc_hi_bp: int = FORECAST_DISC_HI_BP,
+                         max_qty: int = FORECAST_MAX_QTY) -> str:
+    disc = _sql_bp("l_discount")
+    return f"""
+        SELECT CAST(SUM({_sql_cents('l_extendedprice')} * {disc}) AS BIGINT)
+                   AS revenue_micros,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{date_from}'
+          AND l_shipdate < TIMESTAMP '{date_to}'
+          AND {disc} BETWEEN {disc_lo_bp} AND {disc_hi_bp}
+          AND l_quantity < {max_qty}
+    """
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame,
+                        promo_type: str = PROMO_TYPE) -> DataFrame:
+    """TPC-H Q14-shaped promo share per ship month: part (the small dim)
+    broadcasts into the lineitem scan — the fact never shuffles for the
+    join — and the only exchange is the 84-group month aggregation.
+    Share is an exact integer permille: 1000*promo DIV total (both engines
+    floor on non-negative BIGINTs)."""
+    rev_u = _cents("l_extendedprice") * (F.lit(10000) - _bp("l_discount"))
+    j = lineitem.join(F.broadcast(part.select("p_partkey", "p_type")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+    ym = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("bigint")
+    promo_u = F.when(F.col("p_type") == promo_type, rev_u).otherwise(F.lit(0))
+    agg = (j.groupBy(ym.alias("ship_ym"))
+            .agg(F.sum(promo_u).cast("bigint").alias("promo_micros"),
+                 F.sum(rev_u).cast("bigint").alias("total_micros")))
+    return (agg.withColumn(
+                "promo_permille",
+                F.when(F.col("total_micros") > 0,
+                       F.expr("(1000 * promo_micros) div total_micros"))
+                 .otherwise(F.lit(0)).cast("bigint"))
+            .orderBy("ship_ym"))
+
+
+def sql_promo_revenue_share(promo_type: str = PROMO_TYPE) -> str:
+    rev_u = (f"{_sql_cents('l.l_extendedprice')}"
+             f" * (10000 - {_sql_bp('l.l_discount')})")
+    return f"""
+        WITH agg AS (
+            SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate)
+                        AS BIGINT) AS ship_ym,
+                   CAST(SUM(CASE WHEN p.p_type = '{promo_type}'
+                                 THEN {rev_u} ELSE 0 END) AS BIGINT)
+                       AS promo_micros,
+                   CAST(SUM({rev_u}) AS BIGINT) AS total_micros
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1
+        )
+        SELECT ship_ym, promo_micros, total_micros,
+               CAST(CASE WHEN total_micros > 0
+                         THEN (1000 * promo_micros) // total_micros
+                         ELSE 0 END AS BIGINT) AS promo_permille
+        FROM agg
+        ORDER BY ship_ym
+    """
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame,
+                          date_from: str = PRIORITY_FROM,
+                          date_to: str = PRIORITY_TO,
+                          late_days: int = PRIORITY_LATE_DAYS) -> DataFrame:
+    """TPC-H Q4-shaped priority check: LEFT SEMI join — "count orders that
+    have at least one late line" — so lineitem rows never duplicate orders
+    and the join output is at most |orders|.  The equi key (orderkey)
+    carries the shuffle; the non-equi lateness predicate
+    (l_shipdate > o_orderdate + late_days) rides the joined rows.  The
+    orders date filter is pushed to the scan, shrinking the semi-join's
+    left side before the exchange — at 10^12 rows that pre-filter is the
+    difference between shuffling a quarter and shuffling six years."""
+    o = orders.filter((F.col("o_orderdate") >= _ts(date_from))
+                      & (F.col("o_orderdate") < _ts(date_to)))
+    cond = ((F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")))
+    late = o.join(lineitem.select("l_orderkey", "l_shipdate"), cond,
+                  "left_semi")
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("order_count"))
+                .orderBy("o_orderpriority"))
+
+
+def sql_order_priority_counts(date_from: str = PRIORITY_FROM,
+                              date_to: str = PRIORITY_TO,
+                              late_days: int = PRIORITY_LATE_DAYS) -> str:
+    return f"""
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
+          AND o.o_orderdate < TIMESTAMP '{date_to}'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {late_days} DAY
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """
+
+
+def large_order_customers(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame,
+                          qty_threshold: int = LARGE_QTY_THRESHOLD,
+                          k: int = LARGE_TOPK) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: aggregate lineitem by orderkey
+    FIRST (the HAVING filter collapses the fact to the handful of
+    over-threshold orders — partial aggregation combines map-side before
+    the one key shuffle), then the tiny survivor set joins orders and
+    broadcast customer.  Ordering the join this way means the orders×fact
+    join input is |survivors|, not |lineitem|.  Top-k plans as
+    TakeOrderedAndProject; o_orderkey breaks ties deterministically."""
+    qty = F.col("l_quantity").cast("decimal(18,2)").cast("bigint")
+    big = (lineitem.groupBy("l_orderkey")
+                   .agg(F.sum(qty).cast("bigint").alias("total_qty"))
+                   .filter(F.col("total_qty") > qty_threshold))
+    odate_ms = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000")
+    j = (big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(customer.select("c_custkey", "c_name")),
+                  F.col("c_custkey") == F.col("o_custkey")))
+    return (j.select(F.col("c_custkey"), F.col("c_name"),
+                     F.col("o_orderkey"), odate_ms.alias("o_orderdate_ms"),
+                     F.col("total_qty"))
+             .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+             .limit(k))
+
+
+def sql_large_order_customers(qty_threshold: int = LARGE_QTY_THRESHOLD,
+                              k: int = LARGE_TOPK) -> str:
+    return f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                        AS BIGINT) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING total_qty > {qty_threshold}
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS o_orderdate_ms,
+               big.total_qty
+        FROM big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY big.total_qty DESC, o.o_orderkey
+        LIMIT {k}
+    """

@@ -293,3 +293,25 @@ def test_inverted_index_hot_tokens_never_collect(spark):
     collect_at = plan.index("collect_list")
     seg = plan[collect_at:]
     assert "Join" in seg, plan
+
+
+def test_tpch_r4b_plan_shapes(spark):
+    """The four round-4 TPC-H additions keep their designed physical plans."""
+    import __spark_entry__ as E
+
+    q = E.queries()
+    # Q6: scan-bound — no join at all, shipdate/quantity pushed to parquet.
+    p6 = _plan(q["tpch_forecast_revenue"](spark, SF_DIR))
+    assert "Join" not in p6, p6
+    assert "PushedFilters: [" in p6 and "l_shipdate" in p6, p6
+    assert "l_quantity" in p6.split("PushedFilters")[1][:400], p6
+    # Q14: part broadcasts — the fact never shuffles for the join.
+    p14 = _plan(q["tpch_promo_share"](spark, SF_DIR))
+    assert p14.count("BroadcastHashJoin") == 1, p14
+    assert "SortMergeJoin" not in p14, p14
+    # Q4: EXISTS compiles to a LeftSemi join (no row duplication).
+    p4 = _plan(q["tpch_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in p4, p4
+    # Q18: top-k is a TakeOrderedAndProject, never a global Sort+Limit.
+    p18 = _plan(q["tpch_large_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p18, p18

@@ -541,6 +541,13 @@ def q_kmv_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.kmv_distinct(_docs(spark, sf_dir))
 
 
+def q_kmv_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source Jaccard from KMV union sketches (k longs per source
+    shuffle, then driver-scale pair algebra) vs the exact baseline."""
+    from log_collector_spark.textops import analysis as A
+    return A.kmv_overlap(_docs(spark, sf_dir))
+
+
 def q_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-5 tokens: (group, token) partial agg + rank window."""
     from log_collector_spark.textops import analysis as A
@@ -785,6 +792,48 @@ def q_rollup_time_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_ms = (F.unix_micros(F.date_trunc("second", F.col("ts").cast("timestamp")))
              / F.lit(1000)).cast("long")
     return agg_ops.rollup_time_counts(ev, ts_ms)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_coverage_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union of 10-min activity intervals (gaps-and-islands via
+    running-MAX(end), robust to contained intervals): islands + covered ms."""
+    from log_collector_spark.operators import interval as iv
+    ev = _events(spark, sf_dir)
+    ts_ms = F.expr(
+        "unix_micros(date_trunc('second', cast(ts as timestamp))) div 1000")
+    return iv.interval_coverage(ev, "user_id", ts_ms)
+
+
+def q_bloom_prejoin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter audit: prune the events fact by the
+    purchase-event keyset before any join shuffle; one summary row with the
+    FP price (event_id keeps the dim selective — ~20% of the keyspace — so
+    the false-positive column is non-vacuous at every sf)."""
+    from log_collector_spark.operators import enrich as en
+    ev = _events(spark, sf_dir)
+    dim = ev.filter(F.col("event_type") == "purchase").select("event_id")
+    return en.bloom_prejoin_summary(ev, dim, "event_id")
+
+
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric GROUPING SETS ((type,day),(type),()) — one Expand pass,
+    no per-day marginal (not expressible as rollup/cube)."""
+    ev = _events(spark, sf_dir)
+    day_ms = F.expr(
+        "unix_micros(date_trunc('day', cast(ts as timestamp))) div 1000")
+    return agg_ops.grouping_sets_counts(ev, F.col("event_type"), day_ms)
+
+
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day×type count matrix via native pivot with an EXPLICIT value list
+    (skips the pre-planning distinct scan — one fact pass saved at scale)."""
+    ev = _events(spark, sf_dir)
+    day_ms = F.expr(
+        "unix_micros(date_trunc('day', cast(ts as timestamp))) div 1000")
+    return agg_ops.pivot_counts(ev, day_ms, F.col("event_type"), EVENT_TYPES)
 
 
 def q_percentile_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1302,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_events": q_pii_scan_events,
         "boilerplate_documents": q_boilerplate_documents,
         "kmv_distinct_documents": q_kmv_distinct_documents,
+        "kmv_overlap_sources": q_kmv_overlap_sources,
         "top_terms_documents": q_top_terms_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1332,6 +1382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "asof_enrich_events": q_asof_enrich_events,
         "rollup_time_counts": q_rollup_time_counts,
+        "grouping_sets_events": q_grouping_sets_events,
+        "bloom_prejoin_events": q_bloom_prejoin_events,
+        "coverage_intervals_events": q_coverage_intervals_events,
+        "pivot_event_types": q_pivot_event_types,
         "percentile_latency": q_percentile_latency,
         "hist_exact_percentile_latency": q_hist_exact_percentile_latency,
         "incremental_dedup": q_incremental_dedup,
@@ -1628,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan_events": _ta().sql_pii_scan(),
         "boilerplate_documents": _td().sql_boilerplate_segments(),
         "kmv_distinct_documents": _ta().sql_kmv_distinct(),
+        "kmv_overlap_sources": _ta().sql_kmv_overlap(),
         "top_terms_documents": _ta().sql_top_terms_per_source(),
         "exact_dedup_documents": _td().sql_exact_dedup_summary(),
         "ngram_jaccard_pairs": _td().sql_ngram_jaccard_pairs(),
@@ -1714,6 +1769,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM keyed GROUP BY ROLLUP(day_ms, hour_ms, minute_ms)
         """,
+        "grouping_sets_events": agg_ops.sql_grouping_sets_counts(),
+        "bloom_prejoin_events": _en().sql_bloom_prejoin_summary(
+            "SELECT event_id FROM events",
+            "SELECT event_id FROM events WHERE event_type = 'purchase'",
+            "event_id"),
+        "pivot_event_types": agg_ops.sql_pivot_counts(EVENT_TYPES),
         "percentile_latency": f"""
             WITH lat AS (
                 SELECT event_type,
@@ -1824,6 +1885,9 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_hours_events": _bh().sql_hour_anomaly_flags(),
         # plain inequality join — DuckDB's IEJoin is the independent
         # implementation proving the bucketized equi-join is lossless
+        "coverage_intervals_events": _iv().sql_interval_coverage(
+            "events", "user_id",
+            "epoch_ms(date_trunc('second', ts))"),
         "interval_join_events": """
             WITH wins AS (
                 SELECT event_id AS window_id,
@@ -1949,6 +2013,16 @@ def _bh():
 def _an():
     from log_collector_spark.operators import analytics
     return analytics
+
+
+def _en():
+    from log_collector_spark.operators import enrich
+    return enrich
+
+
+def _iv():
+    from log_collector_spark.operators import interval
+    return interval
 
 
 def _ta():

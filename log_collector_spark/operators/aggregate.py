@@ -288,3 +288,83 @@ def sql_histogram_exact_percentiles(table: str, group_col: str,
                {aggs}
         FROM cum GROUP BY {group_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: GROUPING SETS and PIVOT breadth over the same
+# Expand-based single-pass machinery as rollup_time_counts.
+# ---------------------------------------------------------------------------
+
+def grouping_sets_counts(df: DataFrame, type_col: Column,
+                         day_ms: Column) -> DataFrame:
+    """Asymmetric GROUPING SETS — ((type, day), (type), ()) — in ONE pass:
+    the per-type-per-day operational grid plus the per-type marginal plus
+    the grand total, WITHOUT the per-day marginal a cube/rollup would force.
+    Catalyst plans a single Expand (3 replicas) + one hash-agg shuffle; at
+    100 TB that is one fact scan instead of three groupBy jobs, and the
+    Expand factor is exactly the number of sets you asked for (a d-column
+    cube would be 2^d).
+
+    Collapsed levels are sentinel-coded ('(all)' / -1 — both outside the
+    value domains) so the output is hash-stable across engines without
+    relying on grouping_id bit order."""
+    keyed = df.select(type_col.alias("event_type"),
+                      day_ms.cast("long").alias("day_ms"))
+    gs = (keyed.groupingSets([["event_type", "day_ms"], ["event_type"], []],
+                             "event_type", "day_ms")
+               .agg(F.count(F.lit(1)).alias("n")))
+    return gs.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("day_ms", F.lit(-1)).cast("long").alias("day_ms"),
+        "n")
+
+
+def sql_grouping_sets_counts(table: str = "events") -> str:
+    return f"""
+        WITH keyed AS (
+            SELECT event_type,
+                   CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms
+            FROM {table}
+        )
+        SELECT COALESCE(event_type, '(all)') AS event_type,
+               COALESCE(day_ms, -1) AS day_ms,
+               COUNT(*) AS n
+        FROM keyed
+        GROUP BY GROUPING SETS ((event_type, day_ms), (event_type), ())
+    """
+
+
+def pivot_counts(df: DataFrame, day_ms: Column, type_col: Column,
+                 values: list[str]) -> DataFrame:
+    """Long→wide day×type count matrix via native pivot.
+
+    The pivot value list is EXPLICIT (the routing/event taxonomy is a
+    design-time constant here, as in the reference's sink registry) — with
+    an explicit list Spark skips the extra distinct-values collect job it
+    otherwise runs before planning, which at 10^12 rows is a full fact scan
+    saved. The plan is then a single hash-agg on day with one
+    count(CASE WHEN type=v) partial per pivot column — identical to the
+    conditional-aggregation SQL the oracle runs, and the wide row never
+    shuffles more than |values| longs per day."""
+    keyed = df.select(day_ms.cast("long").alias("day_ms"),
+                      type_col.alias("event_type"))
+    wide = (keyed.groupBy("day_ms")
+                 .pivot("event_type", values)
+                 .agg(F.count(F.lit(1))))
+    # pivot leaves NULL where a (day, type) cell has no rows — a count is 0
+    return wide.select(
+        "day_ms",
+        *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(f"n_{v}")
+          for v in values])
+
+
+def sql_pivot_counts(values: list[str], table: str = "events") -> str:
+    cells = ",\n               ".join(
+        f"CAST(COUNT(CASE WHEN event_type = '{v}' THEN 1 END) AS BIGINT)"
+        f" AS n_{v}" for v in values)
+    return f"""
+        SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+               {cells}
+        FROM {table}
+        GROUP BY 1
+    """

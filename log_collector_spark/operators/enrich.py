@@ -88,3 +88,109 @@ def ip_range_enrich(df: DataFrame, lookup: IpRangeLookup, ip_col: str,
     return (df.withColumn("_ipd", ip_lookup_udf(F.col(ip_col)))
               .select("*", *[F.col(f"_ipd.`{f}`").alias(f) for f in fields])
               .drop("_ipd"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-join pruning (round-4 continuation): the runtime-filter
+# pattern Spark applies automatically (spark.sql.optimizer.runtime.
+# bloomFilter.enabled) made explicit and oracle-checkable.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 8192   # bit-space size (power of 2; sized for a visible FP rate
+BLOOM_NHASH = 3  # in the sandbox corpus — production sizes m from ln2*n*k)
+
+
+def bloom_prejoin_summary(fact: DataFrame, dim_keys: DataFrame, key: str,
+                          m: int = BLOOM_M,
+                          nhash: int = BLOOM_NHASH) -> DataFrame:
+    """Audit of Bloom-filter join pruning: build an m-bit/k-hash Bloom set
+    from the dim keyset, probe every DISTINCT fact key against it, and
+    report pass / exact / false-positive counts in one summary row — all
+    aggregated inside the plan (no driver-side .count() actions).
+
+    Scale shape: the filter is |distinct bits| <= nhash*|dim| longs — a
+    broadcast dim — so fact rows are prunable BEFORE their join shuffle;
+    keys the Bloom rejects never enter the exchange.  This is Spark's own
+    injected runtime filter (InjectRuntimeFilter /
+    spark.sql.optimizer.runtime.bloomFilter.enabled) reproduced
+    relationally so DuckDB can replay it bit-for-bit: bit positions are
+    h60(key || ':' || j) % m, membership = all nhash probe rows land on a
+    set bit (probing distinct keys makes count(*)==nhash exact even when
+    two probes of one key collide onto the same bit).  Production packs the
+    positions into a real bitmask or just enables the native filter; the
+    explode(nhash)+broadcast-join encoding keeps every intermediate a
+    checkable table while preserving the property under audit
+    (prune-before-shuffle).
+
+    fp_permille prices the prune against the Bloom-passed keys — the
+    number that decides whether the broadcast is worth it at 100 TB."""
+    from log_collector_spark.textops import common as C
+    ks = F.col(key).cast("string")
+    idx = F.array(*[F.lit(j) for j in range(1, nhash + 1)])
+
+    def positions(df: DataFrame) -> DataFrame:
+        return (df.select(F.col(key), F.explode(idx).alias("j"))
+                  .select(F.col(key),
+                          (C.h60(F.concat(ks, F.lit(":"),
+                                          F.col("j").cast("string"))) % m)
+                          .alias("bit")))
+
+    dim = dim_keys.select(F.col(key)).distinct()
+    bits = positions(dim).select("bit").distinct()
+    keys = fact.select(F.col(key)).distinct()
+    passed = (positions(keys).join(F.broadcast(bits), "bit")
+                             .groupBy(key)
+                             .agg(F.count(F.lit(1)).alias("nbits"))
+                             .filter(F.col("nbits") == nhash)
+                             .select(key))
+    in_dim = (passed.join(F.broadcast(dim.withColumn("_d", F.lit(1))),
+                          key, "left")
+                    .select(F.coalesce("_d", F.lit(0)).alias("_d")))
+    summary = (in_dim.agg(
+                   F.count(F.lit(1)).cast("long").alias("n_bloom_pass"),
+                   F.sum("_d").cast("long").alias("n_exact"),
+                   (F.count(F.lit(1)) - F.sum("_d")).cast("long")
+                       .alias("n_false_pos"))
+               .withColumn("fp_permille",
+                           C.permille(F.col("n_false_pos"),
+                                      F.col("n_bloom_pass"))))
+    n_keys = keys.agg(F.count(F.lit(1)).cast("long").alias("n_fact_keys"))
+    return n_keys.crossJoin(summary)
+
+
+def sql_bloom_prejoin_summary(fact_sql: str, dim_sql: str, key: str,
+                              m: int = BLOOM_M,
+                              nhash: int = BLOOM_NHASH) -> str:
+    from log_collector_spark.textops import common as C
+    h = C.sql_h60(f"CAST({key} AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+    return f"""
+        WITH dim AS (SELECT DISTINCT {key} FROM ({dim_sql})),
+        fkeys AS (SELECT DISTINCT {key} FROM ({fact_sql})),
+        bits AS (
+            SELECT DISTINCT {h} % {m} AS bit
+            FROM dim, (SELECT unnest(range(1, {nhash + 1})) AS j)
+        ),
+        probes AS (
+            SELECT {key}, {h} % {m} AS bit
+            FROM fkeys, (SELECT unnest(range(1, {nhash + 1})) AS j)
+        ),
+        passed AS (
+            SELECT {key} FROM probes JOIN bits USING (bit)
+            GROUP BY {key} HAVING COUNT(*) = {nhash}
+        ),
+        tagged AS (
+            SELECT CASE WHEN d.{key} IS NOT NULL THEN 1 ELSE 0 END AS _d
+            FROM passed p LEFT JOIN dim d ON d.{key} = p.{key}
+        ),
+        summary AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+                   CAST(SUM(_d) AS BIGINT) AS n_exact,
+                   CAST(COUNT(*) - SUM(_d) AS BIGINT) AS n_false_pos,
+                   {C.sql_permille('COUNT(*) - SUM(_d)', 'COUNT(*)')}
+                       AS fp_permille
+            FROM tagged
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fkeys) AS n_fact_keys,
+               n_bloom_pass, n_exact, n_false_pos, fp_permille
+        FROM summary
+    """

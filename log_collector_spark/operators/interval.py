@@ -62,3 +62,93 @@ def interval_join(events: DataFrame, windows: DataFrame, *,
         (F.col(event_ts) >= F.col(win_start)) &
         (F.col(event_ts) < F.col(win_end)))
     return joined.drop("_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage (round-4 continuation): merge overlapping
+# per-key intervals into maximal islands — the other half of interval
+# algebra (interval_join answers "who overlaps whom"; this answers "how
+# much time is covered at all").
+# ---------------------------------------------------------------------------
+
+COVER_LEN_MS = 600_000  # each event opens a 10-minute activity interval
+
+
+def interval_coverage(df: DataFrame, key: str, start_ms,
+                      length_ms: int = COVER_LEN_MS) -> DataFrame:
+    """Per-key union of overlapping intervals (gaps-and-islands): each row
+    opens [start, start+length); intervals whose ranges touch merge into
+    one island. Output per key: island count, total covered ms, interval
+    count — e.g. "how much wall-clock was this conversation actually
+    active", the time-coverage metric a transcript pipeline reports
+    per-conversation.
+
+    One shuffle on the key + a per-key ordered window: a new island starts
+    where ``start > max(previous ends)`` (running MAX over the preceding
+    frame — NOT lag(end), which misreads contained intervals that end
+    early); covered time sums (island_end - island_start) via a per-island
+    aggregate. Both window frames are cumulative (no full materialization
+    of per-key arrays), so a hot key costs one sorted pass, not memory.
+    Fixed length keeps the sandbox oracle simple; any end column works —
+    the algebra never uses the constant."""
+    s = start_ms.cast("long")
+    rows = df.select(F.col(key), s.alias("s"),
+                     (s + length_ms).cast("long").alias("e"))
+    from pyspark.sql.window import Window
+    w_prev = (Window.partitionBy(key).orderBy("s", "e")
+                    .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = rows.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev),
+                                       F.lit(-1)), 1).otherwise(0))
+    w_cum = (Window.partitionBy(key).orderBy("s", "e")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    islands = flagged.withColumn("island",
+                                 F.sum("new_island").over(w_cum))
+    per_island = (islands.groupBy(key, "island")
+                         .agg(F.min("s").alias("is_s"),
+                              F.max("e").alias("is_e"),
+                              F.count(F.lit(1)).alias("n_iv")))
+    return (per_island.groupBy(key)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_islands"),
+                 F.sum(F.col("is_e") - F.col("is_s")).cast("long")
+                  .alias("covered_ms"),
+                 F.sum("n_iv").cast("long").alias("n_intervals"))
+            .orderBy(key))
+
+
+def sql_interval_coverage(table: str, key: str, start_ms_sql: str,
+                          length_ms: int = COVER_LEN_MS) -> str:
+    return f"""
+        WITH rows_ AS (
+            SELECT {key} AS k, CAST({start_ms_sql} AS BIGINT) AS s,
+                   CAST({start_ms_sql} AS BIGINT) + {length_ms} AS e
+            FROM {table}
+        ), flagged AS (
+            SELECT k, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                            PARTITION BY k ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM rows_
+        ), islands AS (
+            SELECT k, s, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY k ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM flagged
+        ), per_island AS (
+            SELECT k, island, MIN(s) AS is_s, MAX(e) AS is_e,
+                   COUNT(*) AS n_iv
+            FROM islands GROUP BY k, island
+        )
+        SELECT k AS {key},
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(is_e - is_s) AS BIGINT) AS covered_ms,
+               CAST(SUM(n_iv) AS BIGINT) AS n_intervals
+        FROM per_island
+        GROUP BY k
+        ORDER BY k
+    """

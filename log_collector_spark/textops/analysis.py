@@ -1603,3 +1603,148 @@ def sql_hll_user_rollup(table: str = "events") -> str:
         JOIN hsum s ON s.event_type = d.event_type
                    AND s.day_idx = d.day_idx
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: pairwise source overlap / Jaccard from the same
+# k-minimum-values sketch kmv_distinct builds (round-4 continuation).
+# ---------------------------------------------------------------------------
+
+def kmv_overlap(df: DataFrame, group_col: str = "source",
+                text_col: str = "text", k: int = KMV_K) -> DataFrame:
+    """Pairwise token-set overlap between sources from KMV sketches: for a
+    pair (a, b), rank the UNION of the two k-min sets by hash, keep the k
+    smallest (the union's own KMV sketch — closure under union is THE
+    property that makes KMV a distributed set algebra), and estimate
+    ``jaccard ~= |{h in sketch : h in a AND h in b}| / k'``.
+
+    Scale shape: the fact table reduces to k longs per source BEFORE any
+    pairwise work (one shuffle: the per-source top-k heap merge), so the
+    s^2/2 pair comparison runs over an s*k-row sketch dim — with s sources
+    that is driver-scale regardless of corpus size. The exact-Jaccard
+    columns (a full hash self-join) are the sandbox validation baseline;
+    drop them at 100 TB and nothing but the sketch algebra remains.
+
+    All outputs integer (permille); the estimator and the exact baseline
+    use the same h60 hash space, so both engines agree bit-for-bit."""
+    hashes = (df.select(group_col,
+                        F.explode(C.tokens(F.col(text_col))).alias("tok"))
+                .select(group_col, C.h60(F.col("tok")).alias("h"))
+                .distinct())
+    w = Window.partitionBy(group_col).orderBy("h")
+    minset = (hashes.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") <= k).drop("rn"))
+    srcs = hashes.select(group_col).distinct()
+    pairs = (srcs.select(F.col(group_col).alias("s1"))
+                 .join(srcs.select(F.col(group_col).alias("s2")),
+                       F.col("s1") < F.col("s2")))
+    # union sketch per pair: tag membership, rank, keep the k smallest
+    u = (pairs.join(minset,
+                    (F.col(group_col) == F.col("s1"))
+                    | (F.col(group_col) == F.col("s2")))
+              .groupBy("s1", "s2", "h")
+              .agg(F.max(F.when(F.col(group_col) == F.col("s1"), 1)
+                          .otherwise(0)).alias("in1"),
+                   F.max(F.when(F.col(group_col) == F.col("s2"), 1)
+                          .otherwise(0)).alias("in2")))
+    wu = Window.partitionBy("s1", "s2").orderBy("h")
+    sketch = (u.withColumn("rn", F.row_number().over(wu))
+               .filter(F.col("rn") <= k)
+               .groupBy("s1", "s2")
+               .agg(F.count(F.lit(1)).cast("long").alias("k_used"),
+                    F.sum(F.col("in1") * F.col("in2")).cast("long")
+                     .alias("n_common")))
+    est = sketch.withColumn(
+        "jaccard_est_permille",
+        C.permille(F.col("n_common"), F.col("k_used")))
+    # exact baseline (drop at scale): full-hash intersection + sizes
+    sizes = hashes.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (hashes.select(F.col(group_col).alias("s1"), "h")
+                   .join(hashes.select(F.col(group_col).alias("s2"),
+                                       F.col("h").alias("h2")),
+                         (F.col("h") == F.col("h2"))
+                         & (F.col("s1") < F.col("s2")))
+                   .groupBy("s1", "s2")
+                   .agg(F.count(F.lit(1)).alias("n_inter")))
+    ex = (est.join(sizes.select(F.col(group_col).alias("s1"),
+                                F.col("n").alias("n1")), "s1")
+             .join(sizes.select(F.col(group_col).alias("s2"),
+                                F.col("n").alias("n2")), "s2")
+             .join(inter, ["s1", "s2"], "left")
+             .withColumn("n_inter",
+                         F.coalesce("n_inter", F.lit(0)).cast("long")))
+    ex = ex.withColumn(
+        "jaccard_exact_permille",
+        C.permille(F.col("n_inter"),
+                   F.col("n1") + F.col("n2") - F.col("n_inter")))
+    return (ex.select(
+                "s1", "s2", "k_used", "n_common",
+                "jaccard_est_permille", "jaccard_exact_permille",
+                F.abs(F.col("jaccard_est_permille")
+                      - F.col("jaccard_exact_permille")).cast("long")
+                 .alias("err_permille"))
+              .orderBy("s1", "s2"))
+
+
+def sql_kmv_overlap(table: str = "documents", group_col: str = "source",
+                    k: int = KMV_K) -> str:
+    tok = C.sql_tokens("text")
+    h = C.sql_h60("tok")
+    return f"""
+        WITH hashes AS (
+            SELECT DISTINCT {group_col} AS src, {h} AS h
+            FROM (SELECT {group_col}, unnest({tok}) AS tok FROM {table})
+        ), minset AS (
+            SELECT src, h FROM (
+                SELECT src, h,
+                       ROW_NUMBER() OVER (PARTITION BY src ORDER BY h) AS rn
+                FROM hashes
+            ) WHERE rn <= {k}
+        ), pairs AS (
+            SELECT a.src AS s1, b.src AS s2
+            FROM (SELECT DISTINCT src FROM hashes) a
+            JOIN (SELECT DISTINCT src FROM hashes) b ON a.src < b.src
+        ), u AS (
+            SELECT p.s1, p.s2, m.h,
+                   MAX(CASE WHEN m.src = p.s1 THEN 1 ELSE 0 END) AS in1,
+                   MAX(CASE WHEN m.src = p.s2 THEN 1 ELSE 0 END) AS in2
+            FROM pairs p
+            JOIN minset m ON m.src = p.s1 OR m.src = p.s2
+            GROUP BY p.s1, p.s2, m.h
+        ), sketch AS (
+            SELECT s1, s2,
+                   CAST(COUNT(*) AS BIGINT) AS k_used,
+                   CAST(SUM(in1 * in2) AS BIGINT) AS n_common
+            FROM (
+                SELECT s1, s2, in1, in2,
+                       ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY h)
+                           AS rn
+                FROM u
+            ) WHERE rn <= {k}
+            GROUP BY s1, s2
+        ), sizes AS (
+            SELECT src, COUNT(*) AS n FROM hashes GROUP BY src
+        ), inter AS (
+            SELECT a.src AS s1, b.src AS s2, COUNT(*) AS n_inter
+            FROM hashes a JOIN hashes b ON a.h = b.h AND a.src < b.src
+            GROUP BY 1, 2
+        ), joined AS (
+            SELECT sk.s1, sk.s2, sk.k_used, sk.n_common,
+                   {C.sql_permille('sk.n_common', 'sk.k_used')}
+                       AS jaccard_est_permille,
+                   {C.sql_permille(
+                       'COALESCE(i.n_inter, 0)',
+                       'z1.n + z2.n - COALESCE(i.n_inter, 0)')}
+                       AS jaccard_exact_permille
+            FROM sketch sk
+            JOIN sizes z1 ON z1.src = sk.s1
+            JOIN sizes z2 ON z2.src = sk.s2
+            LEFT JOIN inter i ON i.s1 = sk.s1 AND i.s2 = sk.s2
+        )
+        SELECT s1, s2, k_used, n_common,
+               jaccard_est_permille, jaccard_exact_permille,
+               CAST(abs(jaccard_est_permille - jaccard_exact_permille)
+                    AS BIGINT) AS err_permille
+        FROM joined
+        ORDER BY s1, s2
+    """

@@ -797,6 +797,46 @@ def q_rollup_time_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_zorder_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout: sum of per-file (user, day) min-max spans
+    — the file-skipping quality metric behind OPTIMIZE ZORDER BY."""
+    from log_collector_spark.operators import order as od
+    ev = _events(spark, sf_dir)
+    ts_ms = F.expr(
+        "unix_micros(date_trunc('second', cast(ts as timestamp))) div 1000")
+    return od.zorder_layout_audit(ev, "user_id", ts_ms)
+
+
+def q_tpch_dead_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join audit: parts with NO sales in 1996Q1, per brand (the
+    NOT-EXISTS dual of tpch_order_priority's EXISTS)."""
+    from log_collector_spark.operators import analytics as an
+    return an.dead_stock(_tbl(spark, sf_dir, "part"),
+                         _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quotas via hash-rank (RNG-free, unlike sampleBy)."""
+    from log_collector_spark.textops import analysis as A
+    return A.stratified_sample(_docs(spark, sf_dir))
+
+
+def q_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: linear carry-forward window, not
+    the events×events range self-join."""
+    from log_collector_spark.operators import behavior as bh
+    return bh.last_touch_attribution(_events(spark, sf_dir))
+
+
+def q_ewma_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer EWMA (alpha=1/2, 16-term exact unrolling) over per-type
+    hourly counts — aggregate to the grain first, window over the grain."""
+    ev = _events(spark, sf_dir)
+    ts_ms = F.expr(
+        "unix_micros(date_trunc('second', cast(ts as timestamp))) div 1000")
+    return agg_ops.ewma_hour_counts(ev, F.col("event_type"), ts_ms)
+
+
 def q_coverage_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user union of 10-min activity intervals (gaps-and-islands via
     running-MAX(end), robust to contained intervals): islands + covered ms."""
@@ -1385,6 +1425,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_events": q_grouping_sets_events,
         "bloom_prejoin_events": q_bloom_prejoin_events,
         "coverage_intervals_events": q_coverage_intervals_events,
+        "tpch_dead_stock": q_tpch_dead_stock,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "attribution_events": q_attribution_events,
+        "ewma_hour_counts": q_ewma_hour_counts,
+        "zorder_audit_events": q_zorder_audit_events,
         "pivot_event_types": q_pivot_event_types,
         "percentile_latency": q_percentile_latency,
         "hist_exact_percentile_latency": q_hist_exact_percentile_latency,
@@ -1526,6 +1571,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_promo_share": _an().sql_promo_revenue_share(),
         "tpch_order_priority": _an().sql_order_priority_counts(),
         "tpch_large_orders": _an().sql_large_order_customers(),
+        "tpch_dead_stock": _an().sql_dead_stock(),
+        "stratified_sample_documents": _ta().sql_stratified_sample(),
+        "attribution_events": _bh().sql_last_touch_attribution(),
+        "ewma_hour_counts": agg_ops.sql_ewma_hour_counts(),
+        "zorder_audit_events": _od().sql_zorder_layout_audit(),
         "ip_range_lookup": """
             WITH ranges AS (
                 SELECT * FROM (VALUES
@@ -2023,6 +2073,11 @@ def _en():
 def _iv():
     from log_collector_spark.operators import interval
     return interval
+
+
+def _od():
+    from log_collector_spark.operators import order
+    return order
 
 
 def _ta():

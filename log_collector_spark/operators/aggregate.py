@@ -368,3 +368,58 @@ def sql_pivot_counts(values: list[str], table: str = "events") -> str:
         FROM {table}
         GROUP BY 1
     """
+
+
+EWMA_TERMS = 16  # 2^-16 tail mass < 2e-5 of the series scale — negligible
+
+
+def ewma_hour_counts(df: DataFrame, type_col: Column, ts_ms: Column,
+                     terms: int = EWMA_TERMS) -> DataFrame:
+    """Integer EWMA (alpha = 1/2) over the per-type hourly count series:
+    ewma_t = sum_{i=0..terms-1} n_{t-i} // 2^{i+1}.
+
+    The recursive definition (ewma = n/2 + ewma_prev/2) needs an unbounded
+    running state no SQL window expresses without recursion; the truncated
+    geometric form is its exact algebraic unrolling with the tail beyond
+    ``terms`` dropped — bias < max(n)/2^terms, below 1 count for any
+    realistic hourly volume. Each term is an integer floor-div BEFORE the
+    sum (per-row div, the repo's cross-engine floor convention), so both
+    engines produce identical BIGINTs.
+
+    One shuffle: the hourly pre-aggregation. The lag window then runs
+    per-type over hours — thousands of rows per type per YEAR, so the
+    window partition is trivially small at any fact scale; this is the
+    standard two-stage shape (aggregate to the grain FIRST, window over the
+    grain) that keeps window partitions bounded at 100 TB."""
+    hour = (ts_ms - (ts_ms % 3_600_000)).cast("long")
+    hourly = (df.select(type_col.alias("t"), hour.alias("hour_ms"))
+                .groupBy("t", "hour_ms")
+                .agg(F.count(F.lit(1)).alias("n")))
+    ewma = None
+    for i in range(terms):
+        term = F.expr(f"coalesce(lag(n, {i}) over "
+                      f"(partition by t order by hour_ms), 0) "
+                      f"div {1 << (i + 1)}")
+        ewma = term if ewma is None else ewma + term
+    return (hourly.select(F.col("t").alias("event_type"), "hour_ms", "n",
+                          ewma.cast("long").alias("ewma16")))
+
+
+def sql_ewma_hour_counts(table: str = "events",
+                         terms: int = EWMA_TERMS) -> str:
+    lags = " + ".join(
+        f"(COALESCE(LAG(n, {i}) OVER (PARTITION BY t ORDER BY hour_ms), 0)"
+        f" // {1 << (i + 1)})" for i in range(terms))
+    return f"""
+        WITH hourly AS (
+            SELECT event_type AS t,
+                   CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT)
+                       AS hour_ms,
+                   COUNT(*) AS n
+            FROM {table}
+            GROUP BY 1, 2
+        )
+        SELECT t AS event_type, hour_ms, CAST(n AS BIGINT) AS n,
+               CAST({lags} AS BIGINT) AS ewma16
+        FROM hourly
+    """

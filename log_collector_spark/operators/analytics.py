@@ -429,3 +429,46 @@ def sql_large_order_customers(qty_threshold: int = LARGE_QTY_THRESHOLD,
         ORDER BY big.total_qty DESC, o.o_orderkey
         LIMIT {k}
     """
+
+
+DEAD_FROM = "1996-01-01"
+DEAD_TO = "1996-04-01"
+
+
+def dead_stock(part: DataFrame, lineitem: DataFrame,
+               date_from: str = DEAD_FROM,
+               date_to: str = DEAD_TO) -> DataFrame:
+    """Anti-join inventory audit: parts with NO sales inside the window,
+    counted per brand. Plans as LeftAnti with the date filter pushed into
+    the lineitem scan BEFORE the join — the anti side shrinks to one
+    quarter of the fact, and the join output is bounded by |part| however
+    large the fact grows. The NOT-EXISTS dual of order_priority_counts'
+    EXISTS: together they close both quantifier directions."""
+    sold = lineitem.filter((F.col("l_shipdate") >= _ts(date_from))
+                           & (F.col("l_shipdate") < _ts(date_to)))
+    cold = part.join(sold, F.col("p_partkey") == F.col("l_partkey"),
+                     "left_anti")
+    return (cold.groupBy("p_brand")
+                .agg(F.count(F.lit(1)).alias("n_dead_parts"),
+                     F.sum((F.col("p_retailprice").cast("decimal(18,2)")
+                            * 100).cast("bigint")).cast("bigint")
+                      .alias("dead_value_cents"))
+                .orderBy("p_brand"))
+
+
+def sql_dead_stock(date_from: str = DEAD_FROM, date_to: str = DEAD_TO) -> str:
+    return f"""
+        SELECT p_brand,
+               COUNT(*) AS n_dead_parts,
+               CAST(SUM({_sql_cents('p_retailprice')}) AS BIGINT)
+                   AS dead_value_cents
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_partkey = p.p_partkey
+              AND l.l_shipdate >= TIMESTAMP '{date_from}'
+              AND l.l_shipdate < TIMESTAMP '{date_to}'
+        )
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """

@@ -1056,3 +1056,94 @@ def sql_activity_gini(table: str = "events",
                    AS gini_permille
         FROM tot
     """
+
+
+# ---------------------------------------------------------------------------
+# Last-touch conversion attribution (round-4 continuation)
+# ---------------------------------------------------------------------------
+
+ATTR_CONVERSION = "purchase"
+ATTR_TOUCHES = ("click", "view")
+ATTR_WINDOW_MS = 7 * 86_400_000  # 7-day lookback
+
+
+def last_touch_attribution(events: DataFrame,
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id",
+                           conversion: str = ATTR_CONVERSION,
+                           touches: tuple[str, ...] = ATTR_TOUCHES,
+                           window_ms: int = ATTR_WINDOW_MS) -> DataFrame:
+    """Last-touch attribution: each conversion credits the most recent
+    preceding touch event (click/view) by the same user within the lookback
+    window; conversions with no touch in range credit ``'none'``.
+
+    One shuffle on the user key, one ordered pass: ``last(touch, ignore
+    nulls)`` over the strictly-preceding frame carries the latest touch's
+    type and time forward — the carried pair always comes from the SAME row
+    because both columns are null on exactly the same rows.  Running-state
+    windows (not a self-join): the classic events×events "latest touch
+    before t" formulation is a range self-join that explodes on active
+    users; this form is linear in the partition. Ordering ties break on the
+    event id, so simultaneous rows attribute identically on both engines."""
+    ts_ms = (_us(F.date_trunc("second", F.col(ts_col).cast("timestamp")))
+             / 1000).cast("long")
+    is_touch = F.col(type_col).isin(*touches)
+    base = events.select(
+        F.col(user_col).alias("u"), F.col(id_col).alias("i"),
+        F.col(type_col).alias("t"), ts_ms.alias("ms"),
+        F.when(is_touch, F.col(type_col)).alias("touch_t"),
+        F.when(is_touch, ts_ms).alias("touch_ms"))
+    w = (Window.partitionBy("u").orderBy("ms", "i")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    carried = base.select(
+        "u", "t", "ms",
+        F.last("touch_t", ignorenulls=True).over(w).alias("lt_t"),
+        F.last("touch_ms", ignorenulls=True).over(w).alias("lt_ms"))
+    conv = carried.filter(F.col("t") == conversion)
+    credit = (F.when(F.col("lt_ms").isNotNull()
+                     & (F.col("ms") - F.col("lt_ms") <= window_ms),
+                     F.col("lt_t"))
+               .otherwise(F.lit("none")))
+    return (conv.select(credit.alias("touch_type"))
+                .groupBy("touch_type")
+                .agg(F.count(F.lit(1)).alias("n_conversions"))
+                .orderBy("touch_type"))
+
+
+def sql_last_touch_attribution(table: str = "events",
+                               conversion: str = ATTR_CONVERSION,
+                               touches: tuple[str, ...] = ATTR_TOUCHES,
+                               window_ms: int = ATTR_WINDOW_MS) -> str:
+    tl = ", ".join(f"'{t}'" for t in touches)
+    return f"""
+        WITH base AS (
+            SELECT user_id AS u, event_id AS i, event_type AS t,
+                   CAST(epoch_ms(date_trunc('second', ts)) AS BIGINT) AS ms,
+                   CASE WHEN event_type IN ({tl}) THEN event_type END
+                       AS touch_t,
+                   CASE WHEN event_type IN ({tl}) THEN
+                       CAST(epoch_ms(date_trunc('second', ts)) AS BIGINT)
+                   END AS touch_ms
+            FROM {table}
+        ), carried AS (
+            SELECT u, t, ms,
+                   LAST_VALUE(touch_t IGNORE NULLS) OVER (
+                       PARTITION BY u ORDER BY ms, i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS lt_t,
+                   LAST_VALUE(touch_ms IGNORE NULLS) OVER (
+                       PARTITION BY u ORDER BY ms, i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS lt_ms
+            FROM base
+        )
+        SELECT CASE WHEN lt_ms IS NOT NULL AND ms - lt_ms <= {window_ms}
+                    THEN lt_t ELSE 'none' END AS touch_type,
+               COUNT(*) AS n_conversions
+        FROM carried
+        WHERE t = '{conversion}'
+        GROUP BY 1
+        ORDER BY 1
+    """

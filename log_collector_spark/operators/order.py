@@ -52,3 +52,128 @@ def globally_ordered(df: DataFrame) -> DataFrame:
     """Total order (range partitioned) — for golden-file equality dumps only;
     a full sort is a range-exchange, don't use it mid-pipeline."""
     return df.orderBy("conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit (round-4 continuation): the data-clustering decision
+# an Iceberg/Delta OPTIMIZE ZORDER makes, measured as an oracle-checkable
+# report instead of applied as a rewrite.
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+ZORDER_FILES = 32
+
+
+def _z_terms(u: str, d: str, bits: int, shift_fn) -> str:
+    """Bit-interleave expression: z = Σ ((u>>i)&1)·4^i·1 + ((d>>i)&1)·4^i·2.
+
+    Built per-engine because Spark spells shift as shiftright() while DuckDB
+    uses >>; the arithmetic (AND-mask then multiply by a power-of-two
+    literal) is identical, so both produce the same BIGINT."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({shift_fn(u, i)}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({shift_fn(d, i)}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_layout_audit(df: DataFrame, user_col: str, ts_ms,
+                        bits: int = ZORDER_BITS,
+                        n_files: int = ZORDER_FILES) -> DataFrame:
+    """Compare two physical layouts of the same fact — linear sort on
+    (user, day) vs Morton/Z-order on interleaved (user, day) bits — by the
+    metric that decides file-skipping effectiveness: the sum over files of
+    each file's per-dimension min-max span. Rows are packed into
+    ``n_files`` equal-count files with ntile over each ordering
+    (event_id-tiebroken, so both engines cut identically).
+
+    Why it matters at 100 TB: parquet/Iceberg prune files by column min-max
+    stats. A linear (user, day) sort gives perfect user spans but each
+    file's DAY span covers the whole range for all but one user boundary —
+    day-predicate queries hit every file. Z-order trades a little of each:
+    both spans shrink to ~sqrt scale, so BOTH dimensions prune. The audit
+    emits (layout, n_files, sum_user_span, sum_day_span) — the two rows
+    make the trade quantitative, which is exactly what an OPTIMIZE
+    ZORDER BY decision needs before rewriting petabytes.
+
+    The audit itself is two ntile windows over a global order — fine at
+    audit scale (run on a sample or one partition's stats at 100 TB; the
+    decision needs ratios, not the full table)."""
+    day = ((ts_ms.cast("long") / 86_400_000).cast("long")).alias("d")
+    base = df.select(F.col(user_col).cast("long").alias("u"), day,
+                     F.col("event_id").alias("i"))
+    # rebase day to 0 in-plan (broadcast 1-row min — no driver action)
+    base = (base.crossJoin(F.broadcast(base.agg(F.min("d").alias("_d0"))))
+                .withColumn("d", (F.col("d") - F.col("_d0")).cast("long"))
+                .drop("_d0"))
+
+    def spark_shift(c: str, i: int) -> str:
+        return f"shiftright({c}, {i})"
+
+    z = F.expr(_z_terms("u", "d", bits, spark_shift)).cast("long")
+    zed = base.withColumn("z", z)
+    from pyspark.sql.window import Window
+    w_lin = Window.orderBy("u", "d", "i")
+    w_z = Window.orderBy("z", "i")
+    tiled = zed.select(
+        "u", "d",
+        F.ntile(n_files).over(w_lin).alias("f_lin"),
+        F.ntile(n_files).over(w_z).alias("f_z"))
+
+    def spans(file_col: str, layout: str) -> DataFrame:
+        per_file = (tiled.groupBy(file_col)
+                    .agg((F.max("u") - F.min("u") + 1).alias("uspan"),
+                         (F.max("d") - F.min("d") + 1).alias("dspan")))
+        return per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("uspan").cast("long").alias("sum_user_span"),
+            F.sum("dspan").cast("long").alias("sum_day_span"))
+
+    return (spans("f_lin", "linear_user_day")
+            .unionByName(spans("f_z", "zorder"))
+            .orderBy("layout"))
+
+
+def sql_zorder_layout_audit(table: str = "events",
+                            bits: int = ZORDER_BITS,
+                            n_files: int = ZORDER_FILES) -> str:
+    def duck_shift(c: str, i: int) -> str:
+        return f"{c} >> {i}"
+
+    z = _z_terms("u", "d", bits, duck_shift)
+    return f"""
+        WITH raw AS (
+            SELECT CAST(user_id AS BIGINT) AS u,
+                   CAST(epoch_ms(date_trunc('second', ts)) AS BIGINT)
+                       // 86400000 AS d0,
+                   event_id AS i
+            FROM {table}
+        ), base AS (
+            SELECT u, d0 - (SELECT MIN(d0) FROM raw) AS d, i FROM raw
+        ), zed AS (
+            SELECT u, d, i, CAST({z} AS BIGINT) AS z FROM base
+        ), tiled AS (
+            SELECT u, d,
+                   NTILE({n_files}) OVER (ORDER BY u, d, i) AS f_lin,
+                   NTILE({n_files}) OVER (ORDER BY z, i) AS f_z
+            FROM zed
+        ), lin AS (
+            SELECT 'linear_user_day' AS layout,
+                   CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(uspan) AS BIGINT) AS sum_user_span,
+                   CAST(SUM(dspan) AS BIGINT) AS sum_day_span
+            FROM (SELECT f_lin, MAX(u) - MIN(u) + 1 AS uspan,
+                         MAX(d) - MIN(d) + 1 AS dspan
+                  FROM tiled GROUP BY f_lin)
+        ), zo AS (
+            SELECT 'zorder' AS layout,
+                   CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(uspan) AS BIGINT) AS sum_user_span,
+                   CAST(SUM(dspan) AS BIGINT) AS sum_day_span
+            FROM (SELECT f_z, MAX(u) - MIN(u) + 1 AS uspan,
+                         MAX(d) - MIN(d) + 1 AS dspan
+                  FROM tiled GROUP BY f_z)
+        )
+        SELECT * FROM lin UNION ALL SELECT * FROM zo ORDER BY layout
+    """

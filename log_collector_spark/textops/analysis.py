@@ -1748,3 +1748,60 @@ def sql_kmv_overlap(table: str = "documents", group_col: str = "source",
         FROM joined
         ORDER BY s1, s2
     """
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-quota sampling (round-4 continuation)
+# ---------------------------------------------------------------------------
+
+STRATA_QUOTA = 20
+STRATA_SALT = "strat1"
+
+
+def stratified_sample(df: DataFrame, group_col: str = "source",
+                      id_col: str = "doc_id", quota: int = STRATA_QUOTA,
+                      salt: str = STRATA_SALT) -> DataFrame:
+    """Exact per-stratum quotas, RNG-free: within each stratum keep the
+    ``quota`` docs with the smallest ``h60(salt || id)`` — a deterministic
+    uniform draw (hash order is independent of any data attribute), unlike
+    ``df.sampleBy`` which is seeded-RNG, fraction-based (no exact counts),
+    and unstable under partition reshuffles.
+
+    One shuffle on the stratum key; the per-stratum top-``quota`` selection
+    is a bounded heap (rank window over a key whose group fits the quota),
+    so a hot stratum costs one sorted pass with early-out — at 100 TB
+    replace row_number with a per-partition top-k heap + merge
+    (the TakeOrdered pattern) if strata are few and huge. Quota-exactness:
+    |stratum ∩ sample| = min(quota, |stratum|), which rate-based sampling
+    (quality_sample) cannot promise; NOT append-stable — adding docs can
+    evict by design, because the quota is the contract."""
+    draw = C.h60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(draw.asc(),
+                                              F.col(id_col).asc())
+    return (df.select(F.col(group_col), F.col(id_col))
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= quota)
+              .select(group_col, id_col,
+                      F.col("rn").cast("long").alias("rank_in_stratum"))
+              .orderBy(group_col, id_col))
+
+
+def sql_stratified_sample(table: str = "documents",
+                          group_col: str = "source",
+                          id_col: str = "doc_id",
+                          quota: int = STRATA_QUOTA,
+                          salt: str = STRATA_SALT) -> str:
+    draw = C.sql_h60(f"'{salt}' || CAST({id_col} AS VARCHAR)")
+    return f"""
+        SELECT {group_col}, {id_col},
+               CAST(rn AS BIGINT) AS rank_in_stratum
+        FROM (
+            SELECT {group_col}, {id_col},
+                   ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                      ORDER BY {draw} ASC, {id_col} ASC)
+                       AS rn
+            FROM {table}
+        )
+        WHERE rn <= {quota}
+        ORDER BY {group_col}, {id_col}
+    """

@@ -127,3 +127,93 @@ def test_kmv_overlap_identical_sources_estimate_1000(spark):
     assert out[("b", "c")]["n_common"] == 0
     # union sketch is capped at k
     assert all(r["k_used"] <= 16 for r in out.values())
+
+
+def test_last_touch_attribution_micro(spark):
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2020, 1, 1) + dt.timedelta(seconds=s)
+
+    day = 86_400
+    rows = [
+        # u1: click then purchase 10s later -> credit click
+        (1, t(0), 1, "click"), (2, t(10), 1, "purchase"),
+        # u1: second purchase 8 days after the click -> outside window
+        (3, t(10 + 8 * day), 1, "purchase"),
+        # u2: view, then click, then purchase -> LAST touch (click) wins
+        (4, t(0), 2, "view"), (5, t(5), 2, "click"), (6, t(9), 2, "purchase"),
+        # u3: purchase with no touch at all
+        (7, t(3), 3, "purchase"),
+        # u4: touch AFTER the purchase must not credit
+        (8, t(1), 4, "purchase"), (9, t(2), 4, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    from log_collector_spark.operators.behavior import last_touch_attribution
+    got = {r["touch_type"]: r["n_conversions"]
+           for r in last_touch_attribution(df).collect()}
+    assert got == {"click": 2, "none": 3}
+
+
+def test_ewma_equals_recursion_on_short_series(spark):
+    # for a series shorter than EWMA_TERMS starting at t0, the truncated
+    # geometric form IS the exact alpha=1/2 integer recursion unrolled
+    import datetime as dt
+    # all counts >= 1: an empty hour has no row, so the lag series (which
+    # runs over OBSERVED hourly points — documented) would skip it and the
+    # dense reference below would misalign
+    ns = [100, 40, 3, 8, 300, 7, 7, 7, 1000, 2]
+    rows = []
+    eid = 0
+    for i, n in enumerate(ns):
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2020, 1, 1, i), 1, "click"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    from pyspark.sql import functions as F
+    from log_collector_spark.operators.aggregate import ewma_hour_counts
+    ts_ms = F.expr(
+        "unix_micros(date_trunc('second', cast(ts as timestamp))) div 1000")
+    out = sorted(
+        ewma_hour_counts(df, F.col("event_type"), ts_ms).collect(),
+        key=lambda r: r["hour_ms"])
+    got = [r["ewma16"] for r in out]
+    want = [sum(ns[t - i] // (1 << (i + 1)) for i in range(t + 1))
+            for t in range(len(ns))]
+    assert got == want
+
+
+def test_stratified_sample_exact_quotas(spark):
+    rows = ([("big", i) for i in range(100)]
+            + [("small", i + 1000) for i in range(3)])
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    from log_collector_spark.textops.analysis import stratified_sample
+    out = stratified_sample(df, quota=20).collect()
+    from collections import Counter
+    c = Counter(r["source"] for r in out)
+    assert c == {"big": 20, "small": 3}
+    # deterministic under re-run and under input reordering
+    out2 = stratified_sample(df.orderBy(F.rand(7)), quota=20).collect()
+    assert sorted((r["source"], r["doc_id"]) for r in out) == \
+        sorted((r["source"], r["doc_id"]) for r in out2)
+
+
+def test_zorder_shrinks_day_spans(spark):
+    import __spark_entry__ as E
+    out = {r["layout"]: r for r in
+           E.queries()["zorder_audit_events"](
+               spark, "/root/testdata/sf0.001").collect()}
+    lin, zo = out["linear_user_day"], out["zorder"]
+    assert lin["n_files"] == zo["n_files"]
+    # the whole point: z-order prunes the SECONDARY dimension too
+    assert zo["sum_day_span"] < lin["sum_day_span"]
+
+
+def test_dead_stock_plans_left_anti(spark):
+    import __spark_entry__ as E
+    plan = E.queries()["tpch_dead_stock"](
+        spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "LeftAnti" in plan, plan

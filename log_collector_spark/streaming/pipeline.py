@@ -203,3 +203,59 @@ def start_metered_pipeline_stream(spark: SparkSession, input_dir: str,
     else:
         w = w.trigger(processingTime=processing_time)
     return w.start()
+
+
+def start_tool_pair_join_stream(spark: SparkSession, input_dir: str,
+                                checkpoint_loc: str, out_dir: str, *,
+                                max_lag: str = "10 minutes",
+                                watermark: str = "1 hour"):
+    """Stream-stream INTERVAL self-join (§2.9 breadth): pair each assistant
+    tool-invoking turn with the next tool-result turn of the same
+    (conv_id, tool) arriving within ``max_lag`` — the streaming form of the
+    tool-latency profile (`tx_stats.tool_latency`), computed as results
+    arrive instead of in batch.
+
+    State-boundedness is the whole design: BOTH sides carry an event-time
+    watermark and the join condition carries an explicit time range
+    (result_ts in [call_ts, call_ts + max_lag]), which together let Spark
+    evict buffered rows once the watermark passes call_ts + max_lag — the
+    state store holds one lag-window of calls per (conv, tool), not the
+    stream's history. Without the range condition a stream-stream join
+    buffers forever (Spark even refuses it in append mode for inner joins
+    without a watermark+range). The equi keys (conv_id, tool) carry the
+    state-store partitioning across executors, so a hot conversation
+    shards by tool.
+
+    turn_idx ordering (result after call) rides as a residual predicate."""
+    src = read_transcript_stream(spark, input_dir)
+    calls = (src.filter((F.col("role") == "assistant")
+                        & F.col("tool").isNotNull())
+                .select(F.col("conv_id").alias("c_conv"),
+                        F.col("tool").alias("c_tool"),
+                        F.col("turn_idx").alias("call_turn"),
+                        F.col("ts").alias("call_ts"))
+                .withWatermark("call_ts", watermark))
+    results = (src.filter(F.col("role") == "tool")
+                  .select(F.col("conv_id").alias("r_conv"),
+                          F.col("tool").alias("r_tool"),
+                          F.col("turn_idx").alias("result_turn"),
+                          F.col("ts").alias("result_ts"))
+                  .withWatermark("result_ts", watermark))
+    joined = calls.join(
+        results,
+        F.expr(f"""
+            c_conv = r_conv AND c_tool = r_tool
+            AND result_ts >= call_ts
+            AND result_ts <= call_ts + INTERVAL {max_lag}
+            AND result_turn > call_turn
+        """),
+        "inner")
+    out = joined.select(
+        F.col("c_conv").alias("conv_id"), F.col("c_tool").alias("tool"),
+        "call_turn", "result_turn",
+        ((F.unix_micros("result_ts") - F.unix_micros("call_ts"))
+         / 1000).cast("long").alias("latency_ms"))
+    return (out.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_loc)
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out_dir).start())

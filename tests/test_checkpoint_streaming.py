@@ -527,3 +527,43 @@ def test_stream_metered_pipeline_emits_kairos_batches(spark, tmp_path):
     q2.awaitTermination(300)
     extra = sum(m["value"] for b in bodies2 for m in json.loads(b))
     assert extra == 0
+
+
+def test_stream_stream_tool_pair_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval self-join (call ↔ result) equals the same
+    join run in batch over the identical input."""
+    from log_collector_spark.streaming import pipeline as sp
+
+    input_dir = pl.transcripts_path(SF_DIR)
+    ckpt = str(tmp_path / "jck")
+    out = str(tmp_path / "jout")
+    q = sp.start_tool_pair_join_stream(spark, input_dir, ckpt, out)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+
+    src = spark.read.parquet(input_dir)
+    calls = (src.filter((F.col("role") == "assistant")
+                        & F.col("tool").isNotNull())
+                .select(F.col("conv_id").alias("c_conv"),
+                        F.col("tool").alias("c_tool"),
+                        F.col("turn_idx").alias("call_turn"),
+                        F.col("ts").alias("call_ts")))
+    results = (src.filter(F.col("role") == "tool")
+                  .select(F.col("conv_id").alias("r_conv"),
+                          F.col("tool").alias("r_tool"),
+                          F.col("turn_idx").alias("result_turn"),
+                          F.col("ts").alias("result_ts")))
+    want = calls.join(
+        results,
+        F.expr("""
+            c_conv = r_conv AND c_tool = r_tool
+            AND result_ts >= call_ts
+            AND result_ts <= call_ts + INTERVAL 10 minutes
+            AND result_turn > call_turn
+        """))
+    assert got.count() == want.count() > 0
+    g = {tuple(r) for r in got.select(
+        "conv_id", "tool", "call_turn", "result_turn").collect()}
+    w = {(r["c_conv"], r["c_tool"], r["call_turn"], r["result_turn"])
+         for r in want.collect()}
+    assert g == w

@@ -797,6 +797,36 @@ def q_rollup_time_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_trend_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form integer least-squares slope per type over hourly counts
+    (permille/hour + exact num/den)."""
+    ev = _events(spark, sf_dir)
+    ts_ms = F.expr(
+        "unix_micros(date_trunc('second', cast(ts as timestamp))) div 1000")
+    return agg_ops.trend_slope_counts(ev, F.col("event_type"), ts_ms)
+
+
+def q_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing 24h median of hourly counts (full-window contract)."""
+    ev = _events(spark, sf_dir)
+    ts_ms = F.expr(
+        "unix_micros(date_trunc('second', cast(ts as timestamp))) div 1000")
+    return agg_ops.rolling_median_counts(ev, F.col("event_type"), ts_ms)
+
+
+def q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew histogram (bitlen buckets + permille shares) for
+    user_id — the pre-shuffle salting decision report."""
+    ev = _events(spark, sf_dir)
+    return agg_ops.skew_report(ev, F.col("user_id"))
+
+
+def q_triangle_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph (template family vs chain)."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.triangle_count(_docs(spark, sf_dir))
+
+
 def q_zorder_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order vs linear layout: sum of per-file (user, day) min-max spans
     — the file-skipping quality metric behind OPTIMIZE ZORDER BY."""
@@ -1430,6 +1460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_events": q_attribution_events,
         "ewma_hour_counts": q_ewma_hour_counts,
         "zorder_audit_events": q_zorder_audit_events,
+        "trend_slope_events": q_trend_slope_events,
+        "rolling_median_events": q_rolling_median_events,
+        "skew_report_events": q_skew_report_events,
+        "triangle_count_documents": q_triangle_count_documents,
         "pivot_event_types": q_pivot_event_types,
         "percentile_latency": q_percentile_latency,
         "hist_exact_percentile_latency": q_hist_exact_percentile_latency,
@@ -1576,6 +1610,10 @@ def oracle_sql() -> dict[str, str]:
         "attribution_events": _bh().sql_last_touch_attribution(),
         "ewma_hour_counts": agg_ops.sql_ewma_hour_counts(),
         "zorder_audit_events": _od().sql_zorder_layout_audit(),
+        "trend_slope_events": agg_ops.sql_trend_slope_counts(),
+        "rolling_median_events": agg_ops.sql_rolling_median_counts(),
+        "skew_report_events": agg_ops.sql_skew_report(),
+        "triangle_count_documents": _te().sql_triangle_count(),
         "ip_range_lookup": """
             WITH ranges AS (
                 SELECT * FROM (VALUES

@@ -423,3 +423,195 @@ def sql_ewma_hour_counts(table: str = "events",
                CAST({lags} AS BIGINT) AS ewma16
         FROM hourly
     """
+
+
+def trend_slope_counts(df: DataFrame, type_col: Column,
+                       ts_ms: Column) -> DataFrame:
+    """Per-type least-squares trend over the hourly count series, permille
+    per hour: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = hours since
+    the type's first bucket. Everything integer: sums over BIGINTs, one
+    final permille floor-div — no float in the plan, so both engines agree
+    bit-for-bit (the repo's oracle convention).
+
+    Two-stage shape again: ONE fact shuffle to the hourly grain, then a
+    per-type agg over the grain (thousands of rows per type-year). The
+    closed-form avoids any iterative fit — this is the drift detector you
+    run per metric per day at 100 TB, so it must be one aggregation, not a
+    regression library call."""
+    hour = (ts_ms - (ts_ms % 3_600_000)).cast("long")
+    hourly = (df.select(type_col.alias("t"), hour.alias("hour_ms"))
+                .groupBy("t", "hour_ms")
+                .agg(F.count(F.lit(1)).alias("y")))
+    x = F.expr("(hour_ms - min(hour_ms) over (partition by t)) div 3600000")
+    based = hourly.select("t", x.alias("x"), F.col("y").cast("long"))
+    agg = (based.groupBy("t")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("x").alias("sx"),
+                     F.sum("y").alias("sy"),
+                     F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                     F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    num = agg["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = agg["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    # permille floor-div on possibly NEGATIVE numerators: Spark `div`
+    # truncates toward zero while DuckDB `//` floors, so shift both into
+    # non-negative space is wrong too (changes magnitude). Use explicit
+    # floor semantics both sides: floor(1000*num / den) via DOUBLE floor is
+    # out (float); instead emit num/den separately plus the truncated
+    # quotient computed identically: q = CAST(1000*num AS BIGINT) DIV den
+    # after forcing den > 0 (it is: variance of distinct x's) and noting
+    # Spark div truncates toward zero. To stay engine-identical on negative
+    # slopes we publish (slope_num, slope_den) exactly and the TRUNCATED
+    # quotient tq = 1000*num div den computed as sign(num)*(1000*|num| div den).
+    return (agg.select(
+                F.col("t").alias("event_type"),
+                F.col("n").cast("long").alias("n_hours"),
+                num.cast("long").alias("slope_num"),
+                den.cast("long").alias("slope_den"))
+               .withColumn(
+                "slope_permille",
+                (F.when(F.col("slope_num") >= 0,
+                        F.expr("(1000 * slope_num) div slope_den"))
+                  .otherwise(-F.expr("(1000 * (-slope_num)) div slope_den")))
+                .cast("long"))
+               .orderBy("event_type"))
+
+
+def sql_trend_slope_counts(table: str = "events") -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT event_type AS t,
+                   CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT)
+                       AS hour_ms,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM {table}
+            GROUP BY 1, 2
+        ), based AS (
+            SELECT t,
+                   (hour_ms - MIN(hour_ms) OVER (PARTITION BY t))
+                       // 3600000 AS x,
+                   y
+            FROM hourly
+        ), agg AS (
+            SELECT t, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM based GROUP BY t
+        )
+        SELECT t AS event_type,
+               CAST(n AS BIGINT) AS n_hours,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST(CASE WHEN n * sxy - sx * sy >= 0
+                         THEN (1000 * (n * sxy - sx * sy))
+                              // (n * sxx - sx * sx)
+                         ELSE -((1000 * (sx * sy - n * sxy))
+                              // (n * sxx - sx * sx))
+                    END AS BIGINT) AS slope_permille
+        FROM agg
+        ORDER BY event_type
+    """
+
+
+ROLL_MEDIAN_W = 24  # trailing window width (hours)
+
+
+def rolling_median_counts(df: DataFrame, type_col: Column, ts_ms: Column,
+                          width: int = ROLL_MEDIAN_W) -> DataFrame:
+    """Exact trailing 24-point median of the hourly count series per type —
+    the robust baseline for rate-anomaly flags (median shrugs off the
+    spike that drags a trailing MEAN into masking the next spike).
+
+    The window collects ``width`` counts into an array per row
+    (collect_list over a ROWS frame), sorts the 24-element array in-row,
+    and takes the lower median — O(w log w) per row with w fixed at 24,
+    pure Catalyst. Rows before the window fills are dropped (full-window
+    contract, row_number >= width) so the output never mixes regimes.
+    The window partition is the HOURLY grain (two-stage shape): thousands
+    of rows per type-year regardless of fact scale."""
+    hour = (ts_ms - (ts_ms % 3_600_000)).cast("long")
+    hourly = (df.select(type_col.alias("t"), hour.alias("hour_ms"))
+                .groupBy("t", "hour_ms")
+                .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("t").orderBy("hour_ms")
+    wf = w.rowsBetween(-(width - 1), 0)
+    out = (hourly
+           .withColumn("rn", F.row_number().over(w))
+           .withColumn("arr", F.collect_list("n").over(wf))
+           .filter(F.col("rn") >= width)
+           .withColumn("med",
+                       F.element_at(F.array_sort("arr"), width // 2)))
+    return out.select(F.col("t").alias("event_type"), "hour_ms",
+                      F.col("n").cast("long").alias("n"),
+                      F.col("med").cast("long").alias("med24"))
+
+
+def sql_rolling_median_counts(table: str = "events",
+                              width: int = ROLL_MEDIAN_W) -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT event_type AS t,
+                   CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT)
+                       AS hour_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM {table}
+            GROUP BY 1, 2
+        ), windowed AS (
+            SELECT t, hour_ms, n,
+                   ROW_NUMBER() OVER (PARTITION BY t ORDER BY hour_ms)
+                       AS rn,
+                   list(n) OVER (PARTITION BY t ORDER BY hour_ms
+                                 ROWS BETWEEN {width - 1} PRECEDING
+                                          AND CURRENT ROW) AS arr
+            FROM hourly
+        )
+        SELECT t AS event_type, hour_ms, n,
+               CAST(list_sort(arr)[{width // 2}] AS BIGINT) AS med24
+        FROM windowed
+        WHERE rn >= {width}
+    """
+
+
+def skew_report(df: DataFrame, key: Column) -> DataFrame:
+    """Join-key skew profile: per-key frequencies bucketed by power of two
+    (bucket = bitlen(count)), plus each bucket's share of all rows in
+    permille — the report that decides whether a key needs salting /
+    AQE skew-join before you pay for a 10^12-row shuffle.
+
+    Cost: ONE partial-agg shuffle on the key (the same shuffle the join
+    would do — run this on a sample in practice), then a ~60-row histogram
+    agg. The permille share uses the total via a broadcast 1-row cross
+    join, not a second scan."""
+    from log_collector_spark.textops import common as C
+    per_key = (df.select(key.alias("k"))
+                 .groupBy("k").agg(F.count(F.lit(1)).alias("cnt")))
+    bucket = F.length(F.bin(F.col("cnt"))).cast("long")
+    hist = (per_key.groupBy(bucket.alias("cnt_bucket"))
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                        F.sum("cnt").cast("long").alias("n_rows"),
+                        F.max("cnt").cast("long").alias("max_cnt")))
+    total = per_key.agg(F.sum("cnt").cast("long").alias("_tot"))
+    return (hist.crossJoin(F.broadcast(total))
+                .withColumn("rows_permille",
+                            C.permille(F.col("n_rows"), F.col("_tot")))
+                .drop("_tot")
+                .orderBy("cnt_bucket"))
+
+
+def sql_skew_report(table: str = "events", key: str = "user_id") -> str:
+    from log_collector_spark.textops import common as C
+    return f"""
+        WITH per_key AS (
+            SELECT {key} AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1
+        ), hist AS (
+            SELECT CAST(length(bin(cnt)) AS BIGINT) AS cnt_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   CAST(MAX(cnt) AS BIGINT) AS max_cnt
+            FROM per_key GROUP BY 1
+        )
+        SELECT cnt_bucket, n_keys, n_rows, max_cnt,
+               {C.sql_permille('n_rows',
+                               '(SELECT SUM(cnt) FROM per_key)')}
+                   AS rows_permille
+        FROM hist
+        ORDER BY cnt_bucket
+    """

@@ -454,3 +454,60 @@ def sql_pagerank_step(table: str = "documents") -> str:
                     // 1000 AS BIGINT) AS rank_micro
         FROM deg d LEFT JOIN gathered g ON g.doc_id = d.src
     """
+
+
+def triangle_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Global triangle census of the shingle-Jaccard near-dup graph — the
+    clustering-coefficient ingredient that distinguishes a template FAMILY
+    (dense, many triangles: one canonical doc can represent the clique)
+    from a drift CHAIN (A~B~C but A!~C: pick per-edge survivors or the
+    chain collapses transitively).
+
+    Edges come from the verified pair join (a < b canonical orientation);
+    triangles are the two-path + closing-edge join:
+    (a,b),(b,c) with a<b<c, closed iff (a,c) is an edge — each triangle
+    counted exactly once by vertex ordering, the standard distributed
+    formulation (node-iterator++). Cost: two self-joins of the EDGE table
+    (already threshold-filtered — tiny relative to the corpus); at web
+    scale, orient edges by degree (low→high) first so the two-path fan-out
+    is bounded by the arboricity, not the max degree."""
+    from log_collector_spark.textops import dedup as D
+
+    edges = (D.ngram_jaccard_pairs(df, text_col)
+              .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    paths = e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+    closed = paths.join(
+        edges.alias("e3"),
+        (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")))
+    nodes = (edges.select(F.col("a").alias("v"))
+                  .unionAll(edges.select(F.col("b").alias("v")))
+                  .distinct())
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nv = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return tri.crossJoin(ne).crossJoin(nv)
+
+
+def sql_triangle_count(table: str = "documents") -> str:
+    from log_collector_spark.textops import dedup as D
+
+    return f"""
+        WITH pairs AS ({D.sql_ngram_jaccard_pairs(table)}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.b = e2.a
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        nv AS (
+            SELECT COUNT(*) AS n_nodes FROM (
+                SELECT a AS v FROM edges UNION SELECT b FROM edges)
+        )
+        SELECT CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+               CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+               CAST(nv.n_nodes AS BIGINT) AS n_nodes
+        FROM tri, nv
+    """

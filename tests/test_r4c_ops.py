@@ -217,3 +217,77 @@ def test_dead_stock_plans_left_anti(spark):
         spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "LeftAnti" in plan, plan
+
+
+def _hours(ns, typ="click"):
+    """One event row per count unit, hour i gets ns[i] rows."""
+    import datetime as dt
+    rows = []
+    eid = 0
+    for i, n in enumerate(ns):
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2020, 1, 1) +
+                         dt.timedelta(hours=i), 1, typ))
+            eid += 1
+    return rows
+
+
+_EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+_TS_MS = ("unix_micros(date_trunc('second', cast(ts as timestamp)))"
+          " div 1000")
+
+
+def test_trend_slope_exact_on_linear_series(spark):
+    from log_collector_spark.operators.aggregate import trend_slope_counts
+    # y = 2x + 5 → slope exactly 2.000/hour; y = 90 - 3x → exactly -3.000
+    up = _hours([2 * x + 5 for x in range(20)], "up")
+    down = _hours([90 - 3 * x for x in range(20)], "down")
+    df = spark.createDataFrame(up + down, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in
+           trend_slope_counts(df, F.col("event_type"),
+                              F.expr(_TS_MS)).collect()}
+    assert out["up"]["slope_permille"] == 2000
+    assert out["down"]["slope_permille"] == -3000
+    # exact rational slope: num/den == 2 and -3
+    assert out["up"]["slope_num"] == 2 * out["up"]["slope_den"]
+    assert out["down"]["slope_num"] == -3 * out["down"]["slope_den"]
+
+
+def test_rolling_median_matches_python(spark):
+    import statistics
+    from log_collector_spark.operators.aggregate import rolling_median_counts
+    ns = [((i * 37) % 11) + 1 for i in range(40)]  # all >= 1 (dense hours)
+    df = spark.createDataFrame(_hours(ns), _EV_SCHEMA)
+    out = sorted(rolling_median_counts(df, F.col("event_type"),
+                                       F.expr(_TS_MS), width=8).collect(),
+                 key=lambda r: r["hour_ms"])
+    got = [r["med24"] for r in out]
+    want = [sorted(ns[i - 7:i + 1])[3]  # lower median of 8
+            for i in range(7, len(ns))]
+    assert got == want
+
+
+def test_skew_report_buckets_and_shares(spark):
+    from log_collector_spark.operators.aggregate import skew_report
+    # 10 keys × 3 rows (bitlen(3)=2) + 1 hot key × 70 rows (bitlen(70)=7)
+    rows = [(k,) for k in range(10) for _ in range(3)] + [(99,)] * 70
+    df = spark.createDataFrame(rows, "k long")
+    out = {r["cnt_bucket"]: r for r in skew_report(df, F.col("k")).collect()}
+    assert set(out) == {2, 7}
+    assert out[2]["n_keys"] == 10 and out[2]["n_rows"] == 30
+    assert out[7]["n_keys"] == 1 and out[7]["max_cnt"] == 70
+    assert out[7]["rows_permille"] == 700
+    assert out[2]["rows_permille"] == 300
+
+
+def test_triangle_count_on_crafted_clique(spark):
+    from log_collector_spark.textops.evalops import triangle_count
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, base), (2, base + " x"), (3, base + " y"),
+            (4, " ".join(f"z{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    row = triangle_count(df).collect()[0]
+    # docs 1-3 are pairwise near-identical → one triangle over 3 edges
+    assert row["n_triangles"] == 1
+    assert row["n_edges"] == 3
+    assert row["n_nodes"] == 3

@@ -282,6 +282,26 @@ def q_tx_tool_chain_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tool_chain_bigrams(pl.full_pipeline(spark, sf_dir))
 
 
+def q_tx_tool_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation tool mix: distinct tools + dominant-tool permille
+    (loop detection) over the routed frame."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.tool_diversity(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_role_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role→role transition matrix over stable turn order (structure
+    fingerprint of the dialog corpus)."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.role_matrix(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_first_response_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-first-assistant-response per conversation (SLA metric)."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.first_response_ms(pl.full_pipeline(spark, sf_dir))
+
+
 def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer Gini of events-per-user via the histogram form (no
     global sort — ranks from the tiny distinct-count-value frame)."""
@@ -1401,6 +1421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_tokens_by_role_class": q_tx_tokens_by_role_class,
         "tx_response_gaps": q_tx_response_gaps,
         "tx_tool_chain_bigrams": q_tx_tool_chain_bigrams,
+        "tx_tool_diversity": q_tx_tool_diversity,
+        "tx_role_matrix": q_tx_role_matrix,
+        "tx_first_response_ms": q_tx_first_response_ms,
         "activity_gini_events": q_activity_gini,
         "tx_per_turn_json": q_tx_per_turn_json,
         "per_file_totals": q_per_file_totals,
@@ -1663,6 +1686,9 @@ def oracle_sql() -> dict[str, str]:
         "tx_tokens_by_role_class": _tx().sql_tokens_by_role_class(tx_view),
         "tx_response_gaps": _tx().sql_response_gaps(tx_view),
         "tx_tool_chain_bigrams": _tx().sql_tool_chain_bigrams(tx_view),
+        "tx_tool_diversity": _tx().sql_tool_diversity(tx_view),
+        "tx_role_matrix": _tx().sql_role_matrix(tx_view),
+        "tx_first_response_ms": _tx().sql_first_response_ms(tx_view),
         "activity_gini_events": _bh().sql_activity_gini(),
         "tx_per_turn_json": f"""
             SELECT conv_id, turn_idx, {tx_json} AS parsed_json

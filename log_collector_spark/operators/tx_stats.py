@@ -256,3 +256,133 @@ def sql_tool_chain_bigrams(tx_view: str) -> str:
         FROM lagged WHERE prev_tool IS NOT NULL
         GROUP BY 1, 2
     """
+
+
+def tool_diversity(routed: DataFrame) -> DataFrame:
+    """Per-conversation tool-mix profile: tool-turn count, distinct tools,
+    and the dominant tool's share in permille — the 'is this agent stuck in
+    a loop on one tool' QA signal. Two stacked hash aggs on (conv, tool)
+    then conv — both partial-combining, one exchange each, the second over
+    a frame already collapsed to |convs|·|tools|."""
+    per_tool = (_clean(routed)
+                .filter(F.col("tool").isNotNull())
+                .groupBy("conv_id", "tool")
+                .agg(F.count(F.lit(1)).alias("n")))
+    return (per_tool.groupBy("conv_id")
+            .agg(F.sum("n").cast("long").alias("n_tool_turns"),
+                 F.count(F.lit(1)).cast("long").alias("n_distinct_tools"),
+                 F.max("n").cast("long").alias("_top"))
+            .withColumn("top_tool_permille",
+                        F.expr("(1000 * _top) div n_tool_turns")
+                         .cast("long"))
+            .drop("_top"))
+
+
+def sql_tool_diversity(tx_view: str) -> str:
+    return f"""
+        WITH per_tool AS (
+            SELECT conv_id, tool, COUNT(*) AS n
+            FROM {tx_view}
+            WHERE {SQL_CLEAN} AND tool IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT conv_id,
+               CAST(SUM(n) AS BIGINT) AS n_tool_turns,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_tools,
+               CAST((1000 * MAX(n)) // SUM(n) AS BIGINT)
+                   AS top_tool_permille
+        FROM per_tool
+        GROUP BY conv_id
+    """
+
+
+def role_matrix(routed: DataFrame) -> DataFrame:
+    """Role→role transition matrix over adjacent turns in stable
+    (conv_id, turn_idx) order — the conversational-structure fingerprint
+    (healthy dialogs live on user↔assistant; heavy system→system or
+    tool→tool mass flags replay/injection). One window + one ≤25-row
+    agg."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = (_clean(routed)
+            .select("conv_id", "turn_idx", "role")
+            .withColumn("prev_role", F.lag("role").over(w)))
+    return (base.filter(F.col("prev_role").isNotNull())
+            .groupBy(F.col("prev_role").alias("role_a"),
+                     F.col("role").alias("role_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def sql_role_matrix(tx_view: str) -> str:
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, turn_idx, role FROM {tx_view}
+            WHERE {SQL_CLEAN}
+        ), lagged AS (
+            SELECT role,
+                   lag(role) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS prev_role
+            FROM clean
+        )
+        SELECT prev_role AS role_a, role AS role_b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lagged WHERE prev_role IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+def first_response_ms(routed: DataFrame) -> DataFrame:
+    """Time-to-first-assistant-response per conversation: ms from the
+    conversation's FIRST user turn to the first assistant turn after it
+    (in stable turn order). Conversations with no such pair are absent —
+    the denominator honesty matters for an SLA metric.
+
+    Shape: min(turn_idx) of user turns per conv (one hash agg), join back
+    at that unique (conv_id, turn_idx) to read its timestamp (turn_idx is
+    unique within a conversation — the stable-order invariant), then one
+    more agg for the earliest later assistant turn. No struct-min/min_by —
+    engines disagree on struct ordering corners, so the repo avoids it."""
+    base = (_clean(routed).select("conv_id", "turn_idx", "role", "logtime"))
+    # rename-at-derivation keeps every join key name unique (the repo's
+    # self-join discipline — Spark rejects ambiguous lineage otherwise)
+    fu = (base.filter(F.col("role") == "user")
+              .groupBy("conv_id").agg(F.min("turn_idx").alias("u_idx"))
+              .select(F.col("conv_id").alias("fc"), "u_idx"))
+    u = (base.join(fu, (F.col("conv_id") == F.col("fc"))
+                   & (F.col("turn_idx") == F.col("u_idx")))
+             .select(F.col("fc").alias("cid"), F.col("u_idx").alias("ui"),
+                     F.col("logtime").alias("u_ms")))
+    resp = (base.join(u, F.col("conv_id") == F.col("cid"))
+            .filter((F.col("role") == "assistant")
+                    & (F.col("turn_idx") > F.col("ui")))
+            .groupBy("conv_id")
+            .agg(F.min("logtime").cast("long").alias("a_ms"),
+                 F.min("u_ms").cast("long").alias("u_ms2")))
+    return (resp.select("conv_id",
+                        (F.col("a_ms") - F.col("u_ms2")).cast("long")
+                         .alias("first_response_ms")))
+
+
+def sql_first_response_ms(tx_view: str) -> str:
+    ms = "CAST(epoch_ms(strptime(regexp_extract(text, " \
+         r"'^\[(\S+)\] \[([^\]]+)\] (.*)$', 2), " \
+         "'%Y-%m-%d %H:%M:%S')) AS BIGINT)"
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, turn_idx, role, {ms} AS t_ms
+            FROM {tx_view} WHERE {SQL_CLEAN}
+        ), fu AS (
+            SELECT conv_id, MIN(turn_idx) AS u_idx
+            FROM clean WHERE role = 'user' GROUP BY conv_id
+        ), u AS (
+            SELECT c.conv_id, f.u_idx, c.t_ms AS u_ms
+            FROM clean c JOIN fu f
+              ON f.conv_id = c.conv_id AND c.turn_idx = f.u_idx
+        )
+        SELECT c.conv_id,
+               CAST(MIN(c.t_ms) - MIN(u.u_ms) AS BIGINT)
+                   AS first_response_ms
+        FROM clean c
+        JOIN u ON u.conv_id = c.conv_id
+        WHERE c.role = 'assistant' AND c.turn_idx > u.u_idx
+        GROUP BY c.conv_id
+    """

@@ -191,6 +191,53 @@ def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     _tbl(spark, sf_dir, "lineitem"))
 
 
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped returned-revenue customer ranking: dims join ABOVE the
+    custkey aggregation, top-k via TakeOrderedAndProject."""
+    from log_collector_spark.operators import analytics as an
+    return an.returned_item_customers(_tbl(spark, sf_dir, "customer"),
+                                      _tbl(spark, sf_dir, "orders"),
+                                      _tbl(spark, sf_dir, "lineitem"),
+                                      _tbl(spark, sf_dir, "nation"))
+
+
+def q_tpch_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped global-share filter: 1-row scalar broadcast, exact
+    cross-multiplied threshold (no AVG/DIV rounding)."""
+    from log_collector_spark.operators import analytics as an
+    return an.supplier_revenue_share(_tbl(spark, sf_dir, "supplier"),
+                                     _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped high/low-priority CASE-sum over late lines."""
+    from log_collector_spark.operators import analytics as an
+    return an.priority_class_lines(_tbl(spark, sf_dir, "orders"),
+                                   _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped max-of-sums with tie surfacing (scalar MAX broadcast)."""
+    from log_collector_spark.operators import analytics as an
+    return an.top_supplier(_tbl(spark, sf_dir, "supplier"),
+                           _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped OR-of-ANDs residual predicate over a broadcast dim join."""
+    from log_collector_spark.operators import analytics as an
+    return an.disjunctive_revenue(_tbl(spark, sf_dir, "lineitem"),
+                                  _tbl(spark, sf_dir, "part"))
+
+
+def q_tpch_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped above-average-balance anti-join prospect report."""
+    from log_collector_spark.operators import analytics as an
+    return an.prospect_customers(_tbl(spark, sf_dir, "customer"),
+                                 _tbl(spark, sf_dir, "orders"),
+                                 _tbl(spark, sf_dir, "nation"))
+
+
 IP_RANGE_ROWS = [
     # contiguous /16-ish ranges inside 10.0.0.0/8 (16 pipe-separated columns)
     "10.0.0.0|10.0.63.255|ZoneA|P1|C1|d|op|0|0|tz|tz|adm|1|A|AS|area1",
@@ -300,6 +347,20 @@ def q_tx_first_response_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-first-assistant-response per conversation (SLA metric)."""
     from log_collector_spark.operators import tx_stats as TX
     return TX.first_response_ms(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_slow_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max consecutive-slow-turn run per conversation (gaps-and-islands,
+    one conv_id exchange) over the routed frame."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.slow_streaks(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_context_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation point per conversation: running token
+    prefix sums in stable turn order, budget overflow turn."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.context_cutoff(pl.full_pipeline(spark, sf_dir))
 
 
 def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1411,6 +1472,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_promo_share": q_tpch_promo_share,
         "tpch_order_priority": q_tpch_order_priority,
         "tpch_large_orders": q_tpch_large_orders,
+        "tpch_returned_items": q_tpch_returned_items,
+        "tpch_supplier_share": q_tpch_supplier_share,
+        "tpch_priority_class": q_tpch_priority_class,
+        "tpch_top_supplier": q_tpch_top_supplier,
+        "tpch_disjunctive_revenue": q_tpch_disjunctive_revenue,
+        "tpch_prospects": q_tpch_prospects,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
         "conversation_stats_events": q_conversation_stats_events,
@@ -1424,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_tool_diversity": q_tx_tool_diversity,
         "tx_role_matrix": q_tx_role_matrix,
         "tx_first_response_ms": q_tx_first_response_ms,
+        "tx_slow_streaks": q_tx_slow_streaks,
+        "tx_context_cutoff": q_tx_context_cutoff,
         "activity_gini_events": q_activity_gini,
         "tx_per_turn_json": q_tx_per_turn_json,
         "per_file_totals": q_per_file_totals,
@@ -1629,6 +1698,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_order_priority": _an().sql_order_priority_counts(),
         "tpch_large_orders": _an().sql_large_order_customers(),
         "tpch_dead_stock": _an().sql_dead_stock(),
+        "tpch_returned_items": _an().sql_returned_item_customers(),
+        "tpch_supplier_share": _an().sql_supplier_revenue_share(),
+        "tpch_priority_class": _an().sql_priority_class_lines(),
+        "tpch_top_supplier": _an().sql_top_supplier(),
+        "tpch_disjunctive_revenue": _an().sql_disjunctive_revenue(),
+        "tpch_prospects": _an().sql_prospect_customers(),
         "stratified_sample_documents": _ta().sql_stratified_sample(),
         "attribution_events": _bh().sql_last_touch_attribution(),
         "ewma_hour_counts": agg_ops.sql_ewma_hour_counts(),
@@ -1689,6 +1764,8 @@ def oracle_sql() -> dict[str, str]:
         "tx_tool_diversity": _tx().sql_tool_diversity(tx_view),
         "tx_role_matrix": _tx().sql_role_matrix(tx_view),
         "tx_first_response_ms": _tx().sql_first_response_ms(tx_view),
+        "tx_slow_streaks": _tx().sql_slow_streaks(tx_view),
+        "tx_context_cutoff": _tx().sql_context_cutoff(tx_view),
         "activity_gini_events": _bh().sql_activity_gini(),
         "tx_per_turn_json": f"""
             SELECT conv_id, turn_idx, {tx_json} AS parsed_json

@@ -472,3 +472,333 @@ def sql_dead_stock(date_from: str = DEAD_FROM, date_to: str = DEAD_TO) -> str:
         GROUP BY p_brand
         ORDER BY p_brand
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation II: six more TPC-H-shaped plan families (Q10/Q11/Q12/
+# Q15/Q19/Q22 analogues over the synthetic schema — no partsupp/shipmode/
+# phone columns, so Q11 becomes revenue-share-vs-global, Q12 groups by
+# linestatus with the priority CASE, and Q22 cross-multiplies instead of
+# dividing by AVG so the "above average" test stays exact-integer).
+# Same integer-money convention as the header block.
+# ---------------------------------------------------------------------------
+
+RETURNED_FROM = "1996-01-01"
+RETURNED_TO = "1996-04-01"
+RETURNED_TOPK = 20
+
+SHARE_MIN_PERMILLE = 10          # > 1.0% of global revenue (100 suppliers;
+                                 # sf max share ~11.2‰, so the filter is a
+                                 # real, non-empty cut — vacuous-oracle guard)
+TOP_SUPPLIER_FROM = "1996-01-01"
+TOP_SUPPLIER_TO = "1996-04-01"
+
+PRIOCLASS_FROM = "1996-01-01"
+PRIOCLASS_TO = "1997-01-01"
+PRIOCLASS_LATE_DAYS = 60
+_HIGH_PRIO = ("1-URGENT", "2-HIGH")
+
+PROSPECT_SINCE = "2000-01-01"    # dormancy cutoff: no orders on/after this
+
+# Q19-style disjunctive bands: (brand, size_lo, size_hi, qty_lo, qty_hi)
+DISJ_BANDS = (("Brand#12", 1, 5, 1, 11),
+              ("Brand#23", 1, 10, 10, 20),
+              ("Brand#3", 1, 15, 20, 30))
+
+
+def returned_item_customers(customer: DataFrame, orders: DataFrame,
+                            lineitem: DataFrame, nation: DataFrame,
+                            date_from: str = RETURNED_FROM,
+                            date_to: str = RETURNED_TO,
+                            k: int = RETURNED_TOPK) -> DataFrame:
+    """TPC-H Q10-shaped returned-item ranking: which customers returned the
+    most revenue in a quarter. The orders date filter and the lineitem
+    returnflag filter are both pushed to their scans; orders×lineitem is
+    the single key shuffle; customer and nation broadcast ABOVE the
+    aggregation — the group key is o_custkey alone, so the dims join a
+    |customers|-bounded frame, not the fact. Top-k plans as
+    TakeOrderedAndProject with c_custkey tiebreak."""
+    o = orders.filter((F.col("o_orderdate") >= _ts(date_from))
+                      & (F.col("o_orderdate") < _ts(date_to)))
+    li = lineitem.filter(F.col("l_returnflag") == "R")
+    rev_u = _cents("l_extendedprice") * (F.lit(10000) - _bp("l_discount"))
+    per_cust = (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy("o_custkey")
+                 .agg(F.sum(rev_u).cast("bigint").alias("revenue_micros")))
+    cdim = (customer.join(F.broadcast(nation),
+                          F.col("c_nationkey") == F.col("n_nationkey"))
+                    .select("c_custkey", "c_name", "n_name",
+                            _cents("c_acctbal").alias("acctbal_cents")))
+    return (per_cust.join(F.broadcast(cdim),
+                          F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_custkey", "c_name", "n_name", "acctbal_cents",
+                    "revenue_micros")
+            .orderBy(F.col("revenue_micros").desc(), F.col("c_custkey"))
+            .limit(k))
+
+
+def sql_returned_item_customers(date_from: str = RETURNED_FROM,
+                                date_to: str = RETURNED_TO,
+                                k: int = RETURNED_TOPK) -> str:
+    rev_u = (f"{_sql_cents('l.l_extendedprice')}"
+             f" * (10000 - {_sql_bp('l.l_discount')})")
+    return f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {_sql_cents('c.c_acctbal')} AS acctbal_cents,
+               CAST(SUM({rev_u}) AS BIGINT) AS revenue_micros
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
+          AND o.o_orderdate < TIMESTAMP '{date_to}'
+          AND l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue_micros DESC, c.c_custkey
+        LIMIT {k}
+    """
+
+
+def supplier_revenue_share(supplier: DataFrame, lineitem: DataFrame,
+                           min_permille: int = SHARE_MIN_PERMILLE) -> DataFrame:
+    """TPC-H Q11-shaped 'important fraction' filter: suppliers whose revenue
+    exceeds a permille threshold OF THE GLOBAL TOTAL. The global scalar is a
+    one-row aggregate cross-joined back (Spark plans it as a
+    BroadcastNestedLoopJoin of a single row — the scalar-subquery shape);
+    the threshold test cross-multiplies (rev*1000 > total*min_permille) so
+    no division ever rounds. One fact agg keyed on suppkey, dim broadcast
+    above it."""
+    rev_u = _cents("l_extendedprice") * (F.lit(10000) - _bp("l_discount"))
+    per_sup = (lineitem.groupBy("l_suppkey")
+               .agg(F.sum(rev_u).cast("bigint").alias("revenue_micros")))
+    total = per_sup.agg(F.sum("revenue_micros").cast("bigint")
+                        .alias("total_micros"))
+    keep = (per_sup.crossJoin(F.broadcast(total))
+            .filter(F.col("revenue_micros") * 1000
+                    > F.col("total_micros") * min_permille)
+            .withColumn("share_permille",
+                        F.expr("(1000 * revenue_micros) div total_micros")
+                         .cast("bigint")))
+    sdim = supplier.select("s_suppkey", "s_name")
+    return (keep.join(F.broadcast(sdim),
+                      F.col("s_suppkey") == F.col("l_suppkey"))
+            .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+                    "s_name", "revenue_micros", "share_permille")
+            .orderBy(F.col("revenue_micros").desc(), F.col("s_suppkey")))
+
+
+def sql_supplier_revenue_share(min_permille: int = SHARE_MIN_PERMILLE) -> str:
+    rev_u = (f"{_sql_cents('l_extendedprice')}"
+             f" * (10000 - {_sql_bp('l_discount')})")
+    return f"""
+        WITH per_sup AS (
+            SELECT l_suppkey,
+                   CAST(SUM({rev_u}) AS BIGINT) AS revenue_micros
+            FROM lineitem GROUP BY l_suppkey
+        ), tot AS (
+            SELECT CAST(SUM(revenue_micros) AS BIGINT) AS total_micros
+            FROM per_sup
+        )
+        SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+               p.revenue_micros,
+               CAST((1000 * p.revenue_micros) // t.total_micros AS BIGINT)
+                   AS share_permille
+        FROM per_sup p CROSS JOIN tot t
+        JOIN supplier s ON s.s_suppkey = p.l_suppkey
+        WHERE p.revenue_micros * 1000 > t.total_micros * {min_permille}
+        ORDER BY p.revenue_micros DESC, s_suppkey
+    """
+
+
+def priority_class_lines(orders: DataFrame, lineitem: DataFrame,
+                         date_from: str = PRIOCLASS_FROM,
+                         date_to: str = PRIOCLASS_TO,
+                         late_days: int = PRIOCLASS_LATE_DAYS) -> DataFrame:
+    """TPC-H Q12-shaped two-class tally: per linestatus, how many LATE lines
+    (shipped > late_days after order) belong to high- vs low-priority
+    orders. The CASE-sum pair is the Q12 signature; the only wide exchange
+    is the orderkey join (orders projects 3 columns, the date filter is on
+    the lineitem side scan)."""
+    li = lineitem.filter((F.col("l_shipdate") >= _ts(date_from))
+                         & (F.col("l_shipdate") < _ts(date_to)))
+    j = (li.join(orders.select("o_orderkey", "o_orderdate",
+                               "o_orderpriority"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .filter(F.col("l_shipdate")
+                   > F.col("o_orderdate")
+                   + F.expr(f"INTERVAL {late_days} DAYS")))
+    high = F.col("o_orderpriority").isin(*_HIGH_PRIO).cast("long")
+    return (j.groupBy("l_linestatus")
+             .agg(F.sum(high).cast("bigint").alias("high_prio_count"),
+                  F.sum(1 - high).cast("bigint").alias("low_prio_count"))
+             .orderBy("l_linestatus"))
+
+
+def sql_priority_class_lines(date_from: str = PRIOCLASS_FROM,
+                             date_to: str = PRIOCLASS_TO,
+                             late_days: int = PRIOCLASS_LATE_DAYS) -> str:
+    prio_list = ", ".join(f"'{p}'" for p in _HIGH_PRIO)
+    return f"""
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ({prio_list})
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_prio_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ({prio_list})
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_prio_count
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '{date_from}'
+          AND l.l_shipdate < TIMESTAMP '{date_to}'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY
+        GROUP BY l.l_linestatus
+        ORDER BY l.l_linestatus
+    """
+
+
+def top_supplier(supplier: DataFrame, lineitem: DataFrame,
+                 date_from: str = TOP_SUPPLIER_FROM,
+                 date_to: str = TOP_SUPPLIER_TO) -> DataFrame:
+    """TPC-H Q15-shaped max-of-sums: the supplier(s) whose windowed revenue
+    EQUALS the global maximum (ties all surface — Q15's defining corner).
+    Per-supplier agg (one shuffle, map-side combined), then the 1-row MAX
+    broadcast back as a nested-loop filter — never a global sort."""
+    li = lineitem.filter((F.col("l_shipdate") >= _ts(date_from))
+                         & (F.col("l_shipdate") < _ts(date_to)))
+    rev_u = _cents("l_extendedprice") * (F.lit(10000) - _bp("l_discount"))
+    per_sup = (li.groupBy("l_suppkey")
+               .agg(F.sum(rev_u).cast("bigint").alias("revenue_micros")))
+    mx = per_sup.agg(F.max("revenue_micros").alias("max_micros"))
+    return (per_sup.crossJoin(F.broadcast(mx))
+            .filter(F.col("revenue_micros") == F.col("max_micros"))
+            .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                  F.col("s_suppkey") == F.col("l_suppkey"))
+            .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+                    "s_name", "revenue_micros")
+            .orderBy("s_suppkey"))
+
+
+def sql_top_supplier(date_from: str = TOP_SUPPLIER_FROM,
+                     date_to: str = TOP_SUPPLIER_TO) -> str:
+    rev_u = (f"{_sql_cents('l_extendedprice')}"
+             f" * (10000 - {_sql_bp('l_discount')})")
+    return f"""
+        WITH per_sup AS (
+            SELECT l_suppkey,
+                   CAST(SUM({rev_u}) AS BIGINT) AS revenue_micros
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{date_from}'
+              AND l_shipdate < TIMESTAMP '{date_to}'
+            GROUP BY l_suppkey
+        )
+        SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+               p.revenue_micros
+        FROM per_sup p
+        JOIN supplier s ON s.s_suppkey = p.l_suppkey
+        WHERE p.revenue_micros = (SELECT MAX(revenue_micros) FROM per_sup)
+        ORDER BY s_suppkey
+    """
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame,
+                        bands=DISJ_BANDS) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs revenue: three (brand, size-band,
+    qty-band) conjunctions OR-ed together. The part dim broadcasts; the
+    disjunction rides the join as a residual predicate Catalyst keeps in
+    whole-stage codegen (a disjunction over mixed-side columns can't push
+    below the join, but the per-side prunable parts — the brand/size union
+    on part, the overall qty hull on lineitem — do). Quantity compares on
+    its exact integer form."""
+    qty = F.col("l_quantity").cast("decimal(18,2)").cast("bigint")
+    pj = part.select("p_partkey", "p_brand", "p_size")
+    j = lineitem.join(F.broadcast(pj),
+                      F.col("l_partkey") == F.col("p_partkey"))
+    j = j.withColumn("_qty", qty)
+    cond = None
+    for brand, slo, shi, qlo, qhi in bands:
+        c = ((F.col("p_brand") == brand)
+             & F.col("p_size").between(slo, shi)
+             & F.col("_qty").between(qlo, qhi))
+        cond = c if cond is None else (cond | c)
+    rev_u = _cents("l_extendedprice") * (F.lit(10000) - _bp("l_discount"))
+    return (j.filter(cond)
+             .agg(F.sum(rev_u).cast("bigint").alias("revenue_micros"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_items")))
+
+
+def sql_disjunctive_revenue(bands=DISJ_BANDS) -> str:
+    rev_u = (f"{_sql_cents('l.l_extendedprice')}"
+             f" * (10000 - {_sql_bp('l.l_discount')})")
+    ors = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT) "
+        f"BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in bands)
+    return f"""
+        SELECT CAST(SUM({rev_u}) AS BIGINT) AS revenue_micros,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE {ors}
+    """
+
+
+def prospect_customers(customer: DataFrame, orders: DataFrame,
+                       nation: DataFrame,
+                       dormant_since: str = PROSPECT_SINCE) -> DataFrame:
+    """TPC-H Q22-shaped sales prospects: customers with above-average
+    POSITIVE account balance and NO RECENT orders (none since
+    ``dormant_since`` — every synthetic customer has some lifetime order,
+    so the literal Q22 'no orders ever' is vacuous here; the dormancy
+    window keeps the anti-join shape and makes the report non-empty).
+    The 'above average' test cross-multiplies (bal*n_pos > sum_pos — exact
+    integers, no AVG rounding to disagree on); the dormancy test is a
+    LEFT ANTI join whose right side is date-filtered AT THE SCAN and
+    projects o_custkey only. Nation broadcasts; the anti join is the
+    single fact-sized exchange."""
+    bal_c = _cents("c_acctbal")
+    base = customer.select("c_custkey", "c_nationkey",
+                           bal_c.alias("bal_cents"))
+    pos = base.filter(F.col("bal_cents") > 0)
+    stats = pos.agg(F.sum("bal_cents").cast("bigint").alias("sum_pos"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_pos"))
+    rich = (pos.crossJoin(F.broadcast(stats))
+            .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos")))
+    recent = (orders.filter(F.col("o_orderdate") >= _ts(dormant_since))
+                    .select("o_custkey"))
+    no_orders = rich.join(recent,
+                          F.col("c_custkey") == F.col("o_custkey"),
+                          "left_anti")
+    return (no_orders.join(F.broadcast(nation),
+                           F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_prospects"),
+                 F.sum("bal_cents").cast("bigint").alias("total_bal_cents"))
+            .orderBy("n_name"))
+
+
+def sql_prospect_customers(dormant_since: str = PROSPECT_SINCE) -> str:
+    bal = _sql_cents("c_acctbal")
+    return f"""
+        WITH base AS (
+            SELECT c_custkey, c_nationkey, {bal} AS bal_cents
+            FROM customer
+        ), stats AS (
+            SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_pos,
+                   CAST(COUNT(*) AS BIGINT) AS n_pos
+            FROM base WHERE bal_cents > 0
+        )
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_prospects,
+               CAST(SUM(b.bal_cents) AS BIGINT) AS total_bal_cents
+        FROM base b CROSS JOIN stats s
+        JOIN nation n ON n.n_nationkey = b.c_nationkey
+        WHERE b.bal_cents > 0
+          AND b.bal_cents * s.n_pos > s.sum_pos
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = b.c_custkey
+                            AND o.o_orderdate
+                                >= TIMESTAMP '{dormant_since}')
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """

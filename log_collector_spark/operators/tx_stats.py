@@ -386,3 +386,116 @@ def sql_first_response_ms(tx_view: str) -> str:
         WHERE c.role = 'assistant' AND c.turn_idx > u.u_idx
         GROUP BY c.conv_id
     """
+
+
+SLOW_MS = 4000          # a "slow" tool/model turn (payload latency_ms)
+CONTEXT_BUDGET = 20000  # context-window token budget per conversation
+
+
+def slow_streaks(routed: DataFrame, slow_ms: int = SLOW_MS) -> DataFrame:
+    """Per-conversation max run of CONSECUTIVE slow turns (latency_ms >=
+    ``slow_ms``) under stable (conv_id, turn_idx) order — the
+    'is this conversation degrading' QA signal; a long streak means
+    sustained backend trouble, isolated spikes don't.
+
+    Gaps-and-islands: number the clean rows per conversation, number the
+    slow rows per conversation, and group slow rows by the difference —
+    constant within a run, distinct across runs. All three windows and the
+    final agg share the conv_id partitioning, so Catalyst plans ONE
+    exchange and sorts once; at 10^12 turns this is a single
+    conversation-keyed shuffle, identical in shape to the flagship's
+    stable-order pass. Conversations with no slow turn are absent (SLA
+    honesty: the report enumerates offenders, not the fleet)."""
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = (_clean(routed)
+           .select("conv_id", "turn_idx", lat.alias("lat"))
+           .withColumn("seq", F.row_number().over(w)))
+    slow = seq.filter(F.col("lat") >= slow_ms)
+    grp = (F.col("seq")
+           - F.row_number().over(Window.partitionBy("conv_id")
+                                 .orderBy("seq"))).alias("grp")
+    runs = (slow.select("conv_id", grp)
+            .groupBy("conv_id", "grp")
+            .agg(F.count(F.lit(1)).alias("run_len")))
+    return (runs.groupBy("conv_id")
+            .agg(F.sum("run_len").cast("long").alias("n_slow"),
+                 F.max("run_len").cast("long").alias("max_streak")))
+
+
+def sql_slow_streaks(tx_view: str, slow_ms: int = SLOW_MS) -> str:
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, turn_idx, {_LAT} AS lat
+            FROM {tx_view} WHERE {SQL_CLEAN}
+        ), seq AS (
+            SELECT conv_id, lat,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS seq
+            FROM clean
+        ), slow AS (
+            SELECT conv_id,
+                   seq - row_number() OVER (PARTITION BY conv_id
+                                            ORDER BY seq) AS grp
+            FROM seq WHERE lat >= {slow_ms}
+        ), runs AS (
+            SELECT conv_id, grp, COUNT(*) AS run_len
+            FROM slow GROUP BY 1, 2
+        )
+        SELECT conv_id,
+               CAST(SUM(run_len) AS BIGINT) AS n_slow,
+               CAST(MAX(run_len) AS BIGINT) AS max_streak
+        FROM runs GROUP BY conv_id
+    """
+
+
+def context_cutoff(routed: DataFrame,
+                   budget: int = CONTEXT_BUDGET) -> DataFrame:
+    """Context-window truncation point per conversation: running token
+    total in stable turn order; how many leading turns fit inside
+    ``budget`` tokens and the turn_idx of the first overflowing turn
+    (-1 when the whole conversation fits) — the planning statistic for
+    packing multi-turn transcripts into a model context.
+
+    One cumulative-sum window + one agg, both keyed on conv_id — a single
+    exchange. The prefix sum is exact integer; turn_idx is unique within a
+    conversation so the window frame is unambiguous."""
+    tok = F.get_json_object("payload", "$.tokens").cast("long")
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (_clean(routed)
+           .select("conv_id", "turn_idx", tok.alias("tok"))
+           .withColumn("cum", F.sum("tok").over(w)))
+    return (cum.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.sum("tok").cast("long").alias("total_tokens"),
+                 F.sum((F.col("cum") <= budget).cast("long")).cast("long")
+                  .alias("turns_within_budget"),
+                 F.coalesce(
+                     F.min(F.when(F.col("cum") > budget,
+                                  F.col("turn_idx").cast("long"))),
+                     F.lit(-1).cast("long")).alias("cutoff_turn")))
+
+
+def sql_context_cutoff(tx_view: str, budget: int = CONTEXT_BUDGET) -> str:
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, turn_idx, {_TOK} AS tok
+            FROM {tx_view} WHERE {SQL_CLEAN}
+        ), cum AS (
+            SELECT conv_id, turn_idx, tok,
+                   SUM(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c
+            FROM clean
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN c <= {budget} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS turns_within_budget,
+               CAST(COALESCE(MIN(CASE WHEN c > {budget}
+                                      THEN turn_idx END), -1)
+                    AS BIGINT) AS cutoff_turn
+        FROM cum GROUP BY conv_id
+    """

@@ -1,0 +1,156 @@
+"""Round-4 continuation II: TPC-H Q10/Q11/Q12/Q15/Q19/Q22 analogues and the
+transcript slow-streak / context-cutoff operators — corner semantics on tiny
+crafted frames (ties, band borders, cross-multiplied averages, dormancy,
+gaps-and-islands); the DuckDB oracle covers them end-to-end at sf0.01."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from log_collector_spark.operators import analytics as an
+from log_collector_spark.operators import tx_stats as TX
+
+
+def _routed(spark, rows):
+    """Minimal routed-frame stand-in: (conv_id, turn_idx, payload) plus the
+    routing flags tx_stats._clean filters on."""
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "payload string")
+    return (df.withColumn("parse_ok", F.lit(True))
+              .withColumn("is_oversize", F.lit(False)))
+
+
+def _pay(tokens=10, latency=100):
+    return f'{{"tokens":{tokens},"latency_ms":{latency}}}'
+
+
+def test_slow_streaks_islands_split_on_fast_turn(spark):
+    # conv A: slow,slow,fast,slow -> runs of 2 and 1; conv B all fast ->
+    # absent from the report (offenders-only denominator).
+    rows = [("A", 0, _pay(latency=5000)), ("A", 1, _pay(latency=4000)),
+            ("A", 2, _pay(latency=10)), ("A", 3, _pay(latency=9000)),
+            ("B", 0, _pay(latency=10)), ("B", 1, _pay(latency=20))]
+    out = {r["conv_id"]: r for r in
+           TX.slow_streaks(_routed(spark, rows), slow_ms=4000).collect()}
+    assert set(out) == {"A"}
+    assert out["A"]["n_slow"] == 3 and out["A"]["max_streak"] == 2
+
+
+def test_slow_streaks_ignore_gap_from_filtered_rows(spark):
+    # The island grouping numbers CLEAN rows, not raw turn_idx: a slow run
+    # interrupted only by a turn that routing dropped still counts as one
+    # run (turn_idx jumps 0 -> 2 but the clean sequence is contiguous).
+    rows = [("C", 0, _pay(latency=5000)), ("C", 2, _pay(latency=5000))]
+    out = TX.slow_streaks(_routed(spark, rows), slow_ms=4000).collect()
+    assert out[0]["max_streak"] == 2
+
+
+def test_context_cutoff_budget_boundary(spark):
+    # tokens 10,10,10 with budget 25: cum 10,20,30 -> 2 turns fit, the
+    # third (turn_idx 2) overflows. Budget 30: cum==budget fits (<=),
+    # cutoff -1.
+    rows = [("A", 0, _pay(tokens=10)), ("A", 1, _pay(tokens=10)),
+            ("A", 2, _pay(tokens=10))]
+    r25 = TX.context_cutoff(_routed(spark, rows), budget=25).collect()[0]
+    assert (r25["turns_within_budget"], r25["cutoff_turn"],
+            r25["total_tokens"]) == (2, 2, 30)
+    r30 = TX.context_cutoff(_routed(spark, rows), budget=30).collect()[0]
+    assert (r30["turns_within_budget"], r30["cutoff_turn"]) == (3, -1)
+
+
+def test_top_supplier_surfaces_ties(spark):
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0, "1996-02-01"), (2, 100.0, 0.0, "1996-02-01"),
+         (3, 1.0, 0.0, "1996-02-01")],
+        "l_suppkey int, l_extendedprice double, l_discount double, d string"
+    ).withColumn("l_shipdate", F.col("d").cast("timestamp")).drop("d")
+    sup = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s3")], "s_suppkey int, s_name string")
+    out = an.top_supplier(sup, li).collect()
+    assert [r["s_suppkey"] for r in out] == [1, 2]  # both max ties surface
+    assert out[0]["revenue_micros"] == out[1]["revenue_micros"]
+
+
+def test_prospects_cross_multiplied_average_is_strict(spark):
+    # balances 100/200/300: avg=200, strictly-above keeps only 300 (the
+    # bal*n > sum test must not admit the exact average). cust 3 has a
+    # recent order -> dormancy anti-join removes it; cust 4's order is
+    # OLD -> stays... but cust 4 is below average anyway.
+    cust = spark.createDataFrame(
+        [(1, 0, 100.0), (2, 0, 200.0), (3, 0, 300.0)],
+        "c_custkey int, c_nationkey int, c_acctbal double")
+    orders = spark.createDataFrame(
+        [(3, "2000-06-01"), (1, "1996-01-01")],
+        "o_custkey int, d string"
+    ).withColumn("o_orderdate", F.col("d").cast("timestamp")).drop("d")
+    nation = spark.createDataFrame([(0, "ZZ")],
+                                   "n_nationkey int, n_name string")
+    out = an.prospect_customers(cust, orders, nation,
+                                dormant_since="2000-01-01").collect()
+    assert out == []  # the only above-average customer ordered recently
+    out2 = an.prospect_customers(cust, orders, nation,
+                                 dormant_since="2001-01-01").collect()
+    assert len(out2) == 1 and out2[0]["n_prospects"] == 1
+    assert out2[0]["total_bal_cents"] == 30000
+
+
+def test_disjunctive_revenue_band_borders(spark):
+    # band (Brand#12, size 1-5, qty 1-11): qty 11 in, qty 12 out; a
+    # Brand#23 row with qty 15 hits the SECOND band -> OR admits it.
+    part = spark.createDataFrame(
+        [(1, "Brand#12", 3), (2, "Brand#23", 5), (3, "Brand#9", 3)],
+        "p_partkey int, p_brand string, p_size int")
+    li = spark.createDataFrame(
+        [(1, 11.0, 10.0, 0.0), (1, 12.0, 10.0, 0.0),
+         (2, 15.0, 10.0, 0.0), (3, 5.0, 10.0, 0.0)],
+        "l_partkey int, l_quantity double, l_extendedprice double, "
+        "l_discount double")
+    out = an.disjunctive_revenue(li, part).collect()[0]
+    assert out["n_items"] == 2
+    assert out["revenue_micros"] == 2 * 1000 * 10000
+
+
+def test_priority_class_late_only(spark):
+    # one line shipped 61 days late (counted, high prio), one 10 days
+    # (dropped), one late but low prio -> low bucket.
+    orders = spark.createDataFrame(
+        [(1, "1996-01-01", "1-URGENT"), (2, "1996-01-01", "5-LOW")],
+        "o_orderkey int, d string, o_orderpriority string"
+    ).withColumn("o_orderdate", F.col("d").cast("timestamp")).drop("d")
+    li = spark.createDataFrame(
+        [(1, "O", "1996-03-05"), (1, "O", "1996-01-11"),
+         (2, "F", "1996-03-05")],
+        "l_orderkey int, l_linestatus string, d string"
+    ).withColumn("l_shipdate", F.col("d").cast("timestamp")).drop("d")
+    out = {r["l_linestatus"]: r for r in
+           an.priority_class_lines(orders, li, date_from="1996-01-01",
+                                   date_to="1997-01-01",
+                                   late_days=60).collect()}
+    assert out["O"]["high_prio_count"] == 1
+    assert out["O"]["low_prio_count"] == 0
+    assert out["F"]["low_prio_count"] == 1
+
+
+def test_returned_items_orders_dims_above_agg(spark):
+    """Q10 plan contract: the customer/nation dims join the per-custkey
+    aggregate, not the fact — the plan's single SortMergeJoin/shuffled
+    hash join input must be the orders×lineitem pair, with both dim joins
+    BroadcastHashJoin."""
+    import glob
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    rd = lambda t: spark.read.parquet(*sorted(glob.glob(f"{sf}/{t}*.parquet")))
+    df = an.returned_item_customers(rd("customer"), rd("orders"),
+                                    rd("lineitem"), rd("nation"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the two dim joins MUST broadcast; at sf0.01 the fact join may also
+    # qualify under the threshold, so assert a floor, not equality
+    assert plan.count("BroadcastHashJoin") >= 2
+    rows = df.collect()
+    assert 0 < len(rows) <= an.RETURNED_TOPK
+    revs = [r["revenue_micros"] for r in rows]
+    assert revs == sorted(revs, reverse=True)

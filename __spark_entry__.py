@@ -363,6 +363,46 @@ def q_tx_context_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.context_cutoff(pl.full_pipeline(spark, sf_dir))
 
 
+def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram per user stream (power-of-2 µs buckets) —
+    the evidence behind the sessionize/watermark threshold choice."""
+    from log_collector_spark.operators import behavior as B
+    return B.gap_histogram(_tbl(spark, sf_dir, "events"))
+
+
+def q_ri_audit_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over five FK edges (star schema +
+    events→customer + transcript role→lookup, the last with real ~1%
+    orphans from unknown roles)."""
+    from log_collector_spark.operators import behavior as B
+    li = _tbl(spark, sf_dir, "lineitem")
+    od = _tbl(spark, sf_dir, "orders")
+    cu = _tbl(spark, sf_dir, "customer")
+    pt = _tbl(spark, sf_dir, "part")
+    role_lut, _ = pl.lookups(spark)
+    edges = [
+        ("events_user_customer",
+         _tbl(spark, sf_dir, "events").select("user_id"),
+         cu.select("c_custkey")),
+        ("lineitem_orders", li.select("l_orderkey"),
+         od.select("o_orderkey")),
+        ("lineitem_part", li.select("l_partkey"), pt.select("p_partkey")),
+        ("orders_customer", od.select("o_custkey"), cu.select("c_custkey")),
+        ("tx_role_lookup",
+         pl.load_transcripts(spark, sf_dir).select("role"),
+         role_lut.select("role")),
+    ]
+    return B.ri_audit(edges)
+
+
+def q_compaction_plan_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction plan over the transcripts directory:
+    cumulative-quota packing of name-ordered files into ~target-byte
+    output groups (metadata-scale window over per-file stats)."""
+    from log_collector_spark.operators.order import compaction_plan
+    return compaction_plan(pl.load_transcripts(spark, sf_dir))
+
+
 def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer Gini of events-per-user via the histogram form (no
     global sort — ranks from the tiny distinct-count-value frame)."""
@@ -1493,6 +1533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_first_response_ms": q_tx_first_response_ms,
         "tx_slow_streaks": q_tx_slow_streaks,
         "tx_context_cutoff": q_tx_context_cutoff,
+        "gap_histogram_events": q_gap_histogram,
+        "ri_audit_tables": q_ri_audit_tables,
+        "compaction_plan_tx": q_compaction_plan_tx,
         "activity_gini_events": q_activity_gini,
         "tx_per_turn_json": q_tx_per_turn_json,
         "per_file_totals": q_per_file_totals,
@@ -1766,6 +1809,21 @@ def oracle_sql() -> dict[str, str]:
         "tx_first_response_ms": _tx().sql_first_response_ms(tx_view),
         "tx_slow_streaks": _tx().sql_slow_streaks(tx_view),
         "tx_context_cutoff": _tx().sql_context_cutoff(tx_view),
+        "gap_histogram_events": _bh().sql_gap_histogram("events"),
+        "ri_audit_tables": _bh().sql_ri_audit([
+            ("events_user_customer", "user_id", "events",
+             "c_custkey", "customer"),
+            ("lineitem_orders", "l_orderkey", "lineitem",
+             "o_orderkey", "orders"),
+            ("lineitem_part", "l_partkey", "lineitem",
+             "p_partkey", "part"),
+            ("orders_customer", "o_custkey", "orders",
+             "c_custkey", "customer"),
+            ("tx_role_lookup", "role", tx_view, "role",
+             "(VALUES ('user'), ('assistant'), ('system'), ('tool'))"
+             " AS rl(role)"),
+        ]),
+        "compaction_plan_tx": _or().sql_compaction_plan(tx_glob),
         "activity_gini_events": _bh().sql_activity_gini(),
         "tx_per_turn_json": f"""
             SELECT conv_id, turn_idx, {tx_json} AS parsed_json
@@ -2204,6 +2262,11 @@ def _bh():
 def _an():
     from log_collector_spark.operators import analytics
     return analytics
+
+
+def _or():
+    from log_collector_spark.operators import order
+    return order
 
 
 def _en():

@@ -1147,3 +1147,126 @@ def sql_last_touch_attribution(table: str = "events",
         GROUP BY 1
         ORDER BY 1
     """
+
+
+def gap_histogram(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts") -> DataFrame:
+    """Inter-event gap histogram per user stream, power-of-two µs buckets
+    (bucket = bitlen(gap_us)) — the report that JUSTIFIES a sessionization
+    gap threshold or a streaming watermark: pick the valley between the
+    within-session and between-session modes instead of guessing.
+
+    One window + one ~60-row histogram agg, both keyed on the user — a
+    single exchange (the same shuffle sessionize itself pays). Tie-broken
+    ordering is unnecessary: the gap multiset of a ts-sorted stream is
+    invariant under permutation of equal timestamps, so both engines agree
+    without a tiebreak column. The permille share rides a broadcast 1-row
+    cross join."""
+    from log_collector_spark.textops import common as C
+
+    w = Window.partitionBy("u").orderBy("t")
+    g = (events.select(F.col(user_col).alias("u"),
+                       _us(F.col(ts_col)).alias("t"))
+         .withColumn("gap", F.col("t") - F.lag("t").over(w))
+         .filter(F.col("gap").isNotNull()))
+    bucket = F.length(F.bin(F.col("gap"))).cast("long")
+    hist = (g.groupBy(bucket.alias("gap_bucket"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+                  F.min("gap").cast("long").alias("min_gap_us"),
+                  F.max("gap").cast("long").alias("max_gap_us")))
+    total = g.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
+    return (hist.crossJoin(F.broadcast(total))
+                .withColumn("gaps_permille",
+                            C.permille(F.col("n_gaps"), F.col("_tot")))
+                .drop("_tot")
+                .orderBy("gap_bucket"))
+
+
+def sql_gap_histogram(table: str = "events", user_col: str = "user_id",
+                      ts_col: str = "ts") -> str:
+    from log_collector_spark.textops import common as C
+    return f"""
+        WITH g AS (
+            SELECT epoch_us({ts_col})
+                   - lag(epoch_us({ts_col})) OVER (PARTITION BY {user_col}
+                                                   ORDER BY {ts_col}) AS gap
+            FROM {table}
+        ), gaps AS (
+            SELECT gap FROM g WHERE gap IS NOT NULL
+        ), hist AS (
+            SELECT CAST(length(bin(gap)) AS BIGINT) AS gap_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us
+            FROM gaps GROUP BY 1
+        )
+        SELECT gap_bucket, n_gaps, min_gap_us, max_gap_us,
+               {C.sql_permille('n_gaps', '(SELECT COUNT(*) FROM gaps)')}
+                   AS gaps_permille
+        FROM hist
+        ORDER BY gap_bucket
+    """
+
+
+def ri_audit(edges) -> DataFrame:
+    """Referential-integrity audit across foreign-key edges: for each
+    (edge_name, child_keys, parent_keys) — both single-column frames —
+    report child rows whose non-null key has NO parent (orphans). The
+    cross-table completeness check a multi-table pipeline runs before
+    every join-heavy release; per-column validity lives in dq_profile,
+    this closes the BETWEEN-table direction.
+
+    Per edge: one LEFT join of the child key column against the
+    DISTINCT parent keys (dimension-sized — Catalyst broadcasts it under
+    the threshold; at 10^12 child rows the orphan probe stays one
+    broadcast-joined scan, never a fact shuffle) feeding a single 1-row
+    agg; edges union into the final ~|edges|-row report."""
+    from log_collector_spark.textops import common as C
+
+    outs = []
+    for name, child, parent in edges:
+        ck, pk = child.columns[0], parent.columns[0]
+        # keys keep their native type (edges may be string- or int-keyed);
+        # they never reach the output, so cross-engine type rules don't care
+        c = child.filter(F.col(ck).isNotNull()).select(F.col(ck).alias("_ck"))
+        p = (parent.filter(F.col(pk).isNotNull())
+                   .select(F.col(pk).alias("_pk")).distinct())
+        j = c.join(p, F.col("_ck") == F.col("_pk"), "left")
+        outs.append(j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.col("_pk").isNull().cast("long")).cast("long")
+             .alias("n_orphans")).withColumn("edge", F.lit(name)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return (out.withColumn("orphan_permille",
+                           C.permille(F.col("n_orphans"), F.col("n_child")))
+               .select("edge", "n_child", "n_orphans", "orphan_permille")
+               .orderBy("edge"))
+
+
+def sql_ri_audit(edges) -> str:
+    """DuckDB mirror: edges as (name, child_sql_key_expr, child_table,
+    parent_sql_key_expr, parent_table)."""
+    from log_collector_spark.textops import common as C
+
+    parts = []
+    for name, ck, ct, pk, pt in edges:
+        parts.append(f"""
+            SELECT '{name}' AS edge,
+                   CAST(COUNT(*) AS BIGINT) AS n_child,
+                   CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orphans
+            FROM (SELECT {ck} AS _ck FROM {ct}
+                  WHERE {ck} IS NOT NULL) c
+            LEFT JOIN (SELECT DISTINCT {pk} AS _pk
+                       FROM {pt} WHERE {pk} IS NOT NULL) p
+              ON p._pk = c._ck""")
+
+    union = " UNION ALL ".join(parts)
+    return f"""
+        SELECT edge, n_child, n_orphans,
+               {C.sql_permille('n_orphans', 'n_child')} AS orphan_permille
+        FROM ({union})
+        ORDER BY edge
+    """

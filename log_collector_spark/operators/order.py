@@ -177,3 +177,78 @@ def sql_zorder_layout_audit(table: str = "events",
         )
         SELECT * FROM lin UNION ALL SELECT * FROM zo ORDER BY layout
     """
+
+
+COMPACT_TARGET_BYTES = 3 * 1024 * 1024  # output-file payload target
+
+
+def compaction_plan(df: DataFrame, text_col: str = "text",
+                    target_bytes: int = COMPACT_TARGET_BYTES) -> DataFrame:
+    """Small-files compaction plan: pack input files (in stable name order)
+    into output groups of ~``target_bytes`` of payload each — the
+    remediation for the small-files problem that throttles 100-TB scans
+    (per-file open/seek overhead and task-per-file scheduling dominate
+    when files run below ~128 MB).
+
+    Assignment rule is cumulative-quota packing: a file whose PRECEDING
+    cumulative payload is in [k*target, (k+1)*target) joins group k — one
+    pass, deterministic, order-preserving (groups are contiguous runs of
+    the sorted file list, so merged files keep their sort-key locality,
+    unlike first-fit-decreasing which scrambles it).
+
+    Cost: one map-side file-stats agg over the data (count + octet_length
+    sum per input_file_name — no shuffle wider than |files| rows), then a
+    prefix-sum window over the |files|-row METADATA frame (manifest-scale;
+    the single-partition window is over thousands of rows at 100 TB, not
+    data rows — an Iceberg build would read these stats from manifests and
+    skip the scan entirely)."""
+    from pyspark.sql.window import Window
+
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    per_file = (df.groupBy(fname.alias("fname"))
+                .agg(F.count(F.lit(1)).cast("long").alias("rows"),
+                     F.sum(F.octet_length(F.col(text_col))).cast("long")
+                      .alias("bytes")))
+    w = (Window.orderBy("fname")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    planned = (per_file
+               .withColumn("_cum", F.sum("bytes").over(w))
+               .withColumn("out_group",
+                           F.expr(f"(_cum - bytes) div {target_bytes}")
+                            .cast("long")))
+    return (planned.groupBy("out_group")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+                 F.sum("bytes").cast("long").alias("total_bytes"),
+                 F.sum("rows").cast("long").alias("total_rows"),
+                 F.min("fname").alias("first_file"))
+            .orderBy("out_group"))
+
+
+def sql_compaction_plan(glob: str, text_col: str = "text",
+                        target_bytes: int = COMPACT_TARGET_BYTES) -> str:
+    return f"""
+        WITH per_file AS (
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+                   CAST(COUNT(*) AS BIGINT) AS rows,
+                   -- DuckDB: strlen(VARCHAR) IS the byte length
+                   -- (octet_length only takes BLOB/BIT)
+                   CAST(SUM(strlen({text_col})) AS BIGINT) AS bytes
+            FROM read_parquet('{glob}', filename=true)
+            GROUP BY 1
+        ), planned AS (
+            SELECT fname, rows, bytes,
+                   (SUM(bytes) OVER (ORDER BY fname
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - bytes)
+                   // {target_bytes} AS out_group
+            FROM per_file
+        )
+        SELECT CAST(out_group AS BIGINT) AS out_group,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(rows) AS BIGINT) AS total_rows,
+               MIN(fname) AS first_file
+        FROM planned
+        GROUP BY out_group
+        ORDER BY out_group
+    """

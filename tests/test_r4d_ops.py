@@ -154,3 +154,55 @@ def test_returned_items_orders_dims_above_agg(spark):
     assert 0 < len(rows) <= an.RETURNED_TOPK
     revs = [r["revenue_micros"] for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+from log_collector_spark.operators import behavior as B
+from log_collector_spark.operators.order import compaction_plan
+
+
+def test_gap_histogram_buckets_and_ties(spark):
+    # user 1: ts 0s,1s,3s -> gaps 1e6, 2e6 us (bitlen 20, 21);
+    # user 2: two events at the SAME second -> gap 0 (bitlen("0")=1 —
+    # the same-timestamp tie bucket must not crash or disappear).
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:01"),
+            (1, "2024-01-01 00:00:03"),
+            (2, "2024-01-01 05:00:00"), (2, "2024-01-01 05:00:00")]
+    df = (spark.createDataFrame(rows, "user_id int, d string")
+          .withColumn("ts", F.col("d").cast("timestamp")).drop("d"))
+    out = {r["gap_bucket"]: r for r in B.gap_histogram(df).collect()}
+    assert set(out) == {1, 20, 21}
+    assert out[1]["n_gaps"] == 1 and out[1]["min_gap_us"] == 0
+    assert out[20]["min_gap_us"] == 1_000_000
+    assert out[21]["max_gap_us"] == 2_000_000
+    assert out[20]["gaps_permille"] == 333
+
+
+def test_ri_audit_null_keys_excluded_and_orphans_counted(spark):
+    child = spark.createDataFrame([(1,), (2,), (None,), (9,)], "k int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p int")
+    out = B.ri_audit([("e1", child, parent)]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_child"], r["n_orphans"], r["orphan_permille"]) == (3, 1, 333)
+
+
+def test_ri_audit_string_keys(spark):
+    child = spark.createDataFrame([("user",), ("bot",)], "role string")
+    parent = spark.createDataFrame([("user",), ("tool",)], "role string")
+    r = B.ri_audit([("roles", child, parent)]).collect()[0]
+    assert (r["n_child"], r["n_orphans"]) == (2, 1)
+
+
+def test_compaction_plan_quota_packing(spark, tmp_path):
+    # 4 files of 100 bytes payload each, target 250: prefix sums 0/100/200/
+    # 300 -> groups 0,0,0,1 (contiguous runs in name order).
+    import pandas as pd
+    for i in range(4):
+        pd.DataFrame({"text": ["x" * 50, "y" * 50]}).to_parquet(
+            tmp_path / f"part-{i:04d}.parquet")
+    df = spark.read.parquet(str(tmp_path))
+    out = {r["out_group"]: r for r in
+           compaction_plan(df, target_bytes=250).collect()}
+    assert out[0]["n_files"] == 3 and out[0]["total_bytes"] == 300
+    assert out[1]["n_files"] == 1 and out[1]["total_rows"] == 2
+    assert out[0]["first_file"] == "part-0000.parquet"

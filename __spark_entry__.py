@@ -403,6 +403,28 @@ def q_compaction_plan_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(pl.load_transcripts(spark, sf_dir))
 
 
+def q_join_forecast_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact output-size + skew forecast for the transcripts conv_id
+    self-join — the pre-flight that justifies ordered_salted's salting
+    (the hot conversation shows up as max_key_permille)."""
+    from log_collector_spark.operators import aggregate as agg
+    tx_df = pl.load_transcripts(spark, sf_dir)
+    return agg.join_size_forecast(tx_df, F.col("conv_id"),
+                                  tx_df, F.col("conv_id"))
+
+
+def q_fingerprint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day row-multiset fingerprint of the events table (count + XOR +
+    modular sum of 60-bit row hashes) — the replica-drift detector."""
+    from log_collector_spark.operators import behavior as B
+    ev = _tbl(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    day = (us - us % 86_400_000_000) / 86_400_000_000
+    row = F.concat_ws("|", "event_id", "user_id", "event_type",
+                      us.cast("string"))
+    return B.table_fingerprint(ev, day, row)
+
+
 def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer Gini of events-per-user via the histogram form (no
     global sort — ranks from the tiny distinct-count-value frame)."""
@@ -1536,6 +1558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_histogram_events": q_gap_histogram,
         "ri_audit_tables": q_ri_audit_tables,
         "compaction_plan_tx": q_compaction_plan_tx,
+        "join_forecast_tx": q_join_forecast_tx,
+        "fingerprint_events_daily": q_fingerprint_events,
         "activity_gini_events": q_activity_gini,
         "tx_per_turn_json": q_tx_per_turn_json,
         "per_file_totals": q_per_file_totals,
@@ -1824,6 +1848,13 @@ def oracle_sql() -> dict[str, str]:
              " AS rl(role)"),
         ]),
         "compaction_plan_tx": _or().sql_compaction_plan(tx_glob),
+        "join_forecast_tx": _ag().sql_join_size_forecast(
+            tx_view, "conv_id", tx_view, "conv_id"),
+        "fingerprint_events_daily": _bh().sql_table_fingerprint(
+            "events",
+            "(epoch_us(ts) - epoch_us(ts) % 86400000000) / 86400000000",
+            "concat_ws('|', event_id, user_id, event_type, "
+            "CAST(epoch_us(ts) AS VARCHAR))"),
         "activity_gini_events": _bh().sql_activity_gini(),
         "tx_per_turn_json": f"""
             SELECT conv_id, turn_idx, {tx_json} AS parsed_json

@@ -615,3 +615,57 @@ def sql_skew_report(table: str = "events", key: str = "user_id") -> str:
         FROM hist
         ORDER BY cnt_bucket
     """
+
+
+def join_size_forecast(left: DataFrame, lkey: Column,
+                       right: DataFrame, rkey: Column) -> DataFrame:
+    """EXACT inner-equi-join output-size forecast, computed WITHOUT running
+    the join: per-key counts on both sides, then sum/max of the per-key
+    products. The pre-flight check before a 10^12-row shuffle — join_rows
+    prices the output, max_key_permille says whether one hot key owns the
+    join (salt it / AQE-skew it) — and it costs two count-frame shuffles
+    (the same key partitioning the join itself would need, so nothing is
+    wasted) joined at |distinct keys| size, never the fact×fact output.
+
+    Returns ONE row: n_left, n_right, n_matching_keys, join_rows,
+    max_key_rows, max_key_permille."""
+    from log_collector_spark.textops import common as C
+
+    la = (left.select(lkey.alias("k"))
+              .groupBy("k").agg(F.count(F.lit(1)).alias("ca")))
+    rb = (right.select(rkey.alias("k"))
+               .groupBy("k").agg(F.count(F.lit(1)).alias("cb")))
+    j = la.join(rb, "k").select((F.col("ca") * F.col("cb")).alias("prod"))
+    core = j.agg(F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
+                 F.sum("prod").cast("long").alias("join_rows"),
+                 F.max("prod").cast("long").alias("max_key_rows"))
+    nl = la.agg(F.sum("ca").cast("long").alias("n_left"))
+    nr = rb.agg(F.sum("cb").cast("long").alias("n_right"))
+    return (core.crossJoin(F.broadcast(nl)).crossJoin(F.broadcast(nr))
+            .withColumn("max_key_permille",
+                        C.permille(F.col("max_key_rows"),
+                                   F.col("join_rows")))
+            .select("n_left", "n_right", "n_matching_keys", "join_rows",
+                    "max_key_rows", "max_key_permille"))
+
+
+def sql_join_size_forecast(ltable: str, lkey: str,
+                           rtable: str, rkey: str) -> str:
+    from log_collector_spark.textops import common as C
+    return f"""
+        WITH la AS (
+            SELECT {lkey} AS k, COUNT(*) AS ca FROM {ltable} GROUP BY 1
+        ), rb AS (
+            SELECT {rkey} AS k, COUNT(*) AS cb FROM {rtable} GROUP BY 1
+        ), j AS (
+            SELECT la.ca * rb.cb AS prod FROM la JOIN rb USING (k)
+        )
+        SELECT (SELECT CAST(SUM(ca) AS BIGINT) FROM la) AS n_left,
+               (SELECT CAST(SUM(cb) AS BIGINT) FROM rb) AS n_right,
+               CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+               CAST(SUM(prod) AS BIGINT) AS join_rows,
+               CAST(MAX(prod) AS BIGINT) AS max_key_rows,
+               {C.sql_permille('MAX(prod)', 'SUM(prod)')}
+                   AS max_key_permille
+        FROM j
+    """

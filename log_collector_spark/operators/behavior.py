@@ -1270,3 +1270,52 @@ def sql_ri_audit(edges) -> str:
         FROM ({union})
         ORDER BY edge
     """
+
+
+_FP_MOD = 1_000_000_007  # keeps SUM(fp % mod) exact in int64 at 10^9 rows/part
+
+
+def table_fingerprint(df: DataFrame, part: Column,
+                      row_repr: Column) -> DataFrame:
+    """Per-partition row-multiset fingerprint: count, XOR and modular sum
+    of 60-bit row hashes, plus min/max — the replica/backfill drift
+    detector (two runs of the same table agree on every row iff the
+    fingerprints agree, up to hash collisions). Order-free by
+    construction (XOR/SUM/MIN/MAX are commutative), so shuffle
+    nondeterminism can't move it; snapshot_diff then pinpoints the rows
+    for only the partitions whose fingerprints diverge.
+
+    One map-side-combining hash agg keyed on the partition — at 100 TB
+    this is a full scan but a ~|partitions|-row shuffle."""
+    from log_collector_spark.textops import common as C
+
+    fp = C.h60(row_repr)
+    return (df.select(part.cast("long").alias("part"), fp.alias("fp"))
+            .groupBy("part")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.bit_xor("fp").cast("long").alias("fp_xor"),
+                 F.sum(F.col("fp") % _FP_MOD).cast("long").alias("fp_sum"),
+                 F.min("fp").cast("long").alias("fp_min"),
+                 F.max("fp").cast("long").alias("fp_max"))
+            .orderBy("part"))
+
+
+def sql_table_fingerprint(table: str, part_expr: str,
+                          row_repr_expr: str) -> str:
+    from log_collector_spark.textops import common as C
+    fp = C.sql_h60(row_repr_expr)
+    return f"""
+        WITH rows_fp AS (
+            SELECT CAST({part_expr} AS BIGINT) AS part, {fp} AS fp
+            FROM {table}
+        )
+        SELECT part,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(fp) AS BIGINT) AS fp_xor,
+               CAST(SUM(fp % {_FP_MOD}) AS BIGINT) AS fp_sum,
+               CAST(MIN(fp) AS BIGINT) AS fp_min,
+               CAST(MAX(fp) AS BIGINT) AS fp_max
+        FROM rows_fp
+        GROUP BY part
+        ORDER BY part
+    """

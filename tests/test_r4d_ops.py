@@ -206,3 +206,33 @@ def test_compaction_plan_quota_packing(spark, tmp_path):
     assert out[0]["n_files"] == 3 and out[0]["total_bytes"] == 300
     assert out[1]["n_files"] == 1 and out[1]["total_rows"] == 2
     assert out[0]["first_file"] == "part-0000.parquet"
+
+
+from log_collector_spark.operators.aggregate import join_size_forecast
+
+
+def test_join_size_forecast_exact_counts(spark):
+    left = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    right = spark.createDataFrame([("a",), ("b",), ("b",), ("c",)],
+                                  "k string")
+    r = join_size_forecast(left, F.col("k"), right, F.col("k")).collect()[0]
+    # a: 2*1=2, b: 1*2=2 -> 4 output rows; c never matches
+    assert (r["n_left"], r["n_right"]) == (3, 4)
+    assert (r["n_matching_keys"], r["join_rows"], r["max_key_rows"]) \
+        == (2, 4, 2)
+    assert r["max_key_permille"] == 500
+    # the forecast equals the actual join size
+    assert left.join(right, "k").count() == r["join_rows"]
+
+
+def test_table_fingerprint_order_free_and_sensitive(spark):
+    rows = [(0, "x"), (0, "y"), (1, "z")]
+    mk = lambda rs: B.table_fingerprint(
+        spark.createDataFrame(rs, "p int, v string"),
+        F.col("p"), F.col("v"))
+    base = mk(rows).collect()
+    shuffled = mk(list(reversed(rows))).collect()
+    assert base == shuffled  # commutative aggregates: row order irrelevant
+    changed = mk([(0, "x"), (0, "Y"), (1, "z")]).collect()
+    assert changed[0] != base[0]   # partition 0 diverges
+    assert changed[1] == base[1]   # partition 1 untouched

@@ -238,6 +238,38 @@ def q_tpch_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  _tbl(spark, sf_dir, "nation"))
 
 
+def q_tpch_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped order-count distribution with the zero bucket preserved
+    (LEFT OUTER + COUNT(col), double aggregation)."""
+    from log_collector_spark.operators import analytics as an
+    return an.order_count_distribution(_tbl(spark, sf_dir, "customer"),
+                                       _tbl(spark, sf_dir, "orders"))
+
+
+def q_tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped decorrelated per-part average threshold (cross-multiplied
+    — no division) over the brand-pruned fact."""
+    from log_collector_spark.operators import analytics as an
+    return an.small_quantity_revenue(_tbl(spark, sf_dir, "lineitem"),
+                                     _tbl(spark, sf_dir, "part"))
+
+
+def q_tpch_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped symmetric two-nation trade volume per year."""
+    from log_collector_spark.operators import analytics as an
+    return an.two_nation_volume(_tbl(spark, sf_dir, "nation"),
+                                _tbl(spark, sf_dir, "customer"),
+                                _tbl(spark, sf_dir, "supplier"),
+                                _tbl(spark, sf_dir, "orders"),
+                                _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-frequency spectrum of the documents corpus (Zipf health)."""
+    from log_collector_spark.textops import analysis as A
+    return A.freq_spectrum(_docs(spark, sf_dir))
+
+
 IP_RANGE_ROWS = [
     # contiguous /16-ish ranges inside 10.0.0.0/8 (16 pipe-separated columns)
     "10.0.0.0|10.0.63.255|ZoneA|P1|C1|d|op|0|0|tz|tz|adm|1|A|AS|area1",
@@ -1540,6 +1572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_supplier": q_tpch_top_supplier,
         "tpch_disjunctive_revenue": q_tpch_disjunctive_revenue,
         "tpch_prospects": q_tpch_prospects,
+        "tpch_order_count_dist": q_tpch_order_count_dist,
+        "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
+        "tpch_two_nation_volume": q_tpch_two_nation_volume,
+        "freq_spectrum_documents": q_freq_spectrum,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
         "conversation_stats_events": q_conversation_stats_events,
@@ -1771,6 +1807,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_top_supplier": _an().sql_top_supplier(),
         "tpch_disjunctive_revenue": _an().sql_disjunctive_revenue(),
         "tpch_prospects": _an().sql_prospect_customers(),
+        "tpch_order_count_dist": _an().sql_order_count_distribution(),
+        "tpch_small_qty_revenue": _an().sql_small_quantity_revenue(),
+        "tpch_two_nation_volume": _an().sql_two_nation_volume(),
+        "freq_spectrum_documents": _ta().sql_freq_spectrum(),
         "stratified_sample_documents": _ta().sql_stratified_sample(),
         "attribution_events": _bh().sql_last_touch_attribution(),
         "ewma_hour_counts": agg_ops.sql_ewma_hour_counts(),

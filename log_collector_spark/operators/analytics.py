@@ -802,3 +802,177 @@ def sql_prospect_customers(dormant_since: str = PROSPECT_SINCE) -> str:
         GROUP BY n.n_name
         ORDER BY n.n_name
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation III: Q13/Q17/Q7 analogues — three plan shapes the
+# earlier batches don't exercise (left-outer double aggregation with a
+# zero-preserving count, a decorrelated per-group average threshold, and a
+# symmetric two-sided nation disjunction).
+# ---------------------------------------------------------------------------
+
+SMALLQTY_BRAND = "Brand#12"
+SMALLQTY_PERMILLE = 800      # qty < 0.8 * per-part average (Q17 uses 0.2*avg;
+                             # the synthetic qty is uniform 1..50, so 0.2*avg
+                             # ~5 keeps almost nothing — 0.8 cuts ~40%)
+VOLUME_NATION_A = "NATION_1"
+VOLUME_NATION_B = "NATION_2"
+VOLUME_SHIP_FROM = "1996-01-01"
+VOLUME_SHIP_TO = "1998-01-01"
+
+
+def order_count_distribution(customer: DataFrame,
+                             orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-shaped customer-order-count distribution, INCLUDING the
+    zero bucket: LEFT OUTER join customer→orders (the direction that
+    preserves order-less customers), count per customer, then histogram
+    the counts. Two stacked aggs: the first keyed on custkey (the only
+    fact-sized exchange), the second over the ~|distinct counts| frame.
+    COUNT(o_orderkey) — not COUNT(*) — is the Q13 trap: the left-outer
+    null row must tally as zero orders, not one."""
+    j = customer.select("c_custkey").join(
+        orders.select("o_custkey", "o_orderkey"),
+        F.col("c_custkey") == F.col("o_custkey"), "left")
+    per_cust = (j.groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").cast("long").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def sql_order_count_distribution() -> str:
+    return """
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                           brand: str = SMALLQTY_BRAND,
+                           permille: int = SMALLQTY_PERMILLE) -> DataFrame:
+    """TPC-H Q17-shaped small-order revenue: lines of one brand whose
+    quantity is below ``permille``/1000 of that PART's average quantity.
+    The correlated scalar subquery decorrelates into a per-partkey
+    aggregate joined back (exactly what Catalyst would synthesize, but
+    stated explicitly so the oracle matches shape); the threshold
+    cross-multiplies — qty * n * 1000 < permille * sum_qty — so the
+    'average' never divides and both engines stay exact-integer.
+    The per-part agg runs on the brand-filtered fact (broadcast part
+    dim prunes BEFORE the agg — the brand is the selective side)."""
+    qty = F.col("l_quantity").cast("decimal(18,2)").cast("bigint")
+    pb = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = (lineitem.join(F.broadcast(pb),
+                        F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", qty.alias("qty"),
+                  _cents("l_extendedprice").alias("price_c")))
+    per_part = (li.groupBy(F.col("l_partkey").alias("agg_pk"))
+                .agg(F.sum("qty").cast("long").alias("sum_qty"),
+                     F.count(F.lit(1)).cast("long").alias("n_lines")))
+    j = li.join(per_part, F.col("l_partkey") == F.col("agg_pk"))
+    small = j.filter(F.col("qty") * F.col("n_lines") * 1000
+                     < F.lit(permille) * F.col("sum_qty"))
+    return small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+        F.coalesce(F.sum("price_c"), F.lit(0)).cast("long")
+         .alias("small_revenue_cents"))
+
+
+def sql_small_quantity_revenue(brand: str = SMALLQTY_BRAND,
+                               permille: int = SMALLQTY_PERMILLE) -> str:
+    qty = "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"
+    return f"""
+        WITH li AS (
+            SELECT l.l_partkey, {qty} AS qty,
+                   {_sql_cents('l.l_extendedprice')} AS price_c
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = '{brand}'
+        ), per_part AS (
+            SELECT l_partkey AS agg_pk,
+                   CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM li GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+               CAST(COALESCE(SUM(li.price_c), 0) AS BIGINT)
+                   AS small_revenue_cents
+        FROM li JOIN per_part a ON a.agg_pk = li.l_partkey
+        WHERE li.qty * a.n_lines * 1000 < {permille} * a.sum_qty
+    """
+
+
+def two_nation_volume(nation: DataFrame, customer: DataFrame,
+                      supplier: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame,
+                      nation_a: str = VOLUME_NATION_A,
+                      nation_b: str = VOLUME_NATION_B,
+                      date_from: str = VOLUME_SHIP_FROM,
+                      date_to: str = VOLUME_SHIP_TO) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation trade volume: revenue shipped between
+    two specific nations in EITHER direction (supplier in A selling to a
+    customer in B, or vice versa), per (supp_nation, cust_nation, year).
+    Both nation-keyed dims broadcast with the 2-nation filter applied
+    BEFORE the broadcast (the build side is 2 rows); the symmetric
+    disjunction rides the joined frame as a residual filter. The only
+    wide exchange is orders×lineitem."""
+    nf = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    sdim = (supplier.join(F.broadcast(nf),
+                          F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cdim = (customer.join(
+                F.broadcast(nf.select(F.col("n_nationkey").alias("nk2"),
+                                      F.col("n_name").alias("cust_nation"))),
+                F.col("c_nationkey") == F.col("nk2"))
+            .select("c_custkey", "cust_nation"))
+    li = lineitem.filter((F.col("l_shipdate") >= _ts(date_from))
+                         & (F.col("l_shipdate") < _ts(date_to)))
+    rev_u = _cents("l_extendedprice") * (F.lit(10000) - _bp("l_discount"))
+    j = (li.join(orders.select("o_orderkey", "o_custkey"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(sdim), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(cdim), F.col("o_custkey") == F.col("c_custkey"))
+           .filter(((F.col("supp_nation") == nation_a)
+                    & (F.col("cust_nation") == nation_b))
+                   | ((F.col("supp_nation") == nation_b)
+                      & (F.col("cust_nation") == nation_a))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("bigint").alias("l_year"))
+             .agg(F.sum(rev_u).cast("bigint").alias("revenue_micros"),
+                  F.count(F.lit(1)).cast("long").alias("n_items"))
+             .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def sql_two_nation_volume(nation_a: str = VOLUME_NATION_A,
+                          nation_b: str = VOLUME_NATION_B,
+                          date_from: str = VOLUME_SHIP_FROM,
+                          date_to: str = VOLUME_SHIP_TO) -> str:
+    rev_u = (f"{_sql_cents('l.l_extendedprice')}"
+             f" * (10000 - {_sql_bp('l.l_discount')})")
+    return f"""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM({rev_u}) AS BIGINT) AS revenue_micros,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '{date_from}'
+          AND l.l_shipdate < TIMESTAMP '{date_to}'
+          AND ((sn.n_name = '{nation_a}' AND cn.n_name = '{nation_b}')
+               OR (sn.n_name = '{nation_b}' AND cn.n_name = '{nation_a}'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """

@@ -1805,3 +1805,42 @@ def sql_stratified_sample(table: str = "documents",
         WHERE rn <= {quota}
         ORDER BY {group_col}, {id_col}
     """
+
+
+def freq_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Type-frequency spectrum: how many distinct token types occur with
+    frequency in each power-of-two band (bucket = bitlen(freq)), plus the
+    bands' total occurrence mass — the corpus-health check (natural text
+    is Zipfian: log-linear decay of n_types per band; a flat or bimodal
+    spectrum flags boilerplate floods or synthetic/templated text before
+    it poisons a training mix).
+
+    One token-keyed partial-agg shuffle (the vocabulary count every other
+    corpus stat here already pays — never a sort, never a rank window),
+    then a ~30-row histogram agg. At 100 TB the vocab frame is the only
+    exchange and the spectrum is constant-size output."""
+    tok = df.select(F.explode(C.tokens(F.col(text_col))).alias("tok"))
+    per_tok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    bucket = F.length(F.bin(F.col("freq"))).cast("long")
+    return (per_tok.groupBy(bucket.alias("freq_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.sum("freq").cast("long").alias("n_occurrences"))
+            .orderBy("freq_bucket"))
+
+
+def sql_freq_spectrum(table: str = "documents",
+                      text_col: str = "text") -> str:
+    tok = C.sql_tokens(text_col)
+    return f"""
+        WITH per_tok AS (
+            SELECT t.tok, COUNT(*) AS freq
+            FROM {table}, unnest({tok}) AS t(tok)
+            GROUP BY t.tok
+        )
+        SELECT CAST(length(bin(freq)) AS BIGINT) AS freq_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(freq) AS BIGINT) AS n_occurrences
+        FROM per_tok
+        GROUP BY 1
+        ORDER BY 1
+    """

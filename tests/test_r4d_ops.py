@@ -236,3 +236,64 @@ def test_table_fingerprint_order_free_and_sensitive(spark):
     changed = mk([(0, "x"), (0, "Y"), (1, "z")]).collect()
     assert changed[0] != base[0]   # partition 0 diverges
     assert changed[1] == base[1]   # partition 1 untouched
+
+
+from log_collector_spark.textops.analysis import freq_spectrum
+
+
+def test_order_count_dist_zero_bucket(spark):
+    # cust 1 has 2 orders, cust 2 none: the left-outer null row must land
+    # in c_count=0 (COUNT(o_orderkey), not COUNT(*) which would say 1).
+    cust = spark.createDataFrame([(1,), (2,)], "c_custkey int")
+    orders = spark.createDataFrame([(10, 1), (11, 1)],
+                                   "o_orderkey int, o_custkey int")
+    out = {r["c_count"]: r["custdist"] for r in
+           an.order_count_distribution(cust, orders).collect()}
+    assert out == {2: 1, 0: 1}
+
+
+def test_small_qty_threshold_strict_and_per_part(spark):
+    # part 1 (brand): qtys 10,10,40 -> sum 60, n 3; threshold 800‰:
+    # qty*3*1000 < 800*60=48000 -> qty < 16 -> the two 10s qualify.
+    # part 2 is another brand -> pruned before the agg.
+    part = spark.createDataFrame([(1, "Brand#12"), (2, "Brand#9")],
+                                 "p_partkey int, p_brand string")
+    li = spark.createDataFrame(
+        [(1, 10.0, 5.0), (1, 10.0, 7.0), (1, 40.0, 9.0), (2, 1.0, 100.0)],
+        "l_partkey int, l_quantity double, l_extendedprice double")
+    r = an.small_quantity_revenue(li, part).collect()[0]
+    assert r["n_small_lines"] == 2
+    assert r["small_revenue_cents"] == 500 + 700
+
+
+def test_two_nation_volume_is_symmetric_filtered(spark):
+    # A->B and B->A both kept as separate groups; A->A dropped.
+    nation = spark.createDataFrame(
+        [(1, "NATION_1"), (2, "NATION_2")], "n_nationkey int, n_name string")
+    sup = spark.createDataFrame([(1, 1), (2, 2)],
+                                "s_suppkey int, s_nationkey int")
+    cust = spark.createDataFrame([(1, 1), (2, 2)],
+                                 "c_custkey int, c_nationkey int")
+    orders = spark.createDataFrame([(10, 1), (11, 2)],
+                                   "o_orderkey int, o_custkey int")
+    li = spark.createDataFrame(
+        [(10, 2, 100.0, 0.0, "1996-05-01"),   # supp N2 -> cust N1: kept
+         (11, 1, 200.0, 0.0, "1996-05-01"),   # supp N1 -> cust N2: kept
+         (10, 1, 999.0, 0.0, "1996-05-01")],  # supp N1 -> cust N1: dropped
+        "l_orderkey int, l_suppkey int, l_extendedprice double, "
+        "l_discount double, d string"
+    ).withColumn("l_shipdate", F.col("d").cast("timestamp")).drop("d")
+    out = {(r["supp_nation"], r["cust_nation"]): r["revenue_micros"]
+           for r in an.two_nation_volume(nation, cust, sup, orders,
+                                         li).collect()}
+    assert set(out) == {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert out[("NATION_2", "NATION_1")] == 100 * 100 * 10000
+
+
+def test_freq_spectrum_zipfy_corpus(spark):
+    # 'a' x4 (bucket 3), 'b' x2 (bucket 2), 'c','d' x1 (bucket 1)
+    docs = spark.createDataFrame(
+        [("a a a a",), ("b b c",), ("d",)], "text string")
+    out = {r["freq_bucket"]: (r["n_types"], r["n_occurrences"])
+           for r in freq_spectrum(docs).collect()}
+    assert out == {1: (2, 2), 2: (1, 2), 3: (1, 4)}

@@ -315,3 +315,33 @@ def test_tpch_r4b_plan_shapes(spark):
     # Q18: top-k is a TakeOrderedAndProject, never a global Sort+Limit.
     p18 = _plan(q["tpch_large_orders"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in p18, p18
+
+
+def test_slow_streaks_and_cutoff_single_conv_exchange(spark):
+    """slow_streaks stacks three windows + an agg, context_cutoff one
+    window + an agg — ALL keyed on conv_id, so Catalyst must plan exactly
+    ONE hash Exchange each (the broadcasts are the pipeline lookups)."""
+    import __spark_entry__ as E
+
+    for name in ("tx_slow_streaks", "tx_context_cutoff"):
+        plan = _plan(E.queries()[name](spark, SF_DIR))
+        hash_ex = plan.count("Exchange hashpartitioning")
+        assert hash_ex == 1, (name, plan)
+        assert "conv_id" in plan.split("Exchange hashpartitioning")[1][:80]
+
+
+def test_join_forecast_never_joins_facts(spark):
+    """join_size_forecast prices the join from the per-key COUNT frames:
+    the plan must contain no join wider than the count-frame join — i.e.
+    every hash aggregate sits BELOW the (small) key join, and no
+    SortMergeJoin/shuffle join of the two raw inputs appears before an
+    aggregate."""
+    import __spark_entry__ as E
+
+    df = E.queries()["join_forecast_tx"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final per side
+    # the raw fact join would show as a join whose immediate child is a
+    # parquet scan — assert no join-over-scan shape exists
+    import re
+    assert not re.search(r"Join[^\n]*\n[^\n]*Scan parquet", plan), plan

@@ -264,6 +264,15 @@ def q_tpch_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 _tbl(spark, sf_dir, "lineitem"))
 
 
+def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped unique-laggard suppliers: EXISTS + NOT EXISTS both
+    decorrelated into aggregates (n_supps >= 2, n_at_max == 1)."""
+    from log_collector_spark.operators import analytics as an
+    return an.waiting_suppliers(_tbl(spark, sf_dir, "supplier"),
+                                _tbl(spark, sf_dir, "orders"),
+                                _tbl(spark, sf_dir, "lineitem"))
+
+
 def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-frequency spectrum of the documents corpus (Zipf health)."""
     from log_collector_spark.textops import analysis as A
@@ -1575,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_order_count_dist": q_tpch_order_count_dist,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_two_nation_volume": q_tpch_two_nation_volume,
+        "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
         "freq_spectrum_documents": q_freq_spectrum,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
@@ -1810,6 +1820,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_order_count_dist": _an().sql_order_count_distribution(),
         "tpch_small_qty_revenue": _an().sql_small_quantity_revenue(),
         "tpch_two_nation_volume": _an().sql_two_nation_volume(),
+        "tpch_waiting_suppliers": _an().sql_waiting_suppliers(),
         "freq_spectrum_documents": _ta().sql_freq_spectrum(),
         "stratified_sample_documents": _ta().sql_stratified_sample(),
         "attribution_events": _bh().sql_last_touch_attribution(),

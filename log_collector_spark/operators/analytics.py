@@ -976,3 +976,86 @@ def sql_two_nation_volume(nation_a: str = VOLUME_NATION_A,
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
     """
+
+
+WAIT_STATUS = "F"
+WAIT_TOPK = 15
+
+
+def waiting_suppliers(supplier: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, status: str = WAIT_STATUS,
+                      k: int = WAIT_TOPK) -> DataFrame:
+    """TPC-H Q21-shaped 'who kept the order waiting': for finished orders
+    with >= 2 distinct suppliers, find the supplier whose latest line
+    shipped STRICTLY after every other supplier's — the unique laggard
+    (the schema has no commit/receipt dates, so lateness is relative:
+    last-to-ship stands in for failed-commit, preserving Q21's defining
+    structure of an EXISTS over other suppliers plus a NOT EXISTS over
+    other LATE suppliers).
+
+    Both quantifiers decorrelate into aggregates: per-(order, supplier)
+    max shipdate (the only fact-sized exchange), then per-order max +
+    supplier count + at-max count over that collapsed frame — the unique-
+    argmax test 'n_at_max = 1' IS the NOT EXISTS. No window, no self-join
+    of the fact. Top-k suppliers by wait count, TakeOrderedAndProject."""
+    o = orders.filter(F.col("o_orderstatus") == status) \
+              .select("o_orderkey")
+    f = (lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+                 .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                 .drop("o_orderkey"))
+    per_os = (f.groupBy("l_orderkey", "l_suppkey")
+               .agg(F.max("l_shipdate").alias("s_max")))
+    per_o = (per_os.groupBy(F.col("l_orderkey").alias("okey"))
+             .agg(F.max("s_max").alias("o_max"),
+                  F.count(F.lit(1)).alias("n_supps")))
+    at_max = (per_os.join(per_o, (F.col("l_orderkey") == F.col("okey"))
+                          & (F.col("s_max") == F.col("o_max"))
+                          & (F.col("n_supps") >= 2))
+                    .select("l_orderkey", "l_suppkey"))
+    uniq = (at_max.groupBy(F.col("l_orderkey").alias("ukey"))
+                  .agg(F.count(F.lit(1)).alias("n_at_max"))
+                  .filter(F.col("n_at_max") == 1))
+    waits = (at_max.join(uniq, F.col("l_orderkey") == F.col("ukey"))
+                   .groupBy("l_suppkey")
+                   .agg(F.count(F.lit(1)).cast("long").alias("numwait")))
+    return (waits.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                       F.col("s_suppkey") == F.col("l_suppkey"))
+            .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+                    "s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+            .limit(k))
+
+
+def sql_waiting_suppliers(status: str = WAIT_STATUS,
+                          k: int = WAIT_TOPK) -> str:
+    return f"""
+        WITH f AS (
+            SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = '{status}'
+        ), per_os AS (
+            SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
+            FROM f GROUP BY 1, 2
+        ), per_o AS (
+            SELECT l_orderkey AS okey, MAX(s_max) AS o_max,
+                   COUNT(*) AS n_supps
+            FROM per_os GROUP BY 1
+        ), at_max AS (
+            SELECT p.l_orderkey, p.l_suppkey
+            FROM per_os p JOIN per_o o
+              ON o.okey = p.l_orderkey AND p.s_max = o.o_max
+                 AND o.n_supps >= 2
+        ), uniq AS (
+            SELECT l_orderkey FROM at_max
+            GROUP BY 1 HAVING COUNT(*) = 1
+        )
+        SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM at_max a
+        JOIN uniq u ON u.l_orderkey = a.l_orderkey
+        JOIN supplier s ON s.s_suppkey = a.l_suppkey
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT {k}
+    """

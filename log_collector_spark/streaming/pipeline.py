@@ -259,3 +259,33 @@ def start_tool_pair_join_stream(spark: SparkSession, input_dir: str,
             .option("checkpointLocation", checkpoint_loc)
             .trigger(availableNow=True)
             .format("parquet").option("path", out_dir).start())
+
+
+def start_cms_stream(spark: SparkSession, input_dir: str,
+                     checkpoint_loc: str, out_dir: str, *,
+                     max_files_per_trigger: int | None = None):
+    """Streaming heavy-hitter sketching: each micro-batch writes its OWN
+    count-min cell partial (depth×width counters tagged with batch_id);
+    the live sketch at any moment is the cell-wise SUM of everything
+    written so far. No state store is involved — the sketch IS the state,
+    and because cell-wise addition is commutative and associative, batch
+    boundaries are invisible in the merged result (the batch-equality
+    pytest asserts merged-streaming == one-shot-batch EXACTLY, not
+    approximately). This is the canonical shape for continuous frequency
+    monitoring at 100 TB/day: bounded output per batch (depth·width
+    rows), bounded merge cost, and replays stay correct if a batch_id is
+    deduplicated before the merge (foreachBatch's effectively-once
+    contract)."""
+    from log_collector_spark.textops.analysis import cms_cells
+
+    src = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cells = cms_cells(batch_df.filter(
+            F.coalesce(F.col("text"), F.lit("")) != ""))
+        (cells.withColumn("batch_id", F.lit(batch_id))
+              .write.mode("append").parquet(out_dir))
+
+    return (src.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_loc)
+            .trigger(availableNow=True).start())

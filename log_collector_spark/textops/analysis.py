@@ -1844,3 +1844,26 @@ def sql_freq_spectrum(table: str = "documents",
         GROUP BY 1
         ORDER BY 1
     """
+
+
+def cms_cells(df: DataFrame, text_col: str = "text",
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """The count-min sketch ALONE — (row, col, cell) counters for a token
+    stream, no top-k audit. This is the mergeable unit: sketches of two
+    disjoint corpora (or two micro-batches) union by cell-wise addition,
+    so `cells(A ∪ B) = cells(A) ⊎ cells(B)` summed per (row, col) — the
+    property the streaming path (`streaming.start_cms_stream`) relies on
+    verbatim. One token shuffle + one ≤depth·width-row agg."""
+    toks = C.tokens(F.lower(F.col(text_col)))
+    per_tok = (df.select(F.explode(toks).alias("tok"))
+                 .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    probes = per_tok.select(
+        "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     (C.h60(F.concat(F.lit(f"{r}:"), F.col("tok"))) % width)
+                     .alias("col"))
+            for r in range(depth)])).alias("p"))
+    return (probes.groupBy(F.col("p.row").cast("long").alias("row"),
+                           F.col("p.col").cast("long").alias("col"))
+                  .agg(F.sum("n").cast("long").alias("cell")))

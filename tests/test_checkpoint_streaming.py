@@ -567,3 +567,31 @@ def test_stream_stream_tool_pair_join_matches_batch(spark, tmp_path):
     w = {(r["c_conv"], r["c_tool"], r["call_turn"], r["result_turn"])
          for r in want.collect()}
     assert g == w
+
+
+def test_stream_cms_cells_merge_equals_batch(spark, tmp_path):
+    """Mergeability made executable: the cell-wise SUM of per-micro-batch
+    count-min partials must equal the one-shot batch sketch EXACTLY —
+    batch boundaries (forced to 1 file per trigger) must be invisible."""
+    from log_collector_spark.streaming import pipeline as sp
+    from log_collector_spark.textops.analysis import cms_cells
+    from pyspark.sql import functions as F
+
+    input_dir = pl.transcripts_path(SF_DIR)
+    out = str(tmp_path / "cms_out")
+    q = sp.start_cms_stream(spark, input_dir, str(tmp_path / "cms_ck"),
+                            out, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() > 1  # real merge
+    merged = (partials.groupBy("row", "col")
+              .agg(F.sum("cell").cast("long").alias("cell")))
+
+    batch = cms_cells(spark.read.parquet(input_dir).filter(
+        F.coalesce(F.col("text"), F.lit("")) != ""))
+    diff = (merged.join(batch.withColumnRenamed("cell", "bcell"),
+                        ["row", "col"], "full")
+            .filter((F.col("cell").isNull()) | (F.col("bcell").isNull())
+                    | (F.col("cell") != F.col("bcell"))))
+    assert diff.count() == 0

@@ -297,3 +297,24 @@ def test_freq_spectrum_zipfy_corpus(spark):
     out = {r["freq_bucket"]: (r["n_types"], r["n_occurrences"])
            for r in freq_spectrum(docs).collect()}
     assert out == {1: (2, 2), 2: (1, 2), 3: (1, 4)}
+
+
+def test_waiting_supplier_unique_argmax_only(spark):
+    # order 1 (status F, 2 supps): supp 1 ships last uniquely -> waits.
+    # order 2 (F, 2 supps): tie on the max date -> NOBODY waits.
+    # order 3 (F, 1 supp): single-supplier orders never count.
+    # order 4 (status O): excluded by status.
+    orders = spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "F"), (4, "F")][:3] + [(4, "O")],
+        "o_orderkey int, o_orderstatus string")
+    sup = spark.createDataFrame([(1, "s1"), (2, "s2")],
+                                "s_suppkey int, s_name string")
+    li = spark.createDataFrame(
+        [(1, 1, "1996-03-01"), (1, 2, "1996-01-01"),
+         (2, 1, "1996-05-05"), (2, 2, "1996-05-05"),
+         (3, 1, "1996-07-07"),
+         (4, 2, "1996-09-09"), (4, 1, "1996-01-01")],
+        "l_orderkey int, l_suppkey int, d string"
+    ).withColumn("l_shipdate", F.col("d").cast("timestamp")).drop("d")
+    out = an.waiting_suppliers(sup, orders, li).collect()
+    assert [(r["s_suppkey"], r["numwait"]) for r in out] == [(1, 1)]

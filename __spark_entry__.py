@@ -273,6 +273,18 @@ def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 _tbl(spark, sf_dir, "lineitem"))
 
 
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped national market share per year: the nation filter lives
+    in a CASE inside the aggregate (the denominator keeps everyone)."""
+    from log_collector_spark.operators import analytics as an
+    return an.market_share(_tbl(spark, sf_dir, "region"),
+                           _tbl(spark, sf_dir, "nation"),
+                           _tbl(spark, sf_dir, "customer"),
+                           _tbl(spark, sf_dir, "supplier"),
+                           _tbl(spark, sf_dir, "orders"),
+                           _tbl(spark, sf_dir, "lineitem"))
+
+
 def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-frequency spectrum of the documents corpus (Zipf health)."""
     from log_collector_spark.textops import analysis as A
@@ -761,6 +773,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc per component (min-label propagation to fixpoint)."""
     from log_collector_spark.textops import dedup as D
     return D.dedup_clusters(_docs(spark, sf_dir))
+
+
+def q_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST canonicalization per near-dup cluster (keep-longest rule,
+    packed-int64 argmax — engine-order-free)."""
+    from log_collector_spark.textops import dedup as D
+    return D.keep_best_per_cluster(_docs(spark, sf_dir))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1585,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_two_nation_volume": q_tpch_two_nation_volume,
         "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
+        "tpch_market_share": q_tpch_market_share,
         "freq_spectrum_documents": q_freq_spectrum,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
@@ -1632,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "keep_best_dedup_documents": q_keep_best_dedup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "knn_label_consistency": q_knn_label_consistency,
@@ -1821,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_small_qty_revenue": _an().sql_small_quantity_revenue(),
         "tpch_two_nation_volume": _an().sql_two_nation_volume(),
         "tpch_waiting_suppliers": _an().sql_waiting_suppliers(),
+        "tpch_market_share": _an().sql_market_share(),
         "freq_spectrum_documents": _ta().sql_freq_spectrum(),
         "stratified_sample_documents": _ta().sql_stratified_sample(),
         "attribution_events": _bh().sql_last_touch_attribution(),
@@ -2019,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _td().sql_ngram_jaccard_pairs(),
         "minhash_lsh_pairs": _td().sql_minhash_lsh_pairs(),
         "dedup_clusters": _td().sql_dedup_clusters(),
+        "keep_best_dedup_documents": _td().sql_keep_best_per_cluster(),
         "simhash_pairs": _td().sql_simhash_pairs(),
         "embedding_neardup": _td().sql_embedding_neardup_pairs(),
         "knn_label_consistency": _ts().sql_knn_label_consistency(),

@@ -1059,3 +1059,80 @@ def sql_waiting_suppliers(status: str = WAIT_STATUS,
         ORDER BY numwait DESC, s_suppkey
         LIMIT {k}
     """
+
+
+MARKET_REGION = "ASIA"
+MARKET_SUPP_NATION = "NATION_2"   # a nation inside ASIA
+
+
+def market_share(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                 supplier: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame, market_region: str = MARKET_REGION,
+                 supp_nation: str = MARKET_SUPP_NATION) -> DataFrame:
+    """TPC-H Q8-shaped market share: of all revenue sold INTO one region's
+    market, the permille supplied by one nation, per order year. The
+    denominator keeps every supplier (the defining Q8 subtlety — the
+    nation filter lives in a CASE inside the aggregate, NOT in the join),
+    so dropping it to a WHERE would silently change semantics.
+
+    Customer→nation→region broadcasts (region-filtered before the build),
+    supplier→nation broadcasts unfiltered; orders×lineitem is the one
+    fact shuffle; share cross-divides as an exact integer permille."""
+    r = region.filter(F.col("r_name") == market_region)
+    cdim = (customer
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey"))
+    sdim = (supplier
+            .join(F.broadcast(nation.select(
+                      F.col("n_nationkey").alias("snk"),
+                      F.col("n_name").alias("s_nation"))),
+                  F.col("s_nationkey") == F.col("snk"))
+            .select("s_suppkey", "s_nation"))
+    rev_u = _cents("l_extendedprice") * (F.lit(10000) - _bp("l_discount"))
+    j = (orders.join(F.broadcast(cdim),
+                     F.col("o_custkey") == F.col("c_custkey"))
+         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(sdim), F.col("l_suppkey") == F.col("s_suppkey")))
+    nat_u = F.when(F.col("s_nation") == supp_nation, rev_u).otherwise(F.lit(0))
+    agg = (j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(F.sum(nat_u).cast("bigint").alias("nation_micros"),
+                 F.sum(rev_u).cast("bigint").alias("total_micros")))
+    return (agg.withColumn(
+                "share_permille",
+                F.when(F.col("total_micros") > 0,
+                       F.expr("(1000 * nation_micros) div total_micros"))
+                 .otherwise(F.lit(0)).cast("bigint"))
+            .orderBy("o_year"))
+
+
+def sql_market_share(market_region: str = MARKET_REGION,
+                     supp_nation: str = MARKET_SUPP_NATION) -> str:
+    rev_u = (f"{_sql_cents('l.l_extendedprice')}"
+             f" * (10000 - {_sql_bp('l.l_discount')})")
+    return f"""
+        WITH agg AS (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN sn.n_name = '{supp_nation}'
+                                 THEN {rev_u} ELSE 0 END) AS BIGINT)
+                       AS nation_micros,
+                   CAST(SUM({rev_u}) AS BIGINT) AS total_micros
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = cn.n_regionkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            WHERE r.r_name = '{market_region}'
+            GROUP BY 1
+        )
+        SELECT o_year, nation_micros, total_micros,
+               CAST(CASE WHEN total_micros > 0
+                         THEN (1000 * nation_micros) // total_micros
+                         ELSE 0 END AS BIGINT) AS share_permille
+        FROM agg
+        ORDER BY o_year
+    """

@@ -1359,3 +1359,83 @@ def sql_corpus_yield(table: str = "documents",
         JOIN c ON c.doc_id = t.doc_id
         GROUP BY t.{group_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Keep-best canonicalization over near-dup clusters
+# ---------------------------------------------------------------------------
+
+_BEST_ID_BITS = 40            # doc_id domain for the packed argmax
+_BEST_TOK_BITS = 22           # token-count domain (63 - 40 - 1 headroom)
+
+
+def keep_best_per_cluster(df: DataFrame, text_col: str = "text",
+                          pairs: DataFrame | None = None) -> DataFrame:
+    """Keep-BEST (not keep-first) canonicalization: within each near-dup
+    cluster the surviving copy is the one with the most tokens — the
+    keep-longest rule release pipelines (CCNet/RefinedWeb) apply, since
+    near-dup variants usually differ by truncation — ties to the smallest
+    doc_id.
+
+    The argmax is a single packed-int64 MAX per cluster:
+    ``n_tok * 2^40 + (2^40-1 - doc_id)`` — monotone in (n_tok, -doc_id),
+    so MAX over it IS the lexicographic argmax, engine-order-free (the
+    same trick as line_dedup's packed occurrence key; struct-max ordering
+    corners differ between engines, packed integers don't). Domain guards
+    raise on violation (precondition, not dirty data — the F3 invariant
+    covers data, not broken packing domains).
+
+    Cost on top of dedup_clusters' CC rounds: one (doc_id, n_tok) join and
+    one cluster-keyed agg — text never moves."""
+    labels = dedup_clusters(df, text_col, pairs=pairs)
+    ntok = df.select("doc_id",
+                     F.size(C.tokens(F.col(text_col))).cast("long")
+                      .alias("n_tok"))
+    j = labels.join(ntok, "doc_id")
+    id_cap = 1 << _BEST_ID_BITS
+    in_domain = ((F.col("n_tok") < (1 << _BEST_TOK_BITS))
+                 & (F.col("doc_id") >= 0) & (F.col("doc_id") < id_cap))
+    packed = F.when(
+        in_domain,
+        F.col("n_tok") * id_cap + (id_cap - 1 - F.col("doc_id"))
+    ).otherwise(F.raise_error(F.format_string(
+        "keep_best packing overflow: doc_id=%s n_tok=%s", F.col("doc_id"),
+        F.col("n_tok"))).cast("long")).cast("long")
+    per = (j.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.max(packed).alias("_mx")))
+    return (per.select(
+                F.col("cluster").cast("bigint").alias("cluster"),
+                "n_members",
+                (id_cap - 1 - F.col("_mx") % id_cap).cast("bigint")
+                 .alias("best_doc_id"),
+                F.expr(f"_mx div {id_cap}").cast("bigint")
+                 .alias("best_n_tokens"))
+            .orderBy("cluster"))
+
+
+def sql_keep_best_per_cluster(table: str = "documents") -> str:
+    id_cap = 1 << _BEST_ID_BITS
+    clusters = sql_clusters_over(sql_minhash_lsh_pairs(table),
+                                 "doc_a", "doc_b")
+    tok = C.sql_tokens("text")
+    return f"""
+        WITH lab AS ({clusters}),
+        nt AS (
+            SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n_tok
+            FROM {table}
+        ),
+        packed AS (
+            SELECT l.cluster,
+                   nt.n_tok * {id_cap} + ({id_cap} - 1 - l.doc_id) AS pk
+            FROM lab l JOIN nt ON nt.doc_id = l.doc_id
+        )
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST({id_cap} - 1 - (MAX(pk) % {id_cap}) AS BIGINT)
+                   AS best_doc_id,
+               CAST(MAX(pk) // {id_cap} AS BIGINT) AS best_n_tokens
+        FROM packed
+        GROUP BY cluster
+        ORDER BY cluster
+    """

@@ -318,3 +318,48 @@ def test_waiting_supplier_unique_argmax_only(spark):
     ).withColumn("l_shipdate", F.col("d").cast("timestamp")).drop("d")
     out = an.waiting_suppliers(sup, orders, li).collect()
     assert [(r["s_suppkey"], r["numwait"]) for r in out] == [(1, 1)]
+
+
+def test_market_share_denominator_keeps_all_suppliers(spark):
+    # market = region 0's customers; supplier nation filter must live in
+    # the CASE: supp of nation B contributes to the denominator only.
+    region = spark.createDataFrame([(0, "ASIA")],
+                                   "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(2, "NATION_2", 0), (3, "NATION_3", 0)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    cust = spark.createDataFrame([(1, 2)], "c_custkey int, c_nationkey int")
+    sup = spark.createDataFrame([(1, 2), (2, 3)],
+                                "s_suppkey int, s_nationkey int")
+    orders = spark.createDataFrame([(10, 1, "1996-04-01")],
+                                   "o_orderkey int, o_custkey int, d string"
+                                   ).withColumn("o_orderdate",
+                                                F.col("d").cast("timestamp")
+                                                ).drop("d")
+    li = spark.createDataFrame(
+        [(10, 1, 300.0, 0.0), (10, 2, 100.0, 0.0)],
+        "l_orderkey int, l_suppkey int, l_extendedprice double, "
+        "l_discount double")
+    r = an.market_share(region, nation, cust, sup, orders, li,
+                        market_region="ASIA",
+                        supp_nation="NATION_2").collect()[0]
+    assert r["o_year"] == 1996
+    assert r["nation_micros"] == 300 * 100 * 10000
+    assert r["total_micros"] == 400 * 100 * 10000
+    assert r["share_permille"] == 750
+
+
+def test_keep_best_prefers_longest_then_min_id(spark):
+    # two docs near-dup (identical text -> same minhash cluster): doc 7 has
+    # more tokens... craft identical-token docs to force the tie path too.
+    from log_collector_spark.textops.dedup import keep_best_per_cluster
+    docs = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta eta theta"),
+         (7, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (9, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    out = keep_best_per_cluster(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_members"] == 3
+    assert r["best_doc_id"] == 7 and r["best_n_tokens"] == 9

@@ -628,14 +628,25 @@ def join_size_forecast(left: DataFrame, lkey: Column,
     wasted) joined at |distinct keys| size, never the fact×fact output.
 
     Returns ONE row: n_left, n_right, n_matching_keys, join_rows,
-    max_key_rows, max_key_permille."""
+    max_key_rows, max_key_permille.
+
+    Overflow note: a 10^10-row hot key on both sides yields a 10^20-row
+    per-key product — past int64, and under ANSI mode a bigint multiply
+    would fail the forecast exactly when it matters most. The product
+    and its sum therefore compute in DECIMAL(38,0) (exact integers) and
+    only the final row casts to BIGINT; if a forecast ever exceeds
+    9.2e18 output rows, widen the output type — the answer itself is the
+    alarm at that point."""
     from log_collector_spark.textops import common as C
 
     la = (left.select(lkey.alias("k"))
               .groupBy("k").agg(F.count(F.lit(1)).alias("ca")))
     rb = (right.select(rkey.alias("k"))
                .groupBy("k").agg(F.count(F.lit(1)).alias("cb")))
-    j = la.join(rb, "k").select((F.col("ca") * F.col("cb")).alias("prod"))
+    j = la.join(rb, "k").select(
+        (F.col("ca").cast("decimal(19,0)")
+         * F.col("cb").cast("decimal(19,0)")).cast("decimal(38,0)")
+        .alias("prod"))
     core = j.agg(F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
                  F.sum("prod").cast("long").alias("join_rows"),
                  F.max("prod").cast("long").alias("max_key_rows"))

@@ -291,6 +291,13 @@ def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.freq_spectrum(_docs(spark, sf_dir))
 
 
+def q_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24h distinct-user gauge per hour from slid HLL registers
+    (dense hour×register grid + range window — never rescans raw rows)."""
+    from log_collector_spark.textops import analysis as A
+    return A.sliding_hll_users(_tbl(spark, sf_dir, "events"))
+
+
 IP_RANGE_ROWS = [
     # contiguous /16-ish ranges inside 10.0.0.0/8 (16 pipe-separated columns)
     "10.0.0.0|10.0.63.255|ZoneA|P1|C1|d|op|0|0|tz|tz|adm|1|A|AS|area1",
@@ -1606,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
         "tpch_market_share": q_tpch_market_share,
         "freq_spectrum_documents": q_freq_spectrum,
+        "sliding_hll_users_events": q_sliding_hll_users,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
         "conversation_stats_events": q_conversation_stats_events,
@@ -1844,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_waiting_suppliers": _an().sql_waiting_suppliers(),
         "tpch_market_share": _an().sql_market_share(),
         "freq_spectrum_documents": _ta().sql_freq_spectrum(),
+        "sliding_hll_users_events": _ta().sql_sliding_hll_users(),
         "stratified_sample_documents": _ta().sql_stratified_sample(),
         "attribution_events": _bh().sql_last_touch_attribution(),
         "ewma_hour_counts": agg_ops.sql_ewma_hour_counts(),

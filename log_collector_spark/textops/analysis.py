@@ -1867,3 +1867,120 @@ def cms_cells(df: DataFrame, text_col: str = "text",
     return (probes.groupBy(F.col("p.row").cast("long").alias("row"),
                            F.col("p.col").cast("long").alias("col"))
                   .agg(F.sum("n").cast("long").alias("cell")))
+
+
+SLIDING_HOURS = 24
+
+
+def sliding_hll_users(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      window_hours: int = SLIDING_HOURS) -> DataFrame:
+    """Trailing-``window_hours`` distinct-user estimate for EVERY hour —
+    the live 'rolling DAU' gauge — from hourly HLL registers slid with a
+    range window, never from raw rows: the hourly sketch table answers
+    all trailing windows, which is why observability stacks store
+    sketches, not counts.
+
+    Composition: hourly registers (one distinct + one MAX agg, as in
+    hll_user_rollup) → DENSE (hour × 64-register) grid (an hour where a
+    register never fired still needs a row for the range frame to anchor
+    on; the grid is |hours|·64 rows — metadata scale) → per-register
+    MAX over ``RANGE 23 PRECEDING`` (gap-correct: range frames measure
+    hour distance, not row distance) → the shared fixed-point estimate.
+    The windows partition by register index (64 partitions of |hours|
+    rows each); exact trailing counts would rescan 24× the raw data per
+    hour, this rescans nothing."""
+    h = C.h60(F.col(user_col).cast("string"))
+    hour = F.expr(f"unix_micros(cast({ts_col} as timestamp)) "
+                  f"div 1000 div 3600000")
+    hashes = (events.select(hour.cast("long").alias("hour_idx"),
+                            h.alias("h"))
+              .distinct())
+    w = F.shiftright(F.col("h"), HLL_P)
+    rho = (F.when(w > 0, F.lit(_HLL_RMAX) - F.length(F.bin(w)))
+            .otherwise(_HLL_RMAX).cast("long"))
+    hourly_regs = (hashes
+                   .select("hour_idx", (F.col("h") % HLL_M).alias("idx"),
+                           rho.alias("rho"))
+                   .groupBy("hour_idx", "idx")
+                   .agg(F.max("rho").alias("m_reg")))
+    hours = hashes.select("hour_idx").distinct()
+    grid = hours.crossJoin(
+        F.broadcast(hourly_regs.sparkSession.range(HLL_M)
+                    .select(F.col("id").cast("long").alias("idx"))))
+    from pyspark.sql.window import Window
+    slid = (grid.join(hourly_regs, ["hour_idx", "idx"], "left")
+            .withColumn("m_slide",
+                        F.max("m_reg").over(
+                            Window.partitionBy("idx").orderBy("hour_idx")
+                            .rangeBetween(-(window_hours - 1), 0))))
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST({_HLL_SCALE_BITS} - least(m_slide, {_HLL_SCALE_BITS}) "
+        f"AS INT))")
+    per_hour = (slid.groupBy("hour_idx")
+                .agg(F.sum(F.when(F.col("m_slide").isNotNull(), term))
+                      .cast("long").alias("_sp"),
+                     F.sum(F.col("m_slide").isNotNull().cast("long"))
+                      .cast("long").alias("n_regs")))
+    est = _hll_est(per_hour.select(
+        "hour_idx", F.coalesce(F.col("_sp"), F.lit(0)).alias("s_present"),
+        "n_regs"))
+    return (est.select("hour_idx", "v_zero", "n_est")
+               .orderBy("hour_idx"))
+
+
+def sql_sliding_hll_users(table: str = "events",
+                          window_hours: int = SLIDING_HOURS) -> str:
+    h = C.sql_h60("CAST(user_id AS VARCHAR)")
+    lc = "[" + ", ".join(str(x) for x in _HLL_LC) + "]"
+    return f"""
+        WITH hashes AS (
+            SELECT DISTINCT
+                   CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour_idx,
+                   {h} AS h
+            FROM {table}
+        ), hregs AS (
+            SELECT hour_idx, h % {HLL_M} AS idx,
+                   MAX(CASE WHEN (h >> {HLL_P}) > 0
+                            THEN {_HLL_RMAX} - length(bin(h >> {HLL_P}))
+                            ELSE {_HLL_RMAX} END) AS m_reg
+            FROM hashes GROUP BY 1, 2
+        ), grid AS (
+            SELECT hr.hour_idx, g.idx
+            FROM (SELECT DISTINCT hour_idx FROM hashes) hr
+            CROSS JOIN (SELECT CAST(unnest(range({HLL_M})) AS BIGINT)
+                        AS idx) g
+        ), slid AS (
+            SELECT grid.hour_idx,
+                   MAX(h.m_reg) OVER (
+                       PARTITION BY grid.idx ORDER BY grid.hour_idx
+                       RANGE BETWEEN {window_hours - 1} PRECEDING
+                       AND CURRENT ROW) AS m_slide
+            FROM grid
+            LEFT JOIN hregs h
+              ON h.hour_idx = grid.hour_idx AND h.idx = grid.idx
+        ), per_hour AS (
+            SELECT hour_idx,
+                   CAST(COALESCE(SUM(CASE WHEN m_slide IS NOT NULL
+                       THEN 1::BIGINT << ({_HLL_SCALE_BITS} -
+                            least(m_slide, {_HLL_SCALE_BITS})) END), 0)
+                       AS BIGINT) AS s_present,
+                   CAST(SUM(CASE WHEN m_slide IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_regs
+            FROM slid GROUP BY hour_idx
+        ), est AS (
+            SELECT hour_idx,
+                   CAST({HLL_M} - n_regs AS BIGINT) AS v_zero,
+                   CAST(s_present + ({HLL_M} - n_regs)
+                        * {1 << _HLL_SCALE_BITS} AS BIGINT) AS s_total
+            FROM per_hour
+        )
+        SELECT hour_idx, v_zero,
+               CAST(CASE WHEN ({_HLL_A} // s_total) < {_HLL_LC_THRESH}
+                          AND v_zero > 0
+                         THEN ({lc})[v_zero]
+                         ELSE {_HLL_A} // s_total END AS BIGINT) AS n_est
+        FROM est
+        ORDER BY hour_idx
+    """

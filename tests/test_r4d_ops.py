@@ -363,3 +363,21 @@ def test_keep_best_prefers_longest_then_min_id(spark):
     r = out[0]
     assert r["n_members"] == 3
     assert r["best_doc_id"] == 7 and r["best_n_tokens"] == 9
+
+
+def test_sliding_hll_user_expires_after_window(spark):
+    # user 1 active only at hour 0; user 2 active hours 0 and 30.
+    # (h60("1")%64=56, h60("2")%64=54 — distinct registers, precomputed.)
+    # At hour 23 the trailing-24h window still sees both (est=LC[62]=2);
+    # at hour 30 user 1 has aged out (est=LC[63]=1).
+    from log_collector_spark.textops.analysis import sliding_hll_users
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base), (2, base), (2, base + dt.timedelta(hours=30))]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {r["hour_idx"]: r["n_est"] for r in
+           sliding_hll_users(ev).collect()}
+    hours = sorted(out)
+    assert len(hours) == 2          # only hours with events appear
+    assert out[hours[0]] == 2       # both users inside the window
+    assert out[hours[1]] == 1       # user 1 expired from the gauge

@@ -782,6 +782,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(log n)-round connected components (large-star/small-star) — the
+    diameter-robust CC; same output contract as dedup_clusters."""
+    from log_collector_spark.textops import dedup as D
+    return D.dedup_clusters_star(_docs(spark, sf_dir))
+
+
 def q_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-BEST canonicalization per near-dup cluster (keep-longest rule,
     packed-int64 argmax — engine-order-free)."""
@@ -1661,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "keep_best_dedup_documents": q_keep_best_dedup,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "knn_label_consistency": q_knn_label_consistency,
@@ -2051,6 +2059,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _td().sql_minhash_lsh_pairs(),
         "dedup_clusters": _td().sql_dedup_clusters(),
         "keep_best_dedup_documents": _td().sql_keep_best_per_cluster(),
+        # same closure oracle as dedup_clusters — the algorithms must agree
+        "dedup_clusters_star": _td().sql_dedup_clusters(),
         "simhash_pairs": _td().sql_simhash_pairs(),
         "embedding_neardup": _td().sql_embedding_neardup_pairs(),
         "knn_label_consistency": _ts().sql_knn_label_consistency(),

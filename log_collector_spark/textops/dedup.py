@@ -718,12 +718,15 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     (a hub document links its variants), so 3-5 rounds is typical.
 
     100-TB notes: each round is one shuffle of (id, label) pairs — the text
-    never moves. Each round's labels are persisted and the previous round
-    freed, keeping lineage flat (on a cluster you'd localCheckpoint every
-    ~5 rounds instead). For graphs with huge diameter or giant components,
-    the upgrade path is the two-phase large-star/small-star of Kiveris et
-    al. (MapReduce CC), which converges in O(log n) rounds with the same
-    per-round join shape.
+    never moves. Each round's labels are ``localCheckpoint``-ed, not just
+    persisted: a round references the previous labels TWICE (propagation
+    join + union), so without lineage truncation the logical plan doubles
+    per round and Catalyst analysis goes exponential in the round count —
+    invisible on shallow near-dup graphs (3-5 rounds) but a hang on a
+    diameter-15 chain (caught by the star-CC equality test). For graphs
+    with huge diameter or giant components, the round COUNT itself is the
+    limit; :func:`dedup_clusters_star` converges in O(log n) rounds with
+    the same per-round join shape.
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(df, text_col)
@@ -735,19 +738,18 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     edges = edges.persist()
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
-              .persist())
+              .localCheckpoint(eager=True))
     try:
         for _ in range(max_iters):
             prop = (edges.join(labels.withColumnRenamed("id", "src"), "src")
                     .select(F.col("dst").alias("id"), "label"))
             new_labels = (prop.unionByName(labels)
                           .groupBy("id").agg(F.min("label").alias("label"))
-                          .persist())
+                          .localCheckpoint(eager=True))
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "id")
                        .filter(F.col("n.label") != F.col("o.label"))
                        .count())
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
@@ -1439,3 +1441,102 @@ def sql_keep_best_per_cluster(table: str = "documents") -> str:
         GROUP BY cluster
         ORDER BY cluster
     """
+
+
+def dedup_clusters_star(df: DataFrame, text_col: str = "text",
+                        pairs: DataFrame | None = None,
+                        max_iters: int = 30) -> DataFrame:
+    """Connected components in O(log n) rounds — the large-star/small-star
+    alternation of Kiveris et al. (MapReduce CC), the upgrade path
+    dedup_clusters' docstring promises for high-diameter or giant
+    components (min-label propagation needs diameter rounds; a crawl
+    frontier chain of 10^6 links would take 10^6 rounds there, ~40 here).
+
+    Per round, with N(u) the symmetric neighbor set and
+    m(u) = min(N(u) ∪ {u}):
+      * large-star: for every neighbor v > u, emit (v, m(u)) — long
+        chains contract toward minima without inflating any degree;
+      * small-star: canonicalize edges to point small←large, and for
+        each u re-wire its smaller neighbors (and itself) to m(u) —
+        flattening into stars.
+    Both phases are one groupBy-min plus one join per round — the SAME
+    shuffle shape as a label-propagation round, just O(log n) of them.
+    Fixpoint: the canonical edge set stops changing (checked by count +
+    modular h60 checksum — one tiny agg per round, no collect); at
+    fixpoint every edge is (node → component-min) and labels read off
+    with a final groupBy-min.
+
+    Each round ends in ``localCheckpoint`` — NOT just persist: a round's
+    plan references the previous round's frame several times, so without
+    lineage truncation the logical plan doubles per round and Catalyst
+    analysis time turns exponential (measured: 6 s round 0 → stuck by
+    round 2 on a 9-edge graph). Persist only short-circuits execution;
+    checkpointing is what iterative algorithms need.
+
+    Output contract is identical to :func:`dedup_clusters`
+    ((doc_id, cluster, keep), docs appearing in some pair only) — pytest
+    asserts the two algorithms agree edge-for-edge, and the DuckDB oracle
+    is the same recursive-CTE closure."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col)
+    base = (pairs.select(F.col("doc_a").cast("long").alias("u"),
+                         F.col("doc_b").cast("long").alias("v"))
+            .filter(F.col("u") != F.col("v")))
+    nodes = (base.select(F.col("u").alias("id"))
+             .union(base.select(F.col("v").alias("id"))).distinct()
+             .persist())
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return (e.select("u", "v")
+                .union(e.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def _checksum(e: DataFrame):
+        canon = e.select(F.least("u", "v").alias("a"),
+                         F.greatest("u", "v").alias("b")).distinct()
+        row = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(C.h60(F.concat_ws(":", "a", "b"))
+                             % F.lit(1_000_000_007)), F.lit(0))
+             .alias("s")).collect()[0]
+        return (row["n"], row["s"])
+
+    edges = _sym(base).localCheckpoint(eager=True)
+    prev = _checksum(edges)
+    try:
+        for _ in range(max_iters):
+            # large-star
+            mins = (edges.groupBy("u")
+                    .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+            large = (edges.join(mins, "u")
+                     .filter(F.col("v") > F.col("u"))
+                     .select(F.col("v").alias("u"), F.col("m").alias("v")))
+            e1 = _sym(large.union(
+                edges.select(F.least("u", "v").alias("u"),
+                             F.greatest("u", "v").alias("v"))))
+            # small-star over edges pointing small <- large
+            canon = e1.select(F.greatest("u", "v").alias("u"),
+                              F.least("u", "v").alias("v")).distinct()
+            mins2 = (canon.groupBy("u")
+                     .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+            small = (canon.join(mins2, "u")
+                     .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                     .union(mins2.select(F.col("u"), F.col("m").alias("v"))))
+            new_edges = _sym(small).localCheckpoint(eager=True)
+            cur = _checksum(new_edges)
+            edges = new_edges
+            if cur == prev:
+                break
+            prev = cur
+        labels = (edges.groupBy("u")
+                  .agg(F.least(F.min("v"), F.first("u")).alias("label")))
+        # nodes can drop out of the star graph once fully merged; restore
+        # them with their component label via the remaining edge ends
+        out = (nodes.join(labels.withColumnRenamed("u", "id"), "id", "left")
+               .select(F.col("id").alias("doc_id"),
+                       F.coalesce(F.col("label"), F.col("id"))
+                        .alias("cluster")))
+        return out.withColumn("keep", F.col("doc_id") == F.col("cluster"))
+    finally:
+        nodes.unpersist()

@@ -381,3 +381,24 @@ def test_sliding_hll_user_expires_after_window(spark):
     assert len(hours) == 2          # only hours with events appear
     assert out[hours[0]] == 2       # both users inside the window
     assert out[hours[1]] == 1       # user 1 expired from the gauge
+
+
+def test_star_cc_equals_label_propagation_random_graph(spark):
+    """large-star/small-star must agree with min-label propagation on an
+    adversarial mix: a long chain (diameter stress), a clique, an isolated
+    pair, and random extra edges."""
+    import random
+    from log_collector_spark.textops.dedup import (dedup_clusters,
+                                                   dedup_clusters_star)
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(1, 15)]          # chain 1..15
+    edges += [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+    edges += [(30, 31)]
+    edges += [(rng.randint(1, 15), rng.randint(20, 23)) for _ in range(2)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    dummy = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    a = sorted((r.doc_id, r.cluster, r.keep) for r in
+               dedup_clusters(dummy, pairs=pairs).collect())
+    b = sorted((r.doc_id, r.cluster, r.keep) for r in
+               dedup_clusters_star(dummy, pairs=pairs).collect())
+    assert a == b

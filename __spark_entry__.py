@@ -291,6 +291,20 @@ def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.freq_spectrum(_docs(spark, sf_dir))
 
 
+def q_churn_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retained/churned/acquired counts (set algebra as one
+    shifted full-outer self-join of the distinct user-day frame)."""
+    from log_collector_spark.operators import behavior as B
+    return B.churn_matrix(_tbl(spark, sf_dir, "events"))
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token-rate movers between two deterministic corpus halves
+    (the snapshot-drift freshness monitor)."""
+    from log_collector_spark.textops import analysis as A
+    return A.vocab_drift(_docs(spark, sf_dir))
+
+
 def q_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 24h distinct-user gauge per hour from slid HLL registers
     (dense hour×register grid + range window — never rescans raw rows)."""
@@ -1621,6 +1635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_market_share": q_tpch_market_share,
         "freq_spectrum_documents": q_freq_spectrum,
         "sliding_hll_users_events": q_sliding_hll_users,
+        "churn_matrix_events": q_churn_matrix,
+        "vocab_drift_documents": q_vocab_drift,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
         "conversation_stats_events": q_conversation_stats_events,
@@ -1861,6 +1877,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_market_share": _an().sql_market_share(),
         "freq_spectrum_documents": _ta().sql_freq_spectrum(),
         "sliding_hll_users_events": _ta().sql_sliding_hll_users(),
+        "churn_matrix_events": _bh().sql_churn_matrix(),
+        "vocab_drift_documents": _ta().sql_vocab_drift(),
         "stratified_sample_documents": _ta().sql_stratified_sample(),
         "attribution_events": _bh().sql_last_touch_attribution(),
         "ewma_hour_counts": agg_ops.sql_ewma_hour_counts(),

@@ -1319,3 +1319,71 @@ def sql_table_fingerprint(table: str, part_expr: str,
         GROUP BY part
         ORDER BY part
     """
+
+
+def churn_matrix(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts") -> DataFrame:
+    """Day-over-day churn algebra: for every day after the first, how many
+    users were retained (active yesterday AND today), churned (yesterday
+    only) and (re)acquired (today only, relative to yesterday — lifetime
+    first-touch lives in new_vs_returning). The INTERSECT/EXCEPT triple a
+    growth dashboard runs, expressed as ONE full-outer self-join of the
+    distinct (user, day) frame against itself shifted by one day — set
+    algebra as a join, so all three counts come from a single shuffle
+    instead of three separate set operations.
+
+    The first day in the data is dropped (its yesterday is unobserved —
+    a retention number there would be a lie), and so is the phantom day
+    AFTER the data ends (where the shift would report everyone churned);
+    both bounds ride one broadcast 1-row min/max."""
+    day = (F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+           / 86_400_000_000).cast("long")
+    ud = (events.select(F.col(user_col).alias("u"), day.alias("d"))
+          .distinct())
+    today = ud.select("u", "d")
+    yesterday = ud.select(F.col("u").alias("u2"),
+                          (F.col("d") + 1).alias("d2"))
+    j = today.join(yesterday, (F.col("u") == F.col("u2"))
+                   & (F.col("d") == F.col("d2")), "full")
+    dcol = F.coalesce(F.col("d"), F.col("d2"))
+    per_day = (j.groupBy(dcol.alias("day_idx"))
+               .agg(F.sum((F.col("u").isNotNull()
+                           & F.col("u2").isNotNull()).cast("long"))
+                     .cast("long").alias("retained"),
+                    F.sum((F.col("u").isNull()).cast("long")).cast("long")
+                     .alias("churned"),
+                    F.sum((F.col("u2").isNull()).cast("long")).cast("long")
+                     .alias("acquired")))
+    bounds = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    return (per_day.crossJoin(F.broadcast(bounds))
+            .filter((F.col("day_idx") > F.col("d0"))
+                    & (F.col("day_idx") <= F.col("d1")))
+            .drop("d0", "d1")
+            .orderBy("day_idx"))
+
+
+def sql_churn_matrix(table: str = "events", user_col: str = "user_id",
+                     ts_col: str = "ts") -> str:
+    return f"""
+        WITH ud AS (
+            SELECT DISTINCT {user_col} AS u,
+                   CAST(epoch_us({ts_col}) // 86400000000 AS BIGINT) AS d
+            FROM {table}
+        ), j AS (
+            SELECT t.u AS u, y.u AS u2, COALESCE(t.d, y.d + 1) AS day_idx
+            FROM ud t
+            FULL JOIN ud y ON y.u = t.u AND y.d + 1 = t.d
+        )
+        SELECT day_idx,
+               CAST(SUM(CASE WHEN u IS NOT NULL AND u2 IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               CAST(SUM(CASE WHEN u IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS churned,
+               CAST(SUM(CASE WHEN u2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS acquired
+        FROM j
+        WHERE day_idx > (SELECT MIN(d) FROM ud)
+          AND day_idx <= (SELECT MAX(d) FROM ud)
+        GROUP BY day_idx
+        ORDER BY day_idx
+    """

@@ -1984,3 +1984,84 @@ def sql_sliding_hll_users(table: str = "events",
         FROM est
         ORDER BY hour_idx
     """
+
+
+DRIFT_TOPK = 20
+DRIFT_MIN_N = 5
+
+
+def vocab_drift(df: DataFrame, text_col: str = "text",
+                topk: int = DRIFT_TOPK,
+                min_n: int = DRIFT_MIN_N) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots: split the corpus
+    into halves A/B by ``h60(doc_id) % 2`` (the deterministic stand-in for
+    'last month's crawl vs this month's'), compute each token's rate per
+    MILLION tokens in each half, and rank by absolute rate delta — the
+    top movers are the drift report a training-data freshness monitor
+    publishes (a token surging between snapshots flags templated floods,
+    topic shifts, or scraper regressions before they skew a mix).
+
+    Tokens below ``min_n`` combined occurrences are dropped (rate deltas
+    of singletons are noise). One token-keyed shuffle with a conditional
+    CASE split (never two scans), one broadcast 1-row total, top-k via
+    TakeOrderedAndProject with token tiebreak."""
+    half = (C.h60(F.col("doc_id").cast("string")) % 2).alias("half")
+    tok = (df.select(half, F.explode(C.tokens(F.col(text_col)))
+                     .alias("tok")))
+    per_tok = (tok.groupBy("tok")
+               .agg(F.sum((F.col("half") == 0).cast("long")).cast("long")
+                     .alias("n_a"),
+                    F.sum((F.col("half") == 1).cast("long")).cast("long")
+                     .alias("n_b")))
+    totals = per_tok.agg(F.sum("n_a").cast("long").alias("t_a"),
+                         F.sum("n_b").cast("long").alias("t_b"))
+    rate = lambda n, t: F.when(F.col(t) > 0,
+                               F.expr(f"({n} * 1000000) div {t}")) \
+                         .otherwise(F.lit(0)).cast("long")
+    enriched = (per_tok.filter(F.col("n_a") + F.col("n_b") >= min_n)
+                .crossJoin(F.broadcast(totals))
+                .withColumn("rate_a_ppm", rate("n_a", "t_a"))
+                .withColumn("rate_b_ppm", rate("n_b", "t_b"))
+                .withColumn("drift_ppm",
+                            F.abs(F.col("rate_a_ppm")
+                                  - F.col("rate_b_ppm")).cast("long")))
+    return (enriched.select("tok", "n_a", "n_b", "rate_a_ppm",
+                            "rate_b_ppm", "drift_ppm")
+            .orderBy(F.col("drift_ppm").desc(), F.col("tok"))
+            .limit(topk))
+
+
+def sql_vocab_drift(table: str = "documents", topk: int = DRIFT_TOPK,
+                    min_n: int = DRIFT_MIN_N) -> str:
+    tok = C.sql_tokens("text")
+    half = C.sql_h60("CAST(doc_id AS VARCHAR)") + " % 2"
+    return f"""
+        WITH toks AS (
+            SELECT {half} AS half, t.tok
+            FROM {table}, unnest({tok}) AS t(tok)
+        ), per_tok AS (
+            SELECT tok,
+                   CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+                   CAST(SUM(n_b) AS BIGINT) AS t_b
+            FROM per_tok
+        ), enr AS (
+            SELECT tok, n_a, n_b,
+                   CAST(CASE WHEN t_a > 0 THEN (n_a * 1000000) // t_a
+                             ELSE 0 END AS BIGINT) AS rate_a_ppm,
+                   CAST(CASE WHEN t_b > 0 THEN (n_b * 1000000) // t_b
+                             ELSE 0 END AS BIGINT) AS rate_b_ppm
+            FROM per_tok CROSS JOIN tot
+            WHERE n_a + n_b >= {min_n}
+        )
+        SELECT tok, n_a, n_b, rate_a_ppm, rate_b_ppm,
+               CAST(ABS(rate_a_ppm - rate_b_ppm) AS BIGINT) AS drift_ppm
+        FROM enr
+        ORDER BY drift_ppm DESC, tok
+        LIMIT {topk}
+    """

@@ -402,3 +402,47 @@ def test_star_cc_equals_label_propagation_random_graph(spark):
     b = sorted((r.doc_id, r.cluster, r.keep) for r in
                dedup_clusters_star(dummy, pairs=pairs).collect())
     assert a == b
+
+
+def test_churn_matrix_set_algebra(spark):
+    # day 0: {1,2}; day 1: {2,3}; day 2: {3}
+    # day 1: retained {2}, churned {1}, acquired {3}
+    # day 2: retained {3}, churned {2}, acquired {}
+    # day 0 dropped (no observed yesterday); no phantom day 3 row.
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base), (2, base),
+            (2, base + dt.timedelta(days=1)), (3, base + dt.timedelta(days=1)),
+            (3, base + dt.timedelta(days=2))]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = sorted((r["retained"], r["churned"], r["acquired"]) for r in
+                 B.churn_matrix(ev).collect())
+    assert len(out) == 2
+    assert out == sorted([(1, 1, 1), (1, 1, 0)])
+
+
+def test_vocab_drift_rates_and_min_support(spark):
+    from log_collector_spark.textops.analysis import vocab_drift
+    import hashlib
+    # compute the REAL h60 halves so 'surge' lands exclusively in half 0
+    half = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15],
+                         16) % 2
+    ids = list(range(16))
+    docs = spark.createDataFrame(
+        [(i, "common " * 5 + ("surge " * 5 if half(i) == 0 else "") +
+          ("rare" if i == ids[0] else "")) for i in ids],
+        "doc_id long, text string")
+    out = vocab_drift(docs, min_n=5, topk=10).collect()
+    toks = [r["tok"] for r in out]
+    assert "rare" not in toks            # below min support
+    assert "surge" in toks and "common" in toks
+    surge = next(r for r in out if r["tok"] == "surge")
+    # surge exists only in half A -> rate_b is exactly 0
+    assert surge["rate_b_ppm"] == 0 and surge["rate_a_ppm"] > 0
+    assert surge["drift_ppm"] == surge["rate_a_ppm"]
+    # drift must be |rate_a - rate_b| for every returned row, and the
+    # list must be sorted by (drift desc, tok asc)
+    for r in out:
+        assert r["drift_ppm"] == abs(r["rate_a_ppm"] - r["rate_b_ppm"])
+    keys = [(-r["drift_ppm"], r["tok"]) for r in out]
+    assert keys == sorted(keys)

@@ -573,11 +573,19 @@ def supplier_revenue_share(supplier: DataFrame, lineitem: DataFrame,
                .agg(F.sum(rev_u).cast("bigint").alias("revenue_micros")))
     total = per_sup.agg(F.sum("revenue_micros").cast("bigint")
                         .alias("total_micros"))
+    # the x1000 cross-multiplications run in DECIMAL(38,0): micro-dollar
+    # sums approach int64 at 100-TB revenue, and ANSI mode fails the job
+    # on bigint overflow (same hardening as join_size_forecast)
+    rev_d = F.col("revenue_micros").cast("decimal(38,0)")
+    tot_d = F.col("total_micros").cast("decimal(38,0)")
+    # `div` on decimals is the exact integral divide (bigint out) —
+    # floor(a/b) on a ROUNDED decimal quotient can be off by one
     keep = (per_sup.crossJoin(F.broadcast(total))
-            .filter(F.col("revenue_micros") * 1000
-                    > F.col("total_micros") * min_permille)
+            .filter(rev_d * 1000 > tot_d * min_permille)
             .withColumn("share_permille",
-                        F.expr("(1000 * revenue_micros) div total_micros")
+                        F.expr("(cast(revenue_micros as decimal(38,0))"
+                               " * 1000) div"
+                               " cast(total_micros as decimal(38,0))")
                          .cast("bigint")))
     sdim = supplier.select("s_suppkey", "s_name")
     return (keep.join(F.broadcast(sdim),
@@ -1100,10 +1108,14 @@ def market_share(region: DataFrame, nation: DataFrame, customer: DataFrame,
     agg = (j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
             .agg(F.sum(nat_u).cast("bigint").alias("nation_micros"),
                  F.sum(rev_u).cast("bigint").alias("total_micros")))
+    # DECIMAL(38,0) `div` for the x1000 step — per-year micro-dollar
+    # totals can overflow int64 at 100-TB scale and ANSI mode fails the
+    # job; decimal `div` is the exact integral divide (bigint out)
+    share = F.expr("(cast(nation_micros as decimal(38,0)) * 1000) div"
+                   " cast(total_micros as decimal(38,0))")
     return (agg.withColumn(
                 "share_permille",
-                F.when(F.col("total_micros") > 0,
-                       F.expr("(1000 * nation_micros) div total_micros"))
+                F.when(F.col("total_micros") > 0, share)
                  .otherwise(F.lit(0)).cast("bigint"))
             .orderBy("o_year"))
 

@@ -298,6 +298,13 @@ def q_churn_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.churn_matrix(_tbl(spark, sf_dir, "events"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted bottom-k sample (integer Efraimidis-
+    Spirakis rank keys — RNG-free, append-stable)."""
+    from log_collector_spark.textops import analysis as A
+    return A.weighted_sample(_docs(spark, sf_dir))
+
+
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top token-rate movers between two deterministic corpus halves
     (the snapshot-drift freshness monitor)."""
@@ -421,6 +428,13 @@ def q_tx_first_response_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-first-assistant-response per conversation (SLA metric)."""
     from log_collector_spark.operators import tx_stats as TX
     return TX.first_response_ms(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_peak_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max-overlap: peak concurrent tool calls per conversation
+    (half-open intervals; -1 sorts before +1 at equal instants)."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.peak_inflight(pl.full_pipeline(spark, sf_dir))
 
 
 def q_tx_slow_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1637,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_hll_users_events": q_sliding_hll_users,
         "churn_matrix_events": q_churn_matrix,
         "vocab_drift_documents": q_vocab_drift,
+        "weighted_sample_documents": q_weighted_sample,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
         "conversation_stats_events": q_conversation_stats_events,
@@ -1652,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_first_response_ms": q_tx_first_response_ms,
         "tx_slow_streaks": q_tx_slow_streaks,
         "tx_context_cutoff": q_tx_context_cutoff,
+        "tx_peak_inflight": q_tx_peak_inflight,
         "gap_histogram_events": q_gap_histogram,
         "ri_audit_tables": q_ri_audit_tables,
         "compaction_plan_tx": q_compaction_plan_tx,
@@ -1879,6 +1895,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_hll_users_events": _ta().sql_sliding_hll_users(),
         "churn_matrix_events": _bh().sql_churn_matrix(),
         "vocab_drift_documents": _ta().sql_vocab_drift(),
+        "weighted_sample_documents": _ta().sql_weighted_sample(),
         "stratified_sample_documents": _ta().sql_stratified_sample(),
         "attribution_events": _bh().sql_last_touch_attribution(),
         "ewma_hour_counts": agg_ops.sql_ewma_hour_counts(),
@@ -1941,6 +1958,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_first_response_ms": _tx().sql_first_response_ms(tx_view),
         "tx_slow_streaks": _tx().sql_slow_streaks(tx_view),
         "tx_context_cutoff": _tx().sql_context_cutoff(tx_view),
+        "tx_peak_inflight": _tx().sql_peak_inflight(tx_view),
         "gap_histogram_events": _bh().sql_gap_histogram("events"),
         "ri_audit_tables": _bh().sql_ri_audit([
             ("events_user_customer", "user_id", "events",

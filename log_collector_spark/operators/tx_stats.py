@@ -499,3 +499,63 @@ def sql_context_cutoff(tx_view: str, budget: int = CONTEXT_BUDGET) -> str:
                     AS BIGINT) AS cutoff_turn
         FROM cum GROUP BY conv_id
     """
+
+
+def peak_inflight(routed: DataFrame) -> DataFrame:
+    """Peak CONCURRENT tool calls per conversation — the sweep-line
+    max-overlap statistic (interval_coverage measures union length; this
+    measures depth). Each tool turn occupies [logtime, logtime +
+    latency_ms): explode to a +1 event at start and a -1 at end, order
+    by (time, delta) — the -1 sorts first at equal instants, so a call
+    ending exactly when another starts never counts as overlap
+    (half-open semantics) — and take the max running sum.
+
+    One explode (2 rows per call), one conv-keyed window cumsum, one agg
+    — a single exchange, same key as every other tx op. Output rows only
+    for conversations with >= 1 tool call."""
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    base = (_clean(routed)
+            .filter(F.col("tool").isNotNull())
+            .select("conv_id", F.col("logtime").alias("t0"),
+                    (F.col("logtime") + lat).alias("t1")))
+    pts = base.select(
+        "conv_id",
+        F.explode(F.array(
+            F.struct(F.col("t0").alias("t"), F.lit(1).alias("delta")),
+            F.struct(F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+        )).alias("p")).select("conv_id", F.col("p.t").alias("t"),
+                              F.col("p.delta").alias("delta"))
+    w = (Window.partitionBy("conv_id").orderBy("t", "delta")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    depth = pts.withColumn("depth", F.sum("delta").over(w))
+    return (depth.groupBy("conv_id")
+            .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_calls"),
+                 F.max("depth").cast("long").alias("peak_inflight")))
+
+
+def sql_peak_inflight(tx_view: str) -> str:
+    ms = "CAST(epoch_ms(strptime(regexp_extract(text, " \
+         r"'^\[(\S+)\] \[([^\]]+)\] (.*)$', 2), " \
+         "'%Y-%m-%d %H:%M:%S')) AS BIGINT)"
+    return f"""
+        WITH calls AS (
+            SELECT conv_id, {ms} AS t0, {ms} + {_LAT} AS t1
+            FROM {tx_view}
+            WHERE {SQL_CLEAN} AND tool IS NOT NULL
+        ), pts AS (
+            SELECT conv_id, t0 AS t, 1 AS delta FROM calls
+            UNION ALL
+            SELECT conv_id, t1 AS t, -1 AS delta FROM calls
+        ), d AS (
+            SELECT conv_id,
+                   SUM(delta) OVER (PARTITION BY conv_id
+                                    ORDER BY t, delta
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS depth
+            FROM pts
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) // 2 AS BIGINT) AS n_calls,
+               CAST(MAX(depth) AS BIGINT) AS peak_inflight
+        FROM d GROUP BY conv_id
+    """

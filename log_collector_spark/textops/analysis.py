@@ -2065,3 +2065,45 @@ def sql_vocab_drift(table: str = "documents", topk: int = DRIFT_TOPK,
         ORDER BY drift_ppm DESC, tok
         LIMIT {topk}
     """
+
+
+WSAMPLE_K = 50
+
+
+def weighted_sample(df: DataFrame, weight_col: str = "n_chars",
+                    k: int = WSAMPLE_K) -> DataFrame:
+    """Deterministic weighted bottom-k sample (integer Efraimidis-
+    Spirakis): rank every doc by ``h60(doc_id) DIV weight`` and keep the
+    k smallest — a doc with twice the weight halves its expected rank
+    key, so selection probability grows with weight, yet the draw is
+    RNG-free, append-stable (a new doc never changes an existing doc's
+    key) and identical on every engine — the properties `sample()` and
+    rand() can never give an oracle-checked pipeline.
+
+    Zero/negative weights are excluded (their inclusion probability is
+    0, and the DIV would be undefined/ANSI-fatal). Plans as one narrow
+    projection + TakeOrderedAndProject — no shuffle beyond the top-k."""
+    w = F.col(weight_col).cast("long")
+    return (df.filter(w > 0)
+            .select("doc_id", w.alias("weight"),
+                    C.h60(F.col("doc_id").cast("string")).alias("_h"))
+            .withColumn("rank_key", F.expr("_h div weight").cast("long"))
+            .drop("_h")
+            .orderBy("rank_key", "doc_id")
+            .limit(k))
+
+
+def sql_weighted_sample(table: str = "documents",
+                        weight_col: str = "n_chars",
+                        k: int = WSAMPLE_K) -> str:
+    h = C.sql_h60("CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id,
+               CAST({weight_col} AS BIGINT) AS weight,
+               CAST({h} // CAST({weight_col} AS BIGINT) AS BIGINT)
+                   AS rank_key
+        FROM {table}
+        WHERE CAST({weight_col} AS BIGINT) > 0
+        ORDER BY rank_key, doc_id
+        LIMIT {k}
+    """

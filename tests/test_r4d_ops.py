@@ -446,3 +446,36 @@ def test_vocab_drift_rates_and_min_support(spark):
         assert r["drift_ppm"] == abs(r["rate_a_ppm"] - r["rate_b_ppm"])
     keys = [(-r["drift_ppm"], r["tok"]) for r in out]
     assert keys == sorted(keys)
+
+
+def test_peak_inflight_half_open_sweep(spark):
+    # calls [1000,1500), [1200,1300) overlap -> depth 2; a call starting
+    # exactly at 1500 (when the first ends) must NOT count as overlap.
+    rows = [("A", 0, 1000, 500), ("A", 1, 1200, 100), ("A", 2, 1500, 10),
+            ("B", 0, 10, 5)]
+    df = spark.createDataFrame(
+        [(c, i, f'{{"latency_ms":{lat}}}', t) for c, i, t, lat in rows],
+        "conv_id string, turn_idx int, payload string, logtime long")
+    routed = (df.withColumn("parse_ok", F.lit(True))
+                .withColumn("is_oversize", F.lit(False))
+                .withColumn("tool", F.lit("bash")))
+    out = {r["conv_id"]: r for r in TX.peak_inflight(routed).collect()}
+    assert out["A"]["peak_inflight"] == 2 and out["A"]["n_calls"] == 3
+    assert out["B"]["peak_inflight"] == 1
+
+
+def test_weighted_sample_keys_and_zero_weight(spark):
+    from log_collector_spark.textops.analysis import weighted_sample
+    import hashlib
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in [(1, 100), (2, 0), (3, 7), (4, 1000)]],
+        "doc_id long, n_chars long")
+    out = weighted_sample(docs, k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2 not in ids                 # zero weight excluded
+    h = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+    expected = sorted([(h(i) // w, i) for i, w in
+                       [(1, 100), (3, 7), (4, 1000)]])
+    assert ids == [i for _, i in expected]
+    for r in out:
+        assert r["rank_key"] == h(r["doc_id"]) // r["weight"]

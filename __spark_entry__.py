@@ -298,6 +298,20 @@ def q_churn_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.churn_matrix(_tbl(spark, sf_dir, "events"))
 
 
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile lift table: per-activity-decile conversion lift in
+    permille (cross-multiplied — no rate division)."""
+    from log_collector_spark.operators import behavior as B
+    return B.decile_lift(_tbl(spark, sf_dir, "events"))
+
+
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session bounce rate (1-event sessions permille, 30-min
+    gap sessionization rule)."""
+    from log_collector_spark.operators import behavior as B
+    return B.bounce_rate(_tbl(spark, sf_dir, "events"))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted bottom-k sample (integer Efraimidis-
     Spirakis rank keys — RNG-free, append-stable)."""
@@ -1652,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn_matrix_events": q_churn_matrix,
         "vocab_drift_documents": q_vocab_drift,
         "weighted_sample_documents": q_weighted_sample,
+        "decile_lift_events": q_decile_lift,
+        "bounce_rate_events": q_bounce_rate,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
         "conversation_stats_events": q_conversation_stats_events,
@@ -1896,6 +1912,8 @@ def oracle_sql() -> dict[str, str]:
         "churn_matrix_events": _bh().sql_churn_matrix(),
         "vocab_drift_documents": _ta().sql_vocab_drift(),
         "weighted_sample_documents": _ta().sql_weighted_sample(),
+        "decile_lift_events": _bh().sql_decile_lift(),
+        "bounce_rate_events": _bh().sql_bounce_rate(),
         "stratified_sample_documents": _ta().sql_stratified_sample(),
         "attribution_events": _bh().sql_last_touch_attribution(),
         "ewma_hour_counts": agg_ops.sql_ewma_hour_counts(),

@@ -1387,3 +1387,177 @@ def sql_churn_matrix(table: str = "events", user_col: str = "user_id",
         GROUP BY day_idx
         ORDER BY day_idx
     """
+
+
+LIFT_DECILES = 10
+LIFT_CONVERSION = "purchase"
+
+
+def decile_lift(events: DataFrame, user_col: str = "user_id",
+                type_col: str = "event_type",
+                conversion: str = LIFT_CONVERSION,
+                n_tiles: int = LIFT_DECILES) -> DataFrame:
+    """Decile lift table — the model-evaluation classic: rank users by
+    activity (event count), cut into ``n_tiles`` equal NTILE buckets, and
+    report each bucket's conversion rate as a permille LIFT over the
+    overall rate (decile 1 of a useful score should show lift well above
+    1000; a flat table means the score is noise).
+
+    NTILE assigns equal-size buckets BY ROW ORDER, so the ordering must
+    be total — (n_events DESC, user_id) — or bucket membership would be
+    shuffle-dependent; that tiebreak is the whole determinism story here.
+    Lift cross-multiplies: (conv_d · total_users · 1000) DIV
+    (users_d · total_conv) — no rate division ever rounds. Two stacked
+    aggs + one |users|-row NTILE window (single-partition over the
+    per-user frame — at 10^12 raw rows the per-user frame is ~10^9 and
+    you would range-partition the rank instead; the raw-data exchange is
+    the user groupBy either way)."""
+    from log_collector_spark.textops import common as C
+
+    per_user = (events.groupBy(F.col(user_col).alias("u"))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.max((F.col(type_col) == conversion).cast("long"))
+                      .alias("converted")))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("u"))
+    tiled = per_user.withColumn("decile",
+                                F.ntile(n_tiles).over(w).cast("long"))
+    per_decile = (tiled.groupBy("decile")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                       F.sum("converted").cast("long").alias("n_converted"),
+                       F.sum("n_events").cast("long").alias("n_events")))
+    totals = per_decile.agg(
+        F.sum("n_users").cast("long").alias("t_users"),
+        F.sum("n_converted").cast("long").alias("t_conv"))
+    return (per_decile.crossJoin(F.broadcast(totals))
+            .withColumn("conv_permille",
+                        C.permille(F.col("n_converted"), F.col("n_users")))
+            .withColumn(
+                "lift_permille",
+                F.when(F.col("t_conv") * F.col("n_users") > 0,
+                       F.expr("(n_converted * t_users * 1000) div "
+                              "(n_users * t_conv)"))
+                 .otherwise(F.lit(0)).cast("long"))
+            .select("decile", "n_users", "n_events", "n_converted",
+                    "conv_permille", "lift_permille")
+            .orderBy("decile"))
+
+
+def sql_decile_lift(table: str = "events", user_col: str = "user_id",
+                    type_col: str = "event_type",
+                    conversion: str = LIFT_CONVERSION,
+                    n_tiles: int = LIFT_DECILES) -> str:
+    from log_collector_spark.textops import common as C
+    return f"""
+        WITH per_user AS (
+            SELECT {user_col} AS u, COUNT(*) AS n_events,
+                   MAX(CASE WHEN {type_col} = '{conversion}'
+                            THEN 1 ELSE 0 END) AS converted
+            FROM {table} GROUP BY 1
+        ), tiled AS (
+            SELECT *, CAST(ntile({n_tiles}) OVER (
+                          ORDER BY n_events DESC, u) AS BIGINT) AS decile
+            FROM per_user
+        ), per_decile AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events
+            FROM tiled GROUP BY decile
+        ), tot AS (
+            SELECT CAST(SUM(n_users) AS BIGINT) AS t_users,
+                   CAST(SUM(n_converted) AS BIGINT) AS t_conv
+            FROM per_decile
+        )
+        SELECT decile, n_users, n_events, n_converted,
+               {C.sql_permille('n_converted', 'n_users')} AS conv_permille,
+               CAST(CASE WHEN t_conv * n_users > 0
+                         THEN (n_converted * t_users * 1000)
+                              // (n_users * t_conv)
+                         ELSE 0 END AS BIGINT) AS lift_permille
+        FROM per_decile CROSS JOIN tot
+        ORDER BY decile
+    """
+
+
+BOUNCE_GAP_S = 1800  # same 30-minute inactivity gap as sessionize_events
+
+
+def bounce_rate(events: DataFrame, user_col: str = "user_id",
+                ts_col: str = "ts",
+                gap_s: int = BOUNCE_GAP_S) -> DataFrame:
+    """Per-day session bounce rate: sessions (30-min inactivity gap, the
+    sessionize_events rule) that contain EXACTLY ONE event, as a permille
+    of the day's sessions — the engagement-quality gauge. A session
+    belongs to the day its FIRST event lands on (boundary sessions count
+    once, on their entry day).
+
+    Same single user-keyed exchange as sessionize: lag → session-start
+    flags → running-sum session ids → per-session agg → per-day agg (the
+    last two both partial-combine)."""
+    ts_s = (F.unix_micros(F.date_trunc(
+        "second", F.col(ts_col).cast("timestamp"))) / 1_000_000).cast("long")
+    w = Window.partitionBy("u").orderBy("t", "e")
+    base = (events.select(F.col(user_col).alias("u"),
+                          ts_s.alias("t"), F.col("event_id").alias("e"))
+            .withColumn("new_s",
+                        (F.coalesce(F.col("t") - F.lag("t").over(w),
+                                    F.lit(gap_s + 1)) > gap_s).cast("long"))
+            .withColumn("sid", F.sum("new_s").over(
+                Window.partitionBy("u").orderBy("t", "e")
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))))
+    per_session = (base.groupBy("u", "sid")
+                   .agg(F.count(F.lit(1)).alias("n_ev"),
+                        F.min("t").alias("t0")))
+    from log_collector_spark.textops import common as C
+    day = F.expr("t0 div 86400").cast("long")
+    return (per_session.groupBy(day.alias("day_idx"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                 F.sum((F.col("n_ev") == 1).cast("long")).cast("long")
+                  .alias("n_bounces"))
+            .withColumn("bounce_permille",
+                        C.permille(F.col("n_bounces"),
+                                   F.col("n_sessions")))
+            .orderBy("day_idx"))
+
+
+def sql_bounce_rate(table: str = "events", user_col: str = "user_id",
+                    ts_col: str = "ts", gap_s: int = BOUNCE_GAP_S) -> str:
+    from log_collector_spark.textops import common as C
+    t = f"CAST(epoch_ms(date_trunc('second', {ts_col})) // 1000 AS BIGINT)"
+    return f"""
+        WITH base AS (
+            SELECT {user_col} AS u, {t} AS t, event_id AS e
+            FROM {table}
+        ), marked AS (
+            SELECT u, t, e,
+                   CASE WHEN COALESCE(t - lag(t) OVER w, {gap_s} + 1)
+                             > {gap_s}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM base
+            WINDOW w AS (PARTITION BY u ORDER BY t, e)
+        ), sess AS (
+            -- the (t, e) tiebreak must match the Spark window exactly:
+            -- a same-second tie at a session boundary would otherwise
+            -- split sessions differently between engines
+            SELECT u, t,
+                   SUM(new_s) OVER (PARTITION BY u ORDER BY t, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+            FROM marked
+        ), per_session AS (
+            SELECT u, sid, COUNT(*) AS n_ev, MIN(t) AS t0
+            FROM sess GROUP BY 1, 2
+        ), per_day AS (
+            SELECT CAST(t0 // 86400 AS BIGINT) AS day_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces
+            FROM per_session GROUP BY 1
+        )
+        SELECT day_idx, n_sessions, n_bounces,
+               {C.sql_permille('n_bounces', 'n_sessions')}
+                   AS bounce_permille
+        FROM per_day
+        ORDER BY day_idx
+    """

@@ -479,3 +479,40 @@ def test_weighted_sample_keys_and_zero_weight(spark):
     assert ids == [i for _, i in expected]
     for r in out:
         assert r["rank_key"] == h(r["doc_id"]) // r["weight"]
+
+
+def test_decile_lift_cross_multiplied(spark):
+    # 4 users, 2 tiles: heavy users (10, 9 events) tile 1, light (1, 1)
+    # tile 2; conversions: one heavy, one light -> overall rate 1/2,
+    # per-tile rate 1/2 -> lift exactly 1000 in both tiles.
+    rows = ([(1, "view")] * 9 + [(1, "purchase")] +
+            [(2, "view")] * 9 +
+            [(3, "purchase")] + [(4, "view")])
+    ev = spark.createDataFrame(rows, "user_id int, event_type string")
+    out = {r["decile"]: r for r in
+           B.decile_lift(ev, n_tiles=2).collect()}
+    assert out[1]["n_users"] == 2 and out[2]["n_users"] == 2
+    assert out[1]["n_converted"] == 1 and out[2]["n_converted"] == 1
+    assert out[1]["lift_permille"] == 1000
+    assert out[1]["conv_permille"] == 500
+
+
+def test_bounce_rate_gap_boundary_and_entry_day(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two events 1800s apart -> SAME session (gap must be
+        # strictly greater to split) -> not a bounce
+        (1, 100, base), (1, 101, base + dt.timedelta(seconds=1800)),
+        # user 2: single event -> bounce
+        (2, 200, base),
+        # user 1 again 1801s later -> NEW session, single event -> bounce
+        (1, 102, base + dt.timedelta(seconds=1800 + 1801)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, event_id int, "
+                                     "ts timestamp")
+    out = B.bounce_rate(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_sessions"] == 3 and r["n_bounces"] == 2
+    assert r["bounce_permille"] == 666

@@ -298,6 +298,20 @@ def q_churn_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.churn_matrix(_tbl(spark, sf_dir, "events"))
 
 
+def q_day_bitmask_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra: per-type-pair co-active days via
+    bit_count over 63-bit day-presence words."""
+    from log_collector_spark.operators import aggregate as agg
+    return agg.day_bitmask_overlap(_tbl(spark, sf_dir, "events"))
+
+
+def q_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE-compressibility audit: run counts of event_type under the
+    clustered vs ingest orderings (the encoding-size decision)."""
+    from log_collector_spark.operators.order import rle_audit
+    return rle_audit(_tbl(spark, sf_dir, "events"))
+
+
 def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE decile lift table: per-activity-decile conversion lift in
     permille (cross-multiplied — no rate division)."""
@@ -1668,6 +1682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": q_weighted_sample,
         "decile_lift_events": q_decile_lift,
         "bounce_rate_events": q_bounce_rate,
+        "day_bitmask_overlap_events": q_day_bitmask_overlap,
+        "rle_audit_events": q_rle_audit,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
         "conversation_stats_events": q_conversation_stats_events,
@@ -1914,6 +1930,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_documents": _ta().sql_weighted_sample(),
         "decile_lift_events": _bh().sql_decile_lift(),
         "bounce_rate_events": _bh().sql_bounce_rate(),
+        "day_bitmask_overlap_events": _ag().sql_day_bitmask_overlap(),
+        "rle_audit_events": _or().sql_rle_audit(),
         "stratified_sample_documents": _ta().sql_stratified_sample(),
         "attribution_events": _bh().sql_last_touch_attribution(),
         "ewma_hour_counts": agg_ops.sql_ewma_hour_counts(),

@@ -680,3 +680,93 @@ def sql_join_size_forecast(ltable: str, lkey: str,
                    AS max_key_permille
         FROM j
     """
+
+
+_BM_BITS = 63  # day-presence bits per mask word (int64, sign bit unused)
+
+
+def day_bitmask_overlap(events: DataFrame, type_col: str = "event_type",
+                        ts_col: str = "ts") -> DataFrame:
+    """Bitmap-index set algebra: per event type, pack day-presence into
+    63-bit words (one word per 63-day epoch — scale-correct for any time
+    span, roaring-bitmap-lite), then answer "on how many days were BOTH
+    types active" for every type pair with `bit_count(a & b)` — set
+    intersection as a single CPU instruction instead of a day-level join.
+
+    Shapes: one distinct (type, day) pass, one `bit_or` agg to words
+    (|types| x |epochs| rows — metadata scale), an epoch-equi self-join of
+    the word table (type_a < type_b), and a broadcast join back for the
+    per-type totals. The classic bitmap-index trade: the fact is scanned
+    once, every subsequent set question is word-wise bit math."""
+    from log_collector_spark.textops import common as C
+
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp))"
+                 f" div 86400000000")
+    td = (events.select(F.col(type_col).alias("t"),
+                        day.cast("long").alias("d")).distinct())
+    word = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                  f"CAST(d % {_BM_BITS} AS INT))")
+    masks = (td.select("t", F.expr(f"d div {_BM_BITS}").alias("epoch"),
+                       word.alias("w"))
+             .groupBy("t", "epoch")
+             .agg(F.bit_or("w").alias("mask")))
+    totals = (td.groupBy(F.col("t").alias("tt"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_days")))
+    a = masks.select(F.col("t").alias("type_a"),
+                     F.col("epoch").alias("ea"), F.col("mask").alias("ma"))
+    b = masks.select(F.col("t").alias("type_b"),
+                     F.col("epoch").alias("eb"), F.col("mask").alias("mb"))
+    co = (a.join(b, (F.col("ea") == F.col("eb"))
+                 & (F.col("type_a") < F.col("type_b")))
+          .groupBy("type_a", "type_b")
+          .agg(F.sum(F.bit_count(F.expr("ma & mb"))).cast("long")
+                .alias("co_days")))
+    out = (co.join(F.broadcast(totals), F.col("type_a") == F.col("tt"))
+           .withColumnRenamed("n_days", "days_a").drop("tt")
+           .join(F.broadcast(totals), F.col("type_b") == F.col("tt"))
+           .withColumnRenamed("n_days", "days_b").drop("tt"))
+    return (out.withColumn(
+                "jaccard_permille",
+                C.permille(F.col("co_days"),
+                           F.col("days_a") + F.col("days_b")
+                           - F.col("co_days")))
+            .select("type_a", "type_b", "days_a", "days_b", "co_days",
+                    "jaccard_permille")
+            .orderBy("type_a", "type_b"))
+
+
+def sql_day_bitmask_overlap(table: str = "events",
+                            type_col: str = "event_type",
+                            ts_col: str = "ts") -> str:
+    from log_collector_spark.textops import common as C
+    return f"""
+        WITH td AS (
+            SELECT DISTINCT {type_col} AS t,
+                   CAST(epoch_us({ts_col}) // 86400000000 AS BIGINT) AS d
+            FROM {table}
+        ), masks AS (
+            SELECT t, d // {_BM_BITS} AS epoch,
+                   bit_or(CAST(1 AS BIGINT) << CAST(d % {_BM_BITS} AS INT))
+                       AS mask
+            FROM td GROUP BY 1, 2
+        ), totals AS (
+            SELECT t AS tt, CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM td GROUP BY 1
+        ), co AS (
+            SELECT a.t AS type_a, b.t AS type_b,
+                   CAST(SUM(bit_count(a.mask & b.mask)) AS BIGINT)
+                       AS co_days
+            FROM masks a JOIN masks b
+              ON a.epoch = b.epoch AND a.t < b.t
+            GROUP BY 1, 2
+        )
+        SELECT co.type_a, co.type_b,
+               ta.n_days AS days_a, tb.n_days AS days_b, co.co_days,
+               {C.sql_permille('co.co_days',
+                               'ta.n_days + tb.n_days - co.co_days')}
+                   AS jaccard_permille
+        FROM co
+        JOIN totals ta ON ta.tt = co.type_a
+        JOIN totals tb ON tb.tt = co.type_b
+        ORDER BY co.type_a, co.type_b
+    """

@@ -252,3 +252,71 @@ def sql_compaction_plan(glob: str, text_col: str = "text",
         GROUP BY out_group
         ORDER BY out_group
     """
+
+
+def rle_audit(events: DataFrame, value_col: str = "event_type",
+              user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """RLE-compressibility layout audit: how many runs the ``value_col``
+    column splits into under two candidate physical orderings — the
+    companion number to zorder_layout_audit (that one prices data
+    SKIPPING, this one prices parquet's run-length/dictionary encoding:
+    fewer runs = smaller files = faster scans; at 100 TB the ordering
+    decision is often worth more than the codec choice).
+
+    Orderings compared, each as a PARTITIONED window so no global sort
+    sneaks in: 'user_ts' (runs within each user's timeline — the
+    clustered layout) vs 'day_ts' (runs within each day ordered by time
+    — the ingest layout). A run boundary is value != lag(value) (the
+    partition's first row starts a run). Output one row per ordering:
+    n_rows, n_runs, avg run length ×1000."""
+    from pyspark.sql.window import Window
+
+    us = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp))"
+                 f" div 86400000000")
+    base = events.select(F.col(value_col).alias("v"),
+                         F.col(user_col).alias("u"),
+                         us.alias("t"), F.col("event_id").alias("e"),
+                         day.cast("long").alias("d"))
+
+    def runs(part_col: str, label: str) -> DataFrame:
+        w = Window.partitionBy(part_col).orderBy("t", "e")
+        marked = base.withColumn(
+            "new_run",
+            (F.coalesce(F.col("v") != F.lag("v").over(w), F.lit(True)))
+            .cast("long"))
+        return marked.agg(
+            F.lit(label).alias("ordering"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("new_run").cast("long").alias("n_runs"))
+
+    out = runs("u", "user_ts").unionByName(runs("d", "day_ts"))
+    return (out.withColumn(
+                "avg_run_x1000",
+                F.expr("(n_rows * 1000) div n_runs").cast("long"))
+            .orderBy("ordering"))
+
+
+def sql_rle_audit(table: str = "events", value_col: str = "event_type",
+                  user_col: str = "user_id", ts_col: str = "ts") -> str:
+    def runs(part_expr: str, label: str) -> str:
+        return f"""
+            SELECT '{label}' AS ordering,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN prev IS NULL OR prev <> v
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+            FROM (
+                SELECT {value_col} AS v,
+                       lag({value_col}) OVER (
+                           PARTITION BY {part_expr}
+                           ORDER BY epoch_us({ts_col}), event_id) AS prev
+                FROM {table}
+            )"""
+    a = runs(user_col, "user_ts")
+    b = runs(f"epoch_us({ts_col}) // 86400000000", "day_ts")
+    return f"""
+        SELECT ordering, n_rows, n_runs,
+               CAST((n_rows * 1000) // n_runs AS BIGINT) AS avg_run_x1000
+        FROM ({a} UNION ALL {b})
+        ORDER BY ordering
+    """

@@ -516,3 +516,39 @@ def test_bounce_rate_gap_boundary_and_entry_day(spark):
     r = out[0]
     assert r["n_sessions"] == 3 and r["n_bounces"] == 2
     assert r["bounce_permille"] == 666
+
+
+def test_day_bitmask_overlap_epoch_split(spark):
+    from log_collector_spark.operators.aggregate import day_bitmask_overlap
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    day = lambda n: base + dt.timedelta(days=n)
+    # type A on days 0,1,100; type B on days 1,100,101 — co-days {1,100}
+    # span two 63-day epochs, so the per-epoch word join must merge.
+    rows = ([("A", day(0)), ("A", day(1)), ("A", day(100)),
+             ("B", day(1)), ("B", day(100)), ("B", day(101))])
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = day_bitmask_overlap(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("A", "B")
+    assert (r["days_a"], r["days_b"], r["co_days"]) == (3, 3, 2)
+    assert r["jaccard_permille"] == 500
+
+
+def test_rle_audit_orderings(spark):
+    from log_collector_spark.operators.order import rle_audit
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # user 1: x,x,y (2 runs); user 2: x (1 run) -> user_ts runs = 3.
+    # day order (all same day, by time): x,x,x,y interleaved by ts ->
+    # ts order: u1@0:x, u2@1:x, u1@2:x, u1@3:y -> 2 runs.
+    rows = [(1, 1, "x", base), (1, 3, "x", base + dt.timedelta(seconds=2)),
+            (1, 4, "y", base + dt.timedelta(seconds=3)),
+            (2, 2, "x", base + dt.timedelta(seconds=1))]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, ts timestamp")
+    out = {r["ordering"]: r for r in rle_audit(ev).collect()}
+    assert out["user_ts"]["n_runs"] == 3
+    assert out["day_ts"]["n_runs"] == 2
+    assert out["day_ts"]["avg_run_x1000"] == 2000

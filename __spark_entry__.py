@@ -458,6 +458,13 @@ def q_tx_first_response_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.first_response_ms(pl.full_pipeline(spark, sf_dir))
 
 
+def q_tx_latency_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation latency inversion count: O(n log n) BIT kernel in
+    applyInPandas, verified against the O(n^2) pair-join oracle."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.latency_inversions(pl.full_pipeline(spark, sf_dir))
+
+
 def q_tx_peak_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line max-overlap: peak concurrent tool calls per conversation
     (half-open intervals; -1 sorts before +1 at equal instants)."""
@@ -1700,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_slow_streaks": q_tx_slow_streaks,
         "tx_context_cutoff": q_tx_context_cutoff,
         "tx_peak_inflight": q_tx_peak_inflight,
+        "tx_latency_inversions": q_tx_latency_inversions,
         "gap_histogram_events": q_gap_histogram,
         "ri_audit_tables": q_ri_audit_tables,
         "compaction_plan_tx": q_compaction_plan_tx,
@@ -1995,6 +2003,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_slow_streaks": _tx().sql_slow_streaks(tx_view),
         "tx_context_cutoff": _tx().sql_context_cutoff(tx_view),
         "tx_peak_inflight": _tx().sql_peak_inflight(tx_view),
+        "tx_latency_inversions": _tx().sql_latency_inversions(tx_view),
         "gap_histogram_events": _bh().sql_gap_histogram("events"),
         "ri_audit_tables": _bh().sql_ri_audit([
             ("events_user_customer", "user_id", "events",

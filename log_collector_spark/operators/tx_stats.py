@@ -559,3 +559,78 @@ def sql_peak_inflight(tx_view: str) -> str:
                CAST(MAX(depth) AS BIGINT) AS peak_inflight
         FROM d GROUP BY conv_id
     """
+
+
+def latency_inversions(routed: DataFrame) -> DataFrame:
+    """Per-conversation latency inversion count — of all turn pairs
+    (i < j in stable turn order), how many have latency_i > latency_j
+    (strict; ties are concordant-neutral). inversions == 0 means latency
+    is monotone non-decreasing through the conversation (degrading
+    backend); near n·(n-1)/4 means no trend — the Kendall-tau-style
+    trend test without floats.
+
+    This is the repo's one plain ``applyInPandas`` operator (completing
+    the pandas API matrix: pandas_udf scalar → grok parse, mapInPandas →
+    multimodal, applyInPandasWithState → streaming multiline): inversion
+    counting is an imperative divide-and-conquer (O(n log n) mergesort,
+    here numpy argsort-based O(n log n)) that SQL can only state as the
+    O(n²) pair self-join — which is exactly what the DuckDB oracle runs,
+    so the clever kernel is verified against the brute-force definition.
+    Groups are whole conversations (bounded by max conversation length);
+    the shuffle is the same single conv_id exchange as every tx op."""
+    import pandas as pd
+
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    base = (_clean(routed)
+            .select("conv_id", "turn_idx", lat.alias("lat"))
+            .filter(F.col("lat").isNotNull()))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        s = pdf.sort_values("turn_idx")["lat"].to_numpy(dtype="int64")
+        n = len(s)
+        # count pairs i<j with s[i] > s[j] via BIT over the rank-compressed
+        # values — O(n log n), exact, no recursion depth issues
+        order = np.argsort(s, kind="stable")
+        ranks = np.empty(n, dtype="int64")
+        ranks[order] = np.arange(n)
+        tree = np.zeros(n + 1, dtype="int64")
+        inv = 0
+        for r in ranks[::-1]:          # scan right-to-left
+            i = r                       # count strictly-smaller ranks seen
+            while i > 0:
+                inv += tree[i]
+                i -= i & (-i)
+            i = r + 1
+            while i <= n:
+                tree[i] += 1
+                i += i & (-i)
+        return pd.DataFrame({"conv_id": [pdf["conv_id"].iloc[0]],
+                             "n_turns": [n], "inversions": [int(inv)]})
+
+    return (base.groupBy("conv_id")
+            .applyInPandas(kernel,
+                           "conv_id string, n_turns long, inversions long"))
+
+
+def sql_latency_inversions(tx_view: str) -> str:
+    # TRY_CAST: the WHERE conjunction order is not guaranteed, so the
+    # regex cast may run on a corrupt row before SQL_CLEAN filters it —
+    # CAST('' AS BIGINT) is a hard error in DuckDB, TRY_CAST yields NULL
+    lat = ("TRY_CAST(regexp_extract(text, '\"latency_ms\":(\\d+)', 1)"
+           " AS BIGINT)")
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, turn_idx, {lat} AS lat
+            FROM {tx_view}
+            WHERE {SQL_CLEAN} AND {lat} IS NOT NULL
+        )
+        SELECT a.conv_id,
+               CAST(COUNT(DISTINCT a.turn_idx) AS BIGINT) AS n_turns,
+               CAST(COALESCE(SUM(CASE WHEN a.turn_idx < b.turn_idx
+                                       AND a.lat > b.lat
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS inversions
+        FROM clean a JOIN clean b ON b.conv_id = a.conv_id
+        GROUP BY a.conv_id
+    """

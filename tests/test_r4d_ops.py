@@ -552,3 +552,29 @@ def test_rle_audit_orderings(spark):
     assert out["user_ts"]["n_runs"] == 3
     assert out["day_ts"]["n_runs"] == 2
     assert out["day_ts"]["avg_run_x1000"] == 2000
+
+
+def test_latency_inversions_bit_kernel(spark):
+    # lat by turn order: [5, 3, 4, 3] -> inversions: (5,3),(5,4),(5,3),
+    # (4,3) = 4; ties (3,3) don't count. Sorted conv -> 0.
+    rows = [("A", 0, _pay(latency=5)), ("A", 1, _pay(latency=3)),
+            ("A", 2, _pay(latency=4)), ("A", 3, _pay(latency=3)),
+            ("B", 0, _pay(latency=1)), ("B", 1, _pay(latency=2))]
+    out = {r["conv_id"]: r for r in
+           TX.latency_inversions(_routed(spark, rows)).collect()}
+    assert out["A"]["inversions"] == 4 and out["A"]["n_turns"] == 4
+    assert out["B"]["inversions"] == 0
+
+
+def test_latency_inversions_matches_bruteforce_random(spark):
+    import random
+    rng = random.Random(11)
+    rows, brute = [], {}
+    for conv in ["C1", "C2"]:
+        lats = [rng.randint(1, 9) for _ in range(40)]
+        rows += [(conv, i, _pay(latency=v)) for i, v in enumerate(lats)]
+        brute[conv] = sum(1 for i in range(40) for j in range(i + 1, 40)
+                          if lats[i] > lats[j])
+    out = {r["conv_id"]: r["inversions"] for r in
+           TX.latency_inversions(_routed(spark, rows)).collect()}
+    assert out == brute

@@ -359,3 +359,69 @@ def iceberg_commit_batch_sql(table: str = "ckpt.checkpoint") -> str:
             f"ON t.run_id = s.run_id AND t.batch_id = s.batch_id "
             f"AND t.src_file = s.src_file "
             f"WHEN NOT MATCHED THEN INSERT *")
+
+
+def compact_checkpoint(spark: SparkSession, ckpt_dir: str) -> dict:
+    """Compact the checkpoint metadata tables in place — the maintenance
+    pass a long-lived resumable pipeline must run: every committed batch
+    appends one small parquet file to each table (`coalesce(1).append`),
+    so after 10^5 batches a resume pays 10^5 file opens just to learn
+    what is already done.
+
+    Semantics preserved EXACTLY:
+    - checkpoint table: rows are already per (src_file x partition) facts
+      (including ``truncated://`` tombstones, whose batch_ids must keep
+      protecting committed output from clean_orphan_staging) — they are
+      rewritten verbatim into one file, only the file count changes;
+    - filestate table: collapsed to per-file MAX(bytes) — the only
+      reading anyone does (truncated_files' groupBy-max), so dropping
+      superseded smaller rows changes no answer.
+
+    Driver-side pyarrow (metadata scale, same as recover_truncated), and
+    crash-safe the same way resume itself is: the new file is fully
+    written into a staging dir first and the swap is two renames — a
+    crash between them leaves either the old or the new table readable,
+    and re-running compaction is idempotent. Returns per-table
+    (files_before, files_after, rows)."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    report = {}
+
+    def _swap(path: str, tbl) -> None:
+        stage = path + ".compact-staging"
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
+        os.makedirs(stage)
+        pq.write_table(tbl, os.path.join(stage, "part-0000.parquet"))
+        old = path + ".compact-old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(stage, path)
+        shutil.rmtree(old)
+
+    ckpt = _ckpt_path(ckpt_dir)
+    if os.path.isdir(ckpt):
+        files = glob.glob(os.path.join(ckpt, "*.parquet"))
+        tbl = pq.read_table(ckpt)
+        _swap(ckpt, tbl)
+        report["checkpoint"] = {"files_before": len(files),
+                                "files_after": 1, "rows": tbl.num_rows}
+
+    fs = _filestate_path(ckpt_dir)
+    if os.path.isdir(fs):
+        files = glob.glob(os.path.join(fs, "*.parquet"))
+        tbl = pq.read_table(fs)
+        agg = (pa.table({"src_file": tbl.column("src_file"),
+                         "bytes": tbl.column("bytes")})
+               .group_by("src_file").aggregate([("bytes", "max")])
+               .rename_columns(["src_file", "bytes"]))
+        agg = agg.sort_by("src_file")
+        _swap(fs, agg)
+        report["filestate"] = {"files_before": len(files),
+                               "files_after": 1, "rows": agg.num_rows}
+    return report

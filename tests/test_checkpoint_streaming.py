@@ -595,3 +595,44 @@ def test_stream_cms_cells_merge_equals_batch(spark, tmp_path):
             .filter((F.col("cell").isNull()) | (F.col("bcell").isNull())
                     | (F.col("cell") != F.col("bcell"))))
     assert diff.count() == 0
+
+
+def test_compact_checkpoint_preserves_resume_and_truncation(
+        spark, tmp_path, tx_files):
+    """Compaction must change FILE COUNTS only: committed sets identical,
+    resume a no-op, truncation detection still fires, tombstoned batches
+    still protect their output, and re-compaction is idempotent."""
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(input_dir)
+
+    # three separate commits -> three appended files per metadata table
+    for i, f in enumerate(tx_files[:3]):
+        shutil.copy(f, input_dir)
+        ck.run_resumable(spark, input_dir, ckpt, out, f"run{i}")
+    before_files = ck.committed_files(spark, ckpt)
+    before_batches = ck.committed_batches(spark, ckpt)
+
+    rep = ck.compact_checkpoint(spark, ckpt)
+    assert rep["checkpoint"]["files_before"] >= 3
+    assert rep["checkpoint"]["files_after"] == 1
+    assert rep["filestate"]["files_after"] == 1
+    assert ck.committed_files(spark, ckpt) == before_files
+    assert ck.committed_batches(spark, ckpt) == before_batches
+
+    # resume over the same input: nothing pending
+    r = ck.run_resumable(spark, input_dir, ckpt, out, "post")
+    assert r["files"] == []
+
+    # truncation detection still works on the compacted filestate
+    victim = os.path.join(input_dir, os.path.basename(tx_files[0]))
+    size = os.path.getsize(victim)
+    with open(victim, "r+b") as fh:
+        fh.truncate(size // 2)
+    assert ck.truncated_files(spark, ckpt) == [victim]
+
+    # idempotent: second compaction is a no-op rewrite
+    rep2 = ck.compact_checkpoint(spark, ckpt)
+    assert rep2["checkpoint"]["files_before"] == 1
+    assert ck.committed_batches(spark, ckpt) == before_batches

@@ -298,6 +298,20 @@ def q_churn_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.churn_matrix(_tbl(spark, sf_dir, "events"))
 
 
+def q_top_users_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-rank top users WITH ties — the leaderboard cut LIMIT-k gets
+    wrong (tied peers must all surface)."""
+    from log_collector_spark.operators import behavior as B
+    return B.top_users_with_ties(_tbl(spark, sf_dir, "events"))
+
+
+def q_gmd_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini mean difference per event type via the sorted-weight
+    closed form (O(n log n), never the pair join)."""
+    from log_collector_spark.operators import behavior as B
+    return B.gini_mean_difference(_tbl(spark, sf_dir, "events"))
+
+
 def q_day_bitmask_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitmap-index set algebra: per-type-pair co-active days via
     bit_count over 63-bit day-presence words."""
@@ -1691,6 +1705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounce_rate_events": q_bounce_rate,
         "day_bitmask_overlap_events": q_day_bitmask_overlap,
         "rle_audit_events": q_rle_audit,
+        "top_users_ties_events": q_top_users_ties,
+        "gmd_value_events": q_gmd_value,
         "ip_range_lookup": q_ip_range_lookup,
         "window_lag_events": q_window_lag_events,
         "conversation_stats_events": q_conversation_stats_events,
@@ -1940,6 +1956,8 @@ def oracle_sql() -> dict[str, str]:
         "bounce_rate_events": _bh().sql_bounce_rate(),
         "day_bitmask_overlap_events": _ag().sql_day_bitmask_overlap(),
         "rle_audit_events": _or().sql_rle_audit(),
+        "top_users_ties_events": _bh().sql_top_users_with_ties(),
+        "gmd_value_events": _bh().sql_gini_mean_difference(),
         "stratified_sample_documents": _ta().sql_stratified_sample(),
         "attribution_events": _bh().sql_last_touch_attribution(),
         "ewma_hour_counts": agg_ops.sql_ewma_hour_counts(),

@@ -1561,3 +1561,102 @@ def sql_bounce_rate(table: str = "events", user_col: str = "user_id",
         FROM per_day
         ORDER BY day_idx
     """
+
+
+TOP_RANKS = 3
+
+
+def top_users_with_ties(events: DataFrame, user_col: str = "user_id",
+                        n_ranks: int = TOP_RANKS) -> DataFrame:
+    """Top users BY DENSE RANK — every user whose event count ties one of
+    the top ``n_ranks`` distinct counts is returned (LIMIT-k silently
+    drops tied peers; a leaderboard that hides ties is wrong, and the cut
+    cardinality is data-dependent — the semantics variant the plain top-k
+    queries here deliberately avoid). One user agg + a rank window over
+    the per-user frame."""
+    per_user = (events.groupBy(F.col(user_col).alias("u"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    w = Window.orderBy(F.col("n_events").desc())
+    return (per_user
+            .withColumn("rnk", F.dense_rank().over(w).cast("long"))
+            .filter(F.col("rnk") <= n_ranks)
+            .select(F.col("u").cast("long").alias("user_id"),
+                    "n_events", "rnk")
+            .orderBy("rnk", "user_id"))
+
+
+def sql_top_users_with_ties(table: str = "events",
+                            user_col: str = "user_id",
+                            n_ranks: int = TOP_RANKS) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT {user_col} AS u,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM {table} GROUP BY 1
+        )
+        SELECT CAST(u AS BIGINT) AS user_id, n_events,
+               CAST(dense_rank() OVER (ORDER BY n_events DESC) AS BIGINT)
+                   AS rnk
+        FROM per_user
+        QUALIFY rnk <= {n_ranks}
+        ORDER BY rnk, user_id
+    """
+
+
+def gini_mean_difference(events: DataFrame, group_col: str = "event_type",
+                         value: "F.Column" = None) -> DataFrame:
+    """Exact Gini mean difference per group — the robust dispersion
+    E|X−Y| over all value pairs, computed in O(n log n) via the sorted
+    form Σᵢ (2i−n−1)·x₍ᵢ₎ (i 1-based rank) instead of the O(n²) pair
+    join; the oracle uses the SAME closed form, so this also documents
+    the identity. Ties need no break: the weight sum over any run of
+    equal values is invariant under their internal order. Output keeps
+    exact integer numerator plus GMD ×1000 (2000·num DIV n(n−1)).
+
+    One rank window + one agg per group — the same single exchange as
+    exact_percentiles."""
+    # default: the events.value double quantized to milli-units — the
+    # proven mad_outliers/winsorize convention (oracle-green since r3)
+    v = value if value is not None else \
+        F.round(F.col("value").cast("double") * 1000, 0).cast("long")
+    base = events.select(F.col(group_col).alias("g"), v.alias("x")) \
+                 .filter(F.col("x").isNotNull())
+    w = Window.partitionBy("g").orderBy("x")
+    ranked = (base.withColumn("i", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("g"))))
+    term = (2 * F.col("i") - F.col("n") - 1) * F.col("x")
+    return (ranked.groupBy("g")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.sum(term).cast("long").alias("gmd_num"))
+            .withColumn("gmd_x1000",
+                        F.when(F.col("n") > 1,
+                               F.expr("(2000 * gmd_num) div (n * (n - 1))"))
+                         .otherwise(F.lit(0)).cast("long"))
+            .withColumnRenamed("g", "event_type")
+            .orderBy("event_type"))
+
+
+def sql_gini_mean_difference(
+        table: str = "events", group_col: str = "event_type",
+        value_expr: str = "CAST(round(value * 1000, 0) AS BIGINT)") -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT {group_col} AS g, {value_expr} AS x,
+                   row_number() OVER (PARTITION BY {group_col}
+                                      ORDER BY {value_expr}) AS i,
+                   COUNT(*) OVER (PARTITION BY {group_col}) AS n
+            FROM {table}
+            WHERE {value_expr} IS NOT NULL
+        )
+        SELECT g AS event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM((2 * i - n - 1) * x) AS BIGINT) AS gmd_num,
+               CAST(CASE WHEN MAX(n) > 1
+                         THEN (2000 * SUM((2 * i - n - 1) * x))
+                              // (MAX(n) * (MAX(n) - 1))
+                         ELSE 0 END AS BIGINT) AS gmd_x1000
+        FROM ranked
+        GROUP BY g
+        ORDER BY g
+    """

@@ -578,3 +578,30 @@ def test_latency_inversions_matches_bruteforce_random(spark):
     out = {r["conv_id"]: r["inversions"] for r in
            TX.latency_inversions(_routed(spark, rows)).collect()}
     assert out == brute
+
+
+def test_top_users_with_ties_includes_tied_peers(spark):
+    # counts: u1=3, u2=3, u3=2, u4=1, u5=1 -> ranks 1,1,2,3,3:
+    # with n_ranks=2 -> {u1,u2,u3}; with LIMIT 3 the u2/u1 tie would have
+    # needed an arbitrary cut. n_ranks=3 returns ALL FIVE (both tied).
+    rows = ([(1,)] * 3 + [(2,)] * 3 + [(3,)] * 2 + [(4,)] + [(5,)])
+    ev = spark.createDataFrame(rows, "user_id int")
+    out = B.top_users_with_ties(ev, n_ranks=2).collect()
+    assert sorted(r["user_id"] for r in out) == [1, 2, 3]
+    out3 = B.top_users_with_ties(ev, n_ranks=3).collect()
+    assert sorted(r["user_id"] for r in out3) == [1, 2, 3, 4, 5]
+
+
+def test_gmd_closed_form_equals_pairwise(spark):
+    # values 1,2,4 (milli-quantized 1000,2000,4000): pairwise |diffs|
+    # 1000+3000+2000=6000 over 3 pairs -> GMD 2000; closed form must agree.
+    ev = spark.createDataFrame(
+        [("t", 1.0), ("t", 2.0), ("t", 4.0)],
+        "event_type string, value double")
+    r = B.gini_mean_difference(ev).collect()[0]
+    assert r["n"] == 3
+    # num = sum (2i-n-1)x(i) = (-2)*1000 + 0*2000 + 2*4000 = 6000
+    assert r["gmd_num"] == 6000
+    # 2000*num div n(n-1) = 2000*6000 div 6 = 2_000_000, i.e. GMD=2.0 in
+    # the original units (milli-quantized values x the x1000 output)
+    assert r["gmd_x1000"] == 2_000_000

@@ -1671,8 +1671,89 @@ def q_contamination_score_documents(spark: SparkSession,
                                  docs.filter(F.col("doc_id") % 50 == 0))
 
 
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped min-cost supplier over the DERIVED partsupp (distinct
+    lineitem key pairs + deterministic integer attrs): the correlated MIN
+    subquery decorrelated into groupBy-min + equi-join back, ties kept."""
+    from log_collector_spark.operators import analytics_ps as ps
+    return ps.min_cost_supplier(_tbl(spark, sf_dir, "part"),
+                                _tbl(spark, sf_dir, "supplier"),
+                                _tbl(spark, sf_dir, "nation"),
+                                _tbl(spark, sf_dir, "region"),
+                                _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped product-type profit by (nation, order-year): 6-way join,
+    profit = disc_price − supplycost·qty in exact integer micros."""
+    from log_collector_spark.operators import analytics_ps as ps
+    return ps.product_type_profit(_tbl(spark, sf_dir, "part"),
+                                  _tbl(spark, sf_dir, "supplier"),
+                                  _tbl(spark, sf_dir, "nation"),
+                                  _tbl(spark, sf_dir, "orders"),
+                                  _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_supplier_relationship(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Q16-shaped supplier-relationship count: DISTINCT suppliers per
+    (brand, type, size) with the NOT-IN exclusion as a broadcast
+    anti-join."""
+    from log_collector_spark.operators import analytics_ps as ps
+    return ps.supplier_relationship(_tbl(spark, sf_dir, "part"),
+                                    _tbl(spark, sf_dir, "supplier"),
+                                    _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped excess-stock suppliers: nested IN-chain as
+    aggregate → join → semi-join; 0.5·qty comparison kept integer."""
+    from log_collector_spark.operators import analytics_ps as ps
+    return ps.excess_stock_suppliers(_tbl(spark, sf_dir, "supplier"),
+                                     _tbl(spark, sf_dir, "nation"),
+                                     _tbl(spark, sf_dir, "part"),
+                                     _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup: banded Levenshtein (shingle-blocked
+    candidates, length prefilter, JVM levenshtein verify)."""
+    from log_collector_spark.textops import editdist as E
+    return E.edit_distance_pairs(_docs(spark, sf_dir))
+
+
+def q_autocorr_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer lag-k autocorrelation (k=1..48) of the zero-filled
+    hourly count series — the seasonality detector."""
+    from log_collector_spark.operators import seasonal as S
+    return S.autocorr_hourly(_events(spark, sf_dir))
+
+
+def q_dow_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour load profile with permille shares and peak-hour
+    flags; calendar keys from epoch-ms arithmetic (cross-engine safe)."""
+    from log_collector_spark.operators import seasonal as S
+    return S.dow_hour_profile(_events(spark, sf_dir))
+
+
+def q_token_coverage_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Token-weighted length quantiles: smallest length cutoff retaining
+    each target permille of corpus tokens (max-seq-len curation stat)."""
+    from log_collector_spark.textops import analysis as A
+    return A.token_coverage_cutoff(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
+        "tpch_product_profit": q_tpch_product_profit,
+        "tpch_supplier_relationship": q_tpch_supplier_relationship,
+        "tpch_excess_stock": q_tpch_excess_stock,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "autocorr_hours_events": q_autocorr_hours_events,
+        "dow_profile_events": q_dow_profile_events,
+        "token_coverage_documents": q_token_coverage_documents,
         "grok_parse_events": q_grok_parse_events,
         "route_events": q_route_events,
         "success_error_events": q_success_error_events,
@@ -2474,7 +2555,30 @@ def oracle_sql() -> dict[str, str]:
         "activity_grid_events": _bh().sql_activity_grid(),
         "corpus_yield_documents": _td().sql_corpus_yield(),
         "basket_pairs_events": _bh().sql_basket_pairs(),
+        "tpch_min_cost_supplier": _aps().sql_min_cost_supplier(),
+        "tpch_product_profit": _aps().sql_product_type_profit(),
+        "tpch_supplier_relationship": _aps().sql_supplier_relationship(),
+        "tpch_excess_stock": _aps().sql_excess_stock_suppliers(),
+        "edit_distance_pairs": _ted().sql_edit_distance_pairs(),
+        "autocorr_hours_events": _se().sql_autocorr_hourly(),
+        "dow_profile_events": _se().sql_dow_hour_profile(),
+        "token_coverage_documents": _ta().sql_token_coverage_cutoff(),
     }
+
+
+def _aps():
+    from log_collector_spark.operators import analytics_ps
+    return analytics_ps
+
+
+def _se():
+    from log_collector_spark.operators import seasonal
+    return seasonal
+
+
+def _ted():
+    from log_collector_spark.textops import editdist
+    return editdist
 
 
 def _bh():

@@ -1,0 +1,217 @@
+"""Seasonality diagnostics over the events stream: exact integer
+autocorrelation of the hourly count series, and the day-of-week × hour
+load profile.
+
+Both stay on the repo's integer-arithmetic invariant: the ACF is emitted
+as exact BIGINT numerator/denominator (the Pearson sums scaled by n², so
+no rational ever materializes) plus a floored permille, and the calendar
+keys come from epoch-millisecond arithmetic — ``dow = (epoch_days + 4) %% 7``
+(1970-01-01 was a Thursday; 0 = Sunday) — NEVER from engine date-part
+functions, whose week-numbering conventions differ between Spark and
+DuckDB.
+
+Scale (100 TB): the raw stream collapses to per-hour counts in ONE
+map-side-combined aggregation; everything after (dense grid, lag self-join,
+profile windows) runs on the hour-count table — |hours| rows, metadata
+scale even for a decade of data (~90k rows). The lag join fans out
+|hours|·max_lag rows; at max_lag=48 that is still metadata scale.
+
+Overflow bound: ``acf_num`` ~ n²·Σx·x ≤ n²·Q·1000; with hourly counts x
+and n hours, BIGINT holds while n²·Q < 9e15 — e.g. 10 years of hours
+(n≈9e4) with x up to ~1e3. Beyond that, pre-aggregate to daily counts or
+widen the three cross-products to DECIMAL(38,0); the plan shape is
+unchanged.
+
+Reference parity anchor: engine extension (SURVEY §2.12) — the natural
+next question over the reference's minute-counter output
+(reference/src/main/java/io/sugo/collect/metrics/*).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..textops import common as C
+
+ACF_MAX_LAG = 48
+
+_HOUR_MS = 3600000
+_DAY_MS = 86400000
+
+
+def _hour_idx(ts_col: str):
+    return F.expr(f"unix_micros(cast({ts_col} as timestamp)) "
+                  f"div 1000 div {_HOUR_MS}").cast("long")
+
+
+def autocorr_hourly(events: DataFrame, ts_col: str = "ts",
+                    max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Exact lag-k autocorrelation of the zero-filled hourly count series,
+    k = 1..max_lag.
+
+    For the series x_1..x_n with S = Σx, Q = Σx², the lag-k Pearson sums
+    scale by n² into pure integers::
+
+        num_k = n²·P_k − n·S·(A_k + B_k) + (n−k)·S²
+        den   = n²·Q − n·S²          (lag-independent)
+
+    where P_k = Σ x_t·x_{t−k}, A_k = Σ_{t>k} x_t, B_k = Σ_{t≤n−k} x_t.
+    acf = num/den; the permille divides with truncation toward zero in
+    both engines (num may be negative; Spark's integer DIV and DuckDB's
+    INTEGER // both truncate — measured, not assumed: DuckDB floors only
+    the FLOAT // form).
+
+    Returns (lag, n_terms, acf_num, acf_den, acf_permille), ORDER BY lag.
+    """
+    counts = (events
+              .select(_hour_idx(ts_col).alias("h"))
+              .groupBy("h").agg(F.count(F.lit(1)).alias("x")))
+    bounds = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h"))
+    dense = (grid.join(counts, "h", "left")
+             .select("h", F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+    tot = dense.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("x").alias("s"),
+                    F.sum(F.col("x") * F.col("x")).alias("q"))
+    lags = (events.sparkSession.range(1, max_lag + 1)
+            .select(F.col("id").cast("long").alias("lag")))
+    d2 = dense.select(F.col("h").alias("h2"), F.col("x").alias("x2"))
+    pairs = (dense.crossJoin(F.broadcast(lags))
+             .join(d2, F.col("h2") == F.col("h") - F.col("lag"))
+             .groupBy("lag")
+             .agg(F.count(F.lit(1)).alias("n_terms"),
+                  F.sum(F.col("x") * F.col("x2")).alias("p"),
+                  F.sum("x").alias("a"),
+                  F.sum("x2").alias("b")))
+    out = (pairs.crossJoin(F.broadcast(tot))
+           .withColumn("acf_num",
+                       (F.col("n") * F.col("n") * F.col("p")
+                        - F.col("n") * F.col("s")
+                          * (F.col("a") + F.col("b"))
+                        + (F.col("n") - F.col("lag"))
+                          * F.col("s") * F.col("s")).cast("long"))
+           .withColumn("acf_den",
+                       (F.col("n") * F.col("n") * F.col("q")
+                        - F.col("n") * F.col("s") * F.col("s"))
+                       .cast("long"))
+           .withColumn(
+               "acf_permille",
+               F.when(F.col("acf_den") > 0,
+                      F.expr("(acf_num * 1000) div acf_den"))
+               .otherwise(F.lit(0)).cast("long")))
+    return (out.select("lag", F.col("n_terms").cast("long").alias("n_terms"),
+                       "acf_num", "acf_den", "acf_permille")
+            .orderBy("lag"))
+
+
+def sql_autocorr_hourly(table: str = "events",
+                        max_lag: int = ACF_MAX_LAG) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT CAST(epoch_ms(ts) // {_HOUR_MS} AS BIGINT) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM {table} GROUP BY 1
+        ),
+        b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM counts),
+        grid AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+        dense AS (
+            SELECT g.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+            FROM grid g LEFT JOIN counts c USING (h)
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q
+            FROM dense
+        ),
+        lags AS (
+            SELECT CAST(unnest(generate_series(1, {max_lag})) AS BIGINT)
+                   AS lag
+        ),
+        pairs AS (
+            SELECT l.lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(d1.x * d2.x) AS BIGINT) AS p,
+                   CAST(SUM(d1.x) AS BIGINT) AS a,
+                   CAST(SUM(d2.x) AS BIGINT) AS b
+            FROM lags l
+            JOIN dense d1 ON TRUE
+            JOIN dense d2 ON d2.h = d1.h - l.lag
+            GROUP BY l.lag
+        )
+        SELECT p.lag, p.n_terms,
+               CAST(t.n*t.n*p.p - t.n*t.s*(p.a + p.b)
+                    + (t.n - p.lag)*t.s*t.s AS BIGINT) AS acf_num,
+               CAST(t.n*t.n*t.q - t.n*t.s*t.s AS BIGINT) AS acf_den,
+               CAST(CASE WHEN t.n*t.n*t.q - t.n*t.s*t.s > 0
+                    THEN (1000 * (t.n*t.n*p.p - t.n*t.s*(p.a + p.b)
+                                  + (t.n - p.lag)*t.s*t.s))
+                         // (t.n*t.n*t.q - t.n*t.s*t.s)
+                    ELSE 0 END AS BIGINT) AS acf_permille
+        FROM pairs p CROSS JOIN tot t
+        ORDER BY lag
+    """
+
+
+def dow_hour_profile(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Day-of-week × hour-of-day load profile: event count, permille share
+    of that weekday's total, and a peak-hour flag (max count, min-hour
+    tie-break). Calendar keys from epoch-ms arithmetic (module docstring).
+
+    Returns (dow, hour, n_events, dow_share_permille, is_peak),
+    ORDER BY (dow, hour); 0 = Sunday."""
+    ms = f"(unix_micros(cast({ts_col} as timestamp)) div 1000)"
+    cell = (events
+            .select(F.expr(f"({ms} div {_DAY_MS} + 4) % 7").cast("long")
+                    .alias("dow"),
+                    F.expr(f"({ms} div {_HOUR_MS}) % 24").cast("long")
+                    .alias("hour"))
+            .groupBy("dow", "hour")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    wd = Window.partitionBy("dow")
+    out = (cell
+           .withColumn("dow_total", F.sum("n_events").over(wd))
+           .withColumn("max_n", F.max("n_events").over(wd))
+           .withColumn("peak_hour",
+                       F.min(F.when(F.col("n_events") == F.col("max_n"),
+                                    F.col("hour"))).over(wd))
+           .select("dow", "hour",
+                   F.col("n_events").cast("long").alias("n_events"),
+                   C.permille(F.col("n_events"), F.col("dow_total"))
+                    .alias("dow_share_permille"),
+                   (F.col("hour") == F.col("peak_hour")).alias("is_peak")))
+    return out.orderBy("dow", "hour")
+
+
+def sql_dow_hour_profile(table: str = "events") -> str:
+    return f"""
+        WITH cell AS (
+            SELECT CAST((epoch_ms(ts) // {_DAY_MS} + 4) % 7 AS BIGINT)
+                       AS dow,
+                   CAST((epoch_ms(ts) // {_HOUR_MS}) % 24 AS BIGINT)
+                       AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM {table} GROUP BY 1, 2
+        ),
+        w0 AS (
+            SELECT dow, hour, n_events,
+                   SUM(n_events) OVER (PARTITION BY dow) AS dow_total,
+                   MAX(n_events) OVER (PARTITION BY dow) AS max_n
+            FROM cell
+        ),
+        w AS (
+            SELECT dow, hour, n_events, dow_total,
+                   MIN(CASE WHEN n_events = max_n THEN hour END)
+                       OVER (PARTITION BY dow) AS peak_hour
+            FROM w0
+        )
+        SELECT dow, hour, n_events,
+               {C.sql_permille('n_events', 'dow_total')}
+                   AS dow_share_permille,
+               hour = peak_hour AS is_peak
+        FROM w
+        ORDER BY dow, hour
+    """

@@ -2107,3 +2107,91 @@ def sql_weighted_sample(table: str = "documents",
         ORDER BY rank_key, doc_id
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Token-coverage length cutoff (curation: "what max-length filter keeps
+# X permille of the training tokens?")
+# ---------------------------------------------------------------------------
+
+COVERAGE_TARGETS = (500, 900, 950, 990)
+
+
+def token_coverage_cutoff(df: DataFrame, text_col: str = "text",
+                          targets: tuple = COVERAGE_TARGETS) -> DataFrame:
+    """For each target permille, the smallest doc-length cutoff L such that
+    keeping only docs with n_tokens <= L retains >= target/1000 of ALL
+    corpus tokens — the token-weighted length quantile every max-seq-len /
+    truncation decision reads off.
+
+    Plan: per-doc token counts collapse to per-LENGTH token totals in one
+    map-side-combined agg (|distinct lengths| rows — metadata scale at any
+    corpus size); a single cumulative window over length asc; targets is a
+    tiny broadcast cross; min_by picks the first length crossing each
+    target. The corpus-scale work is exactly one narrow pass + one shuffle
+    of |lengths| rows.
+
+    Returns (target_permille, cutoff_len, covered_permille), ORDER BY
+    target_permille — all BIGINT (the covered share at the cutoff, >= the
+    target by construction)."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    per_len = (df.select(F.size(C.tokens(F.col(text_col))).cast("long")
+                         .alias("n_tokens"))
+               .groupBy("n_tokens")
+               .agg(F.count(F.lit(1)).alias("n_docs")))
+    w = (Window.orderBy("n_tokens")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (per_len
+           .withColumn("len_tokens", F.col("n_tokens") * F.col("n_docs"))
+           .withColumn("cum_tokens", F.sum("len_tokens").over(w))
+           .withColumn("total_tokens",
+                       F.sum("len_tokens").over(
+                           Window.orderBy(F.lit(1))
+                           .rowsBetween(Window.unboundedPreceding,
+                                        Window.unboundedFollowing))))
+    tgt = spark.createDataFrame([(int(t),) for t in targets],
+                                "target_permille long")
+    hit = (cum.crossJoin(F.broadcast(tgt))
+           .filter(F.col("cum_tokens") * 1000
+                   >= F.col("target_permille") * F.col("total_tokens")))
+    return (hit.groupBy("target_permille")
+            .agg(F.min("n_tokens").cast("long").alias("cutoff_len"),
+                 C.permille(F.min_by("cum_tokens", "n_tokens"),
+                            F.min_by("total_tokens", "n_tokens"))
+                 .alias("covered_permille"))
+            .orderBy("target_permille"))
+
+
+def sql_token_coverage_cutoff(table: str = "documents",
+                              targets: tuple = COVERAGE_TARGETS) -> str:
+    tok = C.sql_tokens("text")
+    tlist = ", ".join(f"({t})" for t in targets)
+    return f"""
+        WITH per_len AS (
+            SELECT CAST(len({tok}) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM {table} GROUP BY 1
+        ),
+        cum AS (
+            SELECT n_tokens,
+                   CAST(SUM(n_tokens * n_docs) OVER (
+                        ORDER BY n_tokens
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_tokens,
+                   CAST(SUM(n_tokens * n_docs) OVER () AS BIGINT)
+                       AS total_tokens
+            FROM per_len
+        ),
+        tgt(target_permille) AS (VALUES {tlist})
+        SELECT CAST(t.target_permille AS BIGINT) AS target_permille,
+               CAST(MIN(c.n_tokens) AS BIGINT) AS cutoff_len,
+               {C.sql_permille('arg_min(c.cum_tokens, c.n_tokens)',
+                               'arg_min(c.total_tokens, c.n_tokens)')}
+                   AS covered_permille
+        FROM cum c CROSS JOIN tgt t
+        WHERE c.cum_tokens * 1000 >= t.target_permille * c.total_tokens
+        GROUP BY t.target_permille
+        ORDER BY target_permille
+    """

@@ -1,0 +1,183 @@
+"""Round-4 continuation III: the derived-partsupp TPC-H completions
+(Q2/Q9/Q16/Q20), banded Levenshtein near-dup, integer hourly ACF,
+day-of-week profile, and the token-coverage cutoff — corner semantics on
+tiny crafted frames (min-cost ties, negative profit, strict excess
+boundary, zero-variance ACF, calendar epoch arithmetic, exact quantile
+crossings); the DuckDB oracle covers them end-to-end at sf0.01."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from log_collector_spark.operators import analytics_ps as ps
+from log_collector_spark.operators import seasonal as se
+from log_collector_spark.textops import analysis as ta
+from log_collector_spark.textops import editdist as ed
+
+
+def _li(spark, rows):
+    """lineitem slice: only the columns the derived relation and the
+    shipped-qty aggregate read."""
+    return spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_quantity double, l_extendedprice double, "
+              "l_discount double, l_shipdate timestamp")
+
+
+def _t(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_derived_partsupp_distinct_and_deterministic(spark):
+    li = _li(spark, [(1, 7, 3, 1.0, 1.0, 0.0, _t("1996-06-01")),
+                     (2, 7, 3, 2.0, 1.0, 0.0, _t("1996-07-01"))])
+    rows = ps.derived_partsupp(li).collect()
+    assert len(rows) == 1  # duplicate (partkey, suppkey) collapses
+    r = rows[0]
+    assert r["ps_availqty"] == (7 * 37 + 3 * 11) % 1000 + 1
+    assert r["ps_supplycost_cents"] == (7 * 97 + 3 * 31) % 100000 + 100
+
+
+def test_min_cost_supplier_keeps_ties(spark):
+    # suppkeys 1 and 100001: 31*100000 ≡ 0 (mod 100000), so both offers
+    # carry the SAME supplycost — Q2 keeps every min-cost row.
+    part = spark.createDataFrame(
+        [(5, "thing", 15, "STANDARD")],
+        "p_partkey long, p_name string, p_size int, p_type string")
+    supplier = spark.createDataFrame(
+        [(1, "s1", 0, 10.0), (100001, "s2", 0, 20.0), (2, "s3", 0, 5.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+    nation = spark.createDataFrame(
+        [(0, "N", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    region = spark.createDataFrame(
+        [(0, "ASIA")], "r_regionkey int, r_name string")
+    li = _li(spark, [(1, 5, 1, 1.0, 1.0, 0.0, _t("1996-01-01")),
+                     (2, 5, 100001, 1.0, 1.0, 0.0, _t("1996-01-01")),
+                     (3, 5, 2, 1.0, 1.0, 0.0, _t("1996-01-01"))])
+    out = ps.min_cost_supplier(part, supplier, nation, region, li).collect()
+    # supp 2 has cost (5*97+2*31)%100000+100 = 647+100 != min(587+100)?
+    c1 = (5 * 97 + 1 * 31) % 100000 + 100
+    c2 = (5 * 97 + 2 * 31) % 100000 + 100
+    assert c1 < c2  # supp 1/100001 are the tied minimum
+    assert [r["s_name"] for r in out] == ["s2", "s1"]  # acctbal desc
+    assert all(r["supplycost_cents"] == c1 for r in out)
+
+
+def test_product_profit_negative_and_year_grouped(spark):
+    # cost 100c * 10000 * qty 5 = 5e6 micros > revenue 1e6 micros -> loss.
+    part = spark.createDataFrame([(0, "red widget")],
+                                 "p_partkey long, p_name string")
+    supplier = spark.createDataFrame(
+        [(0, "s", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+    nation = spark.createDataFrame(
+        [(0, "N", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    orders = spark.createDataFrame(
+        [(1, _t("1996-03-01")), (2, _t("1997-03-01"))],
+        "o_orderkey long, o_orderdate timestamp")
+    li = _li(spark, [(1, 0, 0, 5.0, 1.0, 0.0, _t("1996-03-02")),
+                     (2, 0, 0, 1.0, 2.0, 0.0, _t("1997-03-02"))])
+    out = {r["o_year"]: r["sum_profit_micros"]
+           for r in ps.product_type_profit(part, supplier, nation,
+                                           orders, li).collect()}
+    cost_c = (0 * 97 + 0 * 31) % 100000 + 100
+    assert out[1996] == 100 * 10000 - cost_c * 10000 * 5  # negative
+    assert out[1997] == 200 * 10000 - cost_c * 10000 * 1
+    assert out[1996] < 0 < out[1997]
+
+
+def test_supplier_relationship_excludes_flagged(spark):
+    part = spark.createDataFrame(
+        [(1, "Brand#1", "MEDIUM", 5)],
+        "p_partkey long, p_brand string, p_type string, p_size int")
+    supplier = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0)], "s_suppkey long, s_acctbal double")
+    li = _li(spark, [(1, 1, 1, 1.0, 1.0, 0.0, _t("1996-01-01")),
+                     (2, 1, 2, 1.0, 1.0, 0.0, _t("1996-01-01")),
+                     (3, 1, 1, 1.0, 1.0, 0.0, _t("1996-01-01"))])
+    out = ps.supplier_relationship(part, supplier, li).collect()
+    assert len(out) == 1
+    # supp 2 (negative balance) excluded; duplicate offer counted once
+    assert out[0]["supplier_cnt"] == 1
+
+
+def test_excess_stock_strict_boundary_and_never_shipped(spark):
+    # part 1 / supp 1: availqty 49. shipped 98 -> 2*49 > 98 FALSE (strict);
+    # shipped 97 -> TRUE. part 2 / supp 2 never shipped in-window -> TRUE.
+    supplier = spark.createDataFrame(
+        [(1, "sa", 0, 0.0), (2, "sb", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+    nation = spark.createDataFrame(
+        [(0, "NATION_9", 0)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    part = spark.createDataFrame(
+        [(1, "red bolt"), (2, "red rod")], "p_partkey long, p_name string")
+    for qty, expect in ((98.0, {"sb"}), (97.0, {"sa", "sb"})):
+        li = _li(spark, [
+            (1, 1, 1, qty, 1.0, 0.0, _t("1996-06-01")),     # in window
+            (2, 2, 2, 50.0, 1.0, 0.0, _t("1995-06-01"))])   # out of window
+        out = ps.excess_stock_suppliers(supplier, nation, part, li)
+        assert {r["s_name"] for r in out.collect()} == expect
+
+
+def test_edit_distance_pairs_threshold_and_length_prefilter(spark):
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, base + "X"),                       # dist 1
+         (3, base + " padpadpadpad"),           # len diff 13 > 5: pruned
+         (4, "totally different words here")],  # no shared shingle
+        "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["edit_dist"]
+           for r in ed.edit_distance_pairs(docs, max_dist=5).collect()}
+    assert out == {(1, 2): 1}
+
+
+def test_autocorr_zero_variance_guard_and_sign(spark):
+    # hours 0..3 with counts 1,0,1,0 (odd hours zero-filled by the grid):
+    # den=16, lag-1 num=-12 -> acf_permille = -750; constant series den=0.
+    rows = [(_t("1970-01-01 00:10"),), (_t("1970-01-01 02:10"),)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    # series is x=[1,0,1] (hours 0..2): S=2,n=3,Q=2 -> den=9*2-3*4=6
+    out = {r["lag"]: r for r in se.autocorr_hourly(df, max_lag=2).collect()}
+    assert out[1]["acf_den"] == 6
+    # lag1: P=0, A=x2+x3=1, B=x1+x2=1 -> num=0-3*2*2+2*4=-4
+    assert out[1]["acf_num"] == -4
+    assert out[1]["acf_permille"] == -4 * 1000 // 6 + (1 if (-4000) % 6 else 0)
+    const = spark.createDataFrame(
+        [(_t("1970-01-01 00:10"),), (_t("1970-01-01 01:10"),)],
+        "ts timestamp")
+    c = se.autocorr_hourly(const, max_lag=1).collect()[0]
+    assert c["acf_den"] == 0 and c["acf_permille"] == 0
+
+
+def test_dow_profile_epoch_thursday_and_peak_tiebreak(spark):
+    # 1970-01-01 is Thursday -> dow (0+4)%7 = 4; hours 1 and 3 tie at 2
+    # events -> peak flag on the earlier hour only.
+    rows = [(_t("1970-01-01 01:00"),), (_t("1970-01-01 01:30"),),
+            (_t("1970-01-01 03:00"),), (_t("1970-01-01 03:30"),),
+            (_t("1970-01-01 05:00"),)]
+    out = se.dow_hour_profile(spark.createDataFrame(rows, "ts timestamp")) \
+            .collect()
+    assert all(r["dow"] == 4 for r in out)
+    flags = {r["hour"]: (r["is_peak"], r["dow_share_permille"])
+             for r in out}
+    assert flags[1] == (True, 400) and flags[3] == (False, 400)
+    assert flags[5] == (False, 200)
+
+
+def test_token_coverage_exact_crossings(spark):
+    # token counts 1,1,2: total 4. target 500: cum(len1)=2, 2000>=2000 ->
+    # cutoff 1 covered 500. target 900: cutoff 2 covered 1000.
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c d")], "doc_id long, text string")
+    out = {r["target_permille"]: r for r in
+           ta.token_coverage_cutoff(docs, targets=(500, 900)).collect()}
+    assert (out[500]["cutoff_len"], out[500]["covered_permille"]) == (1, 500)
+    assert (out[900]["cutoff_len"], out[900]["covered_permille"]) == (2, 1000)

@@ -1744,8 +1744,39 @@ def q_token_coverage_documents(spark: SparkSession,
     return A.token_coverage_cutoff(_docs(spark, sf_dir))
 
 
+def q_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup: longest shared contiguous token span
+    per candidate pair via positional shingle anchors on one diagonal
+    (gaps-and-islands) — position-aware where the set-similarity family
+    is not."""
+    from log_collector_spark.textops import dedup as D
+    return D.substring_span_pairs(_docs(spark, sf_dir))
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train↔eval decontamination: sign-LSH buckets +
+    exact integer-cosine verify; the eval slice (vec_id % 50 == 0) is the
+    broadcast side."""
+    from log_collector_spark.textops import dedup as D
+    embs = _embs(spark, sf_dir)
+    return D.semantic_decontaminate(
+        embs.filter(F.col("vec_id") % 50 != 0),
+        embs.filter(F.col("vec_id") % 50 == 0))
+
+
+def q_tx_turn_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation dropped-turn audit: hole counts + first hole index
+    in the routed turn sequence (the per-conv view of the failure
+    tallies)."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.turn_holes(pl.full_pipeline(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "substring_span_pairs": q_substring_span_pairs,
+        "semantic_decontaminate_embeddings": q_semantic_decontaminate,
+        "tx_turn_holes": q_tx_turn_holes,
         "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
         "tpch_product_profit": q_tpch_product_profit,
         "tpch_supplier_relationship": q_tpch_supplier_relationship,
@@ -2563,6 +2594,10 @@ def oracle_sql() -> dict[str, str]:
         "autocorr_hours_events": _se().sql_autocorr_hourly(),
         "dow_profile_events": _se().sql_dow_hour_profile(),
         "token_coverage_documents": _ta().sql_token_coverage_cutoff(),
+        "substring_span_pairs": _td().sql_substring_span_pairs(),
+        "semantic_decontaminate_embeddings":
+            _td().sql_semantic_decontaminate(),
+        "tx_turn_holes": _tx().sql_turn_holes(tx_view),
     }
 
 

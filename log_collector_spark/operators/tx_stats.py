@@ -634,3 +634,64 @@ def sql_latency_inversions(tx_view: str) -> str:
         FROM clean a JOIN clean b ON b.conv_id = a.conv_id
         GROUP BY a.conv_id
     """
+
+
+def turn_holes(routed: DataFrame) -> DataFrame:
+    """Per-conversation dropped-turn audit: which conversations have HOLES
+    in their turn-index sequence after routing, how many, and where the
+    first one is. Routing removes blank / oversize / parse-failed turns
+    (the reference's filter semantics), so a hole is exactly "a turn this
+    pipeline discarded" — the per-conversation accounting of the global
+    failure tallies, and the QA view a training-data consumer reads
+    before trusting a conversation as a contiguous dialog.
+
+    Under stable (conv_id, turn_idx) order: rn = row_number − 1 equals
+    turn_idx for a gap-free prefix, so the first row with
+    turn_idx ≠ rn marks the first hole (at index rn), and
+    max_turn_idx + 1 − n_turns counts them. One conv_id window + one agg
+    — a single shuffle, same exchange the other tx reports share.
+
+    Returns (conv_id, n_turns, max_turn_idx, n_holes, first_hole_idx)
+    for conversations with n_holes > 0, ORDER BY conv_id."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    marked = (_clean(routed)
+              .select("conv_id", F.col("turn_idx").cast("long")
+                      .alias("turn_idx"))
+              .distinct()
+              .withColumn("rn", F.row_number().over(w).cast("long") - 1))
+    return (marked.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.max("turn_idx").cast("long").alias("max_turn_idx"),
+                 (F.max("turn_idx") + 1 - F.count(F.lit(1))).cast("long")
+                 .alias("n_holes"),
+                 F.min(F.when(F.col("turn_idx") != F.col("rn"),
+                              F.col("rn"))).cast("long")
+                 .alias("first_hole_idx"))
+            .filter(F.col("n_holes") > 0)
+            .orderBy("conv_id"))
+
+
+def sql_turn_holes(tx_view: str) -> str:
+    return f"""
+        WITH clean AS (
+            SELECT DISTINCT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+            FROM {tx_view}
+            WHERE {SQL_CLEAN}
+        ), marked AS (
+            SELECT conv_id, turn_idx,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx) - 1
+                        AS BIGINT) AS rn
+            FROM clean
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx,
+               CAST(MAX(turn_idx) + 1 - COUNT(*) AS BIGINT) AS n_holes,
+               CAST(MIN(CASE WHEN turn_idx <> rn THEN rn END) AS BIGINT)
+                   AS first_hole_idx
+        FROM marked
+        GROUP BY conv_id
+        HAVING MAX(turn_idx) + 1 - COUNT(*) > 0
+        ORDER BY conv_id
+    """

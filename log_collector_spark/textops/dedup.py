@@ -1540,3 +1540,202 @@ def dedup_clusters_star(df: DataFrame, text_col: str = "text",
         return out.withColumn("keep", F.col("doc_id") == F.col("cluster"))
     finally:
         nodes.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (the suffix-array substring-dedup analogue:
+# longest shared CONTIGUOUS token span per candidate pair)
+# ---------------------------------------------------------------------------
+
+SPAN_SHINGLE_K = 3
+SPAN_MIN_TOKENS = 10
+SPAN_MAX_DF = 20
+
+
+def substring_span_pairs(df: DataFrame, text_col: str = "text",
+                         k: int = SPAN_SHINGLE_K,
+                         min_span_tokens: int = SPAN_MIN_TOKENS,
+                         max_df: int = SPAN_MAX_DF) -> DataFrame:
+    """Pairs sharing a contiguous token span of >= ``min_span_tokens``,
+    with the exact max shared span length — the distributed stand-in for
+    suffix-array exact-substring dedup (dedup on a 50-token repeated
+    substring), which no set-similarity operator (MinHash/SimHash/Jaccard)
+    can express because they all discard POSITION.
+
+    Plan: positional shingle hashes (doc_id, pos, h60(k-gram)) — NOT the
+    distinct-set table the Jaccard family uses; an equi-self-join on the
+    hash yields anchor pairs (pos_a, pos_b); anchors on one DIAGONAL
+    (pos_a − pos_b constant) with CONSECUTIVE pos_a form a run, and a run
+    of r anchors certifies a shared contiguous span of r + k − 1 tokens.
+    Run detection is the gaps-and-islands idiom (pos_a − row_number) under
+    one (doc_a, doc_b, diag) window; the pair rollup takes MAX(span).
+
+    Guards & contracts: shingles in more than ``max_df`` docs leave the
+    index before the self-join (hot-key cap, as everywhere in this
+    module); a dropped hot shingle can SPLIT a run, so spans are a lower
+    bound under the guard — identically in both engines. h60 collisions
+    could in principle fuse a run, but both engines hash identically so
+    cross-engine equality is unaffected.
+
+    Scale (100 TB): text never moves — only (doc, pos, hash) triples; the
+    self-join key is df-capped; windows partition by (pair, diagonal) —
+    cardinality ~ anchor count, never corpus-sized partitions.
+
+    Returns (doc_a, doc_b, max_span_tokens, n_anchors), ORDER BY
+    (doc_a, doc_b); all BIGINT."""
+    from pyspark.sql.window import Window
+
+    tok = C.tokens(F.col(text_col))
+    pos_sh = (df.select("doc_id",
+                        F.posexplode(C.shingles(tok, k)).alias("pos", "sh"))
+              .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                      C.h60(F.col("sh")).alias("h")))
+    hot = (pos_sh.groupBy("h")
+           .agg(F.countDistinct("doc_id").alias("ndocs"))
+           .filter(F.col("ndocs") > max_df).select("h"))
+    idx = pos_sh.join(F.broadcast(hot), "h", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    anchors = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+               .select(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"),
+                       F.col("a.pos").alias("pa"),
+                       F.col("b.pos").alias("pb")))
+    wd = (Window.partitionBy("doc_a", "doc_b",
+                             F.col("pa") - F.col("pb"))
+          .orderBy("pa"))
+    runs = (anchors
+            .withColumn("isl", F.col("pa") - F.row_number().over(wd))
+            .groupBy("doc_a", "doc_b", (F.col("pa") - F.col("pb"))
+                     .alias("diag"), "isl")
+            .agg(F.count(F.lit(1)).alias("run")))
+    return (runs.groupBy("doc_a", "doc_b")
+            .agg((F.max("run") + (k - 1)).cast("long")
+                 .alias("max_span_tokens"),
+                 F.sum("run").cast("long").alias("n_anchors"))
+            .filter(F.col("max_span_tokens") >= min_span_tokens)
+            .orderBy("doc_a", "doc_b"))
+
+
+def sql_substring_span_pairs(table: str = "documents",
+                             k: int = SPAN_SHINGLE_K,
+                             min_span_tokens: int = SPAN_MIN_TOKENS,
+                             max_df: int = SPAN_MAX_DF) -> str:
+    sh = C.sql_shingles(C.sql_tokens("text"), k)
+    h = C.sql_h60("sh")
+    return f"""
+        WITH pos_sh AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos, {h} AS h
+            FROM (
+                SELECT doc_id, i, shingles[i + 1] AS sh
+                FROM (SELECT doc_id, {sh} AS shingles FROM {table}),
+                     unnest(range(0, len(shingles))) AS t(i)
+            )
+        ),
+        hot AS (
+            SELECT h FROM pos_sh GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) > {max_df}
+        ),
+        idx AS (SELECT * FROM pos_sh WHERE h NOT IN (SELECT h FROM hot)),
+        anchors AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pa, b.pos AS pb
+            FROM idx a JOIN idx b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        runs AS (
+            SELECT doc_a, doc_b, pa - pb AS diag,
+                   pa - ROW_NUMBER() OVER (
+                       PARTITION BY doc_a, doc_b, pa - pb
+                       ORDER BY pa) AS isl
+            FROM anchors
+        ),
+        rl AS (
+            SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run
+            FROM runs GROUP BY doc_a, doc_b, diag, isl
+        )
+        SELECT doc_a, doc_b,
+               CAST(MAX(run) + {k - 1} AS BIGINT) AS max_span_tokens,
+               CAST(SUM(run) AS BIGINT) AS n_anchors
+        FROM rl
+        GROUP BY doc_a, doc_b
+        HAVING MAX(run) + {k - 1} >= {min_span_tokens}
+        ORDER BY doc_a, doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-level train↔eval leakage)
+# ---------------------------------------------------------------------------
+
+SEMDECON_EVAL_MOD = 50
+
+
+def semantic_decontaminate(train: DataFrame, eval_df: DataFrame,
+                           vec_col: str = "embedding") -> DataFrame:
+    """Embedding-level decontamination: train vectors whose cosine against
+    ANY eval vector clears the near-dup threshold — the semantic
+    complement of the 8-gram :func:`decontaminate` (paraphrased eval
+    leakage shares no n-gram but lands on the same embedding).
+
+    Same integer machinery as the near-dup family: quantized vectors,
+    sign-LSH base buckets (``EMB_ND_PLANES``), exact integer-cosine verify
+    (cos² >= EMB_COS2_NUM/EMB_COS2_DEN, dot > 0). The EVAL side is the
+    broadcast side — an eval suite is bounded by construction (the same
+    correctness-of-broadcast argument as the 8-gram operator; the TRAIN
+    side is never collected or broadcast).
+
+    Returns one row per contaminated train vector:
+    (vec_id, n_eval_hits, max_dot) — dot is the quantized integer dot of
+    the best eval match (deterministic MAX). ORDER BY vec_id."""
+    def keyed(df, id_alias):
+        q = df.select(F.col("vec_id").alias(id_alias),
+                      C.quantized_embedding(F.col(vec_col)).alias("q"))
+        return (q.withColumn("norm2", C.int_dot(F.col("q"), F.col("q")))
+                 .withColumn("b", _emb_bucket(F.col("q"), EMB_ND_PLANES)))
+    t = keyed(train, "vec_id")
+    e = (keyed(eval_df, "eval_id")
+         .withColumnRenamed("q", "eq").withColumnRenamed("norm2", "enorm2"))
+    hits = (t.join(F.broadcast(e), "b")
+            .withColumn("dot", C.int_dot(F.col("q"), F.col("eq")))
+            .filter((F.col("dot") > 0)
+                    & (F.col("dot") * F.col("dot") * EMB_COS2_DEN
+                       >= F.lit(EMB_COS2_NUM)
+                       * F.col("norm2") * F.col("enorm2"))))
+    return (hits.groupBy("vec_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+                 F.max("dot").cast("long").alias("max_dot"))
+            .orderBy("vec_id"))
+
+
+def sql_semantic_decontaminate(table: str = "embeddings",
+                               eval_mod: int = SEMDECON_EVAL_MOD) -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    b_terms = " + ".join(
+        "CASE WHEN CAST(list_dot_product(q, {plane}::BIGINT[]) AS BIGINT)"
+        " > 0 THEN CAST({bit} AS BIGINT) ELSE 0 END".format(
+            plane=str(plane), bit=1 << j)
+        for j, plane in enumerate(EMB_PLANES[:EMB_ND_PLANES]))
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), qq AS (
+            SELECT vec_id, q,
+                   CAST(list_dot_product(q, q) AS BIGINT) AS norm2,
+                   {b_terms} AS b
+            FROM q
+        ),
+        t AS (SELECT * FROM qq WHERE vec_id % {eval_mod} <> 0),
+        e AS (SELECT * FROM qq WHERE vec_id % {eval_mod} = 0)
+        SELECT t.vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+               CAST(MAX(CAST(list_dot_product(t.q, e.q) AS BIGINT))
+                    AS BIGINT) AS max_dot
+        FROM t JOIN e ON t.b = e.b
+        WHERE CAST(list_dot_product(t.q, e.q) AS BIGINT) > 0
+          AND CAST(list_dot_product(t.q, e.q) AS BIGINT)
+              * CAST(list_dot_product(t.q, e.q) AS BIGINT) * {EMB_COS2_DEN}
+              >= {EMB_COS2_NUM} * t.norm2 * e.norm2
+        GROUP BY t.vec_id
+        ORDER BY t.vec_id
+    """

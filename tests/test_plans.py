@@ -345,3 +345,61 @@ def test_join_forecast_never_joins_facts(spark):
     # parquet scan — assert no join-over-scan shape exists
     import re
     assert not re.search(r"Join[^\n]*\n[^\n]*Scan parquet", plan), plan
+
+
+def test_editdist_text_joins_never_broadcast_candidates(spark):
+    """The Levenshtein verify pulls text through shuffle equi-joins on the
+    doc id — candidate cardinality scales with near-dup density, so a
+    broadcast of either pair side is the same unbounded-memory bet the
+    PPJoin fix removed (only the bounded hot-shingle set may broadcast)."""
+    import re
+
+    from log_collector_spark.textops import dedup as D
+    from log_collector_spark.textops import editdist as ED
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # at sf0.001 Catalyst broadcasts the tiny corpus by SIZE, which is
+    # fine — the scale property is that nothing is FORCED: with the
+    # size-based path off (the 100-TB stand-in), every pair join must
+    # degrade to a shuffle join, proving no explicit broadcast hint.
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        plan = _plan(ED.edit_distance_pairs(docs))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    for m in re.finditer(r"BroadcastHashJoin \[([^\]]*)\]", plan):
+        assert "doc_a" not in m.group(1), plan
+        assert "doc_b" not in m.group(1), plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "levenshtein" in plan, plan
+    D.unpersist_shingles()
+
+
+def test_derived_partsupp_tpch_plan_shapes(spark):
+    """Q2/Q16/Q20: dims broadcast; the partsupp-side work shuffles on the
+    fact key; Q16's NOT-IN lands as a broadcast anti-join; no EvalPython
+    anywhere (pure Catalyst)."""
+    import __spark_entry__ as E
+
+    for name in ("tpch_min_cost_supplier", "tpch_supplier_relationship",
+                 "tpch_excess_stock", "tpch_product_profit"):
+        plan = _plan(E.queries()[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, f"{name}: {plan}"
+        assert "EvalPython" not in plan, f"{name}: {plan}"
+    # Q16's supplier exclusion is an anti-join, not a shuffled NOT IN
+    plan16 = _plan(E.queries()["tpch_supplier_relationship"](spark, SF_DIR))
+    assert "LeftAnti, BuildRight" in plan16, plan16
+
+
+def test_substring_span_ships_positions_not_text(spark):
+    """Exact-substring span dedup moves (doc, pos, hash) triples only:
+    no text column may survive into any Exchange."""
+    from log_collector_spark.textops import dedup as D
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(D.substring_span_pairs(docs))
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), plan
+    assert "EvalPython" not in plan, plan

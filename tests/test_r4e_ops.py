@@ -181,3 +181,67 @@ def test_token_coverage_exact_crossings(spark):
            ta.token_coverage_cutoff(docs, targets=(500, 900)).collect()}
     assert (out[500]["cutoff_len"], out[500]["covered_permille"]) == (1, 500)
     assert (out[900]["cutoff_len"], out[900]["covered_permille"]) == (2, 1000)
+
+
+def test_substring_span_exact_run_length(spark):
+    # doc 2 repeats tokens t3..t10 of doc 1 (8 tokens): with k=3 that is
+    # 6 consecutive anchors on one diagonal -> span 6+2 = 8.
+    words = [f"t{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)),
+         (2, "x y " + " ".join(words[3:11]) + " z"),
+         (3, "completely unrelated tokens only")],
+        "doc_id long, text string")
+    from log_collector_spark.textops import dedup as D
+    out = D.substring_span_pairs(docs, min_span_tokens=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"], r["max_span_tokens"]) == (1, 2, 8)
+    # below the threshold nothing surfaces
+    assert D.substring_span_pairs(docs, min_span_tokens=9).count() == 0
+
+
+def test_substring_span_two_diagonals_not_fused(spark):
+    # the shared block appears at DIFFERENT offsets in b's two copies:
+    # anchors land on two diagonals; runs must not fuse across them.
+    block = "a b c d e"
+    docs = spark.createDataFrame(
+        [(1, block + " q r s"),
+         (2, "x " + block + " y " + block)],
+        "doc_id long, text string")
+    from log_collector_spark.textops import dedup as D
+    r = D.substring_span_pairs(docs, min_span_tokens=5,
+                               max_df=100).collect()[0]
+    assert r["max_span_tokens"] == 5          # 3 anchors + k-1
+    assert r["n_anchors"] == 6                # 3 per diagonal
+
+
+def test_semantic_decontaminate_hit_and_miss(spark):
+    # train vec 1 duplicates eval vec 50 (cos=1 -> hit); train vec 2 is
+    # orthogonal to every eval vector (cos=0 -> no row).
+    v = [1.0, 0.0, 0.0] + [0.0] * 61
+    u = [0.0, 1.0, 0.0] + [0.0] * 61
+    embs = spark.createDataFrame(
+        [(1, v), (2, u), (50, v)], "vec_id long, embedding array<float>")
+    from log_collector_spark.textops import dedup as D
+    out = D.semantic_decontaminate(
+        embs.filter(F.col("vec_id") % 50 != 0),
+        embs.filter(F.col("vec_id") % 50 == 0)).collect()
+    assert [(r["vec_id"], r["n_eval_hits"]) for r in out] == [(1, 1)]
+    assert out[0]["max_dot"] == 1000 * 1000   # quantized unit dot
+
+
+def test_turn_holes_counts_and_first_index(spark):
+    from log_collector_spark.operators import tx_stats as TX
+    rows = [("A", 0, "ok"), ("A", 1, "ok"), ("A", 3, "ok"),
+            ("A", 5, "ok"),                       # holes at 2 and 4
+            ("B", 0, "ok"), ("B", 1, "ok")]       # gap-free -> absent
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "text string")
+    routed = (df.withColumn("parse_ok", F.lit(True))
+                .withColumn("is_oversize", F.lit(False)))
+    out = TX.turn_holes(routed).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["conv_id"], r["n_turns"], r["max_turn_idx"],
+            r["n_holes"], r["first_hole_idx"]) == ("A", 4, 5, 2, 2)

@@ -1772,8 +1772,25 @@ def q_tx_turn_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.turn_holes(pl.full_pipeline(spark, sf_dir))
 
 
+def q_tx_tool_latency_percentiles(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-tool EXACT p50/p90/p99 latency by rank selection — the SLA
+    table; value-deterministic under latency ties."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.tool_latency_percentiles(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_retry_storms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs of >= 3 consecutive same-tool calls per conversation — the
+    agent retry-loop pathology, gaps-and-islands on the clean sequence."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.retry_storms(pl.full_pipeline(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "tx_tool_latency_percentiles": q_tx_tool_latency_percentiles,
+        "tx_retry_storms": q_tx_retry_storms,
         "substring_span_pairs": q_substring_span_pairs,
         "semantic_decontaminate_embeddings": q_semantic_decontaminate,
         "tx_turn_holes": q_tx_turn_holes,
@@ -2598,6 +2615,9 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontaminate_embeddings":
             _td().sql_semantic_decontaminate(),
         "tx_turn_holes": _tx().sql_turn_holes(tx_view),
+        "tx_tool_latency_percentiles":
+            _tx().sql_tool_latency_percentiles(tx_view),
+        "tx_retry_storms": _tx().sql_retry_storms(tx_view),
     }
 
 

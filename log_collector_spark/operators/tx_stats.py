@@ -695,3 +695,136 @@ def sql_turn_holes(tx_view: str) -> str:
         HAVING MAX(turn_idx) + 1 - COUNT(*) > 0
         ORDER BY conv_id
     """
+
+
+TOOL_PCTS = (50, 90, 99)
+
+
+def tool_latency_percentiles(routed: DataFrame,
+                             pcts: tuple = TOOL_PCTS) -> DataFrame:
+    """Per-tool EXACT latency percentiles by rank selection — the SLA
+    table (p50/p90/p99) `tool_latency`'s sum/min/max cannot answer, and
+    `approx_percentile` answers only non-reproducibly.
+
+    The selected value at ceil(p·n/100) is order-deterministic however
+    ties are numbered (equal latencies yield the same value at any rank
+    inside the tie), so the output is hash-stable with no tiebreak
+    column. One (tool)-keyed window + one agg — tools are few, so the
+    per-partition sort is bounded by the hottest tool's row count; at
+    100 TB pre-aggregate to a (tool, latency) histogram first
+    (aggregate.histogram_percentiles) — same output, metadata-scale sort.
+
+    Returns (tool, n_turns, p50_ms, p90_ms, p99_ms), ORDER BY tool."""
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    base = (_clean(routed).select("tool", lat.alias("lat"))
+            .filter(F.col("lat").isNotNull()))
+    w = Window.partitionBy("tool").orderBy("lat", "tool")
+    wn = Window.partitionBy("tool")
+    ranked = (base.withColumn("rn", F.row_number().over(w).cast("long"))
+                  .withColumn("n", F.count(F.lit(1)).over(wn).cast("long")))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_turns")]
+    for p in pcts:
+        aggs.append(F.max(F.when(F.col("rn") == F.expr(
+            f"(n * {p} + 99) div 100"), F.col("lat"))).cast("long")
+            .alias(f"p{p}_ms"))
+    return ranked.groupBy("tool").agg(*aggs).orderBy("tool")
+
+
+def sql_tool_latency_percentiles(tx_view: str,
+                                 pcts: tuple = TOOL_PCTS) -> str:
+    cols = ",\n               ".join(
+        f"CAST(MAX(CASE WHEN rn = (n * {p} + 99) // 100 THEN lat END) "
+        f"AS BIGINT) AS p{p}_ms" for p in pcts)
+    # TRY_CAST: regexp_extract yields '' (not NULL) on corrupt payloads,
+    # and DuckDB's WHERE gives no short-circuit guarantee vs SQL_CLEAN.
+    lat = ("TRY_CAST(regexp_extract(text, '\"latency_ms\":(\\d+)', 1) "
+           "AS BIGINT)")
+    return f"""
+        WITH base AS (
+            SELECT tool, {lat} AS lat FROM {tx_view}
+            WHERE {SQL_CLEAN} AND {lat} IS NOT NULL
+        ), ranked AS (
+            SELECT tool, lat,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY tool ORDER BY lat) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY tool) AS BIGINT) AS n
+            FROM base
+        )
+        SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_turns,
+               {cols}
+        FROM ranked
+        GROUP BY tool
+        ORDER BY tool
+    """
+
+
+RETRY_MIN_RUN = 3
+
+
+def retry_storms(routed: DataFrame,
+                 min_run: int = RETRY_MIN_RUN) -> DataFrame:
+    """Retry-storm detector: runs of >= ``min_run`` CONSECUTIVE calls to
+    the SAME tool inside one conversation (the agent-loop pathology — a
+    tool failing and being re-invoked back-to-back). 'none' and NULL
+    tool turns are excluded BEFORE adjacency, so a storm interrupted
+    only by non-tool turns still counts as one run (same clean-sequence
+    contract as slow_streaks).
+
+    Gaps-and-islands on the tool-change flag under the shared conv_id
+    exchange: flag = tool != lag(tool), run id = running sum, one agg
+    per run, one rollup per (conv, tool).
+
+    Returns (conv_id, tool, n_runs, n_storms, max_run) for conversations
+    whose longest same-tool run reaches ``min_run``, ORDER BY
+    (conv_id, tool)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    m = (_clean(routed)
+         .filter(F.col("tool").isNotNull() & (F.col("tool") != "none"))
+         .select("conv_id", "turn_idx", "tool")
+         .withColumn("chg", F.when(
+             F.col("tool") == F.lag("tool").over(w), F.lit(0))
+             .otherwise(F.lit(1)))
+         .withColumn("run_id", F.sum("chg").over(
+             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    runs = (m.groupBy("conv_id", "tool", "run_id")
+            .agg(F.count(F.lit(1)).alias("len")))
+    return (runs.groupBy("conv_id", "tool")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_runs"),
+                 F.sum((F.col("len") >= min_run).cast("long")).cast("long")
+                 .alias("n_storms"),
+                 F.max("len").cast("long").alias("max_run"))
+            .filter(F.col("max_run") >= min_run)
+            .orderBy("conv_id", "tool"))
+
+
+def sql_retry_storms(tx_view: str, min_run: int = RETRY_MIN_RUN) -> str:
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, turn_idx, tool FROM {tx_view}
+            WHERE {SQL_CLEAN} AND tool IS NOT NULL AND tool <> 'none'
+        ), m AS (
+            SELECT conv_id, turn_idx, tool,
+                   CASE WHEN tool = lag(tool) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx)
+                        THEN 0 ELSE 1 END AS chg
+            FROM clean
+        ), r AS (
+            SELECT conv_id, tool,
+                   SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS run_id
+            FROM m
+        ), runs AS (
+            SELECT conv_id, tool, run_id, COUNT(*) AS len
+            FROM r GROUP BY conv_id, tool, run_id
+        )
+        SELECT conv_id, tool,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(SUM(CASE WHEN len >= {min_run} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_storms,
+               CAST(MAX(len) AS BIGINT) AS max_run
+        FROM runs
+        GROUP BY conv_id, tool
+        HAVING MAX(len) >= {min_run}
+        ORDER BY conv_id, tool
+    """

@@ -245,3 +245,35 @@ def test_turn_holes_counts_and_first_index(spark):
     r = out[0]
     assert (r["conv_id"], r["n_turns"], r["max_turn_idx"],
             r["n_holes"], r["first_hole_idx"]) == ("A", 4, 5, 2, 2)
+
+
+def _tx_routed(spark, rows):
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string, payload string")
+    return (df.withColumn("parse_ok", F.lit(True))
+              .withColumn("is_oversize", F.lit(False)))
+
+
+def test_tool_latency_percentiles_rank_selection(spark):
+    from log_collector_spark.operators import tx_stats as TX
+    rows = [("A", i, "bash", '{"latency_ms":%d}' % (i + 1))
+            for i in range(10)]
+    out = TX.tool_latency_percentiles(_tx_routed(spark, rows)).collect()
+    r = out[0]
+    # ceil ranks over 1..10: p50 -> rank 5, p90 -> rank 9, p99 -> rank 10
+    assert (r["n_turns"], r["p50_ms"], r["p90_ms"], r["p99_ms"]) \
+        == (10, 5, 9, 10)
+
+
+def test_retry_storms_ignore_non_tool_interruptions(spark):
+    from log_collector_spark.operators import tx_stats as TX
+    rows = [("A", 0, "bash", "x"), ("A", 1, "none", "x"),
+            ("A", 2, "bash", "x"), ("A", 3, None, "x"),
+            ("A", 4, "bash", "x"),            # clean run of 3 bash
+            ("A", 5, "read", "x"),            # different tool splits
+            ("B", 0, "bash", "x"), ("B", 1, "bash", "x")]  # run of 2 only
+    out = TX.retry_storms(_tx_routed(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["conv_id"], r["tool"], r["n_runs"], r["n_storms"],
+            r["max_run"]) == ("A", "bash", 1, 1, 3)

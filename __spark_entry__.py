@@ -1787,8 +1787,25 @@ def q_tx_retry_storms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.retry_storms(pl.full_pipeline(spark, sf_dir))
 
 
+def q_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest exact binned Kolmogorov-Smirnov distance per event
+    type — the distribution-drift screen, integer cross-multiplied CDFs."""
+    from log_collector_spark.operators import behavior as B
+    return B.ks_drift(_tbl(spark, sf_dir, "events"))
+
+
+def q_neardup_label_confusion(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Near-dup pairs grouped by label pair — off-diagonal cells are the
+    label-noise review queue; one label join over the guarded pair graph."""
+    from log_collector_spark.textops import dedup as D
+    return D.neardup_label_confusion(_embs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ks_drift_events": q_ks_drift_events,
+        "neardup_label_confusion": q_neardup_label_confusion,
         "tx_tool_latency_percentiles": q_tx_tool_latency_percentiles,
         "tx_retry_storms": q_tx_retry_storms,
         "substring_span_pairs": q_substring_span_pairs,
@@ -2618,6 +2635,8 @@ def oracle_sql() -> dict[str, str]:
         "tx_tool_latency_percentiles":
             _tx().sql_tool_latency_percentiles(tx_view),
         "tx_retry_storms": _tx().sql_retry_storms(tx_view),
+        "ks_drift_events": _bh().sql_ks_drift(),
+        "neardup_label_confusion": _td().sql_neardup_label_confusion(),
     }
 
 

@@ -1660,3 +1660,147 @@ def sql_gini_mean_difference(
         GROUP BY g
         ORDER BY g
     """
+
+
+# ---------------------------------------------------------------------------
+# One-vs-rest Kolmogorov-Smirnov drift screen
+# ---------------------------------------------------------------------------
+
+KS_BUCKET_MILLI = 100   # 0.1-unit value buckets: |support| is range/0.1,
+                        # metadata scale at ANY corpus size
+
+
+def ks_drift(events: DataFrame, group_col: str = "event_type",
+             value_col: str = "value",
+             bucket_milli: int = KS_BUCKET_MILLI) -> DataFrame:
+    """Per-group distribution drift: the exact Kolmogorov-Smirnov distance
+    between each group's value distribution and the REST of the corpus —
+    the one-vs-rest screen that answers "which segment's metric
+    distribution deviates, and at what value".
+
+    Integer formulation: with per-bucket cumulative counts c_g and
+    c_r = c_all − c_g, KS = max |c_g·n_r − c_r·n_g| / (n_g·n_r); the
+    scaled numerator is exact BIGINT, the permille divides once at the
+    end. The max is taken over the BUCKETED support (``bucket_milli``
+    thousandths per bucket) — the standard binned-KS tradeoff; both
+    engines bin identically so equality is exact.
+
+    Plan: one (group, bucket) count agg → dense group×support grid
+    (|groups|·|buckets| rows — metadata scale) → two cumulative windows
+    (per group; support ordered) → one rollup. The raw stream is touched
+    exactly once.
+
+    Returns (group, n_group, n_rest, ks_permille, ks_at_v_milli) — the
+    bucket lower bound (in value-milli) where the max gap first occurs;
+    ORDER BY group."""
+    from pyspark.sql.window import Window
+
+    vb = (F.round(F.col(value_col).cast("double") * 1000, 0).cast("long")
+          / bucket_milli).cast("long")
+    counts = (events.select(F.col(group_col).alias("g"), vb.alias("vb"))
+              .groupBy("g", "vb").agg(F.count(F.lit(1)).alias("n")))
+    grid = (counts.select("g").distinct()
+            .crossJoin(counts.select("vb").distinct()))
+    dense = (grid.join(counts, ["g", "vb"], "left")
+             .select("g", "vb", F.coalesce("n", F.lit(0)).cast("long")
+                     .alias("n")))
+    wg = (Window.partitionBy("g").orderBy("vb")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wa = (Window.orderBy("vb")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    per_v = (dense.groupBy("vb").agg(F.sum("n").alias("nv")))
+    cum = (dense
+           .withColumn("c_g", F.sum("n").over(wg))
+           .join(per_v.withColumn("c_all", F.sum("nv").over(wa))
+                      .select("vb", "c_all"), "vb"))
+    tot = (dense.groupBy("g").agg(F.sum("n").alias("n_group")))
+    n_all = counts.agg(F.sum("n").alias("n_total"))
+    scored = (cum.join(tot, "g").crossJoin(F.broadcast(n_all))
+              .withColumn("n_rest", F.col("n_total") - F.col("n_group"))
+              .withColumn("c_r", F.col("c_all") - F.col("c_g"))
+              .withColumn("gap", F.abs(F.col("c_g") * F.col("n_rest")
+                                       - F.col("c_r") * F.col("n_group"))))
+    marked = (scored.filter((F.col("n_group") > 0) & (F.col("n_rest") > 0))
+              .withColumn("max_gap",
+                          F.max("gap").over(Window.partitionBy("g"))))
+    agg = (marked
+           .groupBy(F.col("g").alias(group_col))
+           .agg(F.first("n_group").cast("long").alias("n_group"),
+                F.first("n_rest").cast("long").alias("n_rest"),
+                F.first("max_gap").alias("max_gap"),
+                F.min(F.when(F.col("gap") == F.col("max_gap"),
+                             F.col("vb"))).alias("arg_vb")))
+    return (agg
+            .withColumn("ks_permille",
+                        F.expr("(max_gap * 1000) div (n_group * n_rest)")
+                        .cast("long"))
+            .withColumn("ks_at_v_milli",
+                        (F.col("arg_vb") * bucket_milli).cast("long"))
+            .select(group_col, "n_group", "n_rest", "ks_permille",
+                    "ks_at_v_milli")
+            .orderBy(group_col))
+
+
+def sql_ks_drift(table: str = "events", group_col: str = "event_type",
+                 bucket_milli: int = KS_BUCKET_MILLI) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT {group_col} AS g,
+                   CAST(CAST(round(CAST(value AS DOUBLE) * 1000, 0)
+                        AS BIGINT) // {bucket_milli} AS BIGINT) AS vb,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM {table} GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT g, vb
+            FROM (SELECT DISTINCT g FROM counts),
+                 (SELECT DISTINCT vb FROM counts)
+        ),
+        dense AS (
+            SELECT grid.g, grid.vb, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM grid LEFT JOIN counts c
+              ON grid.g = c.g AND grid.vb = c.vb
+        ),
+        cum AS (
+            SELECT g, vb, n,
+                   CAST(SUM(n) OVER (PARTITION BY g ORDER BY vb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c_g
+            FROM dense
+        ),
+        allcum AS (
+            SELECT vb,
+                   CAST(SUM(nv) OVER (ORDER BY vb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c_all
+            FROM (SELECT vb, SUM(n) AS nv FROM dense GROUP BY vb)
+        ),
+        tot AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n_group
+                FROM dense GROUP BY g),
+        n_all AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+        scored AS (
+            SELECT c.g, c.vb, t.n_group,
+                   a.n_total - t.n_group AS n_rest,
+                   abs(c.c_g * (a.n_total - t.n_group)
+                       - (ac.c_all - c.c_g) * t.n_group) AS gap
+            FROM cum c
+            JOIN allcum ac ON c.vb = ac.vb
+            JOIN tot t ON c.g = t.g
+            CROSS JOIN n_all a
+            WHERE t.n_group > 0 AND a.n_total - t.n_group > 0
+        ),
+        marked AS (
+            SELECT *, MAX(gap) OVER (PARTITION BY g) AS max_gap
+            FROM scored
+        )
+        SELECT g AS {group_col},
+               CAST(MAX(n_group) AS BIGINT) AS n_group,
+               CAST(MAX(n_rest) AS BIGINT) AS n_rest,
+               CAST(MAX(max_gap) * 1000 // (MAX(n_group) * MAX(n_rest))
+                    AS BIGINT) AS ks_permille,
+               CAST(MIN(CASE WHEN gap = max_gap THEN vb END)
+                    * {bucket_milli} AS BIGINT) AS ks_at_v_milli
+        FROM marked
+        GROUP BY g
+        ORDER BY g
+    """

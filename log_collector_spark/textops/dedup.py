@@ -1739,3 +1739,54 @@ def sql_semantic_decontaminate(table: str = "embeddings",
         GROUP BY t.vec_id
         ORDER BY t.vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup label confusion (label-noise QA over the guarded pair graph)
+# ---------------------------------------------------------------------------
+
+
+def neardup_label_confusion(df: DataFrame, vec_col: str = "embedding",
+                            label_col: str = "label") -> DataFrame:
+    """Label-noise screen: near-duplicate pairs grouped by their LABEL
+    pair. Near-identical vectors carrying different labels are either
+    annotation errors or genuinely ambiguous items — the off-diagonal
+    cells of this matrix are the review queue (the near-dup analogue of
+    the kNN label-consistency check, but over the guarded pair graph, so
+    it costs one label join on top of pairs already computed for dedup).
+
+    Labels are canonicalized (least, greatest) so each unordered label
+    pair lands in one cell. Returns (label_a, label_b, n_pairs,
+    is_cross), ORDER BY (label_a, label_b)."""
+    pairs = embedding_neardup_guarded(df, vec_col)
+    labels = df.select("vec_id",
+                       F.col(label_col).cast("long").alias("lab"))
+    j = (pairs
+         .join(labels.select(F.col("vec_id").alias("vec_a"),
+                             F.col("lab").alias("la")), "vec_a")
+         .join(labels.select(F.col("vec_id").alias("vec_b"),
+                             F.col("lab").alias("lb")), "vec_b"))
+    return (j.groupBy(F.least("la", "lb").alias("label_a"),
+                      F.greatest("la", "lb").alias("label_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .withColumn("is_cross", F.col("label_a") != F.col("label_b"))
+            .orderBy("label_a", "label_b"))
+
+
+def sql_neardup_label_confusion(table: str = "embeddings") -> str:
+    pairs = sql_embedding_neardup_guarded(table)
+    return f"""
+        WITH pairs AS ({pairs})
+        SELECT least(la.lab, lb.lab) AS label_a,
+               greatest(la.lab, lb.lab) AS label_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               least(la.lab, lb.lab) <> greatest(la.lab, lb.lab)
+                   AS is_cross
+        FROM pairs p
+        JOIN (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM {table}) la
+          ON p.vec_a = la.vec_id
+        JOIN (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM {table}) lb
+          ON p.vec_b = lb.vec_id
+        GROUP BY 1, 2
+        ORDER BY label_a, label_b
+    """

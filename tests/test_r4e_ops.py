@@ -277,3 +277,33 @@ def test_retry_storms_ignore_non_tool_interruptions(spark):
     r = out[0]
     assert (r["conv_id"], r["tool"], r["n_runs"], r["n_storms"],
             r["max_run"]) == ("A", "bash", 1, 1, 3)
+
+
+def test_ks_drift_disjoint_distributions_hit_1000(spark):
+    from log_collector_spark.operators import behavior as B
+    rows = ([("A", 1.0)] * 4) + ([("B", 2.0)] * 6)
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r["event_type"]: r for r in B.ks_drift(df).collect()}
+    # disjoint supports: max gap = full separation = 1000 permille, first
+    # achieved at A's bucket (value 1.0 -> milli 1000 -> bucket 10 -> 1000)
+    assert out["A"]["ks_permille"] == 1000
+    assert out["A"]["ks_at_v_milli"] == 1000
+    assert out["B"]["ks_permille"] == 1000
+    assert (out["A"]["n_group"], out["A"]["n_rest"]) == (4, 6)
+
+
+def test_neardup_label_confusion_cross_and_diag(spark):
+    from log_collector_spark.textops import dedup as D
+    v = [1.0, 0.5, -0.25] + [0.0] * 61
+    w = [0.0, 0.0, 1.0] + [0.0] * 61
+    embs = spark.createDataFrame(
+        [(1, v, 7), (2, v, 3), (3, v, 7), (4, w, 9)],
+        "vec_id long, embedding array<float>, label int")
+    out = {(r["label_a"], r["label_b"]): (r["n_pairs"], r["is_cross"])
+           for r in D.neardup_label_confusion(embs).collect()}
+    # identical vectors 1,2,3: pairs (1,2),(1,3) cross 3-7; (2?) wait:
+    # labels: 1->7, 2->3, 3->7. pairs: (1,2)->(3,7) cross, (1,3)->(7,7)
+    # diag, (2,3)->(3,7) cross. vector 4 matches nobody.
+    assert out[(3, 7)] == (2, True)
+    assert out[(7, 7)] == (1, False)
+    assert len(out) == 2

@@ -1802,8 +1802,34 @@ def q_neardup_label_confusion(spark: SparkSession,
     return D.neardup_label_confusion(_embs(spark, sf_dir))
 
 
+def q_funnel_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel transition: exact p50/p90 of the
+    first-touch step deltas over converting users."""
+    from log_collector_spark.operators import behavior as B
+    return B.funnel_latency(_tbl(spark, sf_dir, "events"))
+
+
+def q_value_jackknife_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife table for the corpus mean —
+    deterministic hash buckets, exact integer leave-one-out means."""
+    from log_collector_spark.operators import behavior as B
+    return B.value_jackknife(_tbl(spark, sf_dir, "events"))
+
+
+def q_broadcast_advisor_tables(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Join-strategy advisor: measured rows + decoded bytes per dim table
+    vs the broadcast threshold, as an auditable relation."""
+    from log_collector_spark.operators import order as O
+    names = ("region", "nation", "supplier", "customer", "part")
+    return O.broadcast_advisor({n: _tbl(spark, sf_dir, n) for n in names})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "funnel_latency_events": q_funnel_latency_events,
+        "value_jackknife_events": q_value_jackknife_events,
+        "broadcast_advisor_tables": q_broadcast_advisor_tables,
         "ks_drift_events": q_ks_drift_events,
         "neardup_label_confusion": q_neardup_label_confusion,
         "tx_tool_latency_percentiles": q_tx_tool_latency_percentiles,
@@ -2637,6 +2663,15 @@ def oracle_sql() -> dict[str, str]:
         "tx_retry_storms": _tx().sql_retry_storms(tx_view),
         "ks_drift_events": _bh().sql_ks_drift(),
         "neardup_label_confusion": _td().sql_neardup_label_confusion(),
+        "funnel_latency_events": _bh().sql_funnel_latency(),
+        "value_jackknife_events": _bh().sql_value_jackknife(),
+        "broadcast_advisor_tables": _or().sql_broadcast_advisor({
+            "region": (["r_name"], 1),
+            "nation": (["n_name"], 2),
+            "supplier": (["s_name"], 3),
+            "customer": (["c_name", "c_mktsegment"], 3),
+            "part": (["p_name", "p_brand", "p_type"], 3),
+        }),
     }
 
 

@@ -1804,3 +1804,165 @@ def sql_ks_drift(table: str = "events", group_col: str = "event_type",
         GROUP BY g
         ORDER BY g
     """
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert (exact per-transition latency percentiles)
+# ---------------------------------------------------------------------------
+
+FUNNEL_PCTS = (50, 90)
+
+
+def funnel_latency(events: DataFrame, steps: list[str] | None = None,
+                   user_col: str = "user_id", type_col: str = "event_type",
+                   ts_col: str = "ts",
+                   pcts: tuple = FUNNEL_PCTS) -> DataFrame:
+    """Time-to-convert per funnel transition: for each consecutive step
+    pair, EXACT p50/p90 of (first-touch step-k time − first-touch
+    step-(k−1) time) over converting users — `funnel_counts` says how
+    many convert, this says how long conversion takes (the number an
+    activation team actually tunes).
+
+    Same first-touch chain as `funnel_counts` (per-user min-aggregates,
+    one user-keyed shuffle per step over a shrinking frame); the deltas
+    then rank-select exactly like the tool SLA table (value-deterministic
+    under ties, ceil(p·n/100) rank).
+
+    Returns (step_idx, step, n_converted, p50_ms, p90_ms) for transitions
+    with at least one converter; step_idx k labels the (k−1)→k
+    transition. ORDER BY step_idx."""
+    from pyspark.sql.window import Window
+
+    steps = steps or FUNNEL_STEPS
+    t = _us(F.col(ts_col))
+    cur = (events.filter(F.col(type_col) == steps[0])
+                 .groupBy(user_col).agg(F.min(t).alias("t")))
+    deltas = None
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (events.filter(F.col(type_col) == step)
+                     .select(F.col(user_col), t.alias("et"))
+                     .join(cur.withColumnRenamed("t", "pt"), user_col)
+                     .filter(F.col("et") >= F.col("pt"))
+                     .groupBy(user_col).agg(F.min("et").alias("t"),
+                                            F.first("pt").alias("pt")))
+        d = nxt.select(F.lit(i).cast("long").alias("step_idx"),
+                       F.lit(step).alias("step"),
+                       F.expr("(t - pt) div 1000").cast("long")
+                       .alias("d_ms"))
+        deltas = d if deltas is None else deltas.unionByName(d)
+        cur = nxt.select(user_col, "t")
+    w = Window.partitionBy("step_idx").orderBy("d_ms")
+    wn = Window.partitionBy("step_idx")
+    ranked = (deltas
+              .withColumn("rn", F.row_number().over(w).cast("long"))
+              .withColumn("n", F.count(F.lit(1)).over(wn).cast("long")))
+    aggs = [F.first("step").alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_converted")]
+    for p in pcts:
+        aggs.append(F.max(F.when(
+            F.col("rn") == F.expr(f"(n * {p} + 99) div 100"),
+            F.col("d_ms"))).cast("long").alias(f"p{p}_ms"))
+    return ranked.groupBy("step_idx").agg(*aggs).orderBy("step_idx")
+
+
+def sql_funnel_latency(table: str = "events",
+                       steps: list[str] | None = None,
+                       pcts: tuple = FUNNEL_PCTS) -> str:
+    steps = steps or FUNNEL_STEPS
+    t = "epoch_us(ts)"
+    ctes = [f"s1 AS (SELECT user_id, MIN({t}) AS t FROM {table} "
+            f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"]
+    dsel = []
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t, "
+            f"MIN(p.t) AS pt "
+            f"FROM {table} e JOIN s{i - 1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{step}' "
+            f"AND epoch_us(e.ts) >= p.t GROUP BY e.user_id)")
+        dsel.append(
+            f"SELECT CAST({i} AS BIGINT) AS step_idx, '{step}' AS step, "
+            f"CAST((t - pt) // 1000 AS BIGINT) AS d_ms FROM s{i}")
+    cols = ",\n               ".join(
+        f"CAST(MAX(CASE WHEN rn = (n * {p} + 99) // 100 THEN d_ms END) "
+        f"AS BIGINT) AS p{p}_ms" for p in pcts)
+    return f"""
+        WITH {', '.join(ctes)},
+        deltas AS ({' UNION ALL '.join(dsel)}),
+        ranked AS (
+            SELECT step_idx, step, d_ms,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY step_idx
+                        ORDER BY d_ms) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY step_idx) AS BIGINT)
+                       AS n
+            FROM deltas
+        )
+        SELECT step_idx, MAX(step) AS step,
+               CAST(COUNT(*) AS BIGINT) AS n_converted,
+               {cols}
+        FROM ranked
+        GROUP BY step_idx
+        ORDER BY step_idx
+    """
+
+
+# ---------------------------------------------------------------------------
+# Jackknife leave-one-bucket-out mean table (deterministic resampling CI)
+# ---------------------------------------------------------------------------
+
+JACKKNIFE_BUCKETS = 10
+
+
+def value_jackknife(events: DataFrame, value_col: str = "value",
+                    id_col: str = "event_id",
+                    n_buckets: int = JACKKNIFE_BUCKETS) -> DataFrame:
+    """Delete-one-group jackknife table for the corpus mean: rows are
+    hash-assigned to ``n_buckets`` deterministic buckets (h60 of the id —
+    RNG-free, append-stable, the repo's standard resampling trick) and
+    each row reports the mean with that bucket REMOVED. The spread of
+    the leave-one-out means is the jackknife variance estimate — the
+    driver-side CI algebra reads directly off this table, and unlike a
+    bootstrap it is exactly reproducible on any engine.
+
+    Values quantized to milli (round-half-up BIGINT); loo_mean_milli
+    divides the exact integer sums once per bucket. One hash agg over
+    the stream + a 10-row broadcast of totals.
+
+    Returns (bucket, n, sum_milli, loo_mean_milli), ORDER BY bucket."""
+    v = F.round(F.col(value_col).cast("double") * 1000, 0).cast("long")
+    b = (C.h60(F.col(id_col).cast("string")) % n_buckets).cast("long")
+    per = (events.select(b.alias("bucket"), v.alias("v"))
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").cast("long").alias("sum_milli")))
+    tot = per.agg(F.sum("n").alias("n_tot"),
+                  F.sum("sum_milli").alias("s_tot"))
+    return (per.crossJoin(F.broadcast(tot))
+            .withColumn("loo_mean_milli",
+                        F.when(F.col("n_tot") > F.col("n"), F.expr(
+                            "(s_tot - sum_milli) div (n_tot - n)"))
+                        .otherwise(F.lit(0)).cast("long"))
+            .select("bucket", "n", "sum_milli", "loo_mean_milli")
+            .orderBy("bucket"))
+
+
+def sql_value_jackknife(table: str = "events",
+                        n_buckets: int = JACKKNIFE_BUCKETS) -> str:
+    h = C.sql_h60("CAST(event_id AS VARCHAR)")
+    return f"""
+        WITH per AS (
+            SELECT CAST({h} % {n_buckets} AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 1000, 0)
+                        AS BIGINT)) AS BIGINT) AS sum_milli
+            FROM {table} GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+                       CAST(SUM(sum_milli) AS BIGINT) AS s_tot FROM per)
+        SELECT bucket, n, sum_milli,
+               CAST(CASE WHEN n_tot > n
+                    THEN (s_tot - sum_milli) // (n_tot - n)
+                    ELSE 0 END AS BIGINT) AS loo_mean_milli
+        FROM per CROSS JOIN tot
+        ORDER BY bucket
+    """

@@ -320,3 +320,74 @@ def sql_rle_audit(table: str = "events", value_col: str = "event_type",
         FROM ({a} UNION ALL {b})
         ORDER BY ordering
     """
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-strategy advisor (join planning from measured table bytes)
+# ---------------------------------------------------------------------------
+
+BROADCAST_THRESHOLD_BYTES = 10 * 1024 * 1024   # Spark's default 10 MB
+
+# fixed-width byte cost per non-string column (the in-memory hash-relation
+# figure the broadcast decision cares about, not the parquet-encoded size)
+_FIXED_BYTES = 8
+
+
+def broadcast_advisor(tables: dict[str, "DataFrame"],
+                      threshold: int = BROADCAST_THRESHOLD_BYTES
+                      ) -> "DataFrame":
+    """Join-strategy advisor: per table, measured row count and estimated
+    in-memory bytes (Σ octet_length over string columns + 8 per
+    fixed-width column per row), against the broadcast threshold — the
+    number `spark.sql.autoBroadcastJoinThreshold` compares, made
+    relational so the advice is auditable instead of buried in plan
+    stats. Parquet footer stats under-count strings (encoding); this
+    measures the decoded payload the hash relation would hold.
+
+    One narrow agg per table, unioned — each scan reads only the string
+    columns plus nothing (fixed-width cost is rows × constant).
+
+    Returns (table_name, n_rows, est_bytes, fits_broadcast), ORDER BY
+    table_name."""
+    out = None
+    for name in sorted(tables):
+        df = tables[name]
+        str_cols = [c for c, t in df.dtypes if t == "string"]
+        n_fixed = len(df.dtypes) - len(str_cols)
+        per_row = sum(
+            (F.coalesce(F.octet_length(F.col(c)), F.lit(0)).cast("long")
+             for c in str_cols),
+            F.lit(_FIXED_BYTES * n_fixed).cast("long"))
+        one = (df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                      F.sum(per_row).cast("long").alias("est_bytes"))
+               .select(F.lit(name).alias("table_name"), "n_rows",
+                       "est_bytes",
+                       (F.col("est_bytes") < threshold)
+                       .alias("fits_broadcast")))
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("table_name")
+
+
+def sql_broadcast_advisor(schemas: dict[str, tuple],
+                          threshold: int = BROADCAST_THRESHOLD_BYTES
+                          ) -> str:
+    """Oracle generator: ``schemas`` maps table name → (string_cols,
+    n_fixed_cols) — mirrored from the parquet schemas the Spark side
+    reads dynamically."""
+    selects = []
+    for name in sorted(schemas):
+        str_cols, n_fixed = schemas[name]
+        # DuckDB byte length of VARCHAR is strlen (octet_length is
+        # BLOB-only); Spark's octet_length matches it on UTF-8 strings.
+        terms = " + ".join(
+            [f"COALESCE(strlen({c}), 0)" for c in str_cols]
+            + [str(_FIXED_BYTES * n_fixed)])
+        selects.append(f"""
+            SELECT '{name}' AS table_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM({terms}) AS BIGINT) AS est_bytes,
+                   CAST(SUM({terms}) AS BIGINT) < {threshold}
+                       AS fits_broadcast
+            FROM {name}""")
+    return (" UNION ALL ".join(selects)
+            + " ORDER BY table_name")

@@ -307,3 +307,52 @@ def test_neardup_label_confusion_cross_and_diag(spark):
     assert out[(3, 7)] == (2, True)
     assert out[(7, 7)] == (1, False)
     assert len(out) == 2
+
+
+def test_funnel_latency_first_touch_deltas(spark):
+    from log_collector_spark.operators import behavior as B
+    # user 1: signup@0s, view@5s (first touch; the @7s view is ignored),
+    # click@6s -> view->click delta 1s. user 2 never views -> excluded.
+    rows = [(1, "signup", "1970-01-01 00:00:00"),
+            (1, "view", "1970-01-01 00:00:05"),
+            (1, "view", "1970-01-01 00:00:07"),
+            (1, "click", "1970-01-01 00:00:06"),
+            (2, "signup", "1970-01-01 00:00:00")]
+    df = spark.createDataFrame(
+        [(u, t, _t(s)) for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp")
+    out = {r["step_idx"]: r for r in
+           B.funnel_latency(df, steps=["signup", "view", "click"])
+            .collect()}
+    assert (out[2]["step"], out[2]["n_converted"], out[2]["p50_ms"]) \
+        == ("view", 1, 5000)
+    assert (out[3]["step"], out[3]["p50_ms"]) == ("click", 1000)
+
+
+def test_value_jackknife_identity_and_degenerate(spark):
+    from log_collector_spark.operators import behavior as B
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 21)],
+        "event_id long, value double")
+    rows = B.value_jackknife(df).collect()
+    n_tot = sum(r["n"] for r in rows)
+    s_tot = sum(r["sum_milli"] for r in rows)
+    assert n_tot == 20 and s_tot == 210 * 1000
+    for r in rows:   # exact leave-one-out identity per bucket
+        assert r["loo_mean_milli"] == \
+            (s_tot - r["sum_milli"]) // (n_tot - r["n"])
+    # single bucket: removing it leaves nothing -> guarded 0
+    one = B.value_jackknife(df, n_buckets=1).collect()[0]
+    assert one["loo_mean_milli"] == 0
+
+
+def test_broadcast_advisor_exact_bytes_and_threshold(spark):
+    from log_collector_spark.operators import order as O
+    t = spark.createDataFrame([(1, "abc"), (2, "de")],
+                              "k long, s string")
+    out = O.broadcast_advisor({"t": t}, threshold=21).collect()[0]
+    # 2 rows x 8 fixed + (3 + 2) string bytes = 21
+    assert (out["n_rows"], out["est_bytes"]) == (2, 21)
+    assert out["fits_broadcast"] is False      # strict <
+    out2 = O.broadcast_advisor({"t": t}, threshold=22).collect()[0]
+    assert out2["fits_broadcast"] is True

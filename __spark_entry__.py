@@ -1825,8 +1825,33 @@ def q_broadcast_advisor_tables(spark: SparkSession,
     return O.broadcast_advisor({n: _tbl(spark, sf_dir, n) for n in names})
 
 
+def q_simpson_diversity_events(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-user Gini-Simpson behavioral diversity — exact integer where
+    entropy would float-drift; two stacked hash aggs."""
+    from log_collector_spark.operators import behavior as B
+    return B.simpson_diversity(_tbl(spark, sf_dir, "events"))
+
+
+def q_tx_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly exact p50/p95 latency bands over the routed frame — the
+    dashboard time series, rank selection within hour partitions."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.latency_bands_hourly(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation pooled TTR + repeated 3-gram share — the
+    multi-turn self-repetition signal; text moves only as 60-bit hashes."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.conversation_redundancy(pl.full_pipeline(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "simpson_diversity_events": q_simpson_diversity_events,
+        "tx_latency_bands": q_tx_latency_bands,
+        "tx_redundancy": q_tx_redundancy,
         "funnel_latency_events": q_funnel_latency_events,
         "value_jackknife_events": q_value_jackknife_events,
         "broadcast_advisor_tables": q_broadcast_advisor_tables,
@@ -2672,6 +2697,9 @@ def oracle_sql() -> dict[str, str]:
             "customer": (["c_name", "c_mktsegment"], 3),
             "part": (["p_name", "p_brand", "p_type"], 3),
         }),
+        "simpson_diversity_events": _bh().sql_simpson_diversity(),
+        "tx_latency_bands": _tx().sql_latency_bands_hourly(tx_view),
+        "tx_redundancy": _tx().sql_conversation_redundancy(tx_view),
     }
 
 

@@ -1966,3 +1966,60 @@ def sql_value_jackknife(table: str = "events",
         FROM per CROSS JOIN tot
         ORDER BY bucket
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact Gini-Simpson diversity per user (integer, no entropy logs)
+# ---------------------------------------------------------------------------
+
+
+def simpson_diversity(events: DataFrame, key_col: str = "user_id",
+                      type_col: str = "event_type") -> DataFrame:
+    """Per-user behavioral diversity as the Gini-Simpson index
+    1 − Σp_i² — the probability two random events differ in type. Unlike
+    Shannon entropy it is EXACTLY integer-expressible:
+    simpson_permille = (n² − Σc_i²)·1000 div n², so the score
+    hash-checks across engines where an entropy would drift in the last
+    float digit.
+
+    Two stacked partial-combining hash aggs ((user, type) → user), the
+    same two-exchange shape as the tool-diversity report.
+
+    Returns (user_id, n_events, n_types, simpson_permille), ORDER BY
+    user_id."""
+    per_type = (events.groupBy(key_col, type_col)
+                .agg(F.count(F.lit(1)).alias("c")))
+    return (per_type.groupBy(key_col)
+            .agg(F.sum("c").cast("long").alias("n_events"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.sum(F.col("c") * F.col("c")).alias("sq"))
+            .withColumn("simpson_permille",
+                        F.when(F.col("n_events") > 0, F.expr(
+                            "(n_events * n_events - sq) * 1000 "
+                            "div (n_events * n_events)"))
+                        .otherwise(F.lit(0)).cast("long"))
+            .select(key_col, "n_events", "n_types", "simpson_permille")
+            .orderBy(key_col))
+
+
+def sql_simpson_diversity(table: str = "events") -> str:
+    return f"""
+        WITH per_type AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM {table} GROUP BY 1, 2
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c * c) AS BIGINT) AS sq
+            FROM per_type GROUP BY user_id
+        )
+        SELECT user_id, n_events, n_types,
+               CAST(CASE WHEN n_events > 0
+                    THEN (n_events * n_events - sq) * 1000
+                         // (n_events * n_events)
+                    ELSE 0 END AS BIGINT) AS simpson_permille
+        FROM per_user
+        ORDER BY user_id
+    """

@@ -828,3 +828,161 @@ def sql_retry_storms(tx_view: str, min_run: int = RETRY_MIN_RUN) -> str:
         HAVING MAX(len) >= {min_run}
         ORDER BY conv_id, tool
     """
+
+
+BAND_PCTS = (50, 95)
+
+
+def latency_bands_hourly(routed: DataFrame,
+                         pcts: tuple = BAND_PCTS) -> DataFrame:
+    """Hourly latency bands: per event-time hour, EXACT p50/p95 by rank
+    selection — the ops-dashboard time series (`tool_latency_percentiles`
+    collapsed over time tells you THAT p95 is bad; this tells you WHEN).
+
+    Same rank-selection idiom, windows partitioned by hour — thousands of
+    independent partitions, each one hour of turns, so the per-partition
+    sort stays small at any corpus scale (the one structure where a raw
+    rank sort is cheaper than histogram pre-aggregation).
+
+    Returns (hour_idx, n_turns, p50_ms, p95_ms), ORDER BY hour_idx."""
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    hour = F.expr("unix_micros(cast(ts as timestamp)) "
+                  "div 1000 div 3600000").cast("long")
+    base = (_clean(routed)
+            .select(hour.alias("hour_idx"), lat.alias("lat"))
+            .filter(F.col("lat").isNotNull()))
+    w = Window.partitionBy("hour_idx").orderBy("lat")
+    wn = Window.partitionBy("hour_idx")
+    ranked = (base.withColumn("rn", F.row_number().over(w).cast("long"))
+                  .withColumn("n", F.count(F.lit(1)).over(wn).cast("long")))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_turns")]
+    for p in pcts:
+        aggs.append(F.max(F.when(F.col("rn") == F.expr(
+            f"(n * {p} + 99) div 100"), F.col("lat"))).cast("long")
+            .alias(f"p{p}_ms"))
+    return ranked.groupBy("hour_idx").agg(*aggs).orderBy("hour_idx")
+
+
+def sql_latency_bands_hourly(tx_view: str,
+                             pcts: tuple = BAND_PCTS) -> str:
+    lat = ("TRY_CAST(regexp_extract(text, '\"latency_ms\":(\\d+)', 1) "
+           "AS BIGINT)")
+    cols = ",\n               ".join(
+        f"CAST(MAX(CASE WHEN rn = (n * {p} + 99) // 100 THEN lat END) "
+        f"AS BIGINT) AS p{p}_ms" for p in pcts)
+    return f"""
+        WITH base AS (
+            SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour_idx,
+                   {lat} AS lat
+            FROM {tx_view}
+            WHERE {SQL_CLEAN} AND {lat} IS NOT NULL
+        ), ranked AS (
+            SELECT hour_idx, lat,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY hour_idx
+                        ORDER BY lat) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY hour_idx) AS BIGINT)
+                       AS n
+            FROM base
+        )
+        SELECT hour_idx, CAST(COUNT(*) AS BIGINT) AS n_turns,
+               {cols}
+        FROM ranked
+        GROUP BY hour_idx
+        ORDER BY hour_idx
+    """
+
+
+REDUNDANCY_K = 3
+
+
+def conversation_redundancy(routed: DataFrame,
+                            k: int = REDUNDANCY_K) -> DataFrame:
+    """Per-conversation token redundancy: type-token ratio and the share
+    of repeated word k-grams across the WHOLE conversation (all clean
+    turns pooled) — the multi-turn self-repetition signal (a model
+    restating itself across turns shows low TTR and a high repeated-
+    shingle share even when each single turn looks fine).
+
+    One explode to (conv, token/shingle hash) then two stacked hash aggs
+    — text leaves the conversation partition only as 60-bit hashes.
+
+    Returns (conv_id, n_tokens, distinct_tokens, ttr_permille,
+    n_shingles, repeated_shingle_permille), ORDER BY conv_id."""
+    from log_collector_spark.textops import common as C
+
+    toks = (_clean(routed)
+            .select("conv_id",
+                    F.explode(C.tokens(F.col("text"))).alias("tok"))
+            .select("conv_id", C.h60(F.col("tok")).alias("th")))
+    t_stats = (toks.groupBy("conv_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                    F.countDistinct("th").cast("long")
+                    .alias("distinct_tokens")))
+    sh = (_clean(routed)
+          .select("conv_id",
+                  F.explode(C.shingles(C.tokens(F.col("text")), k))
+                  .alias("s"))
+          .select("conv_id", C.h60(F.col("s")).alias("sh")))
+    per_sh = (sh.groupBy("conv_id", "sh")
+              .agg(F.count(F.lit(1)).alias("c")))
+    s_stats = (per_sh.groupBy("conv_id")
+               .agg(F.sum("c").cast("long").alias("n_shingles"),
+                    F.sum(F.col("c") - 1).cast("long").alias("rep")))
+    return (t_stats.join(s_stats, "conv_id", "left")
+            .select("conv_id", "n_tokens", "distinct_tokens",
+                    C.permille(F.col("distinct_tokens"),
+                               F.col("n_tokens")).alias("ttr_permille"),
+                    F.coalesce("n_shingles", F.lit(0)).cast("long")
+                    .alias("n_shingles"),
+                    C.permille(F.coalesce(F.col("rep"), F.lit(0)),
+                               F.coalesce(F.col("n_shingles"), F.lit(0)))
+                    .alias("repeated_shingle_permille"))
+            .orderBy("conv_id"))
+
+
+def sql_conversation_redundancy(tx_view: str,
+                                k: int = REDUNDANCY_K) -> str:
+    from log_collector_spark.textops import common as C
+
+    tok = C.sql_tokens("text")
+    sh = C.sql_shingles(C.sql_tokens("text"), k)
+    th = C.sql_h60("tok")
+    shh = C.sql_h60("s")
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, text FROM {tx_view} WHERE {SQL_CLEAN}
+        ),
+        toks AS (
+            SELECT conv_id, {th} AS th
+            FROM (SELECT conv_id, unnest({tok}) AS tok FROM clean)
+        ),
+        t_stats AS (
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT th) AS BIGINT) AS distinct_tokens
+            FROM toks GROUP BY conv_id
+        ),
+        shs AS (
+            SELECT conv_id, {shh} AS sh
+            FROM (SELECT conv_id, unnest({sh}) AS s FROM clean)
+        ),
+        per_sh AS (
+            SELECT conv_id, sh, CAST(COUNT(*) AS BIGINT) AS c
+            FROM shs GROUP BY conv_id, sh
+        ),
+        s_stats AS (
+            SELECT conv_id,
+                   CAST(SUM(c) AS BIGINT) AS n_shingles,
+                   CAST(SUM(c - 1) AS BIGINT) AS rep
+            FROM per_sh GROUP BY conv_id
+        )
+        SELECT t.conv_id, t.n_tokens, t.distinct_tokens,
+               {C.sql_permille('t.distinct_tokens', 't.n_tokens')}
+                   AS ttr_permille,
+               CAST(COALESCE(s.n_shingles, 0) AS BIGINT) AS n_shingles,
+               {C.sql_permille('COALESCE(s.rep, 0)',
+                               'COALESCE(s.n_shingles, 0)')}
+                   AS repeated_shingle_permille
+        FROM t_stats t LEFT JOIN s_stats s ON t.conv_id = s.conv_id
+        ORDER BY t.conv_id
+    """

@@ -356,3 +356,36 @@ def test_broadcast_advisor_exact_bytes_and_threshold(spark):
     assert out["fits_broadcast"] is False      # strict <
     out2 = O.broadcast_advisor({"t": t}, threshold=22).collect()[0]
     assert out2["fits_broadcast"] is True
+
+
+def test_simpson_diversity_uniform_and_degenerate(spark):
+    from log_collector_spark.operators import behavior as B
+    rows = ([(1, "a")] * 2 + [(1, "b")] * 2     # uniform over 2 types
+            + [(2, "a")] * 3)                    # single type
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["user_id"]: r for r in B.simpson_diversity(df).collect()}
+    # 1 - (4+4)/16 = 0.5 -> 500; single type -> 0
+    assert (out[1]["n_types"], out[1]["simpson_permille"]) == (2, 500)
+    assert (out[2]["n_types"], out[2]["simpson_permille"]) == (1, 0)
+
+
+def test_conversation_redundancy_pools_across_turns(spark):
+    from log_collector_spark.operators import tx_stats as TX
+    # turn texts repeat the SAME 3-gram across turns: pooled shingle
+    # counts see the repetition a per-turn view would miss.
+    rows = [("A", 0, "x y z"), ("A", 1, "x y z"),
+            ("B", 0, "p q r s")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "text string")
+    routed = (df.withColumn("parse_ok", F.lit(True))
+                .withColumn("is_oversize", F.lit(False)))
+    out = {r["conv_id"]: r for r in
+           TX.conversation_redundancy(routed).collect()}
+    a = out["A"]
+    # 6 tokens, 3 distinct -> TTR 500; shingles: "x y z" twice ->
+    # 2 shingles, 1 repeat -> 500 permille
+    assert (a["n_tokens"], a["distinct_tokens"], a["ttr_permille"]) \
+        == (6, 3, 500)
+    assert (a["n_shingles"], a["repeated_shingle_permille"]) == (2, 500)
+    b = out["B"]
+    assert (b["ttr_permille"], b["repeated_shingle_permille"]) == (1000, 0)

@@ -1847,8 +1847,28 @@ def q_tx_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.conversation_redundancy(pl.full_pipeline(spark, sf_dir))
 
 
+def q_resize_ppm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize kernel: 2×2 box-filter (floor mean) over the decoded
+    PPM pixels in mapInPandas; odd edges cropped, thin images resize to
+    empty with guarded stats. Oracle from doc_id arithmetic."""
+    from log_collector_spark.textops import multimodal as M
+    return M.resize_ppm_features(
+        M.media_ppm_from_documents(_docs(spark, sf_dir)))
+
+
+def q_framesample_wav_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Frame-sampling stage: stride-4 decimation over decoded PCM frames
+    in mapInPandas (the audio/video frame-sample path)."""
+    from log_collector_spark.textops import multimodal as M
+    return M.framesample_wav_features(
+        M.media_wav_from_documents(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "resize_ppm_documents": q_resize_ppm_documents,
+        "framesample_wav_documents": q_framesample_wav_documents,
         "simpson_diversity_events": q_simpson_diversity_events,
         "tx_latency_bands": q_tx_latency_bands,
         "tx_redundancy": q_tx_redundancy,
@@ -2700,6 +2720,8 @@ def oracle_sql() -> dict[str, str]:
         "simpson_diversity_events": _bh().sql_simpson_diversity(),
         "tx_latency_bands": _tx().sql_latency_bands_hourly(tx_view),
         "tx_redundancy": _tx().sql_conversation_redundancy(tx_view),
+        "resize_ppm_documents": _tm().sql_resize_ppm_features(),
+        "framesample_wav_documents": _tm().sql_framesample_wav_features(),
     }
 
 

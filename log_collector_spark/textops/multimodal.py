@@ -172,9 +172,10 @@ def encode_ppm(media_id: int) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + px
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Generic P6 parser: real header tokenizer (arbitrary whitespace and
-    '#' comments, per the netpbm spec), not the encoder inverted."""
+def _parse_ppm(payload: bytes) -> tuple:
+    """Generic P6 parse → (w, h, maxval, pixel bytes): real header
+    tokenizer (arbitrary whitespace and '#' comments, per the netpbm
+    spec), not the encoder inverted."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM")
     toks, pos = [], 2
@@ -196,8 +197,63 @@ def decode_ppm(payload: bytes) -> dict:
     px = payload[pos:pos + w * h * 3]
     if len(px) != w * h * 3:
         raise ValueError("truncated pixel data")
+    return w, h, maxval, px
+
+
+def decode_ppm(payload: bytes) -> dict:
+    w, h, maxval, px = _parse_ppm(payload)
     return {"width": w, "height": h, "maxval": maxval,
             "pixel_sum": sum(px), "pixel_min": min(px), "pixel_max": max(px)}
+
+
+def resize_ppm(payload: bytes, factor: int = 2) -> dict:
+    """2×2 box-filter downsample (floor mean per channel) — the REAL
+    resize kernel of the multimodal stage, not a byte-length stand-in.
+    Trailing odd rows/columns are cropped (out dims floor-divide); an
+    image thinner than the factor resizes to empty (stats 0/-1/-1)."""
+    w, h, maxval, px = _parse_ppm(payload)
+    ow, oh = w // factor, h // factor
+    if ow == 0 or oh == 0:
+        return {"width": w, "height": h, "out_w": ow, "out_h": oh,
+                "pixel_sum": 0, "pixel_min": -1, "pixel_max": -1}
+    total, lo, hi = 0, 256, -1
+    for yy in range(oh):
+        for xx in range(ow):
+            for c in range(3):
+                s = 0
+                for dy in range(factor):
+                    for dx in range(factor):
+                        s += px[((yy * factor + dy) * w
+                                 + xx * factor + dx) * 3 + c]
+                v = s // (factor * factor)
+                total += v
+                lo = v if v < lo else lo
+                hi = v if v > hi else hi
+    return {"width": w, "height": h, "out_w": ow, "out_h": oh,
+            "pixel_sum": total, "pixel_min": lo, "pixel_max": hi}
+
+
+def framesample_wav(payload: bytes, stride: int = 4) -> dict:
+    """Frame sampling (stride decimation) over decoded PCM — the
+    audio/video frame-sample stage: keep every ``stride``-th frame.
+    Synth WAVs are mono, so frame == sample; stats over kept frames."""
+    import struct
+
+    full = decode_wav(payload)
+    # re-walk the data chunk for the raw samples (decode_wav returns stats)
+    pos = 12
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    vals = struct.unpack("<%dh" % (len(data) // 2), data[:len(data) & ~1])
+    kept = vals[::stride]
+    return {"n_samples": full["n_samples"], "stride": stride,
+            "n_sampled": len(kept), "sample_sum": sum(kept),
+            "sample_min": min(kept), "sample_max": max(kept)}
 
 
 def media_wav_from_documents(docs: DataFrame) -> DataFrame:
@@ -340,4 +396,101 @@ def sql_fake_features(table: str = "documents") -> str:
                         i -> CAST(('0x' || substr(hx, 2*i - 1, 2)) AS BIGINT)))
                     ELSE 0 END % 997 AS BIGINT) AS byte_sum_mod
         FROM b
+    """
+
+
+RESIZE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("out_w", T.LongType()),
+    T.StructField("out_h", T.LongType()),
+    T.StructField("pixel_sum", T.LongType()),
+    T.StructField("pixel_min", T.LongType()),
+    T.StructField("pixel_max", T.LongType()),
+])
+
+FRAMESAMPLE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("stride", T.LongType()),
+    T.StructField("n_sampled", T.LongType()),
+    T.StructField("sample_sum", T.LongType()),
+    T.StructField("sample_min", T.LongType()),
+    T.StructField("sample_max", T.LongType()),
+])
+
+
+def resize_ppm_features(media: DataFrame) -> DataFrame:
+    """mapInPandas resize stage (2×2 box filter) over the PPM column."""
+    cols = [f.name for f in RESIZE_FEATURE_SCHEMA.fields[1:]]
+    return media.select("media_id", "payload").mapInPandas(
+        _decode_batches(resize_ppm, cols), RESIZE_FEATURE_SCHEMA)
+
+
+def framesample_wav_features(media: DataFrame) -> DataFrame:
+    """mapInPandas frame-sampling stage (stride 4) over the WAV column."""
+    cols = [f.name for f in FRAMESAMPLE_FEATURE_SCHEMA.fields[1:]]
+    return media.select("media_id", "payload").mapInPandas(
+        _decode_batches(framesample_wav, cols), FRAMESAMPLE_FEATURE_SCHEMA)
+
+
+def sql_resize_ppm_features(table: str = "documents",
+                            factor: int = 2) -> str:
+    """Oracle: the 2×2 floor-mean resize recomputed from doc_id
+    arithmetic — pixel (x,y,c) is ((doc_id + ((y*w + x)*3 + c)) * 37)
+    % 256, so the box mean is pure integer algebra over an index grid."""
+    f2 = factor * factor
+
+    def p(dy, dx):
+        y = f"((j // 3) // ow * {factor} + {dy})"
+        x = f"((j // 3) % ow * {factor} + {dx})"
+        return (f"((d.doc_id + ({y} * w + {x}) * 3 + j % 3) * 37) % 256")
+
+    boxsum = " + ".join(p(dy, dx) for dy in range(factor)
+                        for dx in range(factor))
+    return f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h,
+                   (doc_id % 16 + 1) // {factor} AS ow,
+                   (doc_id % 12 + 1) // {factor} AS oh
+            FROM {table}
+        ), vals AS (
+            SELECT d.doc_id, ({boxsum}) // {f2} AS v
+            FROM d, unnest(range(0, d.ow * d.oh * 3)) AS t(j)
+        ), agg AS (
+            SELECT doc_id, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+            FROM vals GROUP BY doc_id
+        )
+        SELECT d.doc_id AS media_id,
+               CAST(d.w AS BIGINT) AS width,
+               CAST(d.h AS BIGINT) AS height,
+               CAST(d.ow AS BIGINT) AS out_w,
+               CAST(d.oh AS BIGINT) AS out_h,
+               CAST(COALESCE(a.s, 0) AS BIGINT) AS pixel_sum,
+               CAST(COALESCE(a.mn, -1) AS BIGINT) AS pixel_min,
+               CAST(COALESCE(a.mx, -1) AS BIGINT) AS pixel_max
+        FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+def sql_framesample_wav_features(table: str = "documents",
+                                 stride: int = 4) -> str:
+    return f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 50 + 10 AS n FROM {table}
+        ), s AS (
+            SELECT d.doc_id, d.n,
+                   ((d.doc_id * 31 + t.i * 7) % 65536) - 32768 AS v
+            FROM d, unnest(range(0, d.n)) AS t(i)
+            WHERE t.i % {stride} = 0
+        )
+        SELECT doc_id AS media_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST({stride} AS BIGINT) AS stride,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(v) AS BIGINT) AS sample_sum,
+               CAST(MIN(v) AS BIGINT) AS sample_min,
+               CAST(MAX(v) AS BIGINT) AS sample_max
+        FROM s GROUP BY doc_id, n
     """

@@ -389,3 +389,40 @@ def test_conversation_redundancy_pools_across_turns(spark):
     assert (a["n_shingles"], a["repeated_shingle_permille"]) == (2, 500)
     b = out["B"]
     assert (b["ttr_permille"], b["repeated_shingle_permille"]) == (1000, 0)
+
+
+def test_resize_ppm_box_filter_exact():
+    from log_collector_spark.textops import multimodal as M
+    # media_id 33: w = 33%16+1 = 2, h = 33%12+1 = 10 -> out 1x5
+    feats = M.resize_ppm(M.encode_ppm(33))
+    assert (feats["width"], feats["height"], feats["out_w"],
+            feats["out_h"]) == (2, 10, 1, 5)
+    px = [((33 + i) * 37) % 256 for i in range(2 * 10 * 3)]
+    vals = []
+    for yy in range(5):
+        for c in range(3):
+            s = (px[(2 * yy * 2 + 0) * 3 + c] + px[(2 * yy * 2 + 1) * 3 + c]
+                 + px[((2 * yy + 1) * 2 + 0) * 3 + c]
+                 + px[((2 * yy + 1) * 2 + 1) * 3 + c])
+            vals.append(s // 4)
+    assert feats["pixel_sum"] == sum(vals)
+    assert feats["pixel_min"] == min(vals)
+    assert feats["pixel_max"] == max(vals)
+
+
+def test_resize_ppm_thin_image_guarded():
+    from log_collector_spark.textops import multimodal as M
+    # media_id 0: w=1 -> resizes to empty; stats guarded
+    feats = M.resize_ppm(M.encode_ppm(0))
+    assert (feats["out_w"], feats["pixel_sum"], feats["pixel_min"],
+            feats["pixel_max"]) == (0, 0, -1, -1)
+
+
+def test_framesample_wav_stride_decimation():
+    from log_collector_spark.textops import multimodal as M
+    feats = M.framesample_wav(M.encode_wav(17), stride=4)
+    kept = M._synth_samples(17)[::4]
+    assert feats["n_sampled"] == len(kept)
+    assert feats["sample_sum"] == sum(kept)
+    assert (feats["sample_min"], feats["sample_max"]) \
+        == (min(kept), max(kept))

@@ -1865,8 +1865,33 @@ def q_framesample_wav_documents(spark: SparkSession,
         M.media_wav_from_documents(_docs(spark, sf_dir)))
 
 
+def q_fano_factor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burstiness: exact integer Fano factor (variance/mean of
+    zero-filled hourly counts) — 1000 ≈ Poisson, higher = bursty."""
+    from log_collector_spark.operators import behavior as B
+    return B.fano_factor(_tbl(spark, sf_dir, "events"))
+
+
+def q_token_tvd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise exact total-variation distance between source unigram
+    distributions — inner-join-only closed form, no dense vocab grid."""
+    from log_collector_spark.textops import analysis as A
+    return A.token_tvd_sources(_docs(spark, sf_dir))
+
+
+def q_tx_parse_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly parse-health series over the RAW routed frame: blanks,
+    oversize, parse failures, clean rows, ok share — the reference's
+    counters unrolled into a time series."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.parse_health_hourly(pl.full_pipeline(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "fano_factor_events": q_fano_factor_events,
+        "token_tvd_sources": q_token_tvd_sources,
+        "tx_parse_health": q_tx_parse_health,
         "resize_ppm_documents": q_resize_ppm_documents,
         "framesample_wav_documents": q_framesample_wav_documents,
         "simpson_diversity_events": q_simpson_diversity_events,
@@ -2722,6 +2747,9 @@ def oracle_sql() -> dict[str, str]:
         "tx_redundancy": _tx().sql_conversation_redundancy(tx_view),
         "resize_ppm_documents": _tm().sql_resize_ppm_features(),
         "framesample_wav_documents": _tm().sql_framesample_wav_features(),
+        "fano_factor_events": _bh().sql_fano_factor(),
+        "token_tvd_sources": _ta().sql_token_tvd_sources(),
+        "tx_parse_health": _tx().sql_parse_health_hourly(tx_view),
     }
 
 

@@ -2023,3 +2023,82 @@ def sql_simpson_diversity(table: str = "events") -> str:
         FROM per_user
         ORDER BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness per event type (variance-to-mean of hourly counts)
+# ---------------------------------------------------------------------------
+
+
+def fano_factor(events: DataFrame, type_col: str = "event_type",
+                ts_col: str = "ts") -> DataFrame:
+    """Burstiness per event type: the Fano factor (variance / mean of the
+    ZERO-FILLED hourly count series) in exact integer permille —
+    1000 ≈ Poisson arrivals, far above 1000 = bursty, far below =
+    metronomic. The dispersion diagnostic that decides whether rate
+    alerts need burst-tolerant thresholds.
+
+    Integer form: F·1000 = (n·Σx² − S²)·1000 div (n·S) (population
+    variance over mean, n = hours in the global span). The dense grid is
+    |types|·|hours| rows — metadata scale; the raw stream collapses to
+    (type, hour) counts in one map-side-combined agg.
+
+    Returns (event_type, n_hours, n_events, fano_permille), ORDER BY
+    event_type."""
+    hour = F.expr(f"unix_micros(cast({ts_col} as timestamp)) "
+                  f"div 1000 div 3600000").cast("long")
+    counts = (events.select(F.col(type_col).alias("g"),
+                            hour.alias("h"))
+              .groupBy("g", "h").agg(F.count(F.lit(1)).alias("x")))
+    hours = (counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+             .select(F.explode(F.sequence("lo", "hi")).alias("h")))
+    grid = counts.select("g").distinct().crossJoin(hours)
+    dense = (grid.join(counts, ["g", "h"], "left")
+             .select("g", "h",
+                     F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+    agg = (dense.groupBy("g")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_hours"),
+                F.sum("x").cast("long").alias("n_events"),
+                F.sum(F.col("x") * F.col("x")).alias("sq")))
+    return (agg.withColumn(
+                "fano_permille",
+                F.when(F.col("n_events") > 0, F.expr(
+                    "(n_hours * sq - n_events * n_events) * 1000 "
+                    "div (n_hours * n_events)"))
+                .otherwise(F.lit(0)).cast("long"))
+            .select(F.col("g").alias(type_col), "n_hours", "n_events",
+                    "fano_permille")
+            .orderBy(type_col))
+
+
+def sql_fano_factor(table: str = "events") -> str:
+    return f"""
+        WITH counts AS (
+            SELECT event_type AS g,
+                   CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM {table} GROUP BY 1, 2
+        ),
+        b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM counts),
+        hours AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+        grid AS (SELECT g, h
+                 FROM (SELECT DISTINCT g FROM counts), hours),
+        dense AS (
+            SELECT grid.g, grid.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+            FROM grid LEFT JOIN counts c
+              ON grid.g = c.g AND grid.h = c.h
+        ),
+        agg AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(x) AS BIGINT) AS n_events,
+                   CAST(SUM(x * x) AS BIGINT) AS sq
+            FROM dense GROUP BY g
+        )
+        SELECT g AS event_type, n_hours, n_events,
+               CAST(CASE WHEN n_events > 0
+                    THEN (n_hours * sq - n_events * n_events) * 1000
+                         // (n_hours * n_events)
+                    ELSE 0 END AS BIGINT) AS fano_permille
+        FROM agg
+        ORDER BY event_type
+    """

@@ -986,3 +986,81 @@ def sql_conversation_redundancy(tx_view: str,
         FROM t_stats t LEFT JOIN s_stats s ON t.conv_id = s.conv_id
         ORDER BY t.conv_id
     """
+
+
+def parse_health_hourly(routed: DataFrame) -> DataFrame:
+    """Hourly parse-health series over the RAW routed frame (not the
+    clean slice): the reference's per-source success/error counters
+    (ReaderMetrics) unrolled into a time series — total lines, skipped
+    blanks, oversize rejects, parse failures, clean rows, and the ok
+    share over attempted (non-blank) lines.
+
+    One hash agg of flag sums keyed on the event-time hour; the routing
+    decision table itself is the measurand, so a routing regression
+    shifts these rows (the oracle reconstructs every predicate from raw
+    parquet).
+
+    Returns (hour_idx, n_lines, n_blank, n_oversize, n_parse_fail,
+    n_ok, ok_permille), ORDER BY hour_idx."""
+    from log_collector_spark.textops import common as C
+
+    hour = F.expr("unix_micros(cast(ts as timestamp)) "
+                  "div 1000 div 3600000").cast("long")
+    flags = routed.select(
+        hour.alias("hour_idx"),
+        F.col("is_blank").cast("long").alias("b"),
+        (~F.col("is_blank") & F.col("is_oversize")).cast("long")
+        .alias("o"),
+        (~F.col("is_blank") & ~F.col("is_oversize")
+         & ~F.col("parse_ok")).cast("long").alias("f"),
+        (~F.col("is_blank") & ~F.col("is_oversize")
+         & F.col("parse_ok")).cast("long").alias("k"))
+    agg = (flags.groupBy("hour_idx")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                F.sum("b").cast("long").alias("n_blank"),
+                F.sum("o").cast("long").alias("n_oversize"),
+                F.sum("f").cast("long").alias("n_parse_fail"),
+                F.sum("k").cast("long").alias("n_ok")))
+    return (agg.withColumn(
+                "ok_permille",
+                C.permille(F.col("n_ok"),
+                           F.col("n_lines") - F.col("n_blank")))
+            .orderBy("hour_idx"))
+
+
+def sql_parse_health_hourly(tx_view: str) -> str:
+    return f"""
+        WITH flags AS (
+            SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour_idx,
+                   CASE WHEN trim(coalesce(text, '')) = ''
+                        THEN 1 ELSE 0 END AS b,
+                   CASE WHEN trim(coalesce(text, '')) <> ''
+                             AND strlen(text) >= 8192
+                        THEN 1 ELSE 0 END AS o,
+                   CASE WHEN trim(coalesce(text, '')) <> ''
+                             AND strlen(text) < 8192
+                             AND text LIKE 'corrupt#%'
+                        THEN 1 ELSE 0 END AS f,
+                   CASE WHEN trim(coalesce(text, '')) <> ''
+                             AND strlen(text) < 8192
+                             AND text NOT LIKE 'corrupt#%'
+                        THEN 1 ELSE 0 END AS k
+            FROM {tx_view}
+        ),
+        agg AS (
+            SELECT hour_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(b) AS BIGINT) AS n_blank,
+                   CAST(SUM(o) AS BIGINT) AS n_oversize,
+                   CAST(SUM(f) AS BIGINT) AS n_parse_fail,
+                   CAST(SUM(k) AS BIGINT) AS n_ok
+            FROM flags GROUP BY hour_idx
+        )
+        SELECT hour_idx, n_lines, n_blank, n_oversize, n_parse_fail,
+               n_ok,
+               CAST(CASE WHEN n_lines - n_blank > 0
+                    THEN n_ok * 1000 // (n_lines - n_blank)
+                    ELSE 0 END AS BIGINT) AS ok_permille
+        FROM agg
+        ORDER BY hour_idx
+    """

@@ -2195,3 +2195,102 @@ def sql_token_coverage_cutoff(table: str = "documents",
         GROUP BY t.target_permille
         ORDER BY target_permille
     """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise total-variation distance between source unigram distributions
+# ---------------------------------------------------------------------------
+
+
+def token_tvd_sources(df: DataFrame, group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Exact total-variation distance ½·Σ|p_i − q_i| between every source
+    pair's unigram distribution — the categorical analogue of the KS
+    drift screen (KS needs an ordered support; token identity has none),
+    and the number behind "are these two sources the same kind of text".
+
+    Integer closed form over the INNER token join only: with per-token
+    counts c_a, c_b and totals n_a, n_b,
+    Σ_union |c_a·n_b − c_b·n_a| = Σ_both |c_a·n_b − c_b·n_a|
+      + (n_a·n_b − Σ_both c_a·n_b) + (n_a·n_b − Σ_both c_b·n_a)
+    (tokens private to one source contribute their full mass), so
+    tvd_permille = num·1000 div (2·n_a·n_b) with no full-outer join and
+    no dense vocab grid. Overflow bound: n_a·n_b·1000 < 2^63 holds to
+    ~3e9 tokens/source; beyond that widen to DECIMAL(38,0).
+
+    One (source, token-hash) count agg (the only corpus-scale shuffle) +
+    a token-hash equi-join between source pairs (|sources| is small).
+
+    Returns (source_a, source_b, n_a, n_b, shared_types, tvd_permille),
+    ORDER BY (source_a, source_b)."""
+    inv = (df.select(F.col(group_col).alias("s"),
+                     F.explode(C.tokens(F.col(text_col))).alias("tok"))
+           .select("s", C.h60(F.col("tok")).alias("th"))
+           .groupBy("s", "th").agg(F.count(F.lit(1)).alias("c")))
+    tot = inv.groupBy("s").agg(F.sum("c").alias("n"))
+    a = (inv.join(tot, "s")
+         .select(F.col("s").alias("sa"), "th",
+                 F.col("c").alias("ca"), F.col("n").alias("na")))
+    b = (inv.join(tot, "s")
+         .select(F.col("s").alias("sb"), "th",
+                 F.col("c").alias("cb"), F.col("n").alias("nb")))
+    both = (a.join(b, ["th"])
+            .filter(F.col("sa") < F.col("sb"))
+            .groupBy("sa", "sb")
+            .agg(F.first("na").alias("na"), F.first("nb").alias("nb"),
+                 F.count(F.lit(1)).cast("long").alias("shared_types"),
+                 F.sum(F.abs(F.col("ca") * F.col("nb")
+                             - F.col("cb") * F.col("na"))).alias("s_abs"),
+                 F.sum(F.col("ca") * F.col("nb")).alias("s_ab"),
+                 F.sum(F.col("cb") * F.col("na")).alias("s_ba")))
+    return (both.withColumn(
+                "num",
+                F.col("s_abs") + 2 * F.col("na") * F.col("nb")
+                - F.col("s_ab") - F.col("s_ba"))
+            .withColumn("tvd_permille",
+                        F.expr("(num * 1000) div (2 * na * nb)")
+                        .cast("long"))
+            .select(F.col("sa").alias("source_a"),
+                    F.col("sb").alias("source_b"),
+                    F.col("na").cast("long").alias("n_a"),
+                    F.col("nb").cast("long").alias("n_b"),
+                    "shared_types", "tvd_permille")
+            .orderBy("source_a", "source_b"))
+
+
+def sql_token_tvd_sources(table: str = "documents",
+                          group_col: str = "source") -> str:
+    tok = C.sql_tokens("text")
+    h = C.sql_h60("tok")
+    return f"""
+        WITH inv AS (
+            SELECT s, th, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT {group_col} AS s, {h} AS th
+                  FROM (SELECT {group_col}, unnest({tok}) AS tok
+                        FROM {table}))
+            GROUP BY s, th
+        ),
+        tot AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n
+                FROM inv GROUP BY s),
+        pair_stats AS (
+            SELECT a.s AS sa, b.s AS sb,
+                   MAX(ta.n) AS na, MAX(tb.n) AS nb,
+                   CAST(COUNT(*) AS BIGINT) AS shared_types,
+                   CAST(SUM(abs(a.c * tb.n - b.c * ta.n)) AS BIGINT)
+                       AS s_abs,
+                   CAST(SUM(a.c * tb.n) AS BIGINT) AS s_ab,
+                   CAST(SUM(b.c * ta.n) AS BIGINT) AS s_ba
+            FROM inv a
+            JOIN inv b ON a.th = b.th AND a.s < b.s
+            JOIN tot ta ON ta.s = a.s
+            JOIN tot tb ON tb.s = b.s
+            GROUP BY a.s, b.s
+        )
+        SELECT sa AS source_a, sb AS source_b,
+               CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               shared_types,
+               CAST((s_abs + 2 * na * nb - s_ab - s_ba) * 1000
+                    // (2 * na * nb) AS BIGINT) AS tvd_permille
+        FROM pair_stats
+        ORDER BY source_a, source_b
+    """

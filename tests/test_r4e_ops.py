@@ -426,3 +426,45 @@ def test_framesample_wav_stride_decimation():
     assert feats["sample_sum"] == sum(kept)
     assert (feats["sample_min"], feats["sample_max"]) \
         == (min(kept), max(kept))
+
+
+def test_fano_factor_poisson_like_and_constant(spark):
+    from log_collector_spark.operators import behavior as B
+    # type A: all 4 events in one hour of a 2-hour span -> x=[4,0]:
+    # mean 2, var 4 -> fano 2000. type B: 1 event each hour -> var 0 -> 0.
+    rows = [("A", _t("1970-01-01 00:10"))] * 4 + \
+           [("B", _t("1970-01-01 00:20")), ("B", _t("1970-01-01 01:20"))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in B.fano_factor(df).collect()}
+    assert (out["A"]["n_hours"], out["A"]["fano_permille"]) == (2, 2000)
+    assert out["B"]["fano_permille"] == 0
+
+
+def test_token_tvd_identical_zero_disjoint_1000(spark):
+    from log_collector_spark.textops import analysis as A
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2"),   # identical dists
+         (3, "x y", "s3")],                         # disjoint from both
+        "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["tvd_permille"]
+           for r in A.token_tvd_sources(docs).collect()}
+    assert out[("s1", "s2")] == 0
+    # disjoint pairs share no token: the inner join drops them entirely —
+    # a documented recall property (union-only pairs don't surface).
+    assert ("s1", "s3") not in out
+
+
+def test_parse_health_hourly_category_precedence(spark):
+    from log_collector_spark.operators import tx_stats as TX
+    rows = [("A", 0, "ok line", False, False, True),
+            ("A", 1, "", True, False, False),              # blank
+            ("A", 2, "x" * 9000, False, True, False),      # oversize
+            ("A", 3, "corrupt#zz", False, False, False)]   # parse fail
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, "
+              "is_blank boolean, is_oversize boolean, parse_ok boolean")
+    routed = df.withColumn("ts", F.lit("1970-01-01 00:30").cast("timestamp"))
+    r = TX.parse_health_hourly(routed).collect()[0]
+    assert (r["n_lines"], r["n_blank"], r["n_oversize"],
+            r["n_parse_fail"], r["n_ok"]) == (4, 1, 1, 1, 1)
+    assert r["ok_permille"] == 333  # 1 of 3 attempted

@@ -989,6 +989,26 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("session_id", F.col("session_id").cast("long")))
 
 
+def q_session_depth_histogram(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Power-of-2 histogram of session depths (events per 30-min-gap
+    session): the engagement-shape distribution — how much of the stream
+    sits in drive-by singleton sessions vs deep sessions. Reuses the
+    sessionize frame; the histogram rollup runs on |sessions| rows."""
+    from log_collector_spark.textops import common as TC
+    sess = q_sessionize_events(spark, sf_dir)
+    bucket = F.length(F.bin(F.col("n_events"))).cast("long")
+    per = (sess.groupBy(bucket.alias("depth_bucket"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                F.sum("n_events").cast("long").alias("n_events")))
+    tot = per.agg(F.sum("n_events").alias("t"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("depth_bucket", "n_sessions", "n_events",
+                    TC.permille(F.col("n_events"), F.col("t"))
+                    .alias("event_share_permille"))
+            .orderBy("depth_bucket"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas feature extraction (stub decode)."""
     from log_collector_spark.textops import multimodal as M
@@ -1889,6 +1909,7 @@ def q_tx_parse_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "session_depth_histogram": q_session_depth_histogram,
         "fano_factor_events": q_fano_factor_events,
         "token_tvd_sources": q_token_tvd_sources,
         "tx_parse_health": q_tx_parse_health,
@@ -2750,6 +2771,38 @@ def oracle_sql() -> dict[str, str]:
         "fano_factor_events": _bh().sql_fano_factor(),
         "token_tvd_sources": _ta().sql_token_tvd_sources(),
         "tx_parse_health": _tx().sql_parse_health_hourly(tx_view),
+        "session_depth_histogram": """
+            WITH base AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(date_trunc('second', ts))
+                                    - epoch_us(date_trunc('second',
+                                               lag(ts) OVER w))
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, SUM(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM base
+            ), sess AS (
+                SELECT user_id, session_id, COUNT(*) AS n_events
+                FROM s GROUP BY 1, 2
+            ), per AS (
+                SELECT CAST(length(bin(n_events)) AS BIGINT)
+                           AS depth_bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                       CAST(SUM(n_events) AS BIGINT) AS n_events
+                FROM sess GROUP BY 1
+            ), tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM per)
+            SELECT depth_bucket, n_sessions, n_events,
+                   CAST(n_events * 1000 // t AS BIGINT)
+                       AS event_share_permille
+            FROM per CROSS JOIN tot
+            ORDER BY depth_bucket
+        """,
     }
 
 

@@ -289,3 +289,52 @@ def start_cms_stream(spark: SparkSession, input_dir: str,
     return (src.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_loc)
             .trigger(availableNow=True).start())
+
+
+def transcript_hll_registers(df: DataFrame) -> DataFrame:
+    """Hourly distinct-conversation HLL registers over a (batch or
+    micro-batch) transcript frame — shared by the streaming partial
+    writer and the one-shot batch baseline so the equality test compares
+    the same kernel."""
+    from log_collector_spark.textops.analysis import (
+        HLL_M, HLL_P, _HLL_RMAX)
+    from log_collector_spark.textops import common as C
+
+    hour = F.expr("unix_micros(cast(ts as timestamp)) "
+                  "div 1000 div 3600000").cast("long")
+    hashes = (df.select(hour.alias("hour_idx"),
+                        C.h60(F.col("conv_id")).alias("h"))
+              .distinct())
+    w = F.shiftright(F.col("h"), HLL_P)
+    rho = (F.when(w > 0, F.lit(_HLL_RMAX) - F.length(F.bin(w)))
+           .otherwise(_HLL_RMAX).cast("long"))
+    return (hashes.select("hour_idx", (F.col("h") % HLL_M).alias("idx"),
+                          rho.alias("rho"))
+            .groupBy("hour_idx", "idx")
+            .agg(F.max("rho").alias("m_reg")))
+
+
+def start_hll_stream(spark: SparkSession, input_dir: str,
+                     checkpoint_loc: str, out_dir: str, *,
+                     max_files_per_trigger: int | None = None):
+    """Streaming distinct-count sketching: each micro-batch writes its
+    OWN hourly HLL register partial (tagged with batch_id); the live
+    sketch is the register-wise MAX of everything written so far. The
+    MAX-mergeable counterpart of `start_cms_stream`'s SUM-mergeable
+    cells — together they cover both sketch-merge algebras a monitoring
+    stack needs, with no state store (the sketch IS the state) and
+    batch boundaries provably invisible (batch-equality pytest:
+    merged-streaming == one-shot-batch EXACTLY). Replays are harmless
+    without dedup: MAX is idempotent, the stronger half of the
+    effectively-once story."""
+    src = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        regs = transcript_hll_registers(batch_df.filter(
+            F.coalesce(F.col("text"), F.lit("")) != ""))
+        (regs.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_dir))
+
+    return (src.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_loc)
+            .trigger(availableNow=True).start())

@@ -636,3 +636,30 @@ def test_compact_checkpoint_preserves_resume_and_truncation(
     rep2 = ck.compact_checkpoint(spark, ckpt)
     assert rep2["checkpoint"]["files_before"] == 1
     assert ck.committed_batches(spark, ckpt) == before_batches
+
+
+def test_stream_hll_registers_merge_equals_batch(spark, tmp_path):
+    """The MAX-merge counterpart of the CMS test: register-wise MAX of
+    per-micro-batch HLL partials == the one-shot batch registers exactly
+    (and MAX is idempotent, so replayed batches cannot corrupt it)."""
+    from log_collector_spark.streaming import pipeline as sp
+    from pyspark.sql import functions as F
+
+    input_dir = pl.transcripts_path(SF_DIR)
+    out = str(tmp_path / "hll_out")
+    q = sp.start_hll_stream(spark, input_dir, str(tmp_path / "hll_ck"),
+                            out, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() > 1
+    merged = (partials.groupBy("hour_idx", "idx")
+              .agg(F.max("m_reg").alias("m_reg")))
+    batch = sp.transcript_hll_registers(
+        spark.read.parquet(input_dir).filter(
+            F.coalesce(F.col("text"), F.lit("")) != ""))
+    diff = (merged.join(batch.withColumnRenamed("m_reg", "b_reg"),
+                        ["hour_idx", "idx"], "full")
+            .filter((F.col("m_reg").isNull()) | (F.col("b_reg").isNull())
+                    | (F.col("m_reg") != F.col("b_reg"))))
+    assert diff.count() == 0

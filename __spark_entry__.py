@@ -1885,6 +1885,13 @@ def q_framesample_wav_documents(spark: SparkSession,
         M.media_wav_from_documents(_docs(spark, sf_dir)))
 
 
+def q_corpus_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-funnel yield in TOKEN MASS per source (quality → dedup →
+    decontamination) — the tokens-kept accounting of a corpus release."""
+    from log_collector_spark.textops import dedup as D
+    return D.corpus_token_yield(_docs(spark, sf_dir))
+
+
 def q_fano_factor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type burstiness: exact integer Fano factor (variance/mean of
     zero-filled hourly counts) — 1000 ≈ Poisson, higher = bursty."""
@@ -1909,6 +1916,7 @@ def q_tx_parse_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "corpus_token_yield": q_corpus_token_yield,
         "session_depth_histogram": q_session_depth_histogram,
         "fano_factor_events": q_fano_factor_events,
         "token_tvd_sources": q_token_tvd_sources,
@@ -2771,6 +2779,7 @@ def oracle_sql() -> dict[str, str]:
         "fano_factor_events": _bh().sql_fano_factor(),
         "token_tvd_sources": _ta().sql_token_tvd_sources(),
         "tx_parse_health": _tx().sql_parse_health_hourly(tx_view),
+        "corpus_token_yield": _td().sql_corpus_token_yield(),
         "session_depth_histogram": """
             WITH base AS (
                 SELECT user_id, event_id, ts,

@@ -1790,3 +1790,79 @@ def sql_neardup_label_confusion(table: str = "embeddings") -> str:
         GROUP BY 1, 2
         ORDER BY label_a, label_b
     """
+
+
+def corpus_token_yield(df: DataFrame, text_col: str = "text",
+                       group_col: str = "source",
+                       eval_mod: int = 50) -> DataFrame:
+    """:func:`corpus_yield` weighted by TOKEN MASS: how many tokens per
+    source survive quality → dedup → decontamination — the number a
+    corpus release actually quotes ("kept N tokens"), and a different
+    answer from doc counts whenever the filters correlate with length
+    (they do: quality gates low-length docs, dedup removes boilerplate-
+    heavy ones). Same sequential-flag plan; the per-doc token count
+    rides the flag join as one extra BIGINT, so text still never
+    shuffles.
+
+    Returns (group, tokens_input, tokens_quality, tokens_dedup,
+    tokens_clean), ORDER BY group."""
+    from log_collector_spark.textops.analysis import quality_features
+    from . import common as C
+
+    train = df.filter(F.col("doc_id") % eval_mod != 0)
+    evald = df.filter(F.col("doc_id") % eval_mod == 0)
+    q = quality_features(train, text_col).select("doc_id", "quality_keep")
+    d = normalized_dedup(train, text_col).select("doc_id", "canonical")
+    c = decontaminate(train, evald, text_col).select(
+        "doc_id", "contaminated")
+    tok = F.size(C.tokens(F.col(text_col))).cast("long")
+    flags = (train.select("doc_id", F.col(group_col), tok.alias("tk"))
+             .join(q, "doc_id").join(d, "doc_id").join(c, "doc_id"))
+    keep_q = F.col("quality_keep")
+    keep_d = keep_q & F.col("canonical")
+    keep_c = keep_d & ~F.col("contaminated")
+    return (flags.groupBy(group_col)
+            .agg(F.sum("tk").cast("long").alias("tokens_input"),
+                 F.sum(F.when(keep_q, F.col("tk")).otherwise(0))
+                 .cast("long").alias("tokens_quality"),
+                 F.sum(F.when(keep_d, F.col("tk")).otherwise(0))
+                 .cast("long").alias("tokens_dedup"),
+                 F.sum(F.when(keep_c, F.col("tk")).otherwise(0))
+                 .cast("long").alias("tokens_clean"))
+            .orderBy(group_col))
+
+
+def sql_corpus_token_yield(table: str = "documents",
+                           group_col: str = "source",
+                           eval_mod: int = 50) -> str:
+    from log_collector_spark.textops.analysis import sql_quality_features
+    from . import common as C
+
+    train = f"(SELECT * FROM {table} WHERE doc_id % {eval_mod} <> 0)"
+    tk = f"len({C.sql_tokens('t.text')})"
+    return f"""
+        WITH q AS (
+            SELECT doc_id, quality_keep
+            FROM ({sql_quality_features(train)})
+        ), d AS (
+            SELECT doc_id, canonical
+            FROM ({sql_normalized_dedup(train)})
+        ), c AS ({sql_decontaminate(table, eval_mod)})
+        SELECT t.{group_col},
+               CAST(SUM({tk}) AS BIGINT) AS tokens_input,
+               CAST(SUM(CASE WHEN q.quality_keep THEN {tk} ELSE 0 END)
+                    AS BIGINT) AS tokens_quality,
+               CAST(SUM(CASE WHEN q.quality_keep AND d.canonical
+                             THEN {tk} ELSE 0 END) AS BIGINT)
+                   AS tokens_dedup,
+               CAST(SUM(CASE WHEN q.quality_keep AND d.canonical
+                             AND NOT c.contaminated
+                             THEN {tk} ELSE 0 END) AS BIGINT)
+                   AS tokens_clean
+        FROM {train} t
+        JOIN q ON q.doc_id = t.doc_id
+        JOIN d ON d.doc_id = t.doc_id
+        JOIN c ON c.doc_id = t.doc_id
+        GROUP BY t.{group_col}
+        ORDER BY t.{group_col}
+    """

@@ -1914,8 +1914,72 @@ def q_tx_parse_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.parse_health_hourly(pl.full_pipeline(spark, sf_dir))
 
 
+def q_log_templates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-lite log-template mining: digit-masked token-prefix templates,
+    one hash agg + TakeOrdered top-k (textops/mining.py)."""
+    from log_collector_spark.textops import mining as MI
+    return MI.log_templates(_docs(spark, sf_dir))
+
+
+def q_vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: token first-occurrence buckets +
+    running vocabulary size (one token-level shuffle)."""
+    from log_collector_spark.textops import mining as MI
+    return MI.vocab_growth(_docs(spark, sf_dir))
+
+
+def q_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event predictability per antecedent type
+    (modal successor + hit rate, lexicographic tie-break)."""
+    from log_collector_spark.textops import mining as MI
+    return MI.markov_next_event(_events(spark, sf_dir))
+
+
+def q_tx_markov_next_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-TOOL predictability over clean transcript turns —
+    the workflow-automation screen on the flagship routed frame (adjacency
+    over non-null-tool turns, same discipline as tx_tool_chain_bigrams)."""
+    from log_collector_spark.textops import mining as MI
+    routed = pl.full_pipeline(spark, sf_dir)
+    clean = (routed.filter(F.col("parse_ok") & ~F.col("is_oversize"))
+                   .filter(F.col("tool").isNotNull())
+                   .select("conv_id", "turn_idx", "tool"))
+    return MI.markov_next_event(clean, key_col="conv_id",
+                                seq_col="turn_idx", type_col="tool")
+
+
+ASOF_NEAREST_TOL_US = 86_400_000_000  # 1 day
+ASOF_MARKER_MOD = 101
+
+
+def q_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of (tolerance-bounded, both directions): every event is
+    matched to the closest per-user marker event (event_id % 101 == 0)
+    within 1 day — the pandas merge_asof(direction='nearest') contract as
+    a single union-tag exchange (operators/asof_nearest.py)."""
+    from log_collector_spark.operators import asof_nearest as AN
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ parquet; UTC tz
+    left = ev.select("user_id", "event_id", "event_type",
+                     us.alias("t_us"))
+    right = (ev.filter(F.col("event_id") % ASOF_MARKER_MOD == 0)
+               .select("user_id", us.alias("m_us"),
+                       F.col("event_type").alias("marker_type")))
+    out = AN.asof_nearest(left, right, on="user_id", left_ord="t_us",
+                          right_ord="m_us", value_cols=["marker_type"],
+                          tolerance=ASOF_NEAREST_TOL_US)
+    return (out.select("event_id", "user_id", "event_type",
+                       "marker_type", "asof_dist")
+               .orderBy("event_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "log_templates_documents": q_log_templates_documents,
+        "vocab_growth_documents": q_vocab_growth_documents,
+        "markov_next_event": q_markov_next_event,
+        "tx_markov_next_tool": q_tx_markov_next_tool,
+        "asof_nearest_events": q_asof_nearest_events,
         "corpus_token_yield": q_corpus_token_yield,
         "session_depth_histogram": q_session_depth_histogram,
         "fano_factor_events": q_fano_factor_events,
@@ -2779,6 +2843,14 @@ def oracle_sql() -> dict[str, str]:
         "fano_factor_events": _bh().sql_fano_factor(),
         "token_tvd_sources": _ta().sql_token_tvd_sources(),
         "tx_parse_health": _tx().sql_parse_health_hourly(tx_view),
+        "log_templates_documents": _mi().sql_log_templates(),
+        "vocab_growth_documents": _mi().sql_vocab_growth(),
+        "markov_next_event": _mi().sql_markov_next_event(),
+        "tx_markov_next_tool": _mi().sql_markov_next_event(
+            table=f"(SELECT conv_id, turn_idx, tool FROM {tx_view} "
+                  f"WHERE {_tx().SQL_CLEAN} AND tool IS NOT NULL)",
+            key_col="conv_id", seq_col="turn_idx", type_col="tool"),
+        "asof_nearest_events": _sql_asof_nearest_events(),
         "corpus_token_yield": _td().sql_corpus_token_yield(),
         "session_depth_histogram": """
             WITH base AS (
@@ -2913,6 +2985,24 @@ def _cp():
 def _tix():
     from log_collector_spark.textops import indexing
     return indexing
+
+
+def _mi():
+    from log_collector_spark.textops import mining
+    return mining
+
+
+def _sql_asof_nearest_events() -> str:
+    from log_collector_spark.operators import asof_nearest as AN
+    q = AN.sql_asof_nearest(
+        "SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type "
+        "FROM events",
+        f"SELECT user_id, epoch_us(ts) AS m_us, event_type AS marker_type "
+        f"FROM events WHERE event_id % {ASOF_MARKER_MOD} = 0",
+        on="user_id", left_ord="t_us", right_ord="m_us",
+        value_cols=["marker_type"], tolerance=ASOF_NEAREST_TOL_US)
+    return (f"SELECT event_id, user_id, event_type, marker_type, asof_dist "
+            f"FROM ({q}) ORDER BY event_id")
 
 
 def _ag():

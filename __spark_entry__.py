@@ -1948,6 +1948,27 @@ def q_tx_markov_next_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 seq_col="turn_idx", type_col="tool")
 
 
+def q_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming × exact-Jaccard cross-tab over simhash band candidates —
+    the threshold-selection evidence for SIMHASH_HAMMING_MAX."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.simhash_calibration(_docs(spark, sf_dir))
+
+
+def q_tx_token_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass pacing histogram: decile of the turn position where half
+    the conversation's tokens have arrived."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.token_midpoint_histogram(pl.full_pipeline(spark, sf_dir))
+
+
+def q_quality_vs_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate share per stopword-ratio decile — filter-ordering
+    evidence (dedup before vs after the quality gate)."""
+    from log_collector_spark.textops import analysis as A
+    return A.quality_vs_dup(_docs(spark, sf_dir))
+
+
 ASOF_NEAREST_TOL_US = 86_400_000_000  # 1 day
 ASOF_MARKER_MOD = 101
 
@@ -1980,6 +2001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_next_event": q_markov_next_event,
         "tx_markov_next_tool": q_tx_markov_next_tool,
         "asof_nearest_events": q_asof_nearest_events,
+        "simhash_calibration": q_simhash_calibration,
+        "tx_token_midpoint": q_tx_token_midpoint,
+        "quality_vs_dup_documents": q_quality_vs_dup_documents,
         "corpus_token_yield": q_corpus_token_yield,
         "session_depth_histogram": q_session_depth_histogram,
         "fano_factor_events": q_fano_factor_events,
@@ -2851,6 +2875,9 @@ def oracle_sql() -> dict[str, str]:
                   f"WHERE {_tx().SQL_CLEAN} AND tool IS NOT NULL)",
             key_col="conv_id", seq_col="turn_idx", type_col="tool"),
         "asof_nearest_events": _sql_asof_nearest_events(),
+        "simhash_calibration": _te().sql_simhash_calibration(),
+        "tx_token_midpoint": _tx().sql_token_midpoint_histogram(tx_view),
+        "quality_vs_dup_documents": _ta().sql_quality_vs_dup(),
         "corpus_token_yield": _td().sql_corpus_token_yield(),
         "session_depth_histogram": """
             WITH base AS (

@@ -1064,3 +1064,77 @@ def sql_parse_health_hourly(tx_view: str) -> str:
         FROM agg
         ORDER BY hour_idx
     """
+
+
+def token_midpoint_histogram(routed: DataFrame) -> DataFrame:
+    """Token-mass pacing: in what fraction of a conversation's turns does
+    the FIRST HALF of its tokens arrive? For each conversation, find the
+    first turn (stable turn order) whose running token sum reaches half
+    the conversation total, convert its position to a permille of the
+    conversation length, and histogram conversations by the decile of
+    that position. Front-loaded conversations (long prompts, short
+    replies) pile into low deciles; back-loaded ones into high — the
+    shape decides chunking/packing strategy for transcript training data.
+
+    Returns (midpoint_decile, n_convs) ordered by decile.
+
+    Plan: one conv_id exchange evaluates both windows (running sum +
+    conversation total); the midpoint pick is a MIN over qualifying turns
+    (no second shuffle), and the histogram is a 10-row hash agg."""
+    tok = F.get_json_object("payload", "$.tokens").cast("long")
+    base = (_clean(routed)
+            .select("conv_id", "turn_idx", tok.alias("tok"))
+            .filter(F.col("tok").isNotNull()))
+    wcum = (Window.partitionBy("conv_id").orderBy("turn_idx")
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("conv_id")
+    g = (base.withColumn("cum", F.sum("tok").over(wcum))
+             .withColumn("total", F.sum("tok").over(wall))
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("conv_id").orderBy("turn_idx")))
+             .withColumn("n_turns", F.count(F.lit(1)).over(wall)))
+    mid = (g.filter(F.col("cum") * 2 >= F.col("total"))
+            .groupBy("conv_id")
+            .agg(F.min(F.col("rn")).alias("mid_rn"),
+                 F.min("n_turns").alias("n_turns")))
+    # integer-only arithmetic (n_turns >= 1 by construction): exact match
+    # with the oracle's // chain — a double division here can land one ulp
+    # under an integer boundary and shift the floor
+    dec = F.least(
+        F.expr("((mid_rn - 1) * 1000 DIV n_turns) DIV 100"),
+        F.lit(9).cast("long")).cast("long")
+    return (mid.select(dec.alias("midpoint_decile"))
+               .groupBy("midpoint_decile")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+               .orderBy("midpoint_decile"))
+
+
+def sql_token_midpoint_histogram(tx_view: str) -> str:
+    # TRY_CAST: WHERE conjunct order is not guaranteed, so the regex cast
+    # may hit a corrupt row before SQL_CLEAN filters it (same hazard as
+    # sql_latency_inversions)
+    tok = ("TRY_CAST(regexp_extract(text, '\"tokens\":(\\d+)', 1)"
+           " AS BIGINT)")
+    return f"""
+        WITH base AS (
+            SELECT conv_id, turn_idx, {tok} AS tok
+            FROM {tx_view}
+            WHERE {SQL_CLEAN} AND {tok} IS NOT NULL
+        ), g AS (
+            SELECT conv_id,
+                   SUM(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(tok) OVER (PARTITION BY conv_id) AS total,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS rn,
+                   COUNT(*) OVER (PARTITION BY conv_id) AS n_turns
+            FROM base
+        ), mid AS (
+            SELECT conv_id, MIN(rn) AS mid_rn, MIN(n_turns) AS n_turns
+            FROM g WHERE cum * 2 >= total GROUP BY conv_id
+        )
+        SELECT CAST(LEAST(((mid_rn - 1) * 1000 // n_turns) // 100, 9)
+                    AS BIGINT) AS midpoint_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_convs
+        FROM mid GROUP BY 1 ORDER BY midpoint_decile
+    """

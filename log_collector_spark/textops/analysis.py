@@ -2294,3 +2294,67 @@ def sql_token_tvd_sources(table: str = "documents",
         FROM pair_stats
         ORDER BY source_a, source_b
     """
+
+
+# ---------------------------------------------------------------------------
+# quality × duplication cross-audit
+# ---------------------------------------------------------------------------
+
+def quality_vs_dup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Are duplicates concentrated in low-quality text? Per stopword-ratio
+    decile (0..10, integer ``n_stopwords*10 DIV n_tokens``): document
+    count, exact-duplicate members, and the duplicate share in permille.
+    The filter-ordering evidence every cleaning pipeline wants — if dups
+    live in the junk deciles, dedup AFTER the quality filter touches far
+    fewer pairs.
+
+    Plan: quality features are the existing narrow projection; the dup
+    flag is one (h60(text) → count) hash agg joined back on the hash —
+    only (doc_id, hash) pairs shuffle, text never moves. Output is <= 11
+    rows."""
+    feats = quality_features(df, text_col).select(
+        "doc_id", "n_tokens", "n_stopwords")
+    d = df.select("doc_id", C.h60(F.col(text_col)).alias("h"))
+    cnt = d.groupBy("h").agg(F.count(F.lit(1)).alias("n_same"))
+    dup = d.join(cnt, "h").select(
+        "doc_id", (F.col("n_same") > 1).alias("is_dup"))
+    j = feats.join(dup, "doc_id")
+    dec = (F.when(F.col("n_tokens") > 0,
+                  F.expr("n_stopwords * 10 DIV n_tokens"))
+            .otherwise(0)).cast("long")
+    return (j.select(dec.alias("stop_decile"), "is_dup")
+             .groupBy("stop_decile")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum(F.col("is_dup").cast("long")).cast("long")
+                   .alias("n_dup"))
+             .withColumn("dup_permille",
+                         C.permille(F.col("n_dup"), F.col("n_docs")))
+             .orderBy("stop_decile"))
+
+
+def sql_quality_vs_dup(table: str = "documents") -> str:
+    return f"""
+        WITH feats AS ({sql_quality_features(table)}),
+        d AS (SELECT doc_id, {C.sql_h60('text')} AS h FROM {table}),
+        cnt AS (SELECT h, COUNT(*) AS n_same FROM d GROUP BY h),
+        dup AS (
+            SELECT d.doc_id, (cnt.n_same > 1) AS is_dup
+            FROM d JOIN cnt USING (h)
+        ),
+        j AS (
+            SELECT CAST(CASE WHEN f.n_tokens > 0
+                             THEN f.n_stopwords * 10 // f.n_tokens
+                             ELSE 0 END AS BIGINT) AS stop_decile,
+                   dup.is_dup
+            FROM feats f JOIN dup ON dup.doc_id = f.doc_id
+        )
+        SELECT stop_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               CAST(CASE WHEN COUNT(*) > 0
+                         THEN SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                              * 1000 // COUNT(*)
+                         ELSE 0 END AS BIGINT) AS dup_permille
+        FROM j GROUP BY stop_decile ORDER BY stop_decile
+    """

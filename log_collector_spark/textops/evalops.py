@@ -511,3 +511,122 @@ def sql_triangle_count(table: str = "documents") -> str:
                CAST(nv.n_nodes AS BIGINT) AS n_nodes
         FROM tri, nv
     """
+
+
+# ---------------------------------------------------------------------------
+# SimHash calibration: hamming distance vs exact Jaccard on band candidates
+# ---------------------------------------------------------------------------
+
+def simhash_calibration(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-tab of simhash hamming distance × exact token-set Jaccard
+    decile over ALL band-candidate pairs (no hamming cut-off) — the
+    evidence behind choosing SIMHASH_HAMMING_MAX: it shows, on this
+    corpus, which hamming radius corresponds to which similarity mass
+    (the sibling of :func:`minhash_estimate_error`, which calibrates the
+    OTHER sketch family). Returns (hamming, jacc_decile, n_pairs) ordered
+    by (hamming, jacc_decile).
+
+    Plan: candidate generation is the SAME banded self-join as
+    simhash_pairs (skew-guardable the same way); the exact-Jaccard verify
+    joins candidate doc ids back to the DISTINCT-token inverted index, so
+    only candidate-pair token rows shuffle — the full corpus text never
+    re-shuffles. Output is at most 61×11 rows."""
+    from log_collector_spark.textops import dedup as D
+
+    sh = D.simhash(df, text_col)
+    width = D.SIMHASH_BAND_BITS
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * width)
+                  .bitwiseAND((1 << width) - 1).alias("key"))
+        for b in range(D.SIMHASH_BANDS)])
+    banded = (sh.select("doc_id", "simhash", F.explode(bands).alias("bs"))
+                .select("doc_id", "simhash", "bs.band", "bs.key"))
+    a, b2 = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    cand = (a.join(b2, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.key") == F.col("b.key")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     ham.cast("long").alias("hamming"))
+             .distinct())
+
+    toks = (df.select(F.col("doc_id"),
+                      F.explode(F.array_distinct(
+                          C.tokens(F.col(text_col)))).alias("tok")))
+    sizes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
+                 .groupBy("doc_a", "doc_b", "hamming")
+                 .agg(F.count(F.lit(1)).cast("long").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sz").alias("sz_b"))
+    j = (cand.join(inter.select("doc_a", "doc_b", "inter"),
+                   ["doc_a", "doc_b"], "left")
+             .join(sa, "doc_a").join(sb, "doc_b")
+             .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0))))
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    dec = (F.when(union > 0, F.floor(F.col("inter") * 10 / union))
+            .otherwise(10)).cast("long")  # two empty token sets: identical
+    return (j.select("hamming", dec.alias("jacc_decile"))
+             .groupBy("hamming", "jacc_decile")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+             .orderBy("hamming", "jacc_decile"))
+
+
+def sql_simhash_calibration(table: str = "documents") -> str:
+    from log_collector_spark.textops import dedup as D
+
+    width = D.SIMHASH_BAND_BITS
+    band_rows = ", ".join(f"({b})" for b in range(D.SIMHASH_BANDS))
+    return f"""
+        WITH sh AS ({D._sql_simhash(table)}),
+        banded AS (
+            SELECT doc_id, simhash, b.band,
+                   (simhash >> (b.band * {width})) & {(1 << width) - 1}
+                       AS key
+            FROM sh CROSS JOIN (VALUES {band_rows}) AS b(band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+        ),
+        toks AS (
+            SELECT DISTINCT doc_id, unnest({C.sql_tokens('text')}) AS tok
+            FROM {table}
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM toks GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.doc_a
+            JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        j AS (
+            SELECT c.hamming,
+                   COALESCE(i.inter, 0) AS inter,
+                   sa.sz + sb.sz - COALESCE(i.inter, 0) AS un
+            FROM cand c
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+        )
+        SELECT hamming,
+               CAST(CASE WHEN un > 0 THEN inter * 10 // un
+                         ELSE 10 END AS BIGINT) AS jacc_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM j GROUP BY 1, 2 ORDER BY hamming, jacc_decile
+    """

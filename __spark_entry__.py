@@ -1962,6 +1962,14 @@ def q_tx_token_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_midpoint_histogram(pl.full_pipeline(spark, sf_dir))
 
 
+def q_seasonal_naive_error_events(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Week-over-week seasonal-naive backtest per complete day (the MASE
+    denominator for any fancier forecaster)."""
+    from log_collector_spark.operators import seasonal as SE
+    return SE.seasonal_naive_error(_events(spark, sf_dir))
+
+
 def q_quality_vs_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate share per stopword-ratio decile — filter-ordering
     evidence (dedup before vs after the quality gate)."""
@@ -2004,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_calibration": q_simhash_calibration,
         "tx_token_midpoint": q_tx_token_midpoint,
         "quality_vs_dup_documents": q_quality_vs_dup_documents,
+        "seasonal_naive_error_events": q_seasonal_naive_error_events,
         "corpus_token_yield": q_corpus_token_yield,
         "session_depth_histogram": q_session_depth_histogram,
         "fano_factor_events": q_fano_factor_events,
@@ -2839,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_excess_stock": _aps().sql_excess_stock_suppliers(),
         "edit_distance_pairs": _ted().sql_edit_distance_pairs(),
         "autocorr_hours_events": _se().sql_autocorr_hourly(),
+        "seasonal_naive_error_events": _se().sql_seasonal_naive_error(),
         "dow_profile_events": _se().sql_dow_hour_profile(),
         "token_coverage_documents": _ta().sql_token_coverage_cutoff(),
         "substring_span_pairs": _td().sql_substring_span_pairs(),

@@ -215,3 +215,80 @@ def sql_dow_hour_profile(table: str = "events") -> str:
         FROM w
         ORDER BY dow, hour
     """
+
+
+SN_LAG_HOURS = 168  # one week of hours — the seasonal-naive horizon
+
+
+def seasonal_naive_error(events: DataFrame, ts_col: str = "ts",
+                         lag_hours: int = SN_LAG_HOURS) -> DataFrame:
+    """Week-over-week seasonal-naive backtest: the forecast for hour ``h``
+    is the observed count at ``h - lag_hours`` on the zero-filled hourly
+    grid; per COMPLETE day (all 24 hours have a forecast), the absolute
+    error mass and its permille of actual volume. The capacity-planning
+    sanity metric: if seasonal-naive already explains the traffic, a
+    fancier forecaster must beat THIS number (the MASE denominator).
+
+    Returns (day_idx, actual_sum, abs_err_sum, err_permille) ORDER BY
+    day_idx.
+
+    Plan: the corpus collapses to per-hour counts in one map-side agg;
+    the dense grid + lag self-join + day rollup all run on |hours| rows
+    (metadata scale — see module docstring)."""
+    counts = (events
+              .select(_hour_idx(ts_col).alias("h"))
+              .groupBy("h").agg(F.count(F.lit(1)).alias("x")))
+    bounds = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h"))
+    dense = (grid.join(counts, "h", "left")
+             .select("h", F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+    past = dense.select((F.col("h") + lag_hours).alias("h"),
+                        F.col("x").alias("fc"))
+    j = dense.join(past, "h")  # inner: only hours with a forecast
+    day = (j.groupBy(F.expr("h div 24").cast("long").alias("day_idx"))
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.sum("x").cast("long").alias("actual_sum"),
+                 F.sum(F.abs(F.col("x") - F.col("fc"))).cast("long")
+                  .alias("abs_err_sum")))
+    return (day.filter(F.col("n_hours") == 24)
+               .select("day_idx", "actual_sum", "abs_err_sum",
+                       F.when(F.col("actual_sum") > 0,
+                              F.expr("(abs_err_sum * 1000)"
+                                     " div actual_sum"))
+                        .otherwise(0).cast("long").alias("err_permille"))
+               .orderBy("day_idx"))
+
+
+def sql_seasonal_naive_error(table: str = "events",
+                             lag_hours: int = SN_LAG_HOURS) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT CAST(epoch_ms(ts) // {_HOUR_MS} AS BIGINT) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM {table} GROUP BY 1
+        ),
+        b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM counts),
+        grid AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+        dense AS (
+            SELECT g.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+            FROM grid g LEFT JOIN counts c USING (h)
+        ),
+        j AS (
+            SELECT d.h, d.x, p.x AS fc
+            FROM dense d JOIN dense p ON p.h = d.h - {lag_hours}
+        ),
+        day AS (
+            SELECT CAST(h // 24 AS BIGINT) AS day_idx,
+                   COUNT(*) AS n_hours,
+                   CAST(SUM(x) AS BIGINT) AS actual_sum,
+                   CAST(SUM(abs(x - fc)) AS BIGINT) AS abs_err_sum
+            FROM j GROUP BY 1
+        )
+        SELECT day_idx, actual_sum, abs_err_sum,
+               CAST(CASE WHEN actual_sum > 0
+                         THEN abs_err_sum * 1000 // actual_sum
+                         ELSE 0 END AS BIGINT) AS err_permille
+        FROM day WHERE n_hours = 24
+        ORDER BY day_idx
+    """

@@ -80,3 +80,25 @@ def test_quality_vs_dup_deciles(spark):
     out = {r["stop_decile"]: (r["n_docs"], r["n_dup"], r["dup_permille"])
            for r in TA.quality_vs_dup(df).collect()}
     assert out == {10: (2, 2, 1000), 0: (1, 0, 0)}
+
+
+def test_seasonal_naive_error_grid_and_day_completeness(spark):
+    import datetime as dt
+    from log_collector_spark.operators import seasonal as SE
+    base = dt.datetime(2024, 1, 1)  # UTC-day-aligned epoch hour
+    h = dt.timedelta(hours=1)
+    rows = ([(base,)] * 2 + [(base + h,)]            # day0: h0=2, h1=1
+            + [(base + 168 * h,)] * 5                # day7 h0 = 5
+            + [(base + 191 * h,)])                   # day7 h23 = 1
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = SE.seasonal_naive_error(df).collect()
+    # only day 7 has all 24 forecast hours; |5-2|+|0-1|+|1-0| = 5 vs 6
+    assert [(r["actual_sum"], r["abs_err_sum"], r["err_permille"])
+            for r in out] == [(6, 5, 833)]
+
+
+def test_seasonal_naive_error_empty_when_short(spark):
+    import datetime as dt
+    from log_collector_spark.operators import seasonal as SE
+    df = spark.createDataFrame([(dt.datetime(2024, 1, 1),)], "ts timestamp")
+    assert SE.seasonal_naive_error(df).collect() == []

@@ -1962,6 +1962,27 @@ def q_tx_token_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_midpoint_histogram(pl.full_pipeline(spark, sf_dir))
 
 
+def q_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk table on the (type, hour-of-day, value-decade)
+    quasi-identifier — the release audit."""
+    from log_collector_spark.operators import behavior as BH
+    return BH.k_anonymity(_events(spark, sf_dir))
+
+
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component-size distribution over MinHash-LSH CC labels."""
+    from log_collector_spark.textops import dedup as DD
+    return DD.cluster_size_histogram(_docs(spark, sf_dir))
+
+
+def q_wav_energy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM frame energy over the WAV binary column (mapInPandas),
+    oracle-checked from doc_id arithmetic."""
+    from log_collector_spark.textops import multimodal as TM
+    media = TM.media_wav_from_documents(_docs(spark, sf_dir))
+    return TM.wav_energy_features(media)
+
+
 def q_seasonal_naive_error_events(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Week-over-week seasonal-naive backtest per complete day (the MASE
@@ -2013,6 +2034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_token_midpoint": q_tx_token_midpoint,
         "quality_vs_dup_documents": q_quality_vs_dup_documents,
         "seasonal_naive_error_events": q_seasonal_naive_error_events,
+        "k_anonymity_events": q_k_anonymity_events,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "wav_energy_documents": q_wav_energy_documents,
         "corpus_token_yield": q_corpus_token_yield,
         "session_depth_histogram": q_session_depth_histogram,
         "fano_factor_events": q_fano_factor_events,
@@ -2849,6 +2873,9 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _ted().sql_edit_distance_pairs(),
         "autocorr_hours_events": _se().sql_autocorr_hourly(),
         "seasonal_naive_error_events": _se().sql_seasonal_naive_error(),
+        "k_anonymity_events": _bh().sql_k_anonymity(),
+        "cluster_size_histogram": _td().sql_cluster_size_histogram(),
+        "wav_energy_documents": _tm().sql_wav_energy_features(),
         "dow_profile_events": _se().sql_dow_hour_profile(),
         "token_coverage_documents": _ta().sql_token_coverage_cutoff(),
         "substring_span_pairs": _td().sql_substring_span_pairs(),

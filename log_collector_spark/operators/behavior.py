@@ -2102,3 +2102,85 @@ def sql_fano_factor(table: str = "events") -> str:
         FROM agg
         ORDER BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity release audit
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLDS = [2, 5, 10, 25]
+
+
+def k_anonymity(events: DataFrame, ts_col: str = "ts",
+                thresholds: list[int] | None = None) -> DataFrame:
+    """k-anonymity risk table for a data release keyed on the
+    quasi-identifier (event_type, hour-of-day, value decade): for each
+    threshold k, how many equivalence classes have fewer than k rows and
+    what share of ROWS (permille) sits in them — the re-identification
+    exposure a privacy review asks for before sharing an event extract.
+
+    Plan: ONE map-side-combined hash agg to the equivalence-class frame
+    (bounded by |types|·24·|decades| — metadata scale regardless of corpus
+    size); the threshold sweep and totals run on that tiny frame. Returns
+    (k, n_classes_below, n_rows_below, rows_permille) ORDER BY k."""
+    ks = thresholds or K_ANON_THRESHOLDS
+    hod = F.expr(f"(unix_micros(cast({ts_col} as timestamp))"
+                 f" div 1000 div 3600000) % 24").cast("long")
+    decade = F.expr("CAST(floor(value) AS BIGINT) div 10")
+    cls = (events
+           .select(F.col("event_type").alias("et"), hod.alias("hod"),
+                   decade.alias("dec"))
+           .groupBy("et", "hod", "dec")
+           .agg(F.count(F.lit(1)).alias("sz")))
+    tot = cls.agg(F.sum("sz").cast("long").alias("n_tot"))
+    kdf = events.sparkSession.createDataFrame([(int(k),) for k in ks],
+                                              "k long")
+    below = (cls.crossJoin(F.broadcast(kdf))
+                .filter(F.col("sz") < F.col("k"))
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_classes_below"),
+                     F.sum("sz").cast("long").alias("n_rows_below")))
+    return (kdf.join(below, "k", "left")
+               .crossJoin(F.broadcast(tot))
+               .select(
+                   "k",
+                   F.coalesce("n_classes_below", F.lit(0)).cast("long")
+                    .alias("n_classes_below"),
+                   F.coalesce("n_rows_below", F.lit(0)).cast("long")
+                    .alias("n_rows_below"),
+                   C.permille(F.coalesce("n_rows_below", F.lit(0)),
+                              F.col("n_tot")).alias("rows_permille"))
+               .orderBy("k"))
+
+
+def sql_k_anonymity(table: str = "events",
+                    thresholds: list[int] | None = None) -> str:
+    ks = thresholds or K_ANON_THRESHOLDS
+    kvals = ", ".join(f"({k})" for k in ks)
+    return f"""
+        WITH cls AS (
+            SELECT event_type AS et,
+                   CAST((epoch_ms(ts) // 3600000) % 24 AS BIGINT) AS hod,
+                   CAST(floor(value) AS BIGINT) // 10 AS dec,
+                   CAST(COUNT(*) AS BIGINT) AS sz
+            FROM {table} GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_tot FROM cls),
+        ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES {kvals}) v(k)),
+        below AS (
+            SELECT ks.k,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes_below,
+                   CAST(SUM(cls.sz) AS BIGINT) AS n_rows_below
+            FROM ks JOIN cls ON cls.sz < ks.k
+            GROUP BY ks.k
+        )
+        SELECT ks.k,
+               CAST(COALESCE(b.n_classes_below, 0) AS BIGINT)
+                   AS n_classes_below,
+               CAST(COALESCE(b.n_rows_below, 0) AS BIGINT) AS n_rows_below,
+               CAST(CASE WHEN t.n_tot > 0
+                         THEN COALESCE(b.n_rows_below, 0) * 1000 // t.n_tot
+                         ELSE 0 END AS BIGINT) AS rows_permille
+        FROM ks LEFT JOIN below b ON b.k = ks.k CROSS JOIN tot t
+        ORDER BY ks.k
+    """

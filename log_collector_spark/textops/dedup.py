@@ -1866,3 +1866,35 @@ def sql_corpus_token_yield(table: str = "documents",
         GROUP BY t.{group_col}
         ORDER BY t.{group_col}
     """
+
+
+def cluster_size_histogram(df: DataFrame, text_col: str = "text",
+                           pairs: DataFrame | None = None) -> DataFrame:
+    """Near-dup component-size distribution: (cluster_size, n_clusters)
+    over the MinHash-LSH connected components — the capacity check run
+    BEFORE keep-best canonicalization (a giant component means a template
+    family or a banding miscalibration; its size bounds the per-cluster
+    work of every downstream pass). Singletons never enter the pair graph,
+    so sizes start at 2. ORDER BY cluster_size.
+
+    Plan: two metadata-scale hash aggs over the (doc_id, cluster) frame —
+    the CC labels themselves are the only corpus-scale work (see
+    :func:`dedup_clusters`)."""
+    cl = dedup_clusters(df, text_col, pairs=pairs)
+    sizes = cl.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+                 .orderBy("cluster_size"))
+
+
+def sql_cluster_size_histogram(table: str = "documents") -> str:
+    return f"""
+        WITH cl AS ({sql_dedup_clusters(table)}),
+        sizes AS (
+            SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM cl GROUP BY cluster
+        )
+        SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """

@@ -494,3 +494,78 @@ def sql_framesample_wav_features(table: str = "documents",
                CAST(MAX(v) AS BIGINT) AS sample_max
         FROM s GROUP BY doc_id, n
     """
+
+
+ENERGY_WIN = 8  # samples per energy window (mono synth: frame == sample)
+
+
+def wav_energy(payload: bytes, win: int = ENERGY_WIN) -> dict:
+    """Windowed frame energy over decoded PCM — the audio feature stage
+    after decode: sum of squared samples per fixed non-overlapping window
+    of ``win`` frames (trailing partial window dropped, same crop
+    convention as resize_ppm). Exact integers: |v| <= 32768 so one window
+    holds <= 8·2^30 — far inside BIGINT."""
+    import struct
+
+    full = decode_wav(payload)
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    vals = struct.unpack("<%dh" % (len(data) // 2), data[:len(data) & ~1])
+    n_win = len(vals) // win
+    energies = [sum(v * v for v in vals[w * win:(w + 1) * win])
+                for w in range(n_win)]
+    return {"n_samples": full["n_samples"], "n_windows": n_win,
+            "energy_sum": sum(energies),
+            "energy_min": min(energies) if energies else 0,
+            "energy_max": max(energies) if energies else 0}
+
+
+ENERGY_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("n_windows", T.LongType()),
+    T.StructField("energy_sum", T.LongType()),
+    T.StructField("energy_min", T.LongType()),
+    T.StructField("energy_max", T.LongType()),
+])
+
+
+def wav_energy_features(media: DataFrame) -> DataFrame:
+    """mapInPandas energy stage over the WAV binary column."""
+    cols = [f.name for f in ENERGY_FEATURE_SCHEMA.fields[1:]]
+    return media.select("media_id", "payload").mapInPandas(
+        _decode_batches(wav_energy, cols), ENERGY_FEATURE_SCHEMA)
+
+
+def sql_wav_energy_features(table: str = "documents",
+                            win: int = ENERGY_WIN) -> str:
+    """Oracle: window energies straight from the doc_id sample formula —
+    independent of the encoder's and decoder's byte handling."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 50 + 10 AS n FROM {table}
+        ), s AS (
+            SELECT d.doc_id, d.n,
+                   t.i // {win} AS w,
+                   ((d.doc_id * 31 + t.i * 7) % 65536) - 32768 AS v
+            FROM d, LATERAL (
+                SELECT unnest(generate_series(0, d.n - 1)) AS i) t
+        ), wins AS (
+            SELECT doc_id, n, w, SUM(v * v) AS e
+            FROM s WHERE w < n // {win}
+            GROUP BY doc_id, n, w
+        )
+        SELECT d.doc_id AS media_id,
+               CAST(d.n AS BIGINT) AS n_samples,
+               CAST(d.n // {win} AS BIGINT) AS n_windows,
+               CAST(COALESCE(SUM(wins.e), 0) AS BIGINT) AS energy_sum,
+               CAST(COALESCE(MIN(wins.e), 0) AS BIGINT) AS energy_min,
+               CAST(COALESCE(MAX(wins.e), 0) AS BIGINT) AS energy_max
+        FROM d LEFT JOIN wins ON wins.doc_id = d.doc_id
+        GROUP BY d.doc_id, d.n
+    """

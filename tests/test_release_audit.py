@@ -1,0 +1,56 @@
+"""Batch-F ops: k-anonymity threshold sweep arithmetic, cluster-size
+histogram over an explicit pair graph, and the WAV window-energy kernel
+against a from-scratch recomputation."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from log_collector_spark.operators import behavior as BH
+from log_collector_spark.textops import dedup as DD
+from log_collector_spark.textops import multimodal as TM
+
+
+def test_k_anonymity_threshold_sweep(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0)    # hod 0
+    t1 = dt.datetime(2024, 1, 1, 1, 0)    # hod 1
+    rows = [
+        (t0, "a", 5.0),                    # class (a,0,0): size 1
+        (t1, "a", 5.0),                    # class (a,1,0): size 1
+        (t0, "b", 15.0), (t0, "b", 15.0), (t0, "b", 17.0),  # (b,0,1): 3
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, "
+                                     "value double")
+    out = [tuple(r) for r in BH.k_anonymity(df, thresholds=[2, 5]).collect()]
+    # k=2: the two singleton classes (2 rows of 5 -> 400 permille)
+    # k=5: every class (5 rows -> 1000)
+    assert out == [(2, 2, 2, 400), (5, 3, 5, 1000)]
+
+
+def test_cluster_size_histogram_components(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long")
+    out = [tuple(r) for r in
+           DD.cluster_size_histogram(docs, pairs=pairs).collect()]
+    # components {1,2,3} and {4,5}; doc 0 is a singleton (never emitted)
+    assert out == [(2, 1), (3, 1)]
+
+
+def test_wav_energy_kernel_exact():
+    for mid in (0, 7, 49, 123):
+        got = TM.wav_energy(TM.encode_wav(mid))
+        vals = TM._synth_samples(mid)
+        win = TM.ENERGY_WIN
+        n_win = len(vals) // win
+        es = [sum(v * v for v in vals[w * win:(w + 1) * win])
+              for w in range(n_win)]
+        assert got == {"n_samples": len(vals), "n_windows": n_win,
+                       "energy_sum": sum(es),
+                       "energy_min": min(es) if es else 0,
+                       "energy_max": max(es) if es else 0}

@@ -1962,6 +1962,13 @@ def q_tx_token_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_midpoint_histogram(pl.full_pipeline(spark, sf_dir))
 
 
+def q_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF lateral join emitting the chunk plan — pinned
+    to the declarative chunk_documents oracle (same rows, same hashes)."""
+    from log_collector_spark.textops import chunking as CH
+    return CH.chunk_documents_udtf(_docs(spark, sf_dir))
+
+
 def q_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity risk table on the (type, hour-of-day, value-decade)
     quasi-identifier — the release audit."""
@@ -2035,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_vs_dup_documents": q_quality_vs_dup_documents,
         "seasonal_naive_error_events": q_seasonal_naive_error_events,
         "k_anonymity_events": q_k_anonymity_events,
+        "udtf_chunk_documents": q_udtf_chunk_documents,
         "cluster_size_histogram": q_cluster_size_histogram,
         "wav_energy_documents": q_wav_energy_documents,
         "corpus_token_yield": q_corpus_token_yield,
@@ -2664,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _td().sql_incremental_dedup(
             new_pred="doc_id % 7 <> 0", seen_pred="doc_id % 7 = 0"),
         "chunk_documents": _tk().sql_chunk_documents(),
+        "udtf_chunk_documents": _tk().sql_chunk_documents(),
         "pack_documents": _tk().sql_pack_sequences(),
         "token_rarity_documents": _ta().sql_token_rarity(),
         "locf_backfill_events": """

@@ -1969,6 +1969,20 @@ def q_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CH.chunk_documents_udtf(_docs(spark, sf_dir))
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (quote/subset detection) — ordered
+    (contained, container) pairs with C(A→B) >= 0.6."""
+    from log_collector_spark.textops import containment as CN
+    return CN.containment_pairs(_docs(spark, sf_dir))
+
+
+def q_unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataFrame.unpivot (melt) of the per-event-type metric frame
+    — the long-form twin of pivot_event_types."""
+    from log_collector_spark.operators import reshape as RS
+    return RS.unpivot_event_metrics(_events(spark, sf_dir))
+
+
 def q_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity risk table on the (type, hour-of-day, value-decade)
     quasi-identifier — the release audit."""
@@ -2043,6 +2057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_error_events": q_seasonal_naive_error_events,
         "k_anonymity_events": q_k_anonymity_events,
         "udtf_chunk_documents": q_udtf_chunk_documents,
+        "containment_pairs": q_containment_pairs,
+        "unpivot_event_metrics": q_unpivot_event_metrics,
         "cluster_size_histogram": q_cluster_size_histogram,
         "wav_energy_documents": q_wav_energy_documents,
         "corpus_token_yield": q_corpus_token_yield,
@@ -2883,6 +2899,8 @@ def oracle_sql() -> dict[str, str]:
         "autocorr_hours_events": _se().sql_autocorr_hourly(),
         "seasonal_naive_error_events": _se().sql_seasonal_naive_error(),
         "k_anonymity_events": _bh().sql_k_anonymity(),
+        "containment_pairs": _tcn().sql_containment_pairs(),
+        "unpivot_event_metrics": _rs().sql_unpivot_event_metrics(),
         "cluster_size_histogram": _td().sql_cluster_size_histogram(),
         "wav_energy_documents": _tm().sql_wav_energy_features(),
         "dow_profile_events": _se().sql_dow_hour_profile(),
@@ -3038,6 +3056,16 @@ def _tk():
 def _te():
     from log_collector_spark.textops import evalops
     return evalops
+
+
+def _tcn():
+    from log_collector_spark.textops import containment
+    return containment
+
+
+def _rs():
+    from log_collector_spark.operators import reshape
+    return reshape
 
 
 def _tx():

@@ -1996,6 +1996,30 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.cluster_size_histogram(_docs(spark, sf_dir))
 
 
+def q_wav_zcr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed zero-crossing counts over the WAV binary column
+    (mapInPandas), oracle-checked from doc_id arithmetic."""
+    from log_collector_spark.textops import multimodal as TM
+    media = TM.media_wav_from_documents(_docs(spark, sf_dir))
+    return TM.wav_zcr_features(media)
+
+
+def q_ppm_channel_stats_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-channel R/G/B pixel sums + dominant channel over the PPM binary
+    column (mapInPandas), oracle-checked from doc_id arithmetic."""
+    from log_collector_spark.textops import multimodal as TM
+    media = TM.media_ppm_from_documents(_docs(spark, sf_dir))
+    return TM.ppm_channel_stats_features(media)
+
+
+def q_l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit (distinct sensitive users per QI class)
+    — the companion gate to k_anonymity_events."""
+    from log_collector_spark.operators import behavior as BH
+    return BH.l_diversity(_events(spark, sf_dir))
+
+
 def q_wav_energy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed PCM frame energy over the WAV binary column (mapInPandas),
     oracle-checked from doc_id arithmetic."""
@@ -2061,6 +2085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_event_metrics": q_unpivot_event_metrics,
         "cluster_size_histogram": q_cluster_size_histogram,
         "wav_energy_documents": q_wav_energy_documents,
+        "wav_zcr_documents": q_wav_zcr_documents,
+        "ppm_channel_stats_documents": q_ppm_channel_stats_documents,
+        "l_diversity_events": q_l_diversity_events,
         "corpus_token_yield": q_corpus_token_yield,
         "session_depth_histogram": q_session_depth_histogram,
         "fano_factor_events": q_fano_factor_events,
@@ -2903,6 +2930,9 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_event_metrics": _rs().sql_unpivot_event_metrics(),
         "cluster_size_histogram": _td().sql_cluster_size_histogram(),
         "wav_energy_documents": _tm().sql_wav_energy_features(),
+        "wav_zcr_documents": _tm().sql_wav_zcr_features(),
+        "ppm_channel_stats_documents": _tm().sql_ppm_channel_stats_features(),
+        "l_diversity_events": _bh().sql_l_diversity(),
         "dow_profile_events": _se().sql_dow_hour_profile(),
         "token_coverage_documents": _ta().sql_token_coverage_cutoff(),
         "substring_span_pairs": _td().sql_substring_span_pairs(),

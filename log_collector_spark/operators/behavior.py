@@ -2184,3 +2184,85 @@ def sql_k_anonymity(table: str = "events",
         FROM ks LEFT JOIN below b ON b.k = ks.k CROSS JOIN tot t
         ORDER BY ks.k
     """
+
+
+L_DIV_THRESHOLDS = [2, 3, 5, 10]
+
+
+def l_diversity(events: DataFrame, ts_col: str = "ts",
+                thresholds: list[int] | None = None) -> DataFrame:
+    """l-diversity companion to :func:`k_anonymity`: k-anonymity bounds
+    group SIZE, but a class of 50 rows all belonging to ONE user is still
+    fully re-identifying — l-diversity requires each quasi-identifier
+    class to contain at least l distinct values of the SENSITIVE
+    attribute (user_id here; Machanavajjhala et al., ICDE 2006). For each
+    threshold l: classes whose distinct-user count < l, the rows exposed
+    in them, and the row share (permille).
+
+    Plan: one (QI, user) distinct-style agg → per-class (size, distinct
+    users) frame (bounded by |types|·24·|decades| — metadata scale), then
+    the tiny broadcast threshold sweep, exactly like k_anonymity. Returns
+    (l, n_classes_below, n_rows_below, rows_permille) ORDER BY l."""
+    ls = thresholds or L_DIV_THRESHOLDS
+    hod = F.expr(f"(unix_micros(cast({ts_col} as timestamp))"
+                 f" div 1000 div 3600000) % 24").cast("long")
+    decade = F.expr("CAST(floor(value) AS BIGINT) div 10")
+    cls = (events
+           .select(F.col("event_type").alias("et"), hod.alias("hod"),
+                   decade.alias("dec"), F.col("user_id"))
+           .groupBy("et", "hod", "dec")
+           .agg(F.count(F.lit(1)).alias("sz"),
+                F.countDistinct("user_id").alias("n_sens")))
+    tot = cls.agg(F.sum("sz").cast("long").alias("n_tot"))
+    ldf = events.sparkSession.createDataFrame([(int(v),) for v in ls],
+                                              "l long")
+    below = (cls.crossJoin(F.broadcast(ldf))
+                .filter(F.col("n_sens") < F.col("l"))
+                .groupBy("l")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_classes_below"),
+                     F.sum("sz").cast("long").alias("n_rows_below")))
+    return (ldf.join(below, "l", "left")
+               .crossJoin(F.broadcast(tot))
+               .select(
+                   "l",
+                   F.coalesce("n_classes_below", F.lit(0)).cast("long")
+                    .alias("n_classes_below"),
+                   F.coalesce("n_rows_below", F.lit(0)).cast("long")
+                    .alias("n_rows_below"),
+                   C.permille(F.coalesce("n_rows_below", F.lit(0)),
+                              F.col("n_tot")).alias("rows_permille"))
+               .orderBy("l"))
+
+
+def sql_l_diversity(table: str = "events",
+                    thresholds: list[int] | None = None) -> str:
+    ls = thresholds or L_DIV_THRESHOLDS
+    lvals = ", ".join(f"({v})" for v in ls)
+    return f"""
+        WITH cls AS (
+            SELECT event_type AS et,
+                   CAST((epoch_ms(ts) // 3600000) % 24 AS BIGINT) AS hod,
+                   CAST(floor(value) AS BIGINT) // 10 AS dec,
+                   CAST(COUNT(*) AS BIGINT) AS sz,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sens
+            FROM {table} GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_tot FROM cls),
+        ls AS (SELECT CAST(l AS BIGINT) AS l FROM (VALUES {lvals}) v(l)),
+        below AS (
+            SELECT ls.l,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes_below,
+                   CAST(SUM(cls.sz) AS BIGINT) AS n_rows_below
+            FROM ls JOIN cls ON cls.n_sens < ls.l
+            GROUP BY ls.l
+        )
+        SELECT ls.l,
+               CAST(COALESCE(b.n_classes_below, 0) AS BIGINT)
+                   AS n_classes_below,
+               CAST(COALESCE(b.n_rows_below, 0) AS BIGINT) AS n_rows_below,
+               CAST(CASE WHEN t.n_tot > 0
+                         THEN COALESCE(b.n_rows_below, 0) * 1000 // t.n_tot
+                         ELSE 0 END AS BIGINT) AS rows_permille
+        FROM ls LEFT JOIN below b ON b.l = ls.l CROSS JOIN tot t
+        ORDER BY ls.l
+    """

@@ -569,3 +569,146 @@ def sql_wav_energy_features(table: str = "documents",
         FROM d LEFT JOIN wins ON wins.doc_id = d.doc_id
         GROUP BY d.doc_id, d.n
     """
+
+
+def wav_zcr(payload: bytes, win: int = ENERGY_WIN) -> dict:
+    """Windowed zero-crossing counts over decoded PCM — the classic
+    voiced/unvoiced (speech-vs-noise) DSP feature next to frame energy:
+    per non-overlapping ``win``-sample window, how many consecutive-sample
+    pairs INSIDE the window change sign (v < 0 flips). Same crop
+    convention as :func:`wav_energy` (trailing partial window dropped);
+    exact small integers (<= win-1 per window)."""
+    import struct
+
+    full = decode_wav(payload)
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    vals = struct.unpack("<%dh" % (len(data) // 2), data[:len(data) & ~1])
+    n_win = len(vals) // win
+    zcs = [sum(1 for i in range(w * win + 1, (w + 1) * win)
+               if (vals[i - 1] < 0) != (vals[i] < 0))
+           for w in range(n_win)]
+    return {"n_samples": full["n_samples"], "n_windows": n_win,
+            "zc_sum": sum(zcs), "zc_min": min(zcs) if zcs else 0,
+            "zc_max": max(zcs) if zcs else 0}
+
+
+ZCR_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("n_windows", T.LongType()),
+    T.StructField("zc_sum", T.LongType()),
+    T.StructField("zc_min", T.LongType()),
+    T.StructField("zc_max", T.LongType()),
+])
+
+
+def wav_zcr_features(media: DataFrame) -> DataFrame:
+    """mapInPandas zero-crossing stage over the WAV binary column."""
+    cols = [f.name for f in ZCR_FEATURE_SCHEMA.fields[1:]]
+    return media.select("media_id", "payload").mapInPandas(
+        _decode_batches(wav_zcr, cols), ZCR_FEATURE_SCHEMA)
+
+
+def sql_wav_zcr_features(table: str = "documents",
+                         win: int = ENERGY_WIN) -> str:
+    """Oracle: both samples of each pair come straight from the doc_id
+    formula (no LAG needed — v(i-1) is re-derived arithmetically), so the
+    check is independent of the codec path end-to-end."""
+    v = "(((d.doc_id * 31 + {i} * 7) % 65536) - 32768)"
+    vcur, vprev = v.format(i="t.i"), v.format(i="(t.i - 1)")
+    return f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 50 + 10 AS n FROM {table}
+        ), s AS (
+            SELECT d.doc_id, d.n, t.i // {win} AS w,
+                   CASE WHEN ({vprev} < 0) <> ({vcur} < 0)
+                        THEN 1 ELSE 0 END AS c
+            FROM d, LATERAL (
+                SELECT unnest(generate_series(0, d.n - 1)) AS i) t
+            WHERE t.i % {win} <> 0
+        ), wins AS (
+            SELECT doc_id, n, w, SUM(c) AS zc
+            FROM s WHERE w < n // {win}
+            GROUP BY doc_id, n, w
+        )
+        SELECT d.doc_id AS media_id,
+               CAST(d.n AS BIGINT) AS n_samples,
+               CAST(d.n // {win} AS BIGINT) AS n_windows,
+               CAST(COALESCE(SUM(wins.zc), 0) AS BIGINT) AS zc_sum,
+               CAST(COALESCE(MIN(wins.zc), 0) AS BIGINT) AS zc_min,
+               CAST(COALESCE(MAX(wins.zc), 0) AS BIGINT) AS zc_max
+        FROM d LEFT JOIN wins ON wins.doc_id = d.doc_id
+        GROUP BY d.doc_id, d.n
+    """
+
+
+def ppm_channel_stats(payload: bytes) -> dict:
+    """Per-channel (R/G/B) pixel sums + dominant channel — the
+    color-statistics stage of an image pipeline (white-balance / tint
+    screening). Dominant = argmax of the channel sums, ties to the
+    lowest channel index."""
+    w, h, _maxval, px = _parse_ppm(payload)
+    sums = [0, 0, 0]
+    for j, b in enumerate(px):
+        sums[j % 3] += b
+    r, g, b = sums
+    dom = 0 if (r >= g and r >= b) else (1 if g >= b else 2)
+    return {"width": w, "height": h, "r_sum": r, "g_sum": g, "b_sum": b,
+            "dom_channel": dom}
+
+
+CHANNEL_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("r_sum", T.LongType()),
+    T.StructField("g_sum", T.LongType()),
+    T.StructField("b_sum", T.LongType()),
+    T.StructField("dom_channel", T.LongType()),
+])
+
+
+def ppm_channel_stats_features(media: DataFrame) -> DataFrame:
+    """mapInPandas channel-stats stage over the PPM binary column."""
+    cols = [f.name for f in CHANNEL_FEATURE_SCHEMA.fields[1:]]
+    return media.select("media_id", "payload").mapInPandas(
+        _decode_batches(ppm_channel_stats, cols), CHANNEL_FEATURE_SCHEMA)
+
+
+def sql_ppm_channel_stats_features(table: str = "documents") -> str:
+    """Oracle: channel sums from the pixel formula
+    ((doc_id + j) * 37) % 256 with channel j % 3 — codec-independent."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+            FROM {table}
+        ), px AS (
+            SELECT d.doc_id, t.j % 3 AS ch,
+                   ((d.doc_id + t.j) * 37) % 256 AS v
+            FROM d, LATERAL (
+                SELECT unnest(generate_series(0, d.w * d.h * 3 - 1)) AS j) t
+        ), sums AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS r_sum,
+                   SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS g_sum,
+                   SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS b_sum
+            FROM px GROUP BY doc_id
+        )
+        SELECT d.doc_id AS media_id,
+               CAST(d.w AS BIGINT) AS width,
+               CAST(d.h AS BIGINT) AS height,
+               CAST(s.r_sum AS BIGINT) AS r_sum,
+               CAST(s.g_sum AS BIGINT) AS g_sum,
+               CAST(s.b_sum AS BIGINT) AS b_sum,
+               CAST(CASE WHEN s.r_sum >= s.g_sum AND s.r_sum >= s.b_sum
+                         THEN 0
+                         WHEN s.g_sum >= s.b_sum THEN 1 ELSE 2
+                    END AS BIGINT) AS dom_channel
+        FROM d JOIN sums s ON s.doc_id = d.doc_id
+    """

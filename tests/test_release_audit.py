@@ -69,3 +69,56 @@ def test_udtf_chunks_equal_catalyst_chunks(spark):
     a = sorted(tuple(r) for r in CH.chunk_documents(df).collect())
     b = sorted(tuple(r) for r in CH.chunk_documents_udtf(df).collect())
     assert a == b and len(a) > 0
+
+
+def test_wav_zcr_kernel_exact():
+    from log_collector_spark.textops import multimodal as TM
+    for mid in (0, 1, 7, 49, 123):
+        payload = TM.encode_wav(mid)
+        got = TM.wav_zcr(payload)
+        vals = TM._synth_samples(mid)
+        win = TM.ENERGY_WIN
+        zcs = [sum(1 for i in range(w * win + 1, (w + 1) * win)
+                   if (vals[i - 1] < 0) != (vals[i] < 0))
+               for w in range(len(vals) // win)]
+        assert got == {"n_samples": len(vals), "n_windows": len(zcs),
+                       "zc_sum": sum(zcs),
+                       "zc_min": min(zcs) if zcs else 0,
+                       "zc_max": max(zcs) if zcs else 0}
+        assert 0 <= got["zc_max"] <= win - 1
+
+
+def test_ppm_channel_stats_kernel_exact():
+    from log_collector_spark.textops import multimodal as TM
+    for mid in (0, 3, 17, 100):
+        payload = TM.encode_ppm(mid)
+        got = TM.ppm_channel_stats(payload)
+        w, h = mid % 16 + 1, mid % 12 + 1
+        px = [((mid + j) * 37) % 256 for j in range(w * h * 3)]
+        sums = [sum(px[c::3]) for c in range(3)]
+        r, g, b = sums
+        dom = 0 if (r >= g and r >= b) else (1 if g >= b else 2)
+        assert got == {"width": w, "height": h, "r_sum": r, "g_sum": g,
+                       "b_sum": b, "dom_channel": dom}
+
+
+def test_l_diversity_manual(spark):
+    from log_collector_spark.operators import behavior as BH
+    # two QI classes: class A has 3 rows / 1 user, class B 2 rows / 2 users
+    rows = [
+        (1, "click", 5.0, "2024-01-01 10:00:00"),
+        (1, "click", 5.0, "2024-01-01 10:10:00"),
+        (1, "click", 5.0, "2024-01-01 10:20:00"),
+        (2, "view", 15.0, "2024-01-01 11:00:00"),
+        (3, "view", 15.0, "2024-01-01 11:30:00"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, ts string"
+    ).selectExpr("user_id", "event_type", "value", "cast(ts as timestamp) ts")
+    got = {r.l: r for r in BH.l_diversity(events).collect()}
+    assert got[2].n_classes_below == 1      # class A (1 distinct user)
+    assert got[2].n_rows_below == 3
+    assert got[2].rows_permille == 600      # 3/5
+    assert got[3].n_classes_below == 2      # both below l=3
+    assert got[3].n_rows_below == 5
+    assert got[3].rows_permille == 1000

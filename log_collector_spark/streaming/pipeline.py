@@ -226,7 +226,12 @@ def start_tool_pair_join_stream(spark: SparkSession, input_dir: str,
     state-store partitioning across executors, so a hot conversation
     shards by tool.
 
-    turn_idx ordering (result after call) rides as a residual predicate."""
+    turn_idx ordering (result after call) is applied as a filter AFTER
+    the join (inner join ⇒ semantically identical): Spark 4's
+    StreamingJoinHelper throws "Cannot evaluate expression" when a
+    non-time conjunct sits in the join condition and then FAILS to
+    derive the state-value watermark — state would never be evicted,
+    voiding the boundedness guarantee above."""
     src = read_transcript_stream(spark, input_dir)
     calls = (src.filter((F.col("role") == "assistant")
                         & F.col("tool").isNotNull())
@@ -247,9 +252,8 @@ def start_tool_pair_join_stream(spark: SparkSession, input_dir: str,
             c_conv = r_conv AND c_tool = r_tool
             AND result_ts >= call_ts
             AND result_ts <= call_ts + INTERVAL {max_lag}
-            AND result_turn > call_turn
         """),
-        "inner")
+        "inner").filter(F.col("result_turn") > F.col("call_turn"))
     out = joined.select(
         F.col("c_conv").alias("conv_id"), F.col("c_tool").alias("tool"),
         "call_turn", "result_turn",
@@ -338,3 +342,66 @@ def start_hll_stream(spark: SparkSession, input_dir: str,
     return (src.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_loc)
             .trigger(availableNow=True).start())
+
+
+def start_tool_timeout_stream(spark: SparkSession, input_dir: str,
+                              checkpoint_loc: str, out_dir: str, *,
+                              max_lag: str = "2 minutes",
+                              watermark: str = "5 minutes",
+                              max_files_per_trigger: int | None = 1):
+    """LEFT-OUTER stream-stream join — the timeout detector twin of
+    :func:`start_tool_pair_join_stream`: emit each assistant tool call
+    that got NO matching tool-result within ``max_lag`` (hung tool, lost
+    response — the alert a live ops pipeline wants, which the inner join
+    by construction can never produce).
+
+    Outer-join semantics are the interesting part: a call is provably
+    unmatched only once the watermark passes ``call_ts + max_lag``, so
+    Spark holds it in the state store until then and emits it
+    null-extended in a LATER micro-batch (matched pairs still emit
+    immediately). That delay is the correctness contract, not a bug —
+    and it is why calls in the final watermark window of a drained
+    stream are never emitted (the batch-equality test accounts for
+    exactly this frontier). ``maxFilesPerTrigger=1`` keeps multiple
+    micro-batches flowing so the watermark actually advances mid-run
+    under availableNow. State size: one lag-window of calls per
+    (conv, tool), same bound as the inner join."""
+    src = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    calls = (src.filter((F.col("role") == "assistant")
+                        & F.col("tool").isNotNull())
+                .select(F.col("conv_id").alias("c_conv"),
+                        F.col("tool").alias("c_tool"),
+                        F.col("turn_idx").alias("call_turn"),
+                        F.col("ts").alias("call_ts"))
+                .withWatermark("call_ts", watermark))
+    results = (src.filter(F.col("role") == "tool")
+                  .select(F.col("conv_id").alias("r_conv"),
+                          F.col("tool").alias("r_tool"),
+                          F.col("turn_idx").alias("result_turn"),
+                          F.col("ts").alias("result_ts"))
+                  .withWatermark("result_ts", watermark))
+    # The join condition is ONLY equi keys + a watermark time range.
+    # Spark 4's StreamingJoinHelper must derive a state-value watermark
+    # for the calls side from this condition to know when a call is
+    # provably unmatched; any non-time conjunct (e.g. a turn-ordering
+    # guard `result_turn > call_turn`) makes that extraction throw
+    # "Cannot evaluate expression" internally and outer emission silently
+    # breaks (verified: ~75% of timed-out calls never emitted). Turn
+    # ordering is implied by `result_ts >= call_ts` under the per-conv
+    # monotone (turn_idx, ts) invariant, so it stays OUT of the join.
+    joined = calls.join(
+        results,
+        F.expr(f"""
+            c_conv = r_conv AND c_tool = r_tool
+            AND result_ts >= call_ts
+            AND result_ts <= call_ts + INTERVAL {max_lag}
+        """),
+        "leftOuter")
+    timeouts = (joined.filter(F.col("r_conv").isNull())
+                      .select(F.col("c_conv").alias("conv_id"),
+                              F.col("c_tool").alias("tool"),
+                              "call_turn", "call_ts"))
+    return (timeouts.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_loc)
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out_dir).start())

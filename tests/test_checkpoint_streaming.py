@@ -663,3 +663,86 @@ def test_stream_hll_registers_merge_equals_batch(spark, tmp_path):
             .filter((F.col("m_reg").isNull()) | (F.col("b_reg").isNull())
                     | (F.col("m_reg") != F.col("b_reg"))))
     assert diff.count() == 0
+
+
+def test_stream_stream_tool_timeout_left_outer(spark, tmp_path):
+    """LEFT-OUTER stream-stream join: unanswered tool calls streamed ==
+    the batch anti-join, restricted to calls whose timeout frontier
+    (call_ts + max_lag) the final watermark actually passed.
+
+    The input must arrive in (approximate) event-time order for the test
+    to be meaningful: the raw sf fixture files EACH span the whole week,
+    so feeding them one-per-trigger makes the watermark leap to the end
+    after batch 0 and every later file's rows are (correctly) dropped as
+    late data. Real log files arrive time-ordered, so the harness slices
+    the fixture into per-day files written in ascending mtime order —
+    that is the shape the operator is designed for."""
+    import datetime as dt
+    import glob as _glob
+
+    from log_collector_spark.streaming import pipeline as sp
+
+    raw = spark.read.parquet(pl.transcripts_path(SF_DIR))
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
+    input_dir = str(tmp_path / "tin")
+    os.makedirs(input_dir)
+    day, i = lo.date(), 0
+    while day <= hi.date():
+        sl = raw.filter(F.to_date("ts") == F.lit(day.isoformat()))
+        tmp_out = str(tmp_path / f"slice{i}")
+        sl.coalesce(1).write.parquet(tmp_out)
+        part = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        dst = os.path.join(input_dir, f"slice_{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        day += dt.timedelta(days=1)
+        i += 1
+
+    ckpt = str(tmp_path / "tck")
+    out = str(tmp_path / "tout")
+    q = sp.start_tool_timeout_stream(spark, input_dir, ckpt, out)
+    q.awaitTermination(600)
+    got = spark.read.parquet(out)
+
+    src = spark.read.parquet(input_dir)
+    calls = (src.filter((F.col("role") == "assistant")
+                        & F.col("tool").isNotNull())
+                .select(F.col("conv_id").alias("c_conv"),
+                        F.col("tool").alias("c_tool"),
+                        F.col("turn_idx").alias("call_turn"),
+                        F.col("ts").alias("call_ts")))
+    results = (src.filter(F.col("role") == "tool")
+                  .select(F.col("conv_id").alias("r_conv"),
+                          F.col("tool").alias("r_tool"),
+                          F.col("turn_idx").alias("result_turn"),
+                          F.col("ts").alias("result_ts")))
+    matched = calls.join(
+        results,
+        F.expr("""
+            c_conv = r_conv AND c_tool = r_tool
+            AND result_ts >= call_ts
+            AND result_ts <= call_ts + INTERVAL 2 minutes
+        """), "left_semi")
+    unanswered = calls.join(matched, ["c_conv", "c_tool", "call_turn"],
+                            "left_anti")
+    # a call is provably emitted once the watermark the LAST batch ran
+    # with passed its timeout frontier (call_ts + max_lag).  Recomputing
+    # that watermark from the data is fragile (it is the MIN across both
+    # input sides and lags one micro-batch), so read it from the query's
+    # own final progress instead.
+    wm_str = q.lastProgress["eventTime"]["watermark"]
+    wm = (dt.datetime.fromisoformat(wm_str.replace("Z", "+00:00"))
+          .replace(tzinfo=None))
+    frontier = wm - dt.timedelta(minutes=2)
+    want = {(r["c_conv"], r["c_tool"], r["call_turn"])
+            for r in unanswered.filter(
+                F.col("call_ts") < F.lit(frontier)).collect()}
+    g = {(r["conv_id"], r["tool"], r["call_turn"])
+         for r in got.collect()}
+    assert len(g) > 0
+    # streamed set must contain every provably-timed-out call, and may
+    # additionally hold calls in the one-trigger slack around the frontier
+    assert want <= g
+    superset = {(r["c_conv"], r["c_tool"], r["call_turn"])
+                for r in unanswered.collect()}
+    assert g <= superset

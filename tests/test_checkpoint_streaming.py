@@ -665,22 +665,15 @@ def test_stream_hll_registers_merge_equals_batch(spark, tmp_path):
     assert diff.count() == 0
 
 
-def test_stream_stream_tool_timeout_left_outer(spark, tmp_path):
-    """LEFT-OUTER stream-stream join: unanswered tool calls streamed ==
-    the batch anti-join, restricted to calls whose timeout frontier
-    (call_ts + max_lag) the final watermark actually passed.
-
-    The input must arrive in (approximate) event-time order for the test
-    to be meaningful: the raw sf fixture files EACH span the whole week,
-    so feeding them one-per-trigger makes the watermark leap to the end
-    after batch 0 and every later file's rows are (correctly) dropped as
-    late data. Real log files arrive time-ordered, so the harness slices
-    the fixture into per-day files written in ascending mtime order —
-    that is the shape the operator is designed for."""
+def _write_day_slices(spark, tmp_path) -> str:
+    """Slice the sf transcript fixture into per-day parquet files written
+    in ascending mtime order — the event-time-ordered arrival shape real
+    log files have. The raw fixture files EACH span the whole week, so
+    feeding them one-per-trigger makes the watermark leap to the end after
+    batch 0 and every later file's rows are (correctly) dropped as late
+    data; watermark-frontier tests need ordered arrival to be meaningful."""
     import datetime as dt
     import glob as _glob
-
-    from log_collector_spark.streaming import pipeline as sp
 
     raw = spark.read.parquet(pl.transcripts_path(SF_DIR))
     lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
@@ -697,7 +690,28 @@ def test_stream_stream_tool_timeout_left_outer(spark, tmp_path):
         os.utime(dst, (1_000_000 + i, 1_000_000 + i))
         day += dt.timedelta(days=1)
         i += 1
+    return input_dir
 
+
+def _final_watermark(q):
+    """The event-time watermark the query's LAST batch ran with (UTC,
+    tz-naive to match collected timestamps under the UTC session)."""
+    import datetime as dt
+
+    wm_str = q.lastProgress["eventTime"]["watermark"]
+    return (dt.datetime.fromisoformat(wm_str.replace("Z", "+00:00"))
+            .replace(tzinfo=None))
+
+
+def test_stream_stream_tool_timeout_left_outer(spark, tmp_path):
+    """LEFT-OUTER stream-stream join: unanswered tool calls streamed ==
+    the batch anti-join, restricted to calls whose timeout frontier
+    (call_ts + max_lag) the final watermark actually passed."""
+    import datetime as dt
+
+    from log_collector_spark.streaming import pipeline as sp
+
+    input_dir = _write_day_slices(spark, tmp_path)
     ckpt = str(tmp_path / "tck")
     out = str(tmp_path / "tout")
     q = sp.start_tool_timeout_stream(spark, input_dir, ckpt, out)
@@ -730,10 +744,7 @@ def test_stream_stream_tool_timeout_left_outer(spark, tmp_path):
     # that watermark from the data is fragile (it is the MIN across both
     # input sides and lags one micro-batch), so read it from the query's
     # own final progress instead.
-    wm_str = q.lastProgress["eventTime"]["watermark"]
-    wm = (dt.datetime.fromisoformat(wm_str.replace("Z", "+00:00"))
-          .replace(tzinfo=None))
-    frontier = wm - dt.timedelta(minutes=2)
+    frontier = _final_watermark(q) - dt.timedelta(minutes=2)
     want = {(r["c_conv"], r["c_tool"], r["call_turn"])
             for r in unanswered.filter(
                 F.col("call_ts") < F.lit(frontier)).collect()}
@@ -746,3 +757,207 @@ def test_stream_stream_tool_timeout_left_outer(spark, tmp_path):
     superset = {(r["c_conv"], r["c_tool"], r["call_turn"])
                 for r in unanswered.collect()}
     assert g <= superset
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class _FakeValueState:
+    def __init__(self):
+        self.v = None
+
+    def get(self):
+        return self.v
+
+    def update(self, v):
+        self.v = tuple(v)
+
+    def clear(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+
+class _FakeHandle:
+    """Minimal StatefulProcessorHandle double: one ValueState + a timer
+    registry, enough to drive the sessionizer kernel without the JVM."""
+
+    def __init__(self):
+        self.states = {}
+        self.timers = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def registerTimer(self, ms):
+        self.timers.add(ms)
+
+    def deleteTimer(self, ms):
+        self.timers.discard(ms)
+
+
+class _FakeExpired:
+    def __init__(self, ms):
+        self.ms = ms
+
+    def getExpiryTimeInMs(self):
+        return self.ms
+
+
+def _mk_batch(ts_ms, tools):
+    import pandas as pd
+    return pd.DataFrame({
+        "ts": pd.to_datetime(ts_ms, unit="ms"),
+        "tool": tools,
+    })
+
+
+def test_sessionizer_kernel_gap_splits_and_timers():
+    """Pure-Python kernel check (no JVM): intra-batch gap splits emit
+    closed sessions immediately; the trailing open session is held in
+    state with a timer at last_ts + gap; a new batch re-opens and
+    re-arms; the timer close emits the final session and clears state."""
+    from log_collector_spark.streaming.conversation_state import (
+        ConversationSessionizer)
+
+    p = ConversationSessionizer(gap_ms=120_000)
+    h = _FakeHandle()
+    p.init(h)
+    key = ("conv_x",)
+
+    # batch 1: three turns, a 10-minute hole after the second →
+    # one closed session (2 turns, 1 tool call) emitted inline
+    b1 = _mk_batch([0, 60_000, 660_000], [None, "bash", None])
+    out1 = list(p.handleInputRows(key, iter([b1]), None))
+    assert len(out1) == 1
+    r = out1[0].iloc[0]
+    assert (r["n_turns"], r["n_tool_calls"], r["first_ms"], r["last_ms"],
+            r["duration_ms"]) == (2, 1, 0, 60_000, 60_000)
+    # trailing open session (1 turn) in state, timer armed at +gap
+    assert h.states["open_session"].get() == (1, 0, 660_000, 660_000, 780_000)
+    assert h.timers == {780_000}
+
+    # batch 2: a turn 30s later continues the open session; the old
+    # timer must be deleted and a new one armed
+    b2 = _mk_batch([690_000], ["edit"])
+    out2 = list(p.handleInputRows(key, iter([b2]), None))
+    assert out2 == []
+    assert h.states["open_session"].get() == (2, 1, 660_000, 690_000, 810_000)
+    assert h.timers == {810_000}
+
+    # timer fires → final session emitted, state cleared
+    out3 = list(p.handleExpiredTimer(key, None, _FakeExpired(810_000)))
+    assert len(out3) == 1
+    r3 = out3[0].iloc[0]
+    assert (r3["n_turns"], r3["n_tool_calls"], r3["first_ms"],
+            r3["last_ms"]) == (2, 1, 660_000, 690_000)
+    assert h.states["open_session"].get() is None
+
+    # stale timer (state already cleared, or expiry != armed) → no emit
+    assert list(p.handleExpiredTimer(key, None, _FakeExpired(810_000))) == []
+
+
+def test_sessionizer_kernel_stale_timer_guard():
+    """A timer whose expiry is NOT the armed one (conversation re-opened
+    with a later frontier before the old timer fired) must not close the
+    session."""
+    from log_collector_spark.streaming.conversation_state import (
+        ConversationSessionizer)
+
+    p = ConversationSessionizer(gap_ms=120_000)
+    h = _FakeHandle()
+    p.init(h)
+    key = ("conv_y",)
+    list(p.handleInputRows(key, iter([_mk_batch([0], [None])]), None))
+    list(p.handleInputRows(key, iter([_mk_batch([60_000], [None])]), None))
+    assert list(p.handleExpiredTimer(key, None, _FakeExpired(120_000))) == []
+    assert h.states["open_session"].get() == (2, 0, 0, 60_000, 180_000)
+
+
+def test_sessionizer_kernel_drained_equals_batch_oracle(spark):
+    """Drive the sessionizer kernel through per-day micro-batches in pure
+    Python (grouped by conv, timers fired on drain) and require EXACT set
+    equality with the batch window sessionization — the full determinism
+    contract, minus only Spark's wire transport."""
+    import pandas as pd
+
+    from log_collector_spark.streaming.conversation_state import (
+        ConversationSessionizer, batch_sessionize_oracle)
+
+    raw = (spark.read.parquet(pl.transcripts_path(SF_DIR))
+           .select("conv_id", "ts", "tool").toPandas()
+           .sort_values(["ts"]))
+    # the fake handle holds ONE state cell; emulate Spark's per-key state
+    # by swapping each key's (state, timer) in before its call
+    p2 = ConversationSessionizer(gap_ms=120_000)
+    h2 = _FakeHandle()
+    p2.init(h2)
+    state_by_key, timer_by_key, emitted = {}, {}, []
+    for _, day_rows in raw.groupby(raw["ts"].dt.date, sort=True):
+        for conv, g in day_rows.groupby("conv_id", sort=False):
+            h2.states["open_session"].v = state_by_key.get(conv)
+            h2.timers = ({timer_by_key[conv]} if conv in timer_by_key
+                         else set())
+            emitted.extend(p2.handleInputRows(
+                (conv,), iter([g[["ts", "tool"]]]), None))
+            state_by_key[conv] = h2.states["open_session"].v
+            timer_by_key[conv] = state_by_key[conv][4]
+    # drain: fire every armed timer
+    for conv, tm in timer_by_key.items():
+        h2.states["open_session"].v = state_by_key.get(conv)
+        out = list(p2.handleExpiredTimer((conv,), None, _FakeExpired(tm)))
+        emitted.extend(out)
+
+    got = pd.concat(emitted, ignore_index=True)
+    want = batch_sessionize_oracle(
+        spark, pl.transcripts_path(SF_DIR)).toPandas()
+    key = ["conv_id", "n_turns", "n_tool_calls",
+           "first_ms", "last_ms", "duration_ms"]
+    gset = {tuple(r) for r in got[key].itertuples(index=False)}
+    wset = {tuple(r) for r in want[key].itertuples(index=False)}
+    assert len(got) == len(want)
+    assert gset == wset
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason=(
+    "transformWithStateInPandas's state API client needs google.protobuf, "
+    "not shipped in this container (pip install protobuf to enable)"))
+def test_transform_with_state_sessionizer_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas gap-rule sessionizer == batch window
+    sessionization, restricted to sessions whose close frontier
+    (last_ts + gap) the final watermark passed. Exercises typed keyed
+    state, event-time timers, intra-batch session splits, and the
+    RocksDB state store across micro-batches."""
+    import datetime as dt
+
+    from log_collector_spark.streaming import conversation_state as cs
+
+    input_dir = _write_day_slices(spark, tmp_path)
+    ckpt = str(tmp_path / "sck")
+    out = str(tmp_path / "sout")
+    q = cs.start_conversation_sessionizer_stream(spark, input_dir, ckpt, out)
+    q.awaitTermination(600)
+    got = spark.read.parquet(out)
+
+    sessions = cs.batch_sessionize_oracle(spark, input_dir).cache()
+    key = ("conv_id", "n_turns", "n_tool_calls",
+           "first_ms", "last_ms", "duration_ms")
+    frontier = _final_watermark(q)
+    frontier_ms = int(frontier.replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1000)
+    want = {tuple(r[k] for k in key)
+            for r in sessions.filter(
+                F.col("last_ms") + 120_000 < frontier_ms).collect()}
+    g = {tuple(r[k] for k in key) for r in got.collect()}
+    allsess = {tuple(r[k] for k in key) for r in sessions.collect()}
+    assert len(g) > 0
+    assert want <= g
+    assert g <= allsess
+    # every emitted (conv, first_ms) is emitted exactly once
+    assert got.count() == got.select("conv_id", "first_ms").distinct().count()

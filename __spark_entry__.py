@@ -431,6 +431,15 @@ def q_tx_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.conversation_stats_ms(pl.full_pipeline(spark, sf_dir))
 
 
+def q_tx_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-rule conversation sessionization (batch twin of the
+    transformWithState streaming sessionizer): sessions split where the
+    inter-turn gap exceeds 2 minutes; per-session turn/tool-call counts
+    and epoch-ms bounds."""
+    from log_collector_spark.streaming.conversation_state import gap_sessions
+    return gap_sessions(pl.load_transcripts(spark, sf_dir))
+
+
 def q_tx_tokens_by_role_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token totals per role CLASS — exercises the role broadcast lookup
     (left-join misses surface as a NULL class group)."""
@@ -2157,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_tool_latency": q_tx_tool_latency,
         "tx_role_alternation": q_tx_role_alternation,
         "tx_conversation_stats": q_tx_conversation_stats,
+        "tx_sessions": q_tx_sessions,
         "tx_tokens_by_role_class": q_tx_tokens_by_role_class,
         "tx_response_gaps": q_tx_response_gaps,
         "tx_tool_chain_bigrams": q_tx_tool_chain_bigrams,
@@ -2455,6 +2465,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_tool_latency": _tx().sql_tool_latency(tx_view),
         "tx_role_alternation": _tx().sql_role_alternation(tx_view),
         "tx_conversation_stats": _tx().sql_conversation_stats_ms(tx_view),
+        "tx_sessions": _cstate().sql_gap_sessions(tx_view),
         "tx_tokens_by_role_class": _tx().sql_tokens_by_role_class(tx_view),
         "tx_response_gaps": _tx().sql_response_gaps(tx_view),
         "tx_tool_chain_bigrams": _tx().sql_tool_chain_bigrams(tx_view),
@@ -3101,6 +3112,11 @@ def _rs():
 def _tx():
     from log_collector_spark.operators import tx_stats
     return tx_stats
+
+
+def _cstate():
+    from log_collector_spark.streaming import conversation_state
+    return conversation_state
 
 
 def _lm():

@@ -164,17 +164,18 @@ def start_conversation_sessionizer_stream(
             .format("parquet").option("path", out_dir).start())
 
 
-def batch_sessionize_oracle(spark: SparkSession, input_dir: str,
-                            gap: str = "2 minutes"):
-    """The batch gap-rule sessionization the stream must reproduce:
-    pure window functions, one shuffle on conv_id."""
+def gap_sessions(df, gap_ms: int = 120_000):
+    """Batch gap-rule sessionization (the sessionizer's oracle twin and an
+    oracle-checked query in its own right): one shuffle on conv_id, two
+    window passes, one hash agg. At 10^12 turns this is the canonical
+    sessionize shape — the window partitions by conv_id so skew is bounded
+    by the longest single conversation, and nothing but (conv_id, ms,
+    is_tool) moves after the projection."""
     from pyspark.sql import Window
-    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
-    src = spark.read.parquet(input_dir)
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     # fixture ts is TIMESTAMP_NTZ; under the UTC session the cast is identity
     ms = (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
-    sess = (src
+    sess = (df
             .withColumn("ms", ms)
             .withColumn("prev_ms", F.lag("ms").over(w))
             .withColumn("new_sess",
@@ -190,4 +191,46 @@ def batch_sessionize_oracle(spark: SparkSession, input_dir: str,
                  F.min("ms").alias("first_ms"),
                  F.max("ms").alias("last_ms"))
             .withColumn("duration_ms", F.col("last_ms") - F.col("first_ms"))
-            .drop("sess_id"))
+            .drop("sess_id")
+            .orderBy("conv_id", "first_ms"))
+
+
+def sql_gap_sessions(tx_view: str, gap_ms: int = 120_000) -> str:
+    """DuckDB oracle for :func:`gap_sessions` — identical column names,
+    identical deterministic ORDER BY."""
+    return f"""
+        WITH t AS (
+            SELECT conv_id, turn_idx,
+                   CAST(epoch_ms(ts) AS BIGINT) AS ms,
+                   CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS is_tool
+            FROM {tx_view}
+        ), lagd AS (
+            SELECT *, LAG(ms) OVER
+                   (PARTITION BY conv_id ORDER BY ms, turn_idx) AS prev_ms
+            FROM t
+        ), marked AS (
+            SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > {gap_ms}
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM lagd
+        ), sess AS (
+            SELECT *, SUM(new_sess) OVER
+                   (PARTITION BY conv_id ORDER BY ms, turn_idx
+                    ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM marked
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(is_tool) AS BIGINT) AS n_tool_calls,
+               CAST(MIN(ms) AS BIGINT) AS first_ms,
+               CAST(MAX(ms) AS BIGINT) AS last_ms,
+               CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms
+        FROM sess GROUP BY conv_id, sess_id
+        ORDER BY conv_id, first_ms
+    """
+
+
+def batch_sessionize_oracle(spark: SparkSession, input_dir: str,
+                            gap: str = "2 minutes"):
+    """The batch gap-rule sessionization the stream must reproduce."""
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+    return gap_sessions(spark.read.parquet(input_dir), gap_ms)

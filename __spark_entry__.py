@@ -898,6 +898,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_pairs(_embs(spark, sf_dir))
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs straddling the train/val/test hash split — the
+    eval-contamination audit run after splitting, before training."""
+    from log_collector_spark.textops import dedup as D
+    return D.split_leakage(_embs(spark, sf_dir))
+
+
 def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-label vs own label: mislabeled-example screen."""
     from log_collector_spark.textops import similarity as S
@@ -2212,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "split_leakage": q_split_leakage,
         "knn_label_consistency": q_knn_label_consistency,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_recall_embeddings": q_ann_recall_embeddings,
@@ -2616,6 +2624,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_star": _td().sql_dedup_clusters(),
         "simhash_pairs": _td().sql_simhash_pairs(),
         "embedding_neardup": _td().sql_embedding_neardup_pairs(),
+        "split_leakage": _td().sql_split_leakage(),
         "knn_label_consistency": _ts().sql_knn_label_consistency(),
         "ann_topk_brute": _ts().sql_brute_force_topk(),
         "ann_recall_embeddings": _te().sql_ann_recall(),

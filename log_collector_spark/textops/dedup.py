@@ -1898,3 +1898,57 @@ def sql_cluster_size_histogram(table: str = "documents") -> str:
         SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
         FROM sizes GROUP BY cluster_size ORDER BY cluster_size
     """
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split leakage audit (near-dup pairs straddling splits)
+# ---------------------------------------------------------------------------
+
+def split_leakage(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Split-leakage matrix: how many NEAR-DUPLICATE pairs straddle the
+    train/val/test boundary. Hash-splitting documents independently of
+    their duplicate structure leaks eval answers into training whenever a
+    near-dup pair lands in two different splits — the audit every LLM
+    data pipeline should run after splitting and before training (the
+    correct fix being cluster-level splitting, cf. :func:`dedup_clusters`).
+
+    Returns one row per unordered split pair: (split_a <= split_b,
+    n_pairs, is_leak) — diagonal rows are the harmless within-split
+    near-dups, off-diagonal rows are the leaks.
+
+    Plan/scale: the guarded near-dup pair generator does the corpus-scale
+    work (bucketed, skew-capped — see :func:`embedding_neardup_guarded`);
+    the split frame is a shuffle-free (id, split) projection; the audit
+    itself is two narrow equi-joins of the pair list against that
+    two-column frame and ONE tiny hash agg. Nothing wider than
+    (id, split) ever shuffles."""
+    from log_collector_spark.textops.analysis import split_assign
+    pairs = embedding_neardup_guarded(df, vec_col)
+    s = split_assign(df.select(id_col), id_col=id_col).select(
+        id_col, "split")
+    a = s.select(F.col(id_col).alias("vec_a"), F.col("split").alias("sa"))
+    b = s.select(F.col(id_col).alias("vec_b"), F.col("split").alias("sb"))
+    j = pairs.join(a, "vec_a").join(b, "vec_b")
+    return (j.groupBy(F.least("sa", "sb").alias("split_a"),
+                      F.greatest("sa", "sb").alias("split_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+             .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+             .orderBy("split_a", "split_b"))
+
+
+def sql_split_leakage(table: str = "embeddings") -> str:
+    from log_collector_spark.textops.analysis import sql_split_assign
+    return f"""
+        WITH pairs AS ({sql_embedding_neardup_guarded(table)}),
+        s AS ({sql_split_assign(table, id_col="vec_id")})
+        SELECT least(sa.split, sb.split) AS split_a,
+               greatest(sa.split, sb.split) AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+                   AS is_leak
+        FROM pairs p
+        JOIN s sa ON p.vec_a = sa.vec_id
+        JOIN s sb ON p.vec_b = sb.vec_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -860,3 +860,31 @@ def test_pagerank_step_fixed_point_semantics(spark):
     hub = 150_000 + 850 * (10**6 + 10**6) // 1000
     assert out == {1: (1, leaf), 3: (1, leaf), 2: (2, hub)}
     assert out[2][1] > out[1][1]
+
+
+def test_split_leakage_counts_and_flags(spark):
+    """Identical vectors form near-dup pairs; the audit must count every
+    pair under the (least, greatest) split key with is_leak exactly when
+    the two splits differ — cross-checked against split_assign itself."""
+    from itertools import combinations
+
+    from log_collector_spark.textops import dedup as D
+    from log_collector_spark.textops.analysis import split_assign
+
+    ids = list(range(1, 13))
+    vec = [1.0] * 64
+    df = spark.createDataFrame(
+        [(i, vec) for i in ids], "vec_id long, embedding array<float>")
+    got = {(r["split_a"], r["split_b"]): (r["n_pairs"], r["is_leak"])
+           for r in D.split_leakage(df).collect()}
+
+    split_of = {r["vec_id"]: r["split"]
+                for r in split_assign(df.select("vec_id"),
+                                      id_col="vec_id").collect()}
+    want = {}
+    for a, b in combinations(ids, 2):
+        k = tuple(sorted((split_of[a], split_of[b])))
+        want[k] = want.get(k, 0) + 1
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(v[1] == (k[0] != k[1]) for k, v in got.items())
+    assert sum(v[0] for v in got.values()) == len(ids) * (len(ids) - 1) // 2

@@ -905,6 +905,14 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.split_leakage(_embs(spark, sf_dir))
 
 
+def q_cluster_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free splitting: hash split at near-dup cluster granularity —
+    duplicate families never straddle train/val/test (the remedy for
+    what split_leakage audits)."""
+    from log_collector_spark.textops import dedup as D
+    return D.cluster_split_assign(_embs(spark, sf_dir))
+
+
 def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-label vs own label: mislabeled-example screen."""
     from log_collector_spark.textops import similarity as S
@@ -2220,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "split_leakage": q_split_leakage,
+        "cluster_split_assign": q_cluster_split_assign,
         "knn_label_consistency": q_knn_label_consistency,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_recall_embeddings": q_ann_recall_embeddings,
@@ -2625,6 +2634,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _td().sql_simhash_pairs(),
         "embedding_neardup": _td().sql_embedding_neardup_pairs(),
         "split_leakage": _td().sql_split_leakage(),
+        "cluster_split_assign": _td().sql_cluster_split_assign(),
         "knn_label_consistency": _ts().sql_knn_label_consistency(),
         "ann_topk_brute": _ts().sql_brute_force_topk(),
         "ann_recall_embeddings": _te().sql_ann_recall(),

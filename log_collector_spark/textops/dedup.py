@@ -1952,3 +1952,81 @@ def sql_split_leakage(table: str = "embeddings") -> str:
         JOIN s sb ON p.vec_b = sb.vec_id
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def cluster_split_assign(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         weights: tuple[int, int, int] = (80, 10, 10)
+                         ) -> DataFrame:
+    """Leak-free splitting — the remedy :func:`split_leakage` audits for:
+    hash-split at near-dup CLUSTER granularity, so every member of a
+    duplicate family lands in the SAME split (a near-dup pair straddling
+    train/test is impossible by construction; pytest pins leaks == 0).
+
+    The split key is the cluster's canonical representative (min id), the
+    same salted-hash rule as :func:`textops.analysis.split_assign` — so
+    singleton documents keep exactly the per-doc assignment, and the split
+    stays append-stable: new members of an existing cluster inherit its
+    split; brand-new clusters hash independently.
+
+    Returns the per-split summary (split, n_docs, n_clusters) — the shape
+    a pipeline reports; the full (id, cluster, split) frame is the obvious
+    intermediate for writers.
+
+    Plan/scale: pair generation + min-label CC do the corpus-scale work
+    (both bucketed/bounded, see :func:`embedding_neardup_guarded` and
+    :func:`dedup_clusters`); the assignment itself is one (id, cluster)
+    left join and a split projection; the summary is one tiny hash agg."""
+    from log_collector_spark.textops.analysis import (SPLIT_BUCKETS,
+                                                      SPLIT_SALT)
+    w_train, w_val, w_test = weights
+    assert w_train + w_val + w_test == SPLIT_BUCKETS
+    pairs = embedding_neardup_guarded(df, vec_col)
+    cl = dedup_clusters(df, pairs=pairs.select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")))
+    lab = (df.select(id_col)
+             .join(cl.select(F.col("doc_id").alias(id_col), "cluster"),
+                   id_col, "left")
+             .withColumn("cluster",
+                         F.coalesce("cluster", F.col(id_col))))
+    bucket = C.h60(F.concat(F.lit(SPLIT_SALT),
+                            F.col("cluster").cast("string"))) % SPLIT_BUCKETS
+    split = (F.when(bucket < w_train, "train")
+              .when(bucket < w_train + w_val, "val")
+              .otherwise("test"))
+    return (lab.withColumn("split", split)
+               .groupBy("split")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.countDistinct("cluster").cast("long")
+                     .alias("n_clusters"))
+               .orderBy("split"))
+
+
+def sql_cluster_split_assign(table: str = "embeddings",
+                             weights: tuple[int, int, int] = (80, 10, 10)
+                             ) -> str:
+    from log_collector_spark.textops.analysis import (SPLIT_BUCKETS,
+                                                      SPLIT_SALT)
+    w_train, w_val, w_test = weights
+    assert w_train + w_val + w_test == SPLIT_BUCKETS
+    cl = sql_clusters_over(sql_embedding_neardup_guarded(table),
+                           "vec_a", "vec_b")
+    salted = f"'{SPLIT_SALT}' || cluster"
+    bucket = f"{C.sql_h60(salted)} % {SPLIT_BUCKETS}"
+    return f"""
+        WITH cl AS ({cl}),
+        lab AS (
+            SELECT e.vec_id, COALESCE(cl.cluster, e.vec_id) AS cluster
+            FROM {table} e LEFT JOIN cl ON e.vec_id = cl.doc_id
+        ),
+        sp AS (
+            SELECT vec_id, cluster,
+                   CASE WHEN {bucket} < {w_train} THEN 'train'
+                        WHEN {bucket} < {w_train + w_val} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM lab
+        )
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+        FROM sp GROUP BY split ORDER BY split
+    """

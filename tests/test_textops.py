@@ -888,3 +888,42 @@ def test_split_leakage_counts_and_flags(spark):
     assert {k: v[0] for k, v in got.items()} == want
     assert all(v[1] == (k[0] != k[1]) for k, v in got.items())
     assert sum(v[0] for v in got.values()) == len(ids) * (len(ids) - 1) // 2
+
+
+def test_cluster_split_assign_is_leak_free(spark):
+    from pyspark.sql import functions as F
+
+    """The whole point: after cluster-granular splitting, NO near-dup pair
+    straddles two splits (recompute member-level splits the same way the
+    operator does and join the pair list against them)."""
+    from log_collector_spark.plans import pipeline as pl
+    from log_collector_spark.textops import common as C
+    from log_collector_spark.textops import dedup as D
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = D.embedding_neardup_guarded(embs)
+    cl = D.dedup_clusters(embs, pairs=pairs.select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")))
+    lab = (embs.select("vec_id")
+           .join(cl.select(F.col("doc_id").alias("vec_id"), "cluster"),
+                 "vec_id", "left")
+           .withColumn("cluster", F.coalesce("cluster", F.col("vec_id"))))
+    from log_collector_spark.textops.analysis import (SPLIT_BUCKETS,
+                                                      SPLIT_SALT)
+    bucket = C.h60(F.concat(F.lit(SPLIT_SALT),
+                            F.col("cluster").cast("string"))) % SPLIT_BUCKETS
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    s = lab.withColumn("split", split).select("vec_id", "split")
+    leaks = (pairs
+             .join(s.withColumnRenamed("vec_id", "vec_a")
+                    .withColumnRenamed("split", "sa"), "vec_a")
+             .join(s.withColumnRenamed("vec_id", "vec_b")
+                    .withColumnRenamed("split", "sb"), "vec_b")
+             .filter(F.col("sa") != F.col("sb")))
+    assert pairs.count() > 0
+    assert leaks.count() == 0
+    # and the summary's doc total covers the whole corpus
+    total = sum(r["n_docs"]
+                for r in D.cluster_split_assign(embs).collect())
+    assert total == embs.count()

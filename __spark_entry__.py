@@ -1159,6 +1159,13 @@ def q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.skew_report(ev, F.col("user_id"))
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the near-dup graph:
+    clique members (collapse-safe) vs chain hubs (over-merge risk)."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.clustering_coefficient(_docs(spark, sf_dir))
+
+
 def q_triangle_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-dup graph (template family vs chain)."""
     from log_collector_spark.textops import evalops as EV
@@ -2264,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median_events": q_rolling_median_events,
         "skew_report_events": q_skew_report_events,
         "triangle_count_documents": q_triangle_count_documents,
+        "clustering_coefficient": q_clustering_coefficient,
         "pivot_event_types": q_pivot_event_types,
         "percentile_latency": q_percentile_latency,
         "hist_exact_percentile_latency": q_hist_exact_percentile_latency,
@@ -2436,6 +2444,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median_events": agg_ops.sql_rolling_median_counts(),
         "skew_report_events": agg_ops.sql_skew_report(),
         "triangle_count_documents": _te().sql_triangle_count(),
+        "clustering_coefficient": _te().sql_clustering_coefficient(),
         "ip_range_lookup": """
             WITH ranges AS (
                 SELECT * FROM (VALUES

@@ -630,3 +630,89 @@ def sql_simhash_calibration(table: str = "documents") -> str:
                CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM j GROUP BY 1, 2 ORDER BY hamming, jacc_decile
     """
+
+
+def clustering_coefficient(df: DataFrame, text_col: str = "text"
+                           ) -> DataFrame:
+    """Per-node local clustering coefficient of the near-dup graph — the
+    node-level refinement of :func:`triangle_count`: coefficient ~1000
+    (permille) marks documents inside a template CLIQUE (safe to collapse
+    to one representative), ~0 marks chain hubs bridging otherwise
+    unrelated drift variants (collapsing those over-merges). Returns
+    (doc_id, degree, triangles, coeff_permille) for every node with at
+    least one edge, ORDER BY doc_id.
+
+    coeff_permille = 1000 * 2*t(v) / (d(v)*(d(v)-1)), integer-guarded for
+    d < 2. Triangles come from the one canonical (a<b<c) two-path +
+    closing-edge join — each triangle found once, then credited to its
+    three corners with a 3-way unpivot, so the edge table is self-joined
+    exactly twice (same cost as the global census). At web scale, orient
+    the two-path by degree first (arboricity bound), as triangle_count
+    documents."""
+    from log_collector_spark.textops import dedup as D
+
+    und = (D.ngram_jaccard_pairs(df, text_col)
+            .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
+    sym = und.unionAll(und.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    closed = (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+                .join(e3, (F.col("e1.a") == F.col("e3.a"))
+                      & (F.col("e2.b") == F.col("e3.b")))
+                .select(F.col("e1.a").alias("v1"),
+                        F.col("e1.b").alias("v2"),
+                        F.col("e2.b").alias("v3")))
+    corners = (closed.select(F.col("v1").alias("doc_id"))
+               .unionAll(closed.select(F.col("v2").alias("doc_id")))
+               .unionAll(closed.select(F.col("v3").alias("doc_id"))))
+    tri = corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles"))
+    # integer DIV on both engines — float division truncates differently
+    # at exact-boundary quotients
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.expr("(2000 * triangles) DIV (degree * (degree - 1))")
+    ).otherwise(F.lit(0))
+    return (deg.join(tri, "doc_id", "left")
+               .fillna(0, ["triangles"])
+               .withColumn("coeff_permille", coeff.cast("long"))
+               .orderBy("doc_id"))
+
+
+def sql_clustering_coefficient(table: str = "documents") -> str:
+    from log_collector_spark.textops import dedup as D
+
+    return f"""
+        WITH pairs AS ({D.sql_ngram_jaccard_pairs(table)}),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        deg AS (
+            SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM sym GROUP BY a
+        ),
+        closed AS (
+            SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+            FROM und e1
+            JOIN und e2 ON e1.b = e2.a
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+            SELECT v1 AS doc_id FROM closed
+            UNION ALL SELECT v2 FROM closed
+            UNION ALL SELECT v3 FROM closed
+        ),
+        tri AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM corners GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.degree,
+               CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+               CAST(CASE WHEN d.degree >= 2
+                         THEN (2000 * COALESCE(t.triangles, 0))
+                              // (d.degree * (d.degree - 1))
+                         ELSE 0 END AS BIGINT) AS coeff_permille
+        FROM deg d LEFT JOIN tri t ON t.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """

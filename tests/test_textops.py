@@ -927,3 +927,29 @@ def test_cluster_split_assign_is_leak_free(spark):
     total = sum(r["n_docs"]
                 for r in D.cluster_split_assign(embs).collect())
     assert total == embs.count()
+
+
+def test_clustering_coefficient_on_known_graph(spark):
+    """Triangle + pendant: K3 {1,2,3} plus edge 3-4. Nodes 1,2 have
+    coeff 1000; hub 3 has degree 3 and 1 triangle of 3 possible wedge
+    closures -> 333; pendant 4 has degree 1 -> 0."""
+    from pyspark.sql import functions as F
+
+    from log_collector_spark.textops import evalops as EV
+
+    # craft docs whose 3-gram sets make exactly the intended pairs is
+    # brittle; drive the kernel by monkeypatching the pair source instead
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "doc_a long, doc_b long")
+    import log_collector_spark.textops.dedup as D
+    orig = D.ngram_jaccard_pairs
+    try:
+        D.ngram_jaccard_pairs = lambda df, text_col="text": pairs
+        out = {r["doc_id"]: (r["degree"], r["triangles"],
+                             r["coeff_permille"])
+               for r in EV.clustering_coefficient(
+                   spark.range(1).withColumn("text", F.lit("x"))).collect()}
+    finally:
+        D.ngram_jaccard_pairs = orig
+    assert out == {1: (2, 1, 1000), 2: (2, 1, 1000),
+                   3: (3, 1, 333), 4: (1, 0, 0)}

@@ -970,6 +970,13 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(_embs(spark, sf_dir))
 
 
+def q_ann_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the LSH and IVF ANN paths — union recall
+    at top-k cost, integer-micros scores, no cross-ranker calibration."""
+    from log_collector_spark.textops import similarity as S
+    return S.rrf_fusion_topk(_embs(spark, sf_dir))
+
+
 def q_token_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: exact top-20 corpus tokens (explode → count → rank,
     ties broken lexicographically). The map-side partial aggregation makes
@@ -2245,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": q_packing_efficiency,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_rrf": q_ann_topk_rrf,
         "multimodal_features": q_multimodal_features,
         "decode_wav_documents": q_decode_wav_documents,
         "bigram_surprisal_documents": q_bigram_surprisal,
@@ -2653,6 +2661,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_efficiency": _te().sql_packing_efficiency(),
         "ann_topk_lsh": _ts().sql_lsh_ann_topk(),
         "ann_topk_ivf": _ts().sql_ivf_ann_topk(),
+        "ann_topk_rrf": _ts().sql_rrf_fusion_topk(),
         "multimodal_features": _tm().sql_fake_features(),
         "decode_wav_documents": _tm().sql_decode_wav_features(),
         "bigram_surprisal_documents": _lm().sql_bigram_surprisal(),

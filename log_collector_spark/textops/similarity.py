@@ -600,3 +600,69 @@ def sql_centroid_outliers(table: str = "embeddings",
                rel > {margin} AS outlier
         FROM assign WHERE rn = 1
     """
+
+
+RRF_K0 = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def rrf_fusion_topk(df: DataFrame, vec_col: str = "embedding",
+                    k: int = TOP_K, query_mod: int = QUERY_MOD,
+                    k0: int = RRF_K0) -> DataFrame:
+    """Reciprocal-rank fusion of the two ANN paths (LSH multiprobe and
+    IVF-nprobe): score(c) = Σ_rankers 1/(k0 + rank_r(c)), kept integer as
+    micros (10^6 DIV (k0+rank)) so the fusion stays oracle-checkable.
+
+    Why it earns its place: the two candidate generators miss DIFFERENT
+    neighbors (sign-plane quantization vs centroid Voronoi cells), and RRF
+    is the standard zero-tuning way to combine them — recall approaches
+    the union of the two at top-k cost, with no score calibration between
+    incomparable ranker scores (rank is the only shared currency).
+
+    Plan/scale: both rankers are the existing bucketed top-k pipelines
+    (per-query candidate sets bounded by bucket/cell size); fusion itself
+    is one full-outer equi-join of two k-row-per-query frames and one
+    window top-k — negligible next to candidate generation. Ties broken
+    by cand_id, ORDER BY (query_id, rank)."""
+    score = F.expr(f"1000000 DIV ({k0} + rank)")
+    a = (lsh_ann_topk(df, vec_col, k, query_mod)
+         .select("query_id", "cand_id", score.alias("s_lsh")))
+    b = (ivf_ann_topk(df, vec_col, k, query_mod)
+         .select("query_id", "cand_id", score.alias("s_ivf")))
+    fused = (a.join(b, ["query_id", "cand_id"], "full")
+              .fillna(0, ["s_lsh", "s_ivf"])
+              .withColumn("rrf_micros",
+                          (F.col("s_lsh") + F.col("s_ivf")).cast("long")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micros"),
+                                               F.asc("cand_id"))
+    return (fused.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("query_id", "cand_id", "rrf_micros",
+                         F.col("rank").cast("int").alias("rank"))
+                 .orderBy("query_id", "rank"))
+
+
+def sql_rrf_fusion_topk(table: str = "embeddings", k: int = TOP_K,
+                        query_mod: int = QUERY_MOD,
+                        k0: int = RRF_K0) -> str:
+    return f"""
+        WITH lsh AS ({sql_lsh_ann_topk(table, k, query_mod)}),
+        ivf AS ({sql_ivf_ann_topk(table, k, query_mod)}),
+        fused AS (
+            SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+                   COALESCE(l.cand_id, i.cand_id) AS cand_id,
+                   CAST(COALESCE(1000000 // ({k0} + l.rank), 0)
+                        + COALESCE(1000000 // ({k0} + i.rank), 0)
+                        AS BIGINT) AS rrf_micros
+            FROM lsh l
+            FULL OUTER JOIN ivf i
+              ON l.query_id = i.query_id AND l.cand_id = i.cand_id
+        )
+        SELECT query_id, cand_id, rrf_micros, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rrf_micros DESC, cand_id
+                                        ) AS rank
+            FROM fused
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """

@@ -49,6 +49,7 @@ ORACLE_CHECKED = [
     "hll_user_rollup_events",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_rrf",
     "ngram_jaccard_maxdf",
     "multimodal_features",
     "decode_wav_documents",

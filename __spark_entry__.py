@@ -977,6 +977,14 @@ def q_ann_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.rrf_fusion_topk(_embs(spark, sf_dir))
 
 
+def q_ann_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: PQ-compressed ANN scan — probed coarse cells, candidates
+    scored from the packed 8-byte PQ code via a per-query 128-entry LUT
+    (asymmetric distance); full vectors never touched on the corpus side."""
+    from log_collector_spark.textops import similarity as S
+    return S.ivfadc_ann_topk(_embs(spark, sf_dir))
+
+
 def q_token_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: exact top-20 corpus tokens (explode → count → rank,
     ties broken lexicographically). The map-side partial aggregation makes
@@ -2253,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_rrf": q_ann_topk_rrf,
+        "ann_topk_ivfadc": q_ann_topk_ivfadc,
         "multimodal_features": q_multimodal_features,
         "decode_wav_documents": q_decode_wav_documents,
         "bigram_surprisal_documents": q_bigram_surprisal,
@@ -2662,6 +2671,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _ts().sql_lsh_ann_topk(),
         "ann_topk_ivf": _ts().sql_ivf_ann_topk(),
         "ann_topk_rrf": _ts().sql_rrf_fusion_topk(),
+        "ann_topk_ivfadc": _ts().sql_ivfadc_ann_topk(),
         "multimodal_features": _tm().sql_fake_features(),
         "decode_wav_documents": _tm().sql_decode_wav_features(),
         "bigram_surprisal_documents": _lm().sql_bigram_surprisal(),

@@ -378,6 +378,34 @@ PQ_CODEBOOKS = [[[_rng_pq.randrange(-500, 501) for _ in range(PQ_DSUB)]
                  for _ in range(PQ_KS)] for _ in range(PQ_M)]
 
 
+def _pq_packed_best(qcol: Column, m: int) -> Column:
+    """Packed (dist * PQ_KS + cid) of subspace ``m``'s nearest codebook
+    centroid — min over the packed int = lexicographic (dist, cid)."""
+    cents = F.array(*[
+        F.struct(
+            F.lit(c).alias("cid"),
+            F.array(*[F.lit(v) for v in PQ_CODEBOOKS[m][c]]).alias("cv"))
+        for c in range(PQ_KS)])
+    sub = F.slice(qcol, m * PQ_DSUB + 1, PQ_DSUB)
+    return F.array_min(F.transform(
+        cents,
+        lambda s: F.aggregate(
+            F.zip_with(sub, s["cv"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ) * PQ_KS + s["cid"]))
+
+
+def _sql_pq_best(m: int) -> str:
+    terms = []
+    for c in range(PQ_KS):
+        d = " + ".join(
+            f"(q[{m * PQ_DSUB + d + 1}] - ({PQ_CODEBOOKS[m][c][d]}))"
+            f" * (q[{m * PQ_DSUB + d + 1}] - ({PQ_CODEBOOKS[m][c][d]}))"
+            for d in range(PQ_DSUB))
+        terms.append(f"CAST({d} AS BIGINT) * {PQ_KS} + {c}")
+    return "least(" + ", ".join(terms) + ")"
+
+
 def pq_codes(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Product-quantization encoding: split the quantized embedding into
     ``PQ_M`` subvectors, assign each to its nearest of ``PQ_KS`` codebook
@@ -401,22 +429,7 @@ def pq_codes(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     k-means job upstream); assignment — the 100-TB-side cost — is the
     part this operator owns."""
     q = _quantized(df, vec_col)
-
-    def _packed_best(qcol: Column, m: int) -> Column:
-        cents = F.array(*[
-            F.struct(
-                F.lit(c).alias("cid"),
-                F.array(*[F.lit(v) for v in PQ_CODEBOOKS[m][c]]).alias("cv"))
-            for c in range(PQ_KS)])
-        sub = F.slice(qcol, m * PQ_DSUB + 1, PQ_DSUB)
-        return F.array_min(F.transform(
-            cents,
-            lambda s: F.aggregate(
-                F.zip_with(sub, s["cv"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"), lambda acc, x: acc + x,
-            ) * PQ_KS + s["cid"]))
-
-    packed = [ _packed_best(F.col("q"), m).alias(f"p_{m}")
+    packed = [ _pq_packed_best(F.col("q"), m).alias(f"p_{m}")
                for m in range(PQ_M) ]
     enc = q.select("vec_id", *packed)
     code = sum((F.col(f"p_{m}") % PQ_KS) * (PQ_KS ** m) for m in range(PQ_M))
@@ -429,18 +442,7 @@ def pq_codes(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def sql_pq_codes(table: str = "embeddings") -> str:
     qe = C.sql_quantized_embedding("embedding")
-
-    def best(m: int) -> str:
-        terms = []
-        for c in range(PQ_KS):
-            d = " + ".join(
-                f"(q[{m * PQ_DSUB + d + 1}] - ({PQ_CODEBOOKS[m][c][d]}))"
-                f" * (q[{m * PQ_DSUB + d + 1}] - ({PQ_CODEBOOKS[m][c][d]}))"
-                for d in range(PQ_DSUB))
-            terms.append(f"CAST({d} AS BIGINT) * {PQ_KS} + {c}")
-        return "least(" + ", ".join(terms) + ")"
-
-    packs = ", ".join(f"{best(m)} AS p_{m}" for m in range(PQ_M))
+    packs = ", ".join(f"{_sql_pq_best(m)} AS p_{m}" for m in range(PQ_M))
     code = " + ".join(f"(p_{m} % {PQ_KS}) * {PQ_KS ** m}"
                       for m in range(PQ_M))
     err = " + ".join(f"(p_{m} // {PQ_KS})" for m in range(PQ_M))
@@ -663,6 +665,146 @@ def sql_rrf_fusion_topk(table: str = "embeddings", k: int = TOP_K,
                                          ORDER BY rrf_micros DESC, cand_id
                                         ) AS rank
             FROM fused
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: PQ-compressed ANN scan (coarse cells + asymmetric distance)
+# ---------------------------------------------------------------------------
+
+
+def ivfadc_ann_topk(df: DataFrame, vec_col: str = "embedding",
+                    k: int = TOP_K, query_mod: int = QUERY_MOD,
+                    nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVFADC top-k (Jégou et al.; the FAISS `IVFx,PQy` serving scan):
+    candidates come from the query's ``nprobe`` nearest coarse cells and
+    are scored from their PACKED 8×4-bit PQ code alone — asymmetric
+    distance ``adc = Σ_m LUT_q[m][code_m(x)]`` where ``LUT_q[m][c] =
+    ‖q_sub_m − codebook_m[c]‖²`` is a 128-entry per-query lookup table.
+    Candidate vectors are never touched: the corpus side of the join
+    carries only (cand_id, cell, pq_code) — 8 bytes of payload per vector.
+
+    Returns (query_id, cand_id, adc_dist, rank), adc ascending,
+    ties → cand_id, ORDER BY (query_id, rank).
+
+    Plan/scale: this is THE billion-vector layout — the stored corpus is
+    partitioned by ``cell`` with an int64 code column, so a probe is a
+    partition-pruned scan of compressed codes (100 TB of float vectors →
+    ~1 TB of codes), the per-query LUT rides along in the broadcast
+    queries frame, and per-pair work is 8 array lookups + adds (pure
+    Catalyst, no UDF). Exactly one row per (query, cand) — cells are
+    disjoint — so no distinct before the top-k window. All arithmetic is
+    integer (quantized embeddings, integer codebooks) → byte-equal DuckDB
+    oracle from the same constants."""
+    q = _quantized(df, vec_col)
+    scores = _ivf_cell_scores(F.col("q"))
+    code = sum((_pq_packed_best(F.col("q"), m) % PQ_KS) * (PQ_KS ** m)
+               for m in range(PQ_M))
+    corpus = q.select(F.col("vec_id").alias("cand_id"),
+                      F.array_min(scores)["cid"].alias("cell"),
+                      code.cast("long").alias("pq_code"))
+
+    cents_flat = F.array(*[F.lit(PQ_CODEBOOKS[m][c]).cast("array<bigint>")
+                           for m in range(PQ_M) for c in range(PQ_KS)])
+
+    def _lut(qcol: Column) -> Column:
+        # entry i (0-based): subspace m = i >> 4, centroid c = i % 16;
+        # squared L2 between the query subvector and that centroid.
+        def ent(cv: Column, i: Column) -> Column:
+            base = F.shiftright(i, 4) * PQ_DSUB
+            diffs = [F.element_at(qcol, (base + d + 1).cast("int"))
+                     - F.element_at(cv, d + 1) for d in range(PQ_DSUB)]
+            out = diffs[0] * diffs[0]
+            for t in diffs[1:]:
+                out = out + t * t
+            return out.cast("long")
+        return F.transform(cents_flat, ent)
+
+    probes = F.slice(F.array_sort(scores), 1, nprobe)
+    queries = (q.filter(F.col("vec_id") % query_mod == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       _lut(F.col("q")).alias("lut"),
+                       F.explode(probes).alias("p"))
+               .select("query_id", "lut", F.col("p.cid").alias("probe")))
+
+    adc = None
+    for m in range(PQ_M):
+        nib = F.expr(f"(pq_code DIV {PQ_KS ** m}) % {PQ_KS}")
+        term = F.element_at(F.col("lut"),
+                            (F.lit(m * PQ_KS + 1) + nib).cast("int"))
+        adc = term if adc is None else adc + term
+    scored = (corpus.join(F.broadcast(queries),
+                          (F.col("cell") == F.col("probe")) &
+                          (F.col("cand_id") != F.col("query_id")))
+              .select("query_id", "cand_id",
+                      adc.cast("long").alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                               F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "cand_id", "adc_dist",
+                          F.col("rank").cast("int").alias("rank"))
+                  .orderBy("query_id", "rank"))
+
+
+def sql_ivfadc_ann_topk(table: str = "embeddings", k: int = TOP_K,
+                        query_mod: int = QUERY_MOD,
+                        nprobe: int = IVF_NPROBE) -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    cent_rows = ", ".join(
+        f"({i}, {_IVF_C2[i]}, {c}::BIGINT[])"
+        for i, c in enumerate(IVF_CENTROIDS))
+    packs = ", ".join(f"{_sql_pq_best(m)} AS p_{m}" for m in range(PQ_M))
+    cids = ", ".join(f"e.p_{m} % {PQ_KS} AS c_{m}" for m in range(PQ_M))
+    pc_rows = ", ".join(
+        f"({m}, {c}, {PQ_CODEBOOKS[m][c]}::BIGINT[])"
+        for m in range(PQ_M) for c in range(PQ_KS))
+    case_cid = ("CASE pc.m " +
+                " ".join(f"WHEN {m} THEN c_{m}" for m in range(PQ_M)) +
+                " END")
+    dist = " + ".join(
+        f"(qv[pc.m * {PQ_DSUB} + {d + 1}] - cv[{d + 1}])"
+        f" * (qv[pc.m * {PQ_DSUB} + {d + 1}] - cv[{d + 1}])"
+        for d in range(PQ_DSUB))
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), cent AS (
+            SELECT * FROM (VALUES {cent_rows}) AS t(cid, c2, c)
+        ), assign AS (
+            SELECT vec_id, q, cid,
+                   c2 - 2 * CAST(list_dot_product(q, c) AS BIGINT) AS dist
+            FROM q CROSS JOIN cent
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+            FROM assign
+        ), enc AS (
+            SELECT vec_id, {packs} FROM q
+        ), codes AS (
+            SELECT e.vec_id AS cand_id, r.cid AS cell, {cids}
+            FROM enc e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, q AS qv, cid AS probe
+            FROM ranked WHERE vec_id % {query_mod} = 0 AND rn <= {nprobe}
+        ), pc AS (
+            SELECT * FROM (VALUES {pc_rows}) AS t(m, cid, cv)
+        ), pairs AS (
+            SELECT p.query_id, p.qv, c.*
+            FROM probes p JOIN codes c
+              ON c.cell = p.probe AND c.cand_id <> p.query_id
+        ), scored AS (
+            SELECT query_id, cand_id, CAST(SUM({dist}) AS BIGINT) AS adc_dist
+            FROM pairs JOIN pc ON pc.cid = {case_cid}
+            GROUP BY query_id, cand_id
+        )
+        SELECT query_id, cand_id, adc_dist, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, cand_id) AS rank
+            FROM scored
         ) WHERE rank <= {k}
         ORDER BY query_id, rank
     """

@@ -50,6 +50,7 @@ ORACLE_CHECKED = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_rrf",
+    "ann_topk_ivfadc",
     "ngram_jaccard_maxdf",
     "multimodal_features",
     "decode_wav_documents",

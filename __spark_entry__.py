@@ -985,6 +985,14 @@ def q_ann_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfadc_ann_topk(_embs(spark, sf_dir))
 
 
+def q_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k decomposition of the compressed IVFADC scan: exact-L2
+    ground truth vs probed-cells ceiling vs ADC ranking — isolates
+    coarse-quantizer loss from PQ compression loss per query."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.ivfadc_recall(_embs(spark, sf_dir))
+
+
 def q_token_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: exact top-20 corpus tokens (explode → count → rank,
     ties broken lexicographically). The map-side partial aggregation makes
@@ -2262,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_rrf": q_ann_topk_rrf,
         "ann_topk_ivfadc": q_ann_topk_ivfadc,
+        "ivfadc_recall": q_ivfadc_recall,
         "multimodal_features": q_multimodal_features,
         "decode_wav_documents": q_decode_wav_documents,
         "bigram_surprisal_documents": q_bigram_surprisal,
@@ -2672,6 +2681,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _ts().sql_ivf_ann_topk(),
         "ann_topk_rrf": _ts().sql_rrf_fusion_topk(),
         "ann_topk_ivfadc": _ts().sql_ivfadc_ann_topk(),
+        "ivfadc_recall": _te().sql_ivfadc_recall(),
         "multimodal_features": _tm().sql_fake_features(),
         "decode_wav_documents": _tm().sql_decode_wav_features(),
         "bigram_surprisal_documents": _lm().sql_bigram_surprisal(),

@@ -716,3 +716,185 @@ def sql_clustering_coefficient(table: str = "documents") -> str:
         FROM deg d LEFT JOIN tri t ON t.doc_id = d.doc_id
         ORDER BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# IVFADC recall decomposition: coarse-quantizer loss vs PQ quantization loss
+# ---------------------------------------------------------------------------
+
+
+def ivfadc_recall(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Recall@k decomposition of the compressed IVFADC scan against the
+    exact squared-L2 ground truth — the table a FAISS tuning session
+    produces before deploying `IVFx,PQy` (how much recall does the coarse
+    quantizer cost, and how much does PQ compression add on top?).
+
+    Per query: ``k_truth`` exact-L2 neighbors; ``hits_cells`` = how many of
+    them survive when candidates are restricted to the ``nprobe`` probed
+    cells but still ranked by EXACT distance (pure coarse-quantizer loss —
+    the ceiling any in-cell scorer can reach, since every truth member in
+    the pool outranks every non-member under the true metric);
+    ``hits_adc`` = how many the ADC (PQ-code) ranking keeps. By
+    construction ``hits_adc <= hits_cells``, so
+    ``pq_loss = hits_cells - hits_adc >= 0`` isolates compression damage.
+
+    Plan/scale: ground truth is the documented O(|queries|·n) exact scan
+    (queries broadcast, corpus never shuffled — the eval you run on a
+    sampled query set, QUERY_MOD here); the two hit-joins are over
+    |queries|·k-row frames. Integer arithmetic throughout (|c|² − 2·q·c
+    drops the per-query constant |q|²) → exact DuckDB oracle."""
+    from log_collector_spark.textops import similarity as S
+    from pyspark.sql.window import Window
+
+    q = S._quantized(df, vec_col)
+    c2 = C.int_dot(F.col("cv"), F.col("cv"))
+    queries = (q.filter(F.col("vec_id") % S.QUERY_MOD == 0)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("q").alias("qv")))
+    dist = (c2 - 2 * C.int_dot(F.col("qv"), F.col("cv"))).alias("dist")
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                               F.asc("cand_id"))
+
+    corpus_all = q.select(F.col("vec_id").alias("cand_id"),
+                          F.col("q").alias("cv"))
+    truth = (corpus_all.join(F.broadcast(queries),
+                             F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "cand_id", dist)
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= S.TOP_K)
+             .select("query_id", F.col("cand_id").alias("truth_id")))
+
+    scores = S._ivf_cell_scores(F.col("q"))
+    corpus_cells = q.select(F.col("vec_id").alias("cand_id"),
+                            F.col("q").alias("cv"),
+                            F.array_min(scores)["cid"].alias("cell"))
+    probes = (q.filter(F.col("vec_id") % S.QUERY_MOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("qv"),
+                       F.explode(F.slice(F.array_sort(scores), 1,
+                                         S.IVF_NPROBE)).alias("p"))
+               .select("query_id", "qv", F.col("p.cid").alias("probe")))
+    in_cells = (corpus_cells.join(F.broadcast(probes),
+                                  (F.col("cell") == F.col("probe")) &
+                                  (F.col("cand_id") != F.col("query_id")))
+                .select("query_id", "cand_id", dist)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= S.TOP_K)
+                .select("query_id", F.col("cand_id").alias("cell_id")))
+
+    adc = S.ivfadc_ann_topk(df, vec_col).select(
+        "query_id", F.col("cand_id").alias("adc_id"))
+
+    per_q = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_truth"))
+    h_cells = (truth.join(
+        in_cells, (truth["query_id"] == in_cells["query_id"]) &
+        (truth["truth_id"] == in_cells["cell_id"]))
+        .groupBy(truth["query_id"].alias("query_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("hits_cells")))
+    h_adc = (truth.join(
+        adc, (truth["query_id"] == adc["query_id"]) &
+        (truth["truth_id"] == adc["adc_id"]))
+        .groupBy(truth["query_id"].alias("query_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("hits_adc")))
+    out = (per_q.join(h_cells, "query_id", "left")
+           .join(h_adc, "query_id", "left")
+           .select("query_id", "k_truth",
+                   F.coalesce("hits_cells", F.lit(0)).cast("long")
+                    .alias("hits_cells"),
+                   F.coalesce("hits_adc", F.lit(0)).cast("long")
+                    .alias("hits_adc")))
+    return (out
+            .withColumn("recall_cells_permille",
+                        C.permille(F.col("hits_cells"), F.col("k_truth")))
+            .withColumn("recall_adc_permille",
+                        C.permille(F.col("hits_adc"), F.col("k_truth")))
+            .withColumn("pq_loss",
+                        (F.col("hits_cells") - F.col("hits_adc"))
+                        .cast("long"))
+            .orderBy("query_id"))
+
+
+def sql_ivfadc_recall(table: str = "embeddings") -> str:
+    from log_collector_spark.textops import similarity as S
+
+    qe = C.sql_quantized_embedding("embedding")
+    cent_rows = ", ".join(
+        f"({i}, {S._IVF_C2[i]}, {c}::BIGINT[])"
+        for i, c in enumerate(S.IVF_CENTROIDS))
+    k, qm, npb = S.TOP_K, S.QUERY_MOD, S.IVF_NPROBE
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), queries AS (
+            SELECT vec_id AS query_id, q AS qv FROM q
+            WHERE vec_id % {qm} = 0
+        ), truth AS (
+            SELECT query_id, cand_id AS truth_id FROM (
+                SELECT qs.query_id, c.vec_id AS cand_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qs.query_id
+                           ORDER BY CAST(list_dot_product(c.q, c.q) AS BIGINT)
+                                    - 2 * CAST(list_dot_product(qs.qv, c.q)
+                                               AS BIGINT),
+                                    c.vec_id) AS rank
+                FROM queries qs JOIN q c ON c.vec_id <> qs.query_id
+            ) WHERE rank <= {k}
+        ), cent AS (
+            SELECT * FROM (VALUES {cent_rows}) AS t(cid, c2, c)
+        ), assign AS (
+            SELECT vec_id, q, cid,
+                   c2 - 2 * CAST(list_dot_product(q, c) AS BIGINT) AS dist
+            FROM q CROSS JOIN cent
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+            FROM assign
+        ), cells AS (
+            SELECT vec_id, q, cid AS cell FROM ranked WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, q AS qv, cid AS probe
+            FROM ranked WHERE vec_id % {qm} = 0 AND rn <= {npb}
+        ), in_cells AS (
+            SELECT query_id, cand_id AS cell_id FROM (
+                SELECT p.query_id, c.vec_id AS cand_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY CAST(list_dot_product(c.q, c.q) AS BIGINT)
+                                    - 2 * CAST(list_dot_product(p.qv, c.q)
+                                               AS BIGINT),
+                                    c.vec_id) AS rank
+                FROM probes p JOIN cells c
+                  ON c.cell = p.probe AND c.vec_id <> p.query_id
+            ) WHERE rank <= {k}
+        ), adc AS (
+            SELECT query_id, cand_id AS adc_id
+            FROM ({S.sql_ivfadc_ann_topk(table)})
+        ), per_q AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_truth
+            FROM truth GROUP BY query_id
+        ), h_cells AS (
+            SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS hits_cells
+            FROM truth t JOIN in_cells i
+              ON i.query_id = t.query_id AND i.cell_id = t.truth_id
+            GROUP BY t.query_id
+        ), h_adc AS (
+            SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS hits_adc
+            FROM truth t JOIN adc a
+              ON a.query_id = t.query_id AND a.adc_id = t.truth_id
+            GROUP BY t.query_id
+        )
+        SELECT p.query_id, p.k_truth,
+               CAST(COALESCE(c.hits_cells, 0) AS BIGINT) AS hits_cells,
+               CAST(COALESCE(a.hits_adc, 0) AS BIGINT) AS hits_adc,
+               {C.sql_permille("COALESCE(c.hits_cells, 0)", "p.k_truth")}
+                   AS recall_cells_permille,
+               {C.sql_permille("COALESCE(a.hits_adc, 0)", "p.k_truth")}
+                   AS recall_adc_permille,
+               CAST(COALESCE(c.hits_cells, 0) - COALESCE(a.hits_adc, 0)
+                    AS BIGINT) AS pq_loss
+        FROM per_q p
+        LEFT JOIN h_cells c ON c.query_id = p.query_id
+        LEFT JOIN h_adc a ON a.query_id = p.query_id
+        ORDER BY p.query_id
+    """

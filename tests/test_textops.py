@@ -51,6 +51,7 @@ ORACLE_CHECKED = [
     "ann_topk_ivf",
     "ann_topk_rrf",
     "ann_topk_ivfadc",
+    "ivfadc_recall",
     "ngram_jaccard_maxdf",
     "multimodal_features",
     "decode_wav_documents",

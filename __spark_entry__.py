@@ -2067,6 +2067,14 @@ def q_ppm_channel_stats_documents(spark: SparkSession,
     return TM.ppm_channel_stats_features(media)
 
 
+def q_ahash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: decode PPM → 60-bit average hash (8×8 grid,
+    mean threshold) → 4×15-bit band join → exact hamming verify. The pair
+    search touches only 8-byte hashes, never the images."""
+    from log_collector_spark.textops import multimodal as TM
+    return TM.ahash_neardup_pairs(_docs(spark, sf_dir))
+
+
 def q_l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity release audit (distinct sensitive users per QI class)
     — the companion gate to k_anonymity_events."""
@@ -2141,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_energy_documents": q_wav_energy_documents,
         "wav_zcr_documents": q_wav_zcr_documents,
         "ppm_channel_stats_documents": q_ppm_channel_stats_documents,
+        "ahash_neardup_documents": q_ahash_neardup_documents,
         "l_diversity_events": q_l_diversity_events,
         "corpus_token_yield": q_corpus_token_yield,
         "session_depth_histogram": q_session_depth_histogram,
@@ -3000,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
         "wav_energy_documents": _tm().sql_wav_energy_features(),
         "wav_zcr_documents": _tm().sql_wav_zcr_features(),
         "ppm_channel_stats_documents": _tm().sql_ppm_channel_stats_features(),
+        "ahash_neardup_documents": _tm().sql_ahash_neardup_pairs(),
         "l_diversity_events": _bh().sql_l_diversity(),
         "dow_profile_events": _se().sql_dow_hour_profile(),
         "token_coverage_documents": _ta().sql_token_coverage_cutoff(),

@@ -712,3 +712,135 @@ def sql_ppm_channel_stats_features(table: str = "documents") -> str:
                     END AS BIGINT) AS dom_channel
         FROM d JOIN sums s ON s.doc_id = d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Image aHash (average hash) + banded near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+AHASH_BITS = 60    # 4 × 15-bit bands (cells 0..59 of the 8×8 grid; the top
+AHASH_BANDS = 4    # 4 cells feed only the mean) — same band math as simhash:
+AHASH_HAM = 3      # lossless for hamming <= AHASH_HAM by pigeonhole
+_AHASH_BAND_W = AHASH_BITS // AHASH_BANDS  # 15 bits → 32,768 keys per band
+
+
+def ahash_ppm(payload: bytes) -> dict:
+    """Average hash of a decoded P6 image: nearest-neighbor sample an 8×8
+    grid (src = (yy·h//8, xx·w//8) — pure integer, works for images smaller
+    OR larger than 8×8), integer grayscale (r+g+b)//3, threshold each cell
+    against the 64-cell mean (bit = gray·64 > sum; ties → 0). The classic
+    pHash-family screen for re-encoded / resized duplicate images."""
+    w, h, _maxval, px = _parse_ppm(payload)
+    grays = []
+    for i in range(64):
+        xx, yy = i % 8, i // 8
+        src = ((yy * h // 8) * w + (xx * w // 8)) * 3
+        grays.append((px[src] + px[src + 1] + px[src + 2]) // 3)
+    gsum = sum(grays)
+    hsh = 0
+    for i in range(AHASH_BITS):
+        if grays[i] * 64 > gsum:
+            hsh |= 1 << i
+    return {"ahash": hsh}
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("ahash", T.LongType()),
+])
+
+
+def ahash_ppm_features(media: DataFrame) -> DataFrame:
+    """mapInPandas aHash stage over the PPM binary column."""
+    return media.select("media_id", "payload").mapInPandas(
+        _decode_batches(ahash_ppm, ["ahash"]), AHASH_SCHEMA)
+
+
+def ahash_neardup_pairs(docs: DataFrame) -> DataFrame:
+    """Image near-duplicate pairs by aHash banding: 60-bit hashes split
+    into 4 × 15-bit bands; a pair collides in >= 1 band iff hamming <= 3
+    can hold (pigeonhole — lossless at the AHASH_HAM threshold), then the
+    exact ``bit_count(xor)`` verify keeps true near-dups only.
+
+    Returns (doc_a, doc_b, hamming), ordered.
+
+    Plan/scale: decode+hash is one Arrow-batched narrow pass (the 100-TB
+    cost, embarrassingly parallel); the pair search then touches ONLY the
+    8-byte hashes — a 4-way band explode and an equi-join on (band, key),
+    never the images. Identical re-encodes land at hamming 0; the band
+    key space (32,768/band) keeps buckets small on natural corpora; a
+    skewed synthetic corpus would take the simhash max_bucket guard
+    unchanged (textops/dedup.py) since the band frames are shaped
+    identically."""
+    hashes = ahash_ppm_features(media_ppm_from_documents(docs))
+    bands = hashes.select(
+        "media_id", "ahash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.shiftright(F.col("ahash"), b * _AHASH_BAND_W)
+                 % (1 << _AHASH_BAND_W)).alias("key"))
+            for b in range(AHASH_BANDS)])).alias("bk")) \
+        .select("media_id", "ahash",
+                F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (x.join(y, (F.col("x.band") == F.col("y.band")) &
+                       (F.col("x.key") == F.col("y.key")) &
+                       (F.col("x.media_id") < F.col("y.media_id")))
+             .select(F.col("x.media_id").alias("doc_a"),
+                     F.col("y.media_id").alias("doc_b"),
+                     F.bit_count(F.col("x.ahash")
+                                 .bitwiseXOR(F.col("y.ahash")))
+                      .cast("long").alias("hamming"))
+             .distinct()
+             .filter(F.col("hamming") <= AHASH_HAM))
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def sql_ahash_neardup_pairs(table: str = "documents") -> str:
+    """Oracle: recompute the aHash from the synth pixel formula
+    ((doc_id + i)·37) % 256 (no codec), then the same bands + verify."""
+    bw, nb = _AHASH_BAND_W, AHASH_BANDS
+    return f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+            FROM {table}
+        ), g AS (
+            SELECT d.doc_id, t.i AS cell,
+                   ( ((d.doc_id + ((t.i // 8) * d.h // 8 * d.w
+                                   + (t.i % 8) * d.w // 8) * 3) * 37) % 256
+                   + ((d.doc_id + ((t.i // 8) * d.h // 8 * d.w
+                                   + (t.i % 8) * d.w // 8) * 3 + 1) * 37)
+                     % 256
+                   + ((d.doc_id + ((t.i // 8) * d.h // 8 * d.w
+                                   + (t.i % 8) * d.w // 8) * 3 + 2) * 37)
+                     % 256 ) // 3 AS gray
+            FROM d, LATERAL (
+                SELECT unnest(generate_series(0, 63)) AS i) t
+        ), s AS (
+            SELECT doc_id, SUM(gray) AS gsum FROM g GROUP BY doc_id
+        ), bits AS (
+            SELECT g.doc_id,
+                   CAST(SUM(CASE WHEN g.cell < {AHASH_BITS}
+                                  AND g.gray * 64 > s.gsum
+                            THEN 1::BIGINT << g.cell ELSE 0 END)
+                        AS BIGINT) AS ahash
+            FROM g JOIN s ON s.doc_id = g.doc_id
+            GROUP BY g.doc_id
+        ), bands AS (
+            SELECT doc_id, ahash, t.b AS band,
+                   (ahash >> (t.b * {bw})) & {(1 << bw) - 1} AS key
+            FROM bits, LATERAL (
+                SELECT unnest(generate_series(0, {nb - 1})) AS b) t
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.ahash AS ha, y.ahash AS hb
+            FROM bands x JOIN bands y
+              ON y.band = x.band AND y.key = x.key
+             AND y.doc_id > x.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {AHASH_HAM}
+        ORDER BY doc_a, doc_b
+    """

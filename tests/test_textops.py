@@ -56,6 +56,7 @@ ORACLE_CHECKED = [
     "multimodal_features",
     "decode_wav_documents",
     "decode_ppm_documents",
+    "ahash_neardup_documents",
     "token_topk_documents",
     "sessionize_events",
     "scan_prune_recent",

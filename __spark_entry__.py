@@ -2082,6 +2082,14 @@ def q_l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BH.l_diversity(_events(spark, sf_dir))
 
 
+def q_t_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit: permille-EMD between each QI class's
+    ordered value-decade distribution and the global one — completes the
+    k-anonymity / l-diversity / t-closeness trio."""
+    from log_collector_spark.operators import behavior as BH
+    return BH.t_closeness(_events(spark, sf_dir))
+
+
 def q_wav_energy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed PCM frame energy over the WAV binary column (mapInPandas),
     oracle-checked from doc_id arithmetic."""
@@ -2151,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_channel_stats_documents": q_ppm_channel_stats_documents,
         "ahash_neardup_documents": q_ahash_neardup_documents,
         "l_diversity_events": q_l_diversity_events,
+        "t_closeness_events": q_t_closeness_events,
         "corpus_token_yield": q_corpus_token_yield,
         "session_depth_histogram": q_session_depth_histogram,
         "fano_factor_events": q_fano_factor_events,
@@ -3011,6 +3020,7 @@ def oracle_sql() -> dict[str, str]:
         "ppm_channel_stats_documents": _tm().sql_ppm_channel_stats_features(),
         "ahash_neardup_documents": _tm().sql_ahash_neardup_pairs(),
         "l_diversity_events": _bh().sql_l_diversity(),
+        "t_closeness_events": _bh().sql_t_closeness(),
         "dow_profile_events": _se().sql_dow_hour_profile(),
         "token_coverage_documents": _ta().sql_token_coverage_cutoff(),
         "substring_span_pairs": _td().sql_substring_span_pairs(),

@@ -2266,3 +2266,145 @@ def sql_l_diversity(table: str = "events",
         FROM ls LEFT JOIN below b ON b.l = ls.l CROSS JOIN tot t
         ORDER BY ls.l
     """
+
+
+# permille-EMD sweep; sized to the observed class-EMD spread (9-36
+# at sf0.01) so the registered oracle rows are non-vacuous
+T_CLOSE_THRESHOLDS = [10, 15, 20, 30]
+
+
+def t_closeness(events: DataFrame, ts_col: str = "ts",
+                thresholds: list[int] | None = None) -> DataFrame:
+    """t-closeness companion to :func:`k_anonymity`/:func:`l_diversity`
+    (Li, Li & Venkatasubramanian, ICDE 2007): l-diversity counts distinct
+    sensitive values, but a class whose value DISTRIBUTION is skewed far
+    from the corpus-wide one still leaks (the attacker's posterior moves
+    a lot). For each quasi-identifier class (event_type, hour-of-day) the
+    sensitive attribute is the ORDERED value decade; closeness is the
+    Earth Mover's Distance with unit ground distance between adjacent
+    decades — for ordered categories the closed form is
+    ``EMD = (1/(m−1)) · Σ_i |cumsum_i(P − Q)|`` over the m global decades.
+
+    Integer contract: P and Q are quantized to permille FIRST
+    (``c·1000 DIV class_sz`` / ``g·1000 DIV n_tot``), so every later term
+    is bounded by 1000·m — no n·N product that would overflow BIGINT at
+    10^12 rows — and both engines run identical floor arithmetic on
+    non-negative operands. ``emd_permille`` is therefore
+    permille-resolution EMD.
+
+    For each threshold t (permille): classes with emd > t, rows exposed
+    in them, and the row share. Returns
+    (t, n_classes_above, n_rows_above, rows_permille) ORDER BY t.
+
+    Plan: one hash agg to the (QI, decade) frame (metadata scale:
+    |types|·24·|decades|), a dense QI×decade grid built from two tiny
+    broadcast frames, one ordered-window cumsum inside each QI class,
+    then the broadcast threshold sweep — nothing after the first agg
+    depends on corpus size."""
+    ts_list = thresholds or T_CLOSE_THRESHOLDS
+    hod = F.expr(f"(unix_micros(cast({ts_col} as timestamp))"
+                 f" div 1000 div 3600000) % 24").cast("long")
+    decade = F.expr("CAST(floor(value) AS BIGINT) div 10")
+    base = events.select(F.col("event_type").alias("et"), hod.alias("hod"),
+                         decade.alias("dec"))
+    cd = base.groupBy("et", "hod", "dec").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    cls = cd.groupBy("et", "hod").agg(F.sum("c").cast("long").alias("sz"))
+    gd = cd.groupBy("dec").agg(F.sum("c").cast("long").alias("g"))
+    tot = gd.agg(F.sum("g").cast("long").alias("n_tot"),
+                 F.count(F.lit(1)).cast("long").alias("m"))
+    grid = (cls.crossJoin(F.broadcast(gd))
+               .join(cd, ["et", "hod", "dec"], "left")
+               .crossJoin(F.broadcast(tot))
+               .select("et", "hod", "dec", "sz", "n_tot", "m",
+                       F.floor(F.coalesce("c", F.lit(0)) * 1000
+                               / F.col("sz")).cast("long").alias("p"),
+                       F.floor(F.col("g") * 1000 / F.col("n_tot"))
+                       .cast("long").alias("q")))
+    w = (Window.partitionBy("et", "hod").orderBy("dec")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = grid.withColumn("cum", F.sum(F.col("p") - F.col("q")).over(w))
+    per_cls = (cum.groupBy("et", "hod", "sz", "m")
+                  .agg(F.sum(F.abs(F.col("cum"))).cast("long")
+                        .alias("emd_num"))
+                  .select("et", "hod", "sz",
+                          F.when(F.col("m") > 1,
+                                 F.floor(F.col("emd_num")
+                                         / (F.col("m") - 1)))
+                           .otherwise(0).cast("long").alias("emd_permille")))
+    tdf = events.sparkSession.createDataFrame(
+        [(int(t),) for t in ts_list], "t long")
+    above = (per_cls.crossJoin(F.broadcast(tdf))
+             .filter(F.col("emd_permille") > F.col("t"))
+             .groupBy("t")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_classes_above"),
+                  F.sum("sz").cast("long").alias("n_rows_above")))
+    return (tdf.join(above, "t", "left")
+               .crossJoin(F.broadcast(tot.select("n_tot")))
+               .select(
+                   "t",
+                   F.coalesce("n_classes_above", F.lit(0)).cast("long")
+                    .alias("n_classes_above"),
+                   F.coalesce("n_rows_above", F.lit(0)).cast("long")
+                    .alias("n_rows_above"),
+                   C.permille(F.coalesce("n_rows_above", F.lit(0)),
+                              F.col("n_tot")).alias("rows_permille"))
+               .orderBy("t"))
+
+
+def sql_t_closeness(table: str = "events",
+                    thresholds: list[int] | None = None) -> str:
+    ts_list = thresholds or T_CLOSE_THRESHOLDS
+    tvals = ", ".join(f"({t})" for t in ts_list)
+    return f"""
+        WITH cd AS (
+            SELECT event_type AS et,
+                   CAST((epoch_ms(ts) // 3600000) % 24 AS BIGINT) AS hod,
+                   CAST(floor(value) AS BIGINT) // 10 AS dec,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM {table} GROUP BY 1, 2, 3
+        ),
+        cls AS (SELECT et, hod, CAST(SUM(c) AS BIGINT) AS sz
+                FROM cd GROUP BY et, hod),
+        gd AS (SELECT dec, CAST(SUM(c) AS BIGINT) AS g FROM cd GROUP BY dec),
+        tot AS (SELECT CAST(SUM(g) AS BIGINT) AS n_tot,
+                       CAST(COUNT(*) AS BIGINT) AS m FROM gd),
+        grid AS (
+            SELECT cls.et, cls.hod, gd.dec, cls.sz, t.n_tot, t.m,
+                   CAST(COALESCE(cd.c, 0) * 1000 // cls.sz AS BIGINT) AS p,
+                   CAST(gd.g * 1000 // t.n_tot AS BIGINT) AS q
+            FROM cls CROSS JOIN gd
+            LEFT JOIN cd ON cd.et = cls.et AND cd.hod = cls.hod
+                        AND cd.dec = gd.dec
+            CROSS JOIN tot t
+        ),
+        cum AS (
+            SELECT *, SUM(p - q) OVER (PARTITION BY et, hod ORDER BY dec
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM grid
+        ),
+        per_cls AS (
+            SELECT et, hod, sz,
+                   CAST(CASE WHEN m > 1
+                             THEN SUM(abs(cum)) // (m - 1)
+                             ELSE 0 END AS BIGINT) AS emd_permille
+            FROM cum GROUP BY et, hod, sz, m
+        ),
+        ts_ AS (SELECT CAST(t AS BIGINT) AS t FROM (VALUES {tvals}) v(t)),
+        above AS (
+            SELECT ts_.t,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes_above,
+                   CAST(SUM(per_cls.sz) AS BIGINT) AS n_rows_above
+            FROM ts_ JOIN per_cls ON per_cls.emd_permille > ts_.t
+            GROUP BY ts_.t
+        )
+        SELECT ts_.t,
+               CAST(COALESCE(a.n_classes_above, 0) AS BIGINT)
+                   AS n_classes_above,
+               CAST(COALESCE(a.n_rows_above, 0) AS BIGINT) AS n_rows_above,
+               CAST(CASE WHEN t.n_tot > 0
+                         THEN COALESCE(a.n_rows_above, 0) * 1000 // t.n_tot
+                         ELSE 0 END AS BIGINT) AS rows_permille
+        FROM ts_ LEFT JOIN above a ON a.t = ts_.t
+        CROSS JOIN tot t ORDER BY ts_.t
+    """

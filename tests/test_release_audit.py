@@ -122,3 +122,19 @@ def test_l_diversity_manual(spark):
     assert got[3].n_classes_below == 2      # both below l=3
     assert got[3].n_rows_below == 5
     assert got[3].rows_permille == 1000
+
+
+def test_t_closeness_emd_arithmetic(spark):
+    """Two QI classes each fully concentrated in ONE of two global decades:
+    P=(1000,0) vs Q=(500,500) gives ordered-EMD Σ|cum|/(m−1) = 500 exactly
+    for both classes."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (t0, "a", 5.0), (t0, "a", 6.0),     # class (a,0): all dec 0
+        (t0, "b", 15.0), (t0, "b", 16.0),   # class (b,0): all dec 1
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, "
+                                     "value double")
+    out = [tuple(r) for r in
+           BH.t_closeness(df, thresholds=[400, 600]).collect()]
+    assert out == [(400, 2, 4, 1000), (600, 0, 0, 0)]

@@ -57,6 +57,7 @@ ORACLE_CHECKED = [
     "decode_wav_documents",
     "decode_ppm_documents",
     "ahash_neardup_documents",
+    "t_closeness_events",
     "token_topk_documents",
     "sessionize_events",
     "scan_prune_recent",

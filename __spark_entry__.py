@@ -768,6 +768,13 @@ def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.lang_id(_docs(spark, sf_dir))
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang-ID heuristic vs the gold lang label
+    (diagonal row_permille = per-language recall)."""
+    from log_collector_spark.textops import analysis as A
+    return A.lang_id_confusion(_docs(spark, sf_dir))
+
+
 def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized md5 + 60-bit document fingerprints."""
     from log_collector_spark.textops import analysis as A
@@ -2256,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_minute_metrics": q_delta_minute_metrics,
         "quality_score_documents": q_quality_score_documents,
         "lang_id_documents": q_lang_id_documents,
+        "lang_id_confusion": q_lang_id_confusion,
         "fingerprint_documents": q_fingerprint_documents,
         "split_documents": q_split_documents,
         "domain_cap_documents": q_domain_cap_documents,
@@ -2666,6 +2674,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score_documents": _ta().sql_quality_features(),
         "lang_id_documents": _ta().sql_lang_id(),
+        "lang_id_confusion": _ta().sql_lang_id_confusion(),
         "fingerprint_documents": _ta().sql_fingerprint(),
         "split_documents": _ta().sql_split_assign(),
         "domain_cap_documents": _ta().sql_domain_cap(cap=10),

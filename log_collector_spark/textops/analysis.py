@@ -170,6 +170,43 @@ def sql_lang_id(table: str = "documents") -> str:
     """
 
 
+def lang_id_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Confusion matrix of the lang-ID heuristic against the gold ``lang``
+    label — the eval table a corpus pipeline publishes before trusting a
+    language filter (which languages bleed into which, and how much of
+    each gold class the filter would keep).
+
+    Returns (lang, pred_lang, n, row_permille) — ``row_permille`` is the
+    share of the GOLD class falling in this cell (diagonal = recall).
+
+    Plan: rides on :func:`lang_id` (one narrow scan, no shuffle), then a
+    |langs|²-bounded hash agg and a tiny per-gold-row window — metadata
+    scale after the scan at any corpus size."""
+    pred = lang_id(df, text_col).select("lang", "pred_lang")
+    cells = (pred.groupBy("lang", "pred_lang")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = Window.partitionBy("lang")
+    return (cells
+            .withColumn("row_permille",
+                        C.permille(F.col("n"),
+                                   F.sum("n").over(w).cast("long")))
+            .orderBy("lang", "pred_lang"))
+
+
+def sql_lang_id_confusion(table: str = "documents") -> str:
+    return f"""
+        WITH pred AS ({sql_lang_id(table)}),
+        cells AS (
+            SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pred GROUP BY lang, pred_lang
+        )
+        SELECT lang, pred_lang, n,
+               {C.sql_permille("n", "SUM(n) OVER (PARTITION BY lang)")}
+                   AS row_permille
+        FROM cells ORDER BY lang, pred_lang
+    """
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized lowercase text
     (exact-dup key) + 60-bit integer fingerprint (cheap join key)."""

@@ -27,6 +27,7 @@ ORACLE_CHECKED = [
     "delta_minute_metrics",
     "quality_score_documents",
     "lang_id_documents",
+    "lang_id_confusion",
     "fingerprint_documents",
     "exact_dedup_documents",
     "ngram_jaccard_pairs",

@@ -2097,6 +2097,29 @@ def q_t_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BH.t_closeness(_events(spark, sf_dir))
 
 
+def q_pii_redact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction transform: email → IP → digit-run masking chained so
+    each stage counts replacements actually performed; pure JVM-side
+    regexp projection, scan-speed at any corpus size."""
+    from log_collector_spark.textops import analysis as A
+    return A.pii_redact(_events(spark, sf_dir))
+
+
+def q_replayed_sequences_events(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Bot/replay detection: user-days sharing a byte-identical ordered
+    event-type sequence, grouped by 60-bit sequence fingerprint."""
+    from log_collector_spark.operators import behavior as BH
+    return BH.replayed_sequences(_events(spark, sf_dir))
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation eval: recall@k of a 16-dim-prefix brute scan
+    against the full 64-dim exact top-k (the Matryoshka serving bet)."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.matryoshka_recall(_embs(spark, sf_dir))
+
+
 def q_wav_energy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed PCM frame energy over the WAV binary column (mapInPandas),
     oracle-checked from doc_id arithmetic."""
@@ -2167,6 +2190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ahash_neardup_documents": q_ahash_neardup_documents,
         "l_diversity_events": q_l_diversity_events,
         "t_closeness_events": q_t_closeness_events,
+        "pii_redact_events": q_pii_redact_events,
+        "replayed_sequences_events": q_replayed_sequences_events,
+        "matryoshka_recall": q_matryoshka_recall,
         "corpus_token_yield": q_corpus_token_yield,
         "session_depth_histogram": q_session_depth_histogram,
         "fano_factor_events": q_fano_factor_events,
@@ -3030,6 +3056,9 @@ def oracle_sql() -> dict[str, str]:
         "ahash_neardup_documents": _tm().sql_ahash_neardup_pairs(),
         "l_diversity_events": _bh().sql_l_diversity(),
         "t_closeness_events": _bh().sql_t_closeness(),
+        "pii_redact_events": _ta().sql_pii_redact(),
+        "replayed_sequences_events": _bh().sql_replayed_sequences(),
+        "matryoshka_recall": _te().sql_matryoshka_recall(),
         "dow_profile_events": _se().sql_dow_hour_profile(),
         "token_coverage_documents": _ta().sql_token_coverage_cutoff(),
         "substring_span_pairs": _td().sql_substring_span_pairs(),

@@ -2408,3 +2408,76 @@ def sql_t_closeness(table: str = "events",
         FROM ts_ LEFT JOIN above a ON a.t = ts_.t
         CROSS JOIN tot t ORDER BY ts_.t
     """
+
+
+REPLAY_MIN_GROUP = 2
+
+
+def replayed_sequences(events: DataFrame, ts_col: str = "ts",
+                       min_group: int = REPLAY_MIN_GROUP) -> DataFrame:
+    """Bot / replay detection: user-days whose ORDERED event-type sequence
+    is byte-identical to another user-day's. Organic sessions differ in
+    ordering and length; scripted traffic replays the exact same path, so
+    a sequence fingerprint shared by many (user, day) pairs is the classic
+    automation signal (and a dedup key before training on behavior logs).
+
+    Per (user_id, day): the event_type sequence ordered by (epoch-ms,
+    event_id) — the same total order both engines can express — is
+    concatenated and fingerprinted with h60. Groups with >= ``min_group``
+    user-days are reported.
+
+    Returns (fp, n_userdays, seq_len, min_user) ORDER BY
+    n_userdays DESC, fp.
+
+    Plan: one shuffle to (user, day) [the sequence build], one hash agg
+    on the 8-byte fingerprint — event-type strings travel only inside
+    their own user-day group, the cross-group join key is the h60. Hot
+    fingerprints (millions of identical bot days) aggregate by partial
+    combine, not row collection; seq_len via MIN guards the (negligible)
+    h60-collision case deterministically."""
+    ms = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 1000")
+    day = (ms / F.lit(86400000)).cast("long")
+    per_day = (events
+               .select(F.col("user_id"), day.alias("day"), ms.alias("ms"),
+                       F.col("event_id"), F.col("event_type"))
+               .groupBy("user_id", "day")
+               .agg(F.count(F.lit(1)).cast("long").alias("seq_len"),
+                    F.concat_ws(",", F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("ms", "event_id", "event_type"))),
+                        lambda s: s["event_type"])).alias("seq")))
+    groups = (per_day
+              .select("user_id", "seq_len", C.h60(F.col("seq")).alias("fp"))
+              .groupBy("fp")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_userdays"),
+                   F.min("seq_len").cast("long").alias("seq_len"),
+                   F.min("user_id").cast("long").alias("min_user"))
+              .filter(F.col("n_userdays") >= min_group))
+    return (groups.select("fp", "n_userdays", "seq_len", "min_user")
+                  .orderBy(F.desc("n_userdays"), "fp"))
+
+
+def sql_replayed_sequences(table: str = "events",
+                           min_group: int = REPLAY_MIN_GROUP) -> str:
+    fp = C.sql_h60("seq")
+    return f"""
+        WITH per_day AS (
+            SELECT user_id,
+                   CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS seq_len,
+                   string_agg(event_type, ','
+                              ORDER BY epoch_ms(ts), event_id) AS seq
+            FROM {table} GROUP BY user_id,
+                 CAST(epoch_ms(ts) // 86400000 AS BIGINT)
+        ),
+        groups AS (
+            SELECT {fp} AS fp,
+                   CAST(COUNT(*) AS BIGINT) AS n_userdays,
+                   CAST(MIN(seq_len) AS BIGINT) AS seq_len,
+                   CAST(MIN(user_id) AS BIGINT) AS min_user
+            FROM per_day GROUP BY 1
+        )
+        SELECT fp, n_userdays, seq_len, min_user
+        FROM groups WHERE n_userdays >= {min_group}
+        ORDER BY n_userdays DESC, fp
+    """

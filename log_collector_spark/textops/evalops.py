@@ -898,3 +898,113 @@ def sql_ivfadc_recall(table: str = "embeddings") -> str:
         LEFT JOIN h_adc a ON a.query_id = p.query_id
         ORDER BY p.query_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (dimension-truncation) recall: prefix-dim ANN vs full-dim truth
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = 16  # prefix length under test (full vectors are 64-dim)
+
+
+def matryoshka_recall(df: DataFrame, vec_col: str = "embedding",
+                      dims: int = MRL_DIMS) -> DataFrame:
+    """Recall@k of brute-force search over the FIRST ``dims`` embedding
+    dimensions against the full-dimension exact top-k — the evaluation
+    behind Matryoshka-style dimension truncation (Kusupati et al., 2022):
+    serve a 4× cheaper prefix index only if this table says the prefix
+    ranking still finds the full-dim neighbors.
+
+    Returns (query_id, n_hits, k_truth, recall_permille) ORDER BY query_id.
+
+    Plan: two broadcast-queries exact scans (the documented O(|q|·n) eval
+    shape — corpus never shuffles) + one |q|·k hit-join; the prefix side
+    is a narrow ``slice`` projection, so at 100 TB the truncated scan
+    reads ``dims/64`` of the vector bytes, which is the actual claim
+    being evaluated."""
+    from log_collector_spark.textops import similarity as S
+    from pyspark.sql.window import Window
+
+    q = S._quantized(df, vec_col)
+
+    def _topk(frame, out_col):
+        queries = (frame.filter(F.col("vec_id") % S.QUERY_MOD == 0)
+                   .select(F.col("vec_id").alias("query_id"),
+                           F.col("q").alias("qv")))
+        corpus = frame.select(F.col("vec_id").alias("cand_id"),
+                              F.col("q").alias("cv"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("dot"), F.asc("cand_id"))
+        return (corpus.join(F.broadcast(queries),
+                            F.col("cand_id") != F.col("query_id"))
+                .select("query_id", "cand_id",
+                        C.int_dot(F.col("qv"), F.col("cv")).alias("dot"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= S.TOP_K)
+                .select("query_id", F.col("cand_id").alias(out_col)))
+
+    truth = _topk(q, "truth_id")
+    pref = _topk(q.select("vec_id", F.slice(F.col("q"), 1, dims).alias("q")),
+                 "pref_id")
+    per_q = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_truth"))
+    hits = (truth.join(pref, (truth["query_id"] == pref["query_id"]) &
+                       (truth["truth_id"] == pref["pref_id"]))
+            .groupBy(truth["query_id"].alias("query_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    return (per_q.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                     .alias("n_hits"),
+                    "k_truth")
+            .withColumn("recall_permille",
+                        C.permille(F.col("n_hits"), F.col("k_truth")))
+            .orderBy("query_id"))
+
+
+def sql_matryoshka_recall(table: str = "embeddings",
+                          dims: int = MRL_DIMS) -> str:
+    from log_collector_spark.textops import similarity as S
+
+    qe = C.sql_quantized_embedding("embedding")
+    k, qm = S.TOP_K, S.QUERY_MOD
+    return f"""
+        WITH q AS (SELECT vec_id, {qe} AS q FROM {table}),
+        truth AS (
+            SELECT query_id, cand_id AS truth_id FROM (
+                SELECT qs.vec_id AS query_id, c.vec_id AS cand_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qs.vec_id
+                           ORDER BY CAST(list_dot_product(qs.q, c.q)
+                                         AS BIGINT) DESC, c.vec_id) AS rank
+                FROM q qs JOIN q c ON c.vec_id <> qs.vec_id
+                WHERE qs.vec_id % {qm} = 0
+            ) WHERE rank <= {k}
+        ), pref AS (
+            SELECT query_id, cand_id AS pref_id FROM (
+                SELECT qs.vec_id AS query_id, c.vec_id AS cand_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qs.vec_id
+                           ORDER BY CAST(list_dot_product(
+                                        qs.q[1:{dims}], c.q[1:{dims}])
+                                         AS BIGINT) DESC, c.vec_id) AS rank
+                FROM q qs JOIN q c ON c.vec_id <> qs.vec_id
+                WHERE qs.vec_id % {qm} = 0
+            ) WHERE rank <= {k}
+        ), per_q AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_truth
+            FROM truth GROUP BY query_id
+        ), hits AS (
+            SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM truth t JOIN pref p
+              ON p.query_id = t.query_id AND p.pref_id = t.truth_id
+            GROUP BY t.query_id
+        )
+        SELECT pq.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               pq.k_truth,
+               {C.sql_permille("COALESCE(h.n_hits, 0)", "pq.k_truth")}
+                   AS recall_permille
+        FROM per_q pq LEFT JOIN hits h ON h.query_id = pq.query_id
+        ORDER BY pq.query_id
+    """

@@ -59,6 +59,9 @@ ORACLE_CHECKED = [
     "decode_ppm_documents",
     "ahash_neardup_documents",
     "t_closeness_events",
+    "pii_redact_events",
+    "replayed_sequences_events",
+    "matryoshka_recall",
     "token_topk_documents",
     "sessionize_events",
     "scan_prune_recent",

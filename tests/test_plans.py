@@ -403,3 +403,16 @@ def test_substring_span_ships_positions_not_text(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), plan
     assert "EvalPython" not in plan, plan
+
+
+def test_ivfadc_scan_is_hash_join_on_cells(spark):
+    """The IVFADC candidate join must plan as a Broadcast HASH join on
+    cell == probe (the partition-prunable equi-key), never a nested-loop
+    over the corpus; code+cell derivation stays a pure projection (no
+    Python nodes), and the only Exchange is the per-query top-k window."""
+    from log_collector_spark.textops import similarity as S
+    df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = _plan(S.ivfadc_ann_topk(df))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan

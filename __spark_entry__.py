@@ -2120,6 +2120,14 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.matryoshka_recall(_embs(spark, sf_dir))
 
 
+def q_ivm_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: committed-aggregate ⊎ delta-batch
+    partials re-aggregated == the view recomputed from raw rows (the
+    oracle recomputes from scratch; equality is the IVM claim)."""
+    from log_collector_spark.operators import aggregate as AG
+    return AG.ivm_merge_counts(_events(spark, sf_dir))
+
+
 def q_wav_energy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed PCM frame energy over the WAV binary column (mapInPandas),
     oracle-checked from doc_id arithmetic."""
@@ -2193,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_events": q_pii_redact_events,
         "replayed_sequences_events": q_replayed_sequences_events,
         "matryoshka_recall": q_matryoshka_recall,
+        "ivm_merge_events": q_ivm_merge_events,
         "corpus_token_yield": q_corpus_token_yield,
         "session_depth_histogram": q_session_depth_histogram,
         "fano_factor_events": q_fano_factor_events,
@@ -3059,6 +3068,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact_events": _ta().sql_pii_redact(),
         "replayed_sequences_events": _bh().sql_replayed_sequences(),
         "matryoshka_recall": _te().sql_matryoshka_recall(),
+        "ivm_merge_events": _ag().sql_ivm_merge_counts(),
         "dow_profile_events": _se().sql_dow_hour_profile(),
         "token_coverage_documents": _ta().sql_token_coverage_cutoff(),
         "substring_span_pairs": _td().sql_substring_span_pairs(),

@@ -770,3 +770,64 @@ def sql_day_bitmask_overlap(table: str = "events",
         JOIN totals tb ON tb.tt = co.type_b
         ORDER BY co.type_a, co.type_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: merge a committed aggregate with a new batch
+# ---------------------------------------------------------------------------
+
+
+def ivm_merge_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Incremental view maintenance for the per-(event_type, minute)
+    count/sum rollup: the MERGE path — committed aggregate table ⊎ new
+    batch's partial aggregate, re-aggregated on the group key — must equal
+    recomputing the view from all raw rows. COUNT and SUM are
+    self-mergeable (commutative monoids), which is exactly why a 100-TB
+    pipeline stores the rollup and only ever aggregates the day's delta.
+
+    Here the "committed" side is even user_ids and the "delta" side odd
+    user_ids, so almost every output minute receives partials from BOTH
+    sides — the merge path is genuinely exercised, not a disjoint union.
+    The DuckDB oracle recomputes the view from scratch; equality IS the
+    IVM correctness claim.
+
+    Returns (event_type, minute, n, sum_cents) ORDER BY event_type,
+    minute. Money as integer cents (`ROUND(value·100)` both engines —
+    the repo's BIGINT-money invariant).
+
+    Plan: two map-side-combined hash aggs (in production the committed
+    side is a stored k-row table — zero history rescan) + one re-agg of
+    two already-aggregated frames; the final shuffle carries group keys
+    only."""
+    ms = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 1000")
+    base = events.select(
+        F.col("event_type"),
+        (ms / F.lit(60000)).cast("long").alias("minute"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        (F.col("user_id") % 2 == 0).alias("committed"))
+
+    def _agg(side):
+        return (side.groupBy("event_type", "minute")
+                    .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                         F.sum("cents").cast("long").alias("sum_cents")))
+
+    committed = _agg(base.filter(F.col("committed")))
+    delta = _agg(base.filter(~F.col("committed")))
+    return (committed.unionByName(delta)
+            .groupBy("event_type", "minute")
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.sum("sum_cents").cast("long").alias("sum_cents"))
+            .orderBy("event_type", "minute"))
+
+
+def sql_ivm_merge_counts(table: str = "events") -> str:
+    """Oracle: the view recomputed from scratch — no merge step."""
+    return f"""
+        SELECT event_type,
+               CAST(epoch_ms(ts) // 60000 AS BIGINT) AS minute,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM {table}
+        GROUP BY 1, 2 ORDER BY event_type, minute
+    """

@@ -62,6 +62,7 @@ ORACLE_CHECKED = [
     "pii_redact_events",
     "replayed_sequences_events",
     "matryoshka_recall",
+    "ivm_merge_events",
     "token_topk_documents",
     "sessionize_events",
     "scan_prune_recent",

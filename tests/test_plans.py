@@ -416,3 +416,16 @@ def test_ivfadc_scan_is_hash_join_on_cells(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_rrf_and_ahash_join_shapes(spark):
+    """RRF fuses two k-row-per-query frames with an equi-join (never a
+    nested loop); the aHash band self-join is an equi-join on (band, key)
+    — pixels/hashes never enter a BroadcastNestedLoopJoin."""
+    from log_collector_spark.textops import similarity as S
+    from log_collector_spark.textops import multimodal as TM
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    assert "BroadcastNestedLoopJoin" not in _plan(S.rrf_fusion_topk(embs))
+    plan = _plan(TM.ahash_neardup_pairs(docs))
+    assert "BroadcastNestedLoopJoin" not in plan, plan

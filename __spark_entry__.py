@@ -1000,6 +1000,13 @@ def q_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.ivfadc_recall(_embs(spark, sf_dir))
 
 
+def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: micro-averaged recall@k at nprobe = 1, 2, 3 vs
+    the exact brute-force top-k (what each extra probe buys)."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.ivf_nprobe_curve(_embs(spark, sf_dir))
+
+
 def q_token_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: exact top-20 corpus tokens (explode → count → rank,
     ties broken lexicographically). The map-side partial aggregation makes
@@ -2332,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_rrf": q_ann_topk_rrf,
         "ann_topk_ivfadc": q_ann_topk_ivfadc,
         "ivfadc_recall": q_ivfadc_recall,
+        "ivf_nprobe_curve": q_ivf_nprobe_curve,
         "multimodal_features": q_multimodal_features,
         "decode_wav_documents": q_decode_wav_documents,
         "bigram_surprisal_documents": q_bigram_surprisal,
@@ -2744,6 +2752,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_rrf": _ts().sql_rrf_fusion_topk(),
         "ann_topk_ivfadc": _ts().sql_ivfadc_ann_topk(),
         "ivfadc_recall": _te().sql_ivfadc_recall(),
+        "ivf_nprobe_curve": _te().sql_ivf_nprobe_curve(),
         "multimodal_features": _tm().sql_fake_features(),
         "decode_wav_documents": _tm().sql_decode_wav_features(),
         "bigram_surprisal_documents": _lm().sql_bigram_surprisal(),

@@ -1008,3 +1008,75 @@ def sql_matryoshka_recall(table: str = "embeddings",
         FROM per_q pq LEFT JOIN hits h ON h.query_id = pq.query_id
         ORDER BY pq.query_id
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve: micro-averaged recall@k per probe budget
+# ---------------------------------------------------------------------------
+
+
+def ivf_nprobe_curve(df: DataFrame, vec_col: str = "embedding",
+                     max_nprobe: int = 3) -> DataFrame:
+    """Recall@k of the IVF index at every probe budget 1..``max_nprobe``
+    against the exact brute-force top-k — the tuning curve every IVF
+    deployment draws before fixing nprobe (latency is ~linear in nprobe;
+    this table says what each extra probe buys).
+
+    Micro-averaged: ``recall_permille = Σ hits · 1000 DIV Σ truth`` over
+    all queries, so the integer stays exact and queries with fewer than k
+    neighbors don't distort the mean.
+
+    Returns (nprobe, n_hits, n_truth, recall_permille) ORDER BY nprobe.
+
+    Plan: the brute ground truth is ONE exact scan reused across probe
+    levels (the expensive side); each IVF level is the existing bucketed
+    scan. All joins are |queries|·k-row frames. Monotonicity in nprobe is
+    structural (cells accumulate), making regressions obvious."""
+    from log_collector_spark.textops import similarity as S
+
+    truth = S.brute_force_topk(df, vec_col).select(
+        "query_id", F.col("cand_id").alias("truth_id"))
+    n_truth = truth.count()
+    rows = []
+    for np_ in range(1, max_nprobe + 1):
+        ivf = S.ivf_ann_topk(df, vec_col, nprobe=np_).select(
+            "query_id", F.col("cand_id").alias("ivf_id"))
+        hits = (truth.join(
+            ivf, (truth["query_id"] == ivf["query_id"]) &
+            (truth["truth_id"] == ivf["ivf_id"]))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(F.lit(np_).cast("long").alias("nprobe"), "n_hits"))
+        rows.append(hits)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return (out.select(
+                "nprobe", "n_hits",
+                F.lit(n_truth).cast("long").alias("n_truth"))
+            .withColumn("recall_permille",
+                        C.permille(F.col("n_hits"), F.col("n_truth")))
+            .orderBy("nprobe"))
+
+
+def sql_ivf_nprobe_curve(table: str = "embeddings",
+                         max_nprobe: int = 3) -> str:
+    from log_collector_spark.textops import similarity as S
+
+    levels = ", ".join(
+        f"""lvl{n} AS (
+            SELECT CAST({n} AS BIGINT) AS nprobe,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM brute b JOIN ({S.sql_ivf_ann_topk(table, nprobe=n)}) i
+              ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+        )""" for n in range(1, max_nprobe + 1))
+    union = " UNION ALL ".join(
+        f"SELECT * FROM lvl{n}" for n in range(1, max_nprobe + 1))
+    return f"""
+        WITH brute AS ({S.sql_brute_force_topk(table)}),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM brute),
+        {levels}
+        SELECT u.nprobe, u.n_hits, nt.n_truth,
+               {C.sql_permille("u.n_hits", "nt.n_truth")} AS recall_permille
+        FROM ({union}) u CROSS JOIN nt
+        ORDER BY u.nprobe
+    """

@@ -53,6 +53,7 @@ ORACLE_CHECKED = [
     "ann_topk_rrf",
     "ann_topk_ivfadc",
     "ivfadc_recall",
+    "ivf_nprobe_curve",
     "ngram_jaccard_maxdf",
     "multimodal_features",
     "decode_wav_documents",

@@ -709,24 +709,34 @@ def tool_latency_percentiles(routed: DataFrame,
     The selected value at ceil(p·n/100) is order-deterministic however
     ties are numbered (equal latencies yield the same value at any rank
     inside the tie), so the output is hash-stable with no tiebreak
-    column. One (tool)-keyed window + one agg — tools are few, so the
-    per-partition sort is bounded by the hottest tool's row count; at
-    100 TB pre-aggregate to a (tool, latency) histogram first
-    (aggregate.histogram_percentiles) — same output, metadata-scale sort.
+    column.
+
+    Plan: pre-aggregate to a (tool, latency) HISTOGRAM first (one hash
+    agg with map-side combine — this is the 100-TB shape: rows shuffled
+    drop from n_turns to n_distinct_latencies), then rank-select on the
+    cumulative count with one window over the metadata-scale histogram.
+    The value at rank r is the unique lat with cum_prev < r <= cum, so
+    ties collapse into one histogram row and the selection is exact.
+    A row_number over the raw rows would funnel every turn of the
+    hottest tool through one single-threaded sort; the histogram form
+    sorts only distinct latencies per tool.
 
     Returns (tool, n_turns, p50_ms, p90_ms, p99_ms), ORDER BY tool."""
     lat = F.get_json_object("payload", "$.latency_ms").cast("long")
     base = (_clean(routed).select("tool", lat.alias("lat"))
             .filter(F.col("lat").isNotNull()))
-    w = Window.partitionBy("tool").orderBy("lat", "tool")
+    hist = base.groupBy("tool", "lat").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("tool").orderBy("lat")
     wn = Window.partitionBy("tool")
-    ranked = (base.withColumn("rn", F.row_number().over(w).cast("long"))
-                  .withColumn("n", F.count(F.lit(1)).over(wn).cast("long")))
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_turns")]
+    ranked = (hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+                  .withColumn("n", F.sum("cnt").over(wn).cast("long")))
+    aggs = [F.max("n").cast("long").alias("n_turns")]
     for p in pcts:
-        aggs.append(F.max(F.when(F.col("rn") == F.expr(
-            f"(n * {p} + 99) div 100"), F.col("lat"))).cast("long")
-            .alias(f"p{p}_ms"))
+        r = F.expr(f"(n * {p} + 99) div 100")
+        aggs.append(F.max(F.when(
+            (F.col("cum") - F.col("cnt") < r) & (F.col("cum") >= r),
+            F.col("lat"))).cast("long").alias(f"p{p}_ms"))
     return ranked.groupBy("tool").agg(*aggs).orderBy("tool")
 
 

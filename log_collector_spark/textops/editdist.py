@@ -18,8 +18,11 @@ Shape (the scalable standard):
    edit distance is bounded below by the length difference, so the
    O(len²) kernel never evaluates on hopeless pairs.
 3. verify — built-in ``levenshtein`` (JVM codegen in Spark, native in
-   DuckDB; identical DP semantics over unicode codepoints) with the
-   threshold filter.
+   DuckDB; identical DP semantics over unicode codepoints). The Spark
+   side uses the 3-arg threshold form (Ukkonen band: O(len·max_dist)
+   per pair instead of O(len²), returns -1 past the threshold) — the
+   kept rows and their distances are identical to the full DP, only
+   hopeless cells are skipped.
 
 Scale (100 TB): text moves ONLY for candidate docs — both text sides
 arrive via shuffle equi-joins on doc id (never a candidate-set broadcast;
@@ -75,9 +78,11 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
                                  F.col("txt").alias("txt_b"),
                                  F.col("len").alias("len_b")), "doc_b")
               .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+              # banded DP: exact distance when <= max_dist, -1 otherwise
               .withColumn("edit_dist",
-                          F.levenshtein("txt_a", "txt_b").cast("long"))
-              .filter(F.col("edit_dist") <= max_dist))
+                          F.levenshtein("txt_a", "txt_b", max_dist)
+                          .cast("long"))
+              .filter(F.col("edit_dist") >= 0))
     return (joined.select("doc_a", "doc_b", "len_a", "len_b", "edit_dist")
             .orderBy("doc_a", "doc_b"))
 

@@ -561,7 +561,30 @@ def sql_peak_inflight(tx_view: str) -> str:
     """
 
 
-def latency_inversions(routed: DataFrame) -> DataFrame:
+INV_SMALL_MAX = 128   # groups up to this length take the vectorized
+                      # all-pairs path; longer ones the merge-count path
+
+
+def _merge_count(a, leaf: int = 1024):
+    """Exact inversion count of one array: numpy divide-and-conquer
+    mergesort (O(n log n) numpy work, O(n/leaf) Python calls). Returns
+    (count, sorted array)."""
+    import numpy as np
+    n = len(a)
+    if n <= leaf:
+        # leaf: O(leaf²) boolean matrix, still vectorized
+        return int(np.triu(a[:, None] > a[None, :], 1).sum()), np.sort(a)
+    mid = n // 2
+    il, left = _merge_count(a[:mid], leaf)
+    ir, right = _merge_count(a[mid:], leaf)
+    # cross pairs (i left, j right): inversion iff left_i > right_j, so
+    # count right elements strictly below each left element
+    cross = int(np.searchsorted(right, left, side="left").sum())
+    return il + ir + cross, np.sort(np.concatenate([left, right]))
+
+
+def latency_inversions(routed: DataFrame,
+                       small_max: int = INV_SMALL_MAX) -> DataFrame:
     """Per-conversation latency inversion count — of all turn pairs
     (i < j in stable turn order), how many have latency_i > latency_j
     (strict; ties are concordant-neutral). inversions == 0 means latency
@@ -569,48 +592,79 @@ def latency_inversions(routed: DataFrame) -> DataFrame:
     backend); near n·(n-1)/4 means no trend — the Kendall-tau-style
     trend test without floats.
 
-    This is the repo's one plain ``applyInPandas`` operator (completing
-    the pandas API matrix: pandas_udf scalar → grok parse, mapInPandas →
-    multimodal, applyInPandasWithState → streaming multiline): inversion
-    counting is an imperative divide-and-conquer (O(n log n) mergesort,
-    here numpy argsort-based O(n log n)) that SQL can only state as the
-    O(n²) pair self-join — which is exactly what the DuckDB oracle runs,
-    so the clever kernel is verified against the brute-force definition.
-    Groups are whole conversations (bounded by max conversation length);
-    the shuffle is the same single conv_id exchange as every tx op."""
-    import pandas as pd
+    Inversion counting is imperative divide-and-conquer that SQL can
+    only state as the O(n²) pair self-join — which is exactly what the
+    DuckDB oracle runs, so the clever kernel is verified against the
+    brute-force definition.
 
+    Plan: repartition on conv_id + sortWithinPartitions, then ONE
+    ``mapInPandas`` call per Arrow batch (a conversation split across
+    batch boundaries is carried into the next batch; repartitioning
+    guarantees it never splits across partitions). The r4a
+    ``applyInPandas`` form paid one Python call + pandas-frame build per
+    GROUP — with Zipf-sized conversations that was ~350k calls at sf0.1
+    (10.5 s); batch-level numpy drops it to one call per 60k rows
+    (~1.5 s). Inside a batch: groups <= ``small_max`` turns take a fully
+    vectorized all-pairs comparison (pair count bounded by
+    small_max/2 · batch_rows, so worst-case scratch is ~100 MB/thread);
+    longer conversations (the Zipf head) take the O(n log n) numpy
+    merge-count. Same single conv_id exchange as every tx op."""
     lat = F.get_json_object("payload", "$.latency_ms").cast("long")
     base = (_clean(routed)
             .select("conv_id", "turn_idx", lat.alias("lat"))
             .filter(F.col("lat").isNotNull()))
+    part = (base.repartition("conv_id")
+                .sortWithinPartitions("conv_id", "turn_idx"))
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def process(pdf):
         import numpy as np
-        s = pdf.sort_values("turn_idx")["lat"].to_numpy(dtype="int64")
-        n = len(s)
-        # count pairs i<j with s[i] > s[j] via BIT over the rank-compressed
-        # values — O(n log n), exact, no recursion depth issues
-        order = np.argsort(s, kind="stable")
-        ranks = np.empty(n, dtype="int64")
-        ranks[order] = np.arange(n)
-        tree = np.zeros(n + 1, dtype="int64")
-        inv = 0
-        for r in ranks[::-1]:          # scan right-to-left
-            i = r                       # count strictly-smaller ranks seen
-            while i > 0:
-                inv += tree[i]
-                i -= i & (-i)
-            i = r + 1
-            while i <= n:
-                tree[i] += 1
-                i += i & (-i)
-        return pd.DataFrame({"conv_id": [pdf["conv_id"].iloc[0]],
-                             "n_turns": [n], "inversions": [int(inv)]})
+        import pandas as pd
+        conv = pdf["conv_id"].to_numpy()
+        s = pdf["lat"].to_numpy(dtype="int64")
+        n = len(conv)
+        change = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        lens = ends - starts
+        g = len(lens)
+        gid_row = np.repeat(np.arange(g), lens)
+        start_row = np.repeat(starts, lens)
+        inv = np.zeros(g, dtype="int64")
+        small_rows = np.flatnonzero((lens <= small_max)[gid_row])
+        if small_rows.size:
+            pos = small_rows - start_row[small_rows]   # 0..len-1 in group
+            pj = np.repeat(small_rows, pos)            # each row j pairs
+            cum = np.concatenate(([0], np.cumsum(pos)))  # with i < j
+            bp = np.arange(int(pos.sum())) - np.repeat(cum[:-1], pos)
+            pi = start_row[pj] + bp
+            inv += np.bincount(gid_row[pj], (s[pi] > s[pj]).astype("int64"),
+                               minlength=g).astype("int64")
+        for gi in np.flatnonzero(lens > small_max):
+            inv[gi] = _merge_count(s[starts[gi]:ends[gi]])[0]
+        return pd.DataFrame({"conv_id": conv[starts],
+                             "n_turns": lens.astype("int64"),
+                             "inversions": inv})
 
-    return (base.groupBy("conv_id")
-            .applyInPandas(kernel,
-                           "conv_id string, n_turns long, inversions long"))
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            conv = pdf["conv_id"].to_numpy()
+            cut = int(np.searchsorted(conv, conv[-1]))  # sorted by conv_id
+            carry = pdf.iloc[cut:]
+            if cut:
+                yield process(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    return part.mapInPandas(
+        gen, "conv_id string, n_turns long, inversions long")
 
 
 def sql_latency_inversions(tx_view: str) -> str:

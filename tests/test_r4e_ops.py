@@ -468,3 +468,54 @@ def test_parse_health_hourly_category_precedence(spark):
     assert (r["n_lines"], r["n_blank"], r["n_oversize"],
             r["n_parse_fail"], r["n_ok"]) == (4, 1, 1, 1, 1)
     assert r["ok_permille"] == 333  # 1 of 3 attempted
+
+
+def test_latency_inversions_merge_path_and_batch_carry(spark):
+    """The mapInPandas rewrite has two paths the sf fixtures may not pin:
+    (a) groups longer than INV_SMALL_MAX take the numpy merge-count, and
+    (b) a conversation straddling an Arrow-batch boundary must be carried
+    into the next batch, not split. Force both with a 300-turn conv and a
+    tiny maxRecordsPerBatch."""
+    import random
+
+    from log_collector_spark.operators import tx_stats as TX
+
+    rng = random.Random(7)
+    lats = [rng.randint(1, 50) for _ in range(300)]   # > INV_SMALL_MAX
+    brute = sum(1 for i in range(300) for j in range(i + 1, 300)
+                if lats[i] > lats[j])
+    rows = [("BIG", i, f'{{"tokens":1,"latency_ms":{v}}}')
+            for i, v in enumerate(lats)]
+    rows += [("a_tiny", 0, '{"tokens":1,"latency_ms":9}'),
+             ("a_tiny", 1, '{"tokens":1,"latency_ms":3}')]
+    df = (spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                      "payload string")
+          .withColumn("parse_ok", F.lit(True))
+          .withColumn("is_oversize", F.lit(False)))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "37")   # forces many batches + mid-conv cuts
+    try:
+        out = {r["conv_id"]: r for r in
+               TX.latency_inversions(df).collect()}
+    finally:
+        spark.conf.set(key, old)
+    assert out["BIG"]["inversions"] == brute
+    assert out["BIG"]["n_turns"] == 300
+    assert out["a_tiny"]["inversions"] == 1
+
+
+def test_merge_count_equals_bruteforce_property():
+    """_merge_count (leaf pairwise + searchsorted cross terms) against the
+    O(n²) definition across sizes spanning the leaf boundary."""
+    import numpy as np
+
+    from log_collector_spark.operators.tx_stats import _merge_count
+
+    rng = np.random.RandomState(3)
+    for n in (0, 1, 2, 5, 100, 1024, 1025, 3000):
+        a = rng.randint(0, 7, size=n).astype("int64")   # heavy ties
+        got, srt = _merge_count(a, leaf=64)
+        brute = int(np.triu(a[:, None] > a[None, :], 1).sum()) if n else 0
+        assert got == brute, n
+        assert (srt == np.sort(a)).all()

@@ -967,39 +967,55 @@ def conversation_redundancy(routed: DataFrame,
     restating itself across turns shows low TTR and a high repeated-
     shingle share even when each single turn looks fine).
 
-    One explode to (conv, token/shingle hash) then two stacked hash aggs
-    — text leaves the conversation partition only as 60-bit hashes.
+    ONE explode of a kind-tagged union array (token hashes ++ shingle
+    hashes, both 60-bit — text leaves the conversation partition only as
+    hashes), then two stacked hash aggs: (conv, kind, hash) → counts,
+    then (conv) → the report. The r4a form ran token and shingle
+    branches as separate subtrees, so the upstream parse UDF executed
+    TWICE and distinct-token counting paid its own expansion; the tagged
+    union reads the parsed text once, and distinct_tokens falls out of
+    the first agg for free (one row per distinct hash).
+
+    Hashes here are INTERNAL (outputs are counts, never hash values), so
+    Spark uses native ``xxhash64`` rather than the cross-engine md5-based
+    ``h60`` — the DuckDB oracle counts distinct raw strings, and distinct
+    counts agree as long as neither side collides (64-bit space,
+    ~n²/2^65 odds — and a collision would fail the oracle loudly).
 
     Returns (conv_id, n_tokens, distinct_tokens, ttr_permille,
     n_shingles, repeated_shingle_permille), ORDER BY conv_id."""
     from log_collector_spark.textops import common as C
 
-    toks = (_clean(routed)
-            .select("conv_id",
-                    F.explode(C.tokens(F.col("text"))).alias("tok"))
-            .select("conv_id", C.h60(F.col("tok")).alias("th")))
-    t_stats = (toks.groupBy("conv_id")
-               .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                    F.countDistinct("th").cast("long")
-                    .alias("distinct_tokens")))
-    sh = (_clean(routed)
-          .select("conv_id",
-                  F.explode(C.shingles(C.tokens(F.col("text")), k))
-                  .alias("s"))
-          .select("conv_id", C.h60(F.col("s")).alias("sh")))
-    per_sh = (sh.groupBy("conv_id", "sh")
-              .agg(F.count(F.lit(1)).alias("c")))
-    s_stats = (per_sh.groupBy("conv_id")
-               .agg(F.sum("c").cast("long").alias("n_shingles"),
-                    F.sum(F.col("c") - 1).cast("long").alias("rep")))
-    return (t_stats.join(s_stats, "conv_id", "left")
+    toks = C.tokens(F.col("text"))
+    tagged = F.concat(
+        F.transform(toks, lambda t: F.struct(
+            F.lit(1).alias("kind"), F.xxhash64(t).alias("h"))),
+        F.transform(C.shingles(toks, k), lambda s: F.struct(
+            F.lit(2).alias("kind"), F.xxhash64(s).alias("h"))))
+    pooled = (_clean(routed)
+              .select("conv_id", F.explode(tagged).alias("e"))
+              .select("conv_id", F.col("e.kind").alias("kind"),
+                      F.col("e.h").alias("h")))
+    per_h = (pooled.groupBy("conv_id", "kind", "h")
+             .agg(F.count(F.lit(1)).alias("c")))
+    is_tok = F.col("kind") == 1
+    is_sh = F.col("kind") == 2
+    stats = (per_h.groupBy("conv_id")
+             .agg(F.sum(F.when(is_tok, F.col("c")).otherwise(0))
+                  .cast("long").alias("n_tokens"),
+                  F.sum(F.when(is_tok, 1).otherwise(0)).cast("long")
+                  .alias("distinct_tokens"),
+                  F.sum(F.when(is_sh, F.col("c")).otherwise(0))
+                  .cast("long").alias("n_shingles"),
+                  F.sum(F.when(is_sh, F.col("c") - 1).otherwise(0))
+                  .cast("long").alias("rep"))
+             .filter(F.col("n_tokens") > 0))
+    return (stats
             .select("conv_id", "n_tokens", "distinct_tokens",
                     C.permille(F.col("distinct_tokens"),
                                F.col("n_tokens")).alias("ttr_permille"),
-                    F.coalesce("n_shingles", F.lit(0)).cast("long")
-                    .alias("n_shingles"),
-                    C.permille(F.coalesce(F.col("rep"), F.lit(0)),
-                               F.coalesce(F.col("n_shingles"), F.lit(0)))
+                    F.col("n_shingles"),
+                    C.permille(F.col("rep"), F.col("n_shingles"))
                     .alias("repeated_shingle_permille"))
             .orderBy("conv_id"))
 

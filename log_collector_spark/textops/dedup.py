@@ -480,6 +480,17 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     O(max_bucket²) hot join keys are sacrificed; precision is unaffected
     (every emitted pair still passes the exact hamming filter)."""
     assert max_hamming < SIMHASH_BANDS
+    banded = simhash_banded(df, text_col, max_bucket=max_bucket)
+    return (bucket_pairs(banded,
+                         max_hamming=max_hamming)
+            .select("doc_a", "doc_b", "hamming")
+            .distinct())
+
+
+def simhash_banded(df: DataFrame, text_col: str = "text",
+                   max_bucket: int | None = None) -> DataFrame:
+    """(doc_id, simhash, band, key) — the banded frame behind simhash
+    blocking, with the optional hot-bucket (``max_bucket``) skew guard."""
     sh = simhash(df, text_col)
     width = SIMHASH_BAND_BITS
     bands = F.array(*[
@@ -494,17 +505,38 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                .agg(F.count(F.lit(1)).alias("n"))
                .filter(F.col("n") > max_bucket).select("band", "key"))
         banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
-    a = banded.alias("a")
-    b2 = banded.alias("b")
+    return banded
+
+
+def bucket_pairs(banded: DataFrame,
+                 max_hamming: int | None = None) -> DataFrame:
+    """Candidate pairs from a (doc_id, simhash, band, key) banded frame as
+    ONE lineage: groupBy bucket → collect_list → per-anchor explode, with
+    the hamming cut (when given) pushed into the array filter BEFORE the
+    second explode. A banded SELF-JOIN computes the upstream simhash
+    aggregation once per side (Catalyst does not reuse the exchange across
+    the aliases — measured 3.9 s vs 0.5 s at sf0.1); this shape computes it
+    once and shuffles each (doc_id, simhash) exactly once per band.
+
+    Scale contract: the per-bucket array is O(bucket size), so the SAME
+    ``max_bucket`` guard that bounds the join's hot keys bounds the array —
+    an uncapped 10^6-doc bucket is equally fatal in either shape; cap it.
+    Output columns: (doc_a, doc_b, hamming) — NOT distinct (a pair agreeing
+    on k bands appears k times; callers dedup)."""
+    g = (banded.groupBy("band", "key")
+         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+         .filter(F.size("ds") >= 2))
+    anchored = g.select(F.explode("ds").alias("a"), "ds")
+    cond = (lambda b: (F.col("a.doc_id") < b["doc_id"]) &
+            (F.bit_count(F.col("a.simhash").bitwiseXOR(b["simhash"]))
+             <= max_hamming)) if max_hamming is not None else \
+           (lambda b: F.col("a.doc_id") < b["doc_id"])
+    pairs = anchored.select(
+        "a", F.explode(F.filter("ds", cond)).alias("b"))
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b2, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.key") == F.col("b.key")) &
-                   (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    ham.cast("long").alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+    return pairs.select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"),
+                        ham.cast("long").alias("hamming"))
 
 
 def sql_simhash_pairs(table: str = "documents",

@@ -526,50 +526,39 @@ def simhash_calibration(df: DataFrame, text_col: str = "text") -> DataFrame:
     OTHER sketch family). Returns (hamming, jacc_decile, n_pairs) ordered
     by (hamming, jacc_decile).
 
-    Plan: candidate generation is the SAME banded self-join as
-    simhash_pairs (skew-guardable the same way); the exact-Jaccard verify
-    joins candidate doc ids back to the DISTINCT-token inverted index, so
-    only candidate-pair token rows shuffle — the full corpus text never
-    re-shuffles. Output is at most 61×11 rows."""
+    Plan: candidate generation is simhash_pairs' single-lineage bucket
+    explode (dedup.bucket_pairs — the banded SELF-JOIN recomputed the
+    simhash aggregation per side, 3.9 s vs 0.5 s at sf0.1); the
+    exact-Jaccard verify then joins each pair side to a per-doc DISTINCT
+    token-HASH array and intersects in-row (array_intersect), so one
+    (doc_id, tokens-per-doc int64 array) row shuffles per pair side
+    instead of one row per candidate token. Token identity uses native
+    xxhash64 internally — internal-only (the output is the Jaccard
+    decile; a cross-token 64-bit collision altering a decile needs
+    ~|pairs|·|tokens/doc|²/2⁶⁴ ≈ 1e-11 luck), same contract as the
+    flagship's internal hashes. Output is at most 61×11 rows."""
     from log_collector_spark.textops import dedup as D
 
-    sh = D.simhash(df, text_col)
-    width = D.SIMHASH_BAND_BITS
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftright(F.col("simhash"), b * width)
-                  .bitwiseAND((1 << width) - 1).alias("key"))
-        for b in range(D.SIMHASH_BANDS)])
-    banded = (sh.select("doc_id", "simhash", F.explode(bands).alias("bs"))
-                .select("doc_id", "simhash", "bs.band", "bs.key"))
-    a, b2 = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    cand = (a.join(b2, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.key") == F.col("b.key")) &
-                   (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     ham.cast("long").alias("hamming"))
-             .distinct())
+    cand = (D.bucket_pairs(D.simhash_banded(df, text_col))
+             .select("doc_a", "doc_b", "hamming").distinct())
 
-    toks = (df.select(F.col("doc_id"),
-                      F.explode(F.array_distinct(
-                          C.tokens(F.col(text_col)))).alias("tok")))
-    sizes = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("sz"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
-                 .groupBy("doc_a", "doc_b", "hamming")
-                 .agg(F.count(F.lit(1)).cast("long").alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("sz").alias("sz_b"))
-    j = (cand.join(inter.select("doc_a", "doc_b", "inter"),
-                   ["doc_a", "doc_b"], "left")
-             .join(sa, "doc_a").join(sb, "doc_b")
-             .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0))))
+    # per-doc distinct token hashes; docs with NO tokens are excluded so
+    # pairs touching them drop, matching the inverted-index inner-join
+    # semantics (and the oracle's)
+    ths = (df.select(
+        "doc_id",
+        F.array_distinct(F.transform(
+            C.tokens(F.col(text_col)),
+            lambda t: F.xxhash64(t))).alias("ths"))
+        .filter(F.size("ths") > 0))
+    a = ths.select(F.col("doc_id").alias("doc_a"), F.col("ths").alias("ths_a"),
+                   F.size("ths").cast("long").alias("sz_a"))
+    b = ths.select(F.col("doc_id").alias("doc_b"), F.col("ths").alias("ths_b"),
+                   F.size("ths").cast("long").alias("sz_b"))
+    j = (cand.join(a, "doc_a").join(b, "doc_b")
+             .withColumn("inter",
+                         F.size(F.array_intersect("ths_a", "ths_b"))
+                          .cast("long")))
     union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     dec = (F.when(union > 0, F.floor(F.col("inter") * 10 / union))
             .otherwise(10)).cast("long")  # two empty token sets: identical

@@ -2183,8 +2183,46 @@ def q_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("event_id"))
 
 
+def q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer BM25 top-10 for the fixed keyword query — rational IDF
+    surrogate (no transcendentals), fixed-point k1/b, tf shuffle filtered
+    to query terms pre-agg, TakeOrderedAndProject top-k."""
+    from log_collector_spark.textops import analysis as A
+    return A.bm25_topk(_docs(spark, sf_dir))
+
+
+def q_quality_calibration_documents(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Per-source quality mass across GLOBAL histogram deciles — drift
+    monitor; the cumulative window runs over a bounded <=1001-row value
+    histogram, never over docs."""
+    from log_collector_spark.textops import analysis as A
+    return A.quality_calibration(_docs(spark, sf_dir))
+
+
+def q_winnowing_pairs_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """MOSS winnowing: min-hash of every 4-shingle window (narrow per-row
+    selection, ~2/(w+1) of shingles kept), inverted-index pair join with
+    the max_df boilerplate guard."""
+    from log_collector_spark.textops import dedup as D
+    return D.winnowing_pairs(_docs(spark, sf_dir))
+
+
+def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mod-N vs consistent-hash-ring key movement when adding a shard
+    (8→9, 16 vnodes/shard): zero-shuffle narrow argmin over a literal
+    vnode array per key, one 2-row agg."""
+    from log_collector_spark.operators.order import shard_rebalance_audit
+    return shard_rebalance_audit(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "bm25_topk_documents": q_bm25_topk_documents,
+        "quality_calibration_documents": q_quality_calibration_documents,
+        "winnowing_pairs_documents": q_winnowing_pairs_documents,
+        "shard_rebalance_audit": q_shard_rebalance_audit,
         "log_templates_documents": q_log_templates_documents,
         "vocab_growth_documents": q_vocab_growth_documents,
         "markov_next_event": q_markov_next_event,
@@ -2462,6 +2500,10 @@ def oracle_sql() -> dict[str, str]:
              ELSE 'events_etl' END
     """
     return {
+        "bm25_topk_documents": _ta().sql_bm25_topk(),
+        "quality_calibration_documents": _ta().sql_quality_calibration(),
+        "winnowing_pairs_documents": _td().sql_winnowing_pairs(),
+        "shard_rebalance_audit": _or().sql_shard_rebalance_audit(),
         "grok_parse_events": f"""
             SELECT event_id,
                    event_type AS logtype,

@@ -391,3 +391,125 @@ def sql_broadcast_advisor(schemas: dict[str, tuple],
             FROM {name}""")
     return (" UNION ALL ".join(selects)
             + " ORDER BY table_name")
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hashing shard rebalance audit (mod-N vs ring movement)
+# ---------------------------------------------------------------------------
+
+SHARDS_BEFORE = 8
+SHARDS_AFTER = 9
+VNODES_PER_SHARD = 16
+RING_BITS = 52   # ring positions use h60 >> 8 so gap*32+shard fits int64
+
+
+def _vnode_packed(n_shards: int) -> list[int]:
+    """Ring vnode positions, precomputed host-side with the SAME h60
+    definition both engines use (first 15 hex chars of md5 → BIGINT) —
+    literal constants, so the two sides are identical by construction.
+    Each vnode is packed as ``(pos >> 8) * 32 + shard`` (pos is 52 bits,
+    shard < 32 — one int64 literal per vnode)."""
+    import hashlib
+
+    out = []
+    for s in range(n_shards):
+        for r in range(VNODES_PER_SHARD):
+            h = int(hashlib.md5(
+                f"shard:{s}#vn:{r}".encode()).hexdigest()[:15], 16)
+            out.append((h >> 8) * 32 + s)
+    return sorted(out)
+
+
+def shard_rebalance_audit(df, id_col: str = "doc_id"):
+    """How many keys MOVE when a shard is added, mod-N vs consistent-hash
+    ring — the quantitative case for consistent hashing in any keyed
+    store/cache layer this pipeline feeds. Going 8→9 shards, mod-N
+    remaps ~8/9 of all keys; a ring with 16 vnodes/shard remaps ~1/9.
+    Returns two rows (scheme, n_docs, n_moved, moved_permille).
+
+    Ring owner of key p = the vnode minimizing the clockwise gap
+    ``(vpos - p) mod 2^52``; packed as ``gap*32 + shard`` so argmin is a
+    single integer array_min over a 128/144-element LITERAL array — a
+    zero-shuffle narrow projection per key (ties break to the lowest
+    shard, deterministically, though md5 ties are ~2^-40). One hash agg
+    over 2 scheme rows; no join anywhere."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ring = 1 << RING_BITS
+    p = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                16, 10).cast("long"))
+    h = p  # same 60-bit key hash drives both schemes
+    pr = F.shiftright(p, 8)  # 52-bit ring position
+
+    def owner(vnodes: list[int]) -> F.Column:
+        arr = F.array(*[F.lit(v).cast("long") for v in vnodes])
+        packed_min = F.array_min(F.transform(
+            arr,
+            lambda v: F.pmod(F.shiftright(v, 5) - pr, F.lit(ring)) * 32
+            + F.pmod(v, F.lit(32))))
+        return F.pmod(packed_min, F.lit(32))
+
+    vb = _vnode_packed(SHARDS_BEFORE)
+    va = _vnode_packed(SHARDS_AFTER)
+    per = df.select(
+        (F.pmod(h, F.lit(SHARDS_BEFORE))
+         != F.pmod(h, F.lit(SHARDS_AFTER))).alias("mod_moved"),
+        (owner(vb) != owner(va)).alias("ring_moved"))
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("mod_moved").cast("long")).cast("long").alias("mod_m"),
+        F.sum(F.col("ring_moved").cast("long")).cast("long").alias("ring_m"))
+    mod_row = agg.select(
+        F.lit("mod").alias("scheme"), "n_docs",
+        F.col("mod_m").alias("n_moved"),
+        F.when(F.col("n_docs") > 0,
+               F.floor(F.col("mod_m") * 1000 / F.col("n_docs")))
+         .otherwise(0).cast("long").alias("moved_permille"))
+    ring_row = agg.select(
+        F.lit("ring").alias("scheme"), "n_docs",
+        F.col("ring_m").alias("n_moved"),
+        F.when(F.col("n_docs") > 0,
+               F.floor(F.col("ring_m") * 1000 / F.col("n_docs")))
+         .otherwise(0).cast("long").alias("moved_permille"))
+    return mod_row.unionByName(ring_row).orderBy("scheme")
+
+
+def sql_shard_rebalance_audit(table: str = "documents",
+                              id_col: str = "doc_id") -> str:
+    ring = 1 << RING_BITS
+    vb = ", ".join(str(v) for v in _vnode_packed(SHARDS_BEFORE))
+    va = ", ".join(str(v) for v in _vnode_packed(SHARDS_AFTER))
+    p = (f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) "
+         f"AS BIGINT)")
+
+    def owner(lst: str) -> str:
+        return (f"list_min(list_transform([{lst}], "
+                f"v -> (((v // 32 - (p >> 8)) % {ring} + {ring}) % {ring})"
+                f" * 32 + v % 32)) % 32")
+
+    return f"""
+        WITH keys AS (
+            SELECT {p} AS p FROM {table}
+        ), per AS (
+            SELECT (p % {SHARDS_BEFORE}) <> (p % {SHARDS_AFTER})
+                       AS mod_moved,
+                   ({owner(vb)}) <> ({owner(va)}) AS ring_moved
+            FROM keys
+        ), agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN mod_moved THEN 1 ELSE 0 END)
+                        AS BIGINT) AS mod_m,
+                   CAST(SUM(CASE WHEN ring_moved THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ring_m
+            FROM per
+        )
+        SELECT scheme, n_docs, n_moved,
+               CAST(CASE WHEN n_docs > 0 THEN n_moved * 1000 // n_docs
+                         ELSE 0 END AS BIGINT) AS moved_permille
+        FROM (
+            SELECT 'mod' AS scheme, n_docs, mod_m AS n_moved FROM agg
+            UNION ALL
+            SELECT 'ring', n_docs, ring_m FROM agg
+        )
+        ORDER BY scheme
+    """

@@ -2443,3 +2443,204 @@ def sql_quality_vs_dup(table: str = "documents") -> str:
                          ELSE 0 END AS BIGINT) AS dup_permille
         FROM j GROUP BY stop_decile ORDER BY stop_decile
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (integer arithmetic) and per-source quality calibration
+# ---------------------------------------------------------------------------
+
+BM25_TOPK = 10
+BM25_K1_MILLI = 1200   # k1 = 1.2 (Robertson defaults)
+BM25_B_MILLI = 750     # b  = 0.75
+BM25_IDF_CAP = 1_000_000_000  # keeps idf*tf*(k1+1) inside int64 at any N
+
+
+def bm25_topk(df: DataFrame, keywords: list[str] | None = None,
+              id_col: str = "doc_id", text_col: str = "text",
+              topk: int = BM25_TOPK) -> DataFrame:
+    """Top-k documents for a fixed keyword query under integer BM25.
+
+    Classic BM25 (Robertson/Sparck Jones) needs ln() in the IDF — a float
+    whose last ulp differs across engines — so this uses the standard
+    integer-exact surrogate family: all ratios are fixed-point milli/micro
+    integers with explicit integer division, and the IDF is the rational
+    form ``idf_micro = min(CAP, (N - df + 1) * 1e6 // (df + 1))`` (same
+    monotone-in-df shape as ln((N-df+.5)/(df+.5)), no transcendental).
+    Per matched term:
+
+        norm_milli = (1000 - b) + b * dl * 1000 // avgdl_milli
+        denom      = tf * 1000 + k1 * norm_milli // 1000
+        score     += idf_micro * tf * (1000 + k1) // denom
+
+    Ties break (score DESC, id ASC) — deterministic. Returns
+    (doc_id, score, n_terms).
+
+    Plan shape at corpus scale: tokens are filtered to the query terms
+    BEFORE the (doc, term) hash agg, so the tf shuffle carries at most
+    |docs|·|terms| rows; df and avgdl are tiny aggregates broadcast back;
+    the top-k is a TakeOrderedAndProject (no global sort)."""
+    keywords = keywords or KEYWORDS
+    k1, b, cap = BM25_K1_MILLI, BM25_B_MILLI, BM25_IDF_CAP
+
+    toks = df.select(F.col(id_col),
+                     C.tokens(F.lower(F.col(text_col))).alias("toks"))
+    dl = toks.select(id_col, F.size("toks").cast("long").alias("dl"))
+    # empty-input guard: count=0 would be an ANSI integer div-by-zero
+    # (never-throw invariant); the NULL avgdl never meets a row downstream
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CASE WHEN count(1) > 0"
+               " THEN sum(dl) * 1000 DIV count(1) END").cast("long")
+         .alias("avgdl_milli"))
+    tf = (toks.select(id_col, F.explode("toks").alias("term"))
+              .filter(F.col("term").isin(keywords))
+              .groupBy(id_col, "term")
+              .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    j = (tf.join(F.broadcast(dfreq), "term")
+           .join(dl, id_col)
+           .crossJoin(F.broadcast(totals)))
+    # keep every division integer and in the same order as the oracle
+    scored = j.select(
+        F.col(id_col),
+        F.expr(
+            f"least(CAST({cap} AS BIGINT),"
+            f" (n_docs - df + 1) * 1000000 DIV (df + 1))"
+            f" * tf * {1000 + k1} DIV"
+            f" (tf * 1000 + {k1} * (({1000 - b}) +"
+            f" {b} * dl * 1000 DIV avgdl_milli) DIV 1000)"
+        ).cast("long").alias("term_score"))
+    agg = (scored.groupBy(id_col)
+           .agg(F.sum("term_score").cast("long").alias("score"),
+                F.count(F.lit(1)).cast("long").alias("n_terms")))
+    return agg.orderBy(F.desc("score"), F.asc(id_col)).limit(topk)
+
+
+def sql_bm25_topk(table: str = "documents",
+                  keywords: list[str] | None = None,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  topk: int = BM25_TOPK) -> str:
+    keywords = keywords or KEYWORDS
+    k1, b, cap = BM25_K1_MILLI, BM25_B_MILLI, BM25_IDF_CAP
+    kw = ", ".join(f"'{k}'" for k in keywords)
+    tok = C.sql_tokens(f"lower({text_col})")
+    return f"""
+        WITH dl AS (
+            SELECT {id_col}, CAST(len({tok}) AS BIGINT) AS dl
+            FROM {table}
+        ), totals AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(CASE WHEN COUNT(*) > 0
+                             THEN SUM(dl) * 1000 // COUNT(*)
+                        END AS BIGINT) AS avgdl_milli
+            FROM dl
+        ), tf AS (
+            SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT {id_col}, unnest({tok}) AS term FROM {table})
+            WHERE term IN ({kw})
+            GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), scored AS (
+            SELECT tf.{id_col},
+                   CAST(least({cap},
+                              (t.n_docs - d.df + 1) * 1000000 // (d.df + 1))
+                        * tf.tf * {1000 + k1} //
+                        (tf.tf * 1000 + {k1} * (({1000 - b}) +
+                         {b} * dl.dl * 1000 // t.avgdl_milli) // 1000)
+                        AS BIGINT) AS term_score
+            FROM tf
+            JOIN dfreq d USING (term)
+            JOIN dl ON dl.{id_col} = tf.{id_col}
+            CROSS JOIN totals t
+        )
+        SELECT {id_col},
+               CAST(SUM(term_score) AS BIGINT) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM scored
+        GROUP BY {id_col}
+        ORDER BY score DESC, {id_col}
+        LIMIT {topk}
+    """
+
+
+def quality_calibration(df: DataFrame, group_col: str = "source",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-source quality calibration against GLOBAL histogram deciles:
+    where does each source's quality mass sit relative to the whole
+    corpus? A healthy source spreads ~100 permille per decile; one piling
+    into deciles 0-2 is drifting junk (the cross-source drift monitor
+    quality_sample's scalar enables). Returns
+    (source, global_decile, n_docs, share_permille) ordered.
+
+    The decile of a doc is defined on its quality VALUE, not its row rank:
+    ``decile(v) = count(q < v) * 10 // N`` — every doc with the same score
+    lands in the same decile (rank-based ntile would split ties by row
+    order, which no distributed engine reproduces deterministically).
+
+    Plan shape: quality is the zero-shuffle alpha-permille projection; the
+    global histogram is one hash agg over <=1001 distinct permille values,
+    so the cumulative window runs over a BOUNDED 1001-row frame (single
+    partition by construction, independent of corpus size) and the decile
+    map broadcasts back to the doc frame."""
+    from pyspark.sql import Window
+
+    toks = C.tokens(F.lower(F.col(text_col)))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    q = df.select(F.col(group_col), C.permille(alpha, F.size(toks)).alias("q"))
+    hist = q.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (Window.orderBy("q")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n_total = hist.agg(F.sum("n").cast("long").alias("n_total"))
+    dec_map = (hist.withColumn("cum_le", F.sum("n").over(w))
+                   .crossJoin(F.broadcast(n_total))
+                   .select("q", F.expr("(cum_le - n) * 10 DIV n_total")
+                                 .cast("long").alias("global_decile")))
+    per = (q.join(F.broadcast(dec_map), "q")
+            .groupBy(group_col, "global_decile")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    src_tot = per.groupBy(group_col).agg(
+        F.sum("n_docs").cast("long").alias("src_n"))
+    return (per.join(src_tot, group_col)
+               .select(group_col, "global_decile", "n_docs",
+                       C.permille(F.col("n_docs"), F.col("src_n"))
+                        .alias("share_permille"))
+               .orderBy(group_col, "global_decile"))
+
+
+def sql_quality_calibration(table: str = "documents",
+                            group_col: str = "source",
+                            text_col: str = "text") -> str:
+    toks = C.sql_tokens(f"lower({text_col})")
+    alpha = (f"len(list_filter({toks}, "
+             f"t -> regexp_matches(t, '^[a-z]+$')))")
+    quality = C.sql_permille(alpha, f"len({toks})")
+    return f"""
+        WITH q AS (
+            SELECT {group_col}, {quality} AS q FROM {table}
+        ), hist AS (
+            SELECT q, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY q
+        ), dec_map AS (
+            SELECT q,
+                   CAST((SUM(n) OVER (ORDER BY q
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n) * 10 //
+                        (SELECT SUM(n) FROM hist) AS BIGINT)
+                       AS global_decile
+            FROM hist
+        ), per AS (
+            SELECT q.{group_col}, d.global_decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM q JOIN dec_map d USING (q)
+            GROUP BY 1, 2
+        )
+        SELECT {group_col}, global_decile, n_docs,
+               CAST(CASE WHEN SUM(n_docs) OVER (PARTITION BY {group_col}) > 0
+                         THEN n_docs * 1000 //
+                              SUM(n_docs) OVER (PARTITION BY {group_col})
+                         ELSE 0 END AS BIGINT) AS share_permille
+        FROM per
+        ORDER BY {group_col}, global_decile
+    """

@@ -2062,3 +2062,97 @@ def sql_cluster_split_assign(table: str = "embeddings",
                CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
         FROM sp GROUP BY split ORDER BY split
     """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) — local document
+# fingerprinting with a guaranteed-detection window
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3        # token k-gram shingle (the hash unit)
+WINNOW_W = 4        # window: every w consecutive shingles contribute >=1 fp
+WINNOW_MAX_DF = 50  # boilerplate guard on the fingerprint inverted index
+WINNOW_MIN_SHARED = 2
+
+
+def winnowing_pairs(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = WINNOW_K,
+                    w: int = WINNOW_W, max_df: int = WINNOW_MAX_DF,
+                    min_shared: int = WINNOW_MIN_SHARED) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints.
+
+    Winnowing (SIGMOD'03, the MOSS algorithm): hash every token ``k``-gram,
+    then keep the MINIMUM hash of every ``w``-consecutive-shingle window —
+    the selected set is position-robust (any shared run of w+k-1 tokens
+    guarantees a shared fingerprint) yet only ~2/(w+1) of all shingles,
+    the storage/recall dial exact shingle dedup lacks. Hashes are h60
+    (cross-engine md5), so fingerprint identity is deterministic.
+    A doc with fewer than ``w`` shingles (but >= 1) contributes the min of
+    what it has — short docs still fingerprint.
+
+    Plan shape: fingerprint selection is a NARROW per-row array pass
+    (shingle → hash → sliding min → distinct), so nothing shuffles until
+    the (doc, fp) explode; the pair join is the standard inverted index
+    with the ``max_df`` boilerplate guard bounding per-fp fan-out at
+    max_df², and the per-anchor pair explode keeps it one lineage (no
+    self-join recompute). Returns (doc_a, doc_b, n_shared)."""
+    tok = C.tokens(F.lower(F.col(text_col)))
+    sh = C.shingles(tok, k)
+
+    def _fps_of(hl: Column) -> Column:
+        n = F.size(hl)
+        return (F.when(n >= w, F.transform(
+                    F.sequence(F.lit(1), n - w + 1),
+                    lambda i: F.array_min(F.slice(hl, i, w))))
+                 .when(n >= 1, F.array(F.array_min(hl)))
+                 .otherwise(F.array().cast("array<long>")))
+
+    # bind the hash list ONCE (same projection-collapse hazard as shingles)
+    hashes = F.transform(sh, lambda s: C.h60(s))
+    fps = F.array_distinct(
+        F.element_at(F.transform(F.array(hashes), _fps_of), 1))
+    fp = (df.select(F.col(id_col).alias("doc"), F.explode(fps).alias("fp")))
+    g = (fp.groupBy("fp")
+           .agg(F.collect_list("doc").alias("ds"))
+           .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df)))
+    pairs = (g.select(F.explode("ds").alias("a"), "ds")
+              .select("a", F.explode(
+                  F.filter("ds", lambda d: F.col("a") < d)).alias("b")))
+    return (pairs.groupBy(F.col("a").alias("doc_a"),
+                          F.col("b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
+def sql_winnowing_pairs(table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text", k: int = WINNOW_K,
+                        w: int = WINNOW_W, max_df: int = WINNOW_MAX_DF,
+                        min_shared: int = WINNOW_MIN_SHARED) -> str:
+    sh = C.sql_shingles(C.sql_tokens(f"lower({text_col})"), k)
+    return f"""
+        WITH hl AS (
+            SELECT {id_col} AS doc,
+                   list_transform({sh}, s -> {C.sql_h60('s')}) AS hl
+            FROM {table}
+        ), fps AS (
+            SELECT doc,
+                   CASE WHEN len(hl) >= {w} THEN
+                            list_transform(range(1, len(hl) - {w} + 2),
+                                i -> list_min(list_slice(hl, i, i + {w - 1})))
+                        WHEN len(hl) >= 1 THEN [list_min(hl)]
+                        ELSE CAST([] AS BIGINT[]) END AS fps
+            FROM hl
+        ), fp AS (
+            SELECT DISTINCT doc, unnest(fps) AS fp FROM fps
+        ), ok AS (
+            SELECT fp FROM fp GROUP BY fp
+            HAVING COUNT(*) BETWEEN 2 AND {max_df}
+        ), kept AS (
+            SELECT fp.doc, fp.fp FROM fp JOIN ok USING (fp)
+        )
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc < b.doc
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_shared}
+    """

@@ -2023,6 +2023,36 @@ def q_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.simhash_calibration(_docs(spark, sf_dir))
 
 
+def q_tx_prefix_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation prefix-cache hit rate (cachable vs processed token
+    mass) — the serving-cost multiplier a prefix cache removes; one
+    conv_id window + agg."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.prefix_cache_rate(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload JSON key census per logtype (schema-drift monitor): regex
+    key extraction on the parsed capture, one (logtype, key) agg."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.json_schema_drift(pl.full_pipeline(spark, sf_dir))
+
+
+def q_bigram_coherence_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Model-free fluency proxy: per-doc share of bigrams the rest of the
+    corpus uses (df >= 5); hash-keyed vocab join, never broadcast."""
+    from log_collector_spark.textops import analysis as A
+    return A.bigram_coherence(_docs(spark, sf_dir))
+
+
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized squared-L2 histogram vs corpus max — the pre-ANN sanity
+    gate for mixed/un-normalized embedding versions."""
+    from log_collector_spark.textops import similarity as S
+    return S.embedding_norm_audit(_embs(spark, sf_dir))
+
+
 def q_tx_token_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-mass pacing histogram: decile of the turn position where half
     the conversation's tokens have arrived."""
@@ -2229,6 +2259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_markov_next_tool": q_tx_markov_next_tool,
         "asof_nearest_events": q_asof_nearest_events,
         "simhash_calibration": q_simhash_calibration,
+        "tx_prefix_cache": q_tx_prefix_cache,
+        "tx_schema_drift": q_tx_schema_drift,
+        "bigram_coherence_documents": q_bigram_coherence_documents,
+        "embedding_norm_audit": q_embedding_norm_audit,
         "tx_token_midpoint": q_tx_token_midpoint,
         "quality_vs_dup_documents": q_quality_vs_dup_documents,
         "seasonal_naive_error_events": q_seasonal_naive_error_events,
@@ -3157,6 +3191,10 @@ def oracle_sql() -> dict[str, str]:
             key_col="conv_id", seq_col="turn_idx", type_col="tool"),
         "asof_nearest_events": _sql_asof_nearest_events(),
         "simhash_calibration": _te().sql_simhash_calibration(),
+        "tx_prefix_cache": _tx().sql_prefix_cache_rate(tx_view),
+        "tx_schema_drift": _tx().sql_json_schema_drift(tx_view),
+        "bigram_coherence_documents": _ta().sql_bigram_coherence(),
+        "embedding_norm_audit": _ts().sql_embedding_norm_audit(),
         "tx_token_midpoint": _tx().sql_token_midpoint_histogram(tx_view),
         "quality_vs_dup_documents": _ta().sql_quality_vs_dup(),
         "corpus_token_yield": _td().sql_corpus_token_yield(),

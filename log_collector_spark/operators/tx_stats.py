@@ -1218,3 +1218,133 @@ def sql_token_midpoint_histogram(tx_view: str) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_convs
         FROM mid GROUP BY 1 ORDER BY midpoint_decile
     """
+
+
+# ---------------------------------------------------------------------------
+# LLM-serving economics: prefix-cache hit rate per conversation
+# ---------------------------------------------------------------------------
+
+def prefix_cache_rate(routed: DataFrame) -> DataFrame:
+    """Per-conversation prefix-cache economics: every turn of a chat/agent
+    session re-submits the whole conversation prefix, so with a prefix
+    cache the *cachable* token mass is Σᵢ prefix_tokensᵢ and the total
+    *processed* mass without one is Σᵢ (prefixᵢ + turnᵢ). The hit-rate
+    permille = cachable/processed is exactly the serving-cost multiplier a
+    cache removes — deep conversations approach 1000 (almost all compute
+    is replayed prefix), one-shot ones sit at 0. This is the
+    capacity-planning number for the transcript-serving fleet.
+
+    Returns (conv_id, n_turns, total_tokens, cachable_tokens,
+    processed_tokens, hit_permille), ORDER BY conv_id.
+
+    Plan: the same single conv_id exchange as every tx op — one running
+    window (prefix = cum - tok falls out of it) + one hash agg; integer
+    sums only."""
+    tok = F.get_json_object("payload", "$.tokens").cast("long")
+    base = (_clean(routed)
+            .select("conv_id", "turn_idx", tok.alias("tok"))
+            .filter(F.col("tok").isNotNull()))
+    wcum = (Window.partitionBy("conv_id").orderBy("turn_idx")
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = base.withColumn("cum", F.sum("tok").over(wcum))
+    from log_collector_spark.textops import common as C
+    return (g.groupBy("conv_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                  F.sum("tok").cast("long").alias("total_tokens"),
+                  F.sum(F.col("cum") - F.col("tok")).cast("long")
+                   .alias("cachable_tokens"),
+                  F.sum("cum").cast("long").alias("processed_tokens"))
+             .withColumn("hit_permille",
+                         C.permille(F.col("cachable_tokens"),
+                                    F.col("processed_tokens")))
+             .orderBy("conv_id"))
+
+
+def sql_prefix_cache_rate(tx_view: str) -> str:
+    tok = ("TRY_CAST(regexp_extract(text, '\"tokens\":(\\d+)', 1)"
+           " AS BIGINT)")
+    return f"""
+        WITH base AS (
+            SELECT conv_id, turn_idx, {tok} AS tok
+            FROM {tx_view}
+            WHERE {SQL_CLEAN} AND {tok} IS NOT NULL
+        ), g AS (
+            SELECT conv_id, tok,
+                   SUM(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM base
+        ), agg AS (
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(cum - tok) AS BIGINT) AS cachable_tokens,
+                   CAST(SUM(cum) AS BIGINT) AS processed_tokens
+            FROM g GROUP BY conv_id
+        )
+        SELECT conv_id, n_turns, total_tokens, cachable_tokens,
+               processed_tokens,
+               CAST(CASE WHEN processed_tokens > 0
+                         THEN cachable_tokens * 1000 // processed_tokens
+                         ELSE 0 END AS BIGINT) AS hit_permille
+        FROM agg ORDER BY conv_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Payload JSON schema-drift monitor
+# ---------------------------------------------------------------------------
+
+def json_schema_drift(routed: DataFrame) -> DataFrame:
+    """Payload key census per logtype — the schema-drift monitor for the
+    semi-structured column: which JSON keys appear under each logtype and
+    in what share of its turns. A producer that starts emitting a new
+    field (or drops one) moves a key's share_permille away from 1000,
+    which is the alert condition; the full key set is also what a
+    schema-on-read consumer must budget for.
+
+    Returns (logtype, key, n_turns, share_permille) ordered.
+
+    Plan: keys come from one regexp_extract_all over the already-parsed
+    payload capture (JVM, no JSON library in the hot path), one narrow
+    explode, one (logtype, key) hash agg with map-side combine, plus a
+    broadcast-sized per-logtype totals join (|logtypes| rows)."""
+    from log_collector_spark.textops import common as C
+    keys = F.regexp_extract_all(F.col("payload"), F.lit(r'"(\w+)":'), 1)
+    per = (_clean(routed)
+           .select("logtype", F.explode(keys).alias("key"))
+           .groupBy("logtype", "key")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_turns")))
+    tot = (_clean(routed).groupBy("logtype")
+           .agg(F.count(F.lit(1)).cast("long").alias("lt_n")))
+    return (per.join(F.broadcast(tot), "logtype")
+               .select("logtype", "key", "n_turns",
+                       C.permille(F.col("n_turns"), F.col("lt_n"))
+                        .alias("share_permille"))
+               .orderBy("logtype", "key"))
+
+
+def sql_json_schema_drift(tx_view: str) -> str:
+    # the payload is the trailing {...} of the demo line; keys regexed from
+    # the raw text match only inside it (the prefix has no '"key":' shape)
+    return f"""
+        WITH clean AS (
+            SELECT regexp_extract(text, '^\\[(\\S+)\\]', 1) AS logtype, text
+            FROM {tx_view} WHERE {SQL_CLEAN}
+        ), per AS (
+            SELECT logtype, key, CAST(COUNT(*) AS BIGINT) AS n_turns
+            FROM (
+                SELECT logtype,
+                       unnest(regexp_extract_all(text, '"(\\w+)":', 1)) AS key
+                FROM clean
+            ) GROUP BY 1, 2
+        ), tot AS (
+            SELECT logtype, CAST(COUNT(*) AS BIGINT) AS lt_n
+            FROM clean GROUP BY 1
+        )
+        SELECT per.logtype, per.key, per.n_turns,
+               CAST(CASE WHEN tot.lt_n > 0
+                         THEN per.n_turns * 1000 // tot.lt_n
+                         ELSE 0 END AS BIGINT) AS share_permille
+        FROM per JOIN tot USING (logtype)
+        ORDER BY logtype, key
+    """

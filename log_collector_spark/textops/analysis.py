@@ -2644,3 +2644,74 @@ def sql_quality_calibration(table: str = "documents",
         FROM per
         ORDER BY {group_col}, global_decile
     """
+
+
+# ---------------------------------------------------------------------------
+# Bigram coherence (LM-quality proxy without a language model)
+# ---------------------------------------------------------------------------
+
+BIGRAM_MIN_DF = 5  # a bigram is "coherent" when >= this many docs use it
+
+
+def bigram_coherence(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_df: int = BIGRAM_MIN_DF) -> DataFrame:
+    """Per-doc share of adjacent token bigrams that the REST of the corpus
+    also uses (document frequency >= ``min_df``) — a model-free fluency
+    proxy: shuffled/garbled text keeps its unigram stats but its bigrams
+    stop matching anyone else's, so low coherence flags word-salad,
+    boilerplate keeps near-1000. The corpus itself is the language model.
+
+    Returns (doc_id, n_bigrams, n_coherent, coherence_permille).
+
+    Plan: bigrams are a narrow shingle transform hashed to int64 before
+    anything shuffles; df is one distinct-(doc,bigram) hash agg; the
+    doc-side occurrence rows join the frequent-bigram set on the hash
+    (shuffle equi-join — the bigram vocabulary is corpus-sized, NEVER
+    broadcast), then one per-doc agg. Token identity uses native xxhash64
+    internally (outputs are counts; a cross-doc 64-bit collision needs
+    ~|bigrams|²/2⁶⁴ luck)."""
+    bg = C.shingles(C.tokens(F.lower(F.col(text_col))), 2)
+    occ = (df.select(F.col(id_col),
+                     F.explode(F.transform(bg, lambda s: F.xxhash64(s)))
+                      .alias("bh")))
+    freq = (occ.select(id_col, "bh").distinct()
+               .groupBy("bh")
+               .agg(F.count(F.lit(1)).alias("bdf"))
+               .filter(F.col("bdf") >= min_df)
+               .select("bh"))
+    flagged = (occ.join(freq.withColumn("is_coherent", F.lit(1)),
+                        "bh", "left")
+                  .select(id_col,
+                          F.coalesce("is_coherent", F.lit(0)).alias("c")))
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.sum("c").cast("long").alias("n_coherent"))
+            .withColumn("coherence_permille",
+                        C.permille(F.col("n_coherent"),
+                                   F.col("n_bigrams"))))
+
+
+def sql_bigram_coherence(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_df: int = BIGRAM_MIN_DF) -> str:
+    bg = C.sql_shingles(C.sql_tokens(f"lower({text_col})"), 2)
+    return f"""
+        WITH occ AS (
+            SELECT {id_col}, unnest({bg}) AS b FROM {table}
+        ), freq AS (
+            SELECT b FROM (SELECT DISTINCT {id_col}, b FROM occ)
+            GROUP BY b HAVING COUNT(*) >= {min_df}
+        ), flagged AS (
+            SELECT occ.{id_col},
+                   CASE WHEN freq.b IS NULL THEN 0 ELSE 1 END AS c
+            FROM occ LEFT JOIN freq USING (b)
+        )
+        SELECT {id_col},
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(c) AS BIGINT) AS n_coherent,
+               CAST(CASE WHEN COUNT(*) > 0
+                         THEN SUM(c) * 1000 // COUNT(*)
+                         ELSE 0 END AS BIGINT) AS coherence_permille
+        FROM flagged GROUP BY {id_col}
+    """

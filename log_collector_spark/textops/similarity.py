@@ -808,3 +808,60 @@ def sql_ivfadc_ann_topk(table: str = "embeddings", k: int = TOP_K,
         ) WHERE rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm audit (pre-ANN sanity gate)
+# ---------------------------------------------------------------------------
+
+def embedding_norm_audit(df: DataFrame,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Distribution of quantized squared L2 norms, binned against the
+    corpus max — the sanity gate to run BEFORE any cosine/dot ANN build:
+    a healthy normalized corpus piles into one or two adjacent bins; a
+    bimodal histogram means mixed embedding versions (or un-normalized
+    rows) and every dot-product ranking downstream is comparing apples to
+    oranges. Returns (norm_bin 0..10, n_vecs, share_permille) ordered.
+
+    Plan: norm² is the exact integer self-dot of the quantized vector (a
+    zero-shuffle narrow pass), the corpus max is a 1-row agg broadcast
+    back, and the histogram is an 11-bin hash agg — nothing here scales
+    with more than one pass over the vectors."""
+    n2 = (_quantized(df, vec_col)
+          .select(C.int_dot(F.col("q"), F.col("q")).alias("n2")))
+    mx = n2.agg(F.max("n2").cast("long").alias("mx"))
+    binned = (n2.crossJoin(F.broadcast(mx))
+                .select(F.when(F.col("mx") > 0,
+                               F.expr("n2 * 10 DIV mx"))
+                         .otherwise(0).cast("long").alias("norm_bin")))
+    hist = (binned.groupBy("norm_bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs")))
+    tot = hist.agg(F.sum("n_vecs").cast("long").alias("t"))
+    return (hist.crossJoin(F.broadcast(tot))
+                .select("norm_bin", "n_vecs",
+                        C.permille(F.col("n_vecs"), F.col("t"))
+                         .alias("share_permille"))
+                .orderBy("norm_bin"))
+
+
+def sql_embedding_norm_audit(table: str = "embeddings") -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    return f"""
+        WITH n2 AS (
+            SELECT CAST(list_dot_product(q, q) AS BIGINT) AS n2
+            FROM (SELECT {qe} AS q FROM {table})
+        ), mx AS (SELECT CAST(MAX(n2) AS BIGINT) AS mx FROM n2),
+        binned AS (
+            SELECT CAST(CASE WHEN mx.mx > 0 THEN n2.n2 * 10 // mx.mx
+                             ELSE 0 END AS BIGINT) AS norm_bin
+            FROM n2 CROSS JOIN mx
+        ), hist AS (
+            SELECT norm_bin, CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM binned GROUP BY 1
+        ), tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS t FROM hist)
+        SELECT norm_bin, n_vecs,
+               CAST(CASE WHEN t > 0 THEN n_vecs * 1000 // t
+                         ELSE 0 END AS BIGINT) AS share_permille
+        FROM hist CROSS JOIN tot
+        ORDER BY norm_bin
+    """

@@ -2023,6 +2023,37 @@ def q_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.simhash_calibration(_docs(spark, sf_dir))
 
 
+def q_tx_shape_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level dedup on the interaction SHAPE (ordered
+    role/tool sequence): scripted/replayed sessions collapse onto few
+    shapes; two hash aggs, text never moves."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.shape_dupes(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_latency_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool latency lower-median + MAD via pandas GROUPED_AGG UDAFs
+    (the §2.10 aggregate row); bounded-cardinality keys only — unbounded
+    keys use the histogram form."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.tool_latency_mad_udaf(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_conv_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation token stats via applyInArrow — the Arrow-native
+    grouped map (pyarrow.compute on columnar buffers, no pandas boxing)."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.conv_stats_arrow(pl.full_pipeline(spark, sf_dir))
+
+
+def q_zonemap_audit_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file min/max zone-map prunability for a one-day probe —
+    manifest-scale per-file agg; the file-skipping companion of
+    compaction_plan/rle_audit."""
+    from log_collector_spark.operators.order import zonemap_audit
+    return zonemap_audit(pl.load_transcripts(spark, sf_dir))
+
+
 def q_tx_prefix_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation prefix-cache hit rate (cachable vs processed token
     mass) — the serving-cost multiplier a prefix cache removes; one
@@ -2259,6 +2290,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_markov_next_tool": q_tx_markov_next_tool,
         "asof_nearest_events": q_asof_nearest_events,
         "simhash_calibration": q_simhash_calibration,
+        "tx_shape_dupes": q_tx_shape_dupes,
+        "tx_latency_mad_udaf": q_tx_latency_mad_udaf,
+        "tx_conv_stats_arrow": q_tx_conv_stats_arrow,
+        "zonemap_audit_tx": q_zonemap_audit_tx,
         "tx_prefix_cache": q_tx_prefix_cache,
         "tx_schema_drift": q_tx_schema_drift,
         "bigram_coherence_documents": q_bigram_coherence_documents,
@@ -3191,6 +3226,10 @@ def oracle_sql() -> dict[str, str]:
             key_col="conv_id", seq_col="turn_idx", type_col="tool"),
         "asof_nearest_events": _sql_asof_nearest_events(),
         "simhash_calibration": _te().sql_simhash_calibration(),
+        "tx_shape_dupes": _tx().sql_shape_dupes(tx_view),
+        "tx_latency_mad_udaf": _tx().sql_tool_latency_mad(tx_view),
+        "tx_conv_stats_arrow": _tx().sql_conv_stats_arrow(tx_view),
+        "zonemap_audit_tx": _or().sql_zonemap_audit(tx_glob),
         "tx_prefix_cache": _tx().sql_prefix_cache_rate(tx_view),
         "tx_schema_drift": _tx().sql_json_schema_drift(tx_view),
         "bigram_coherence_documents": _ta().sql_bigram_coherence(),

@@ -513,3 +513,61 @@ def sql_shard_rebalance_audit(table: str = "documents",
         )
         ORDER BY scheme
     """
+
+
+# ---------------------------------------------------------------------------
+# Zone-map (min/max file statistics) prunability audit
+# ---------------------------------------------------------------------------
+
+def zonemap_audit(df, ts_col: str = "ts"):
+    """Per-file min/max zone-map audit for a day-granular probe: which
+    input files could a manifest-level reader skip for a one-day
+    predicate? Parquet footers (and Iceberg manifests) carry these
+    min/max stats; whether they PRUNE depends entirely on how well the
+    physical file layout clusters the column — this audit measures that,
+    the companion of ``rle_audit`` (value clustering) and
+    ``compaction_plan`` (file sizing). The probe day is the corpus's
+    FIRST day, so the answer is deterministic from the data alone.
+
+    Returns (fname, min_day, max_day, rows, prunable) ordered by fname —
+    prunable = the probe day falls outside [min_day, max_day].
+
+    Plan: one map-side per-file agg (input_file_name granularity, the
+    manifest-scale frame — an Iceberg build reads these from metadata
+    and never scans) plus a 1-row global-min broadcast."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    day = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+           / F.lit(86_400_000_000)).cast("long")
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    per = (df.select(fname.alias("fname"), day.alias("day"))
+             .groupBy("fname")
+             .agg(F.min("day").cast("long").alias("min_day"),
+                  F.max("day").cast("long").alias("max_day"),
+                  F.count(F.lit(1)).cast("long").alias("rows")))
+    probe = per.agg(F.min("min_day").cast("long").alias("probe_day"))
+    return (per.crossJoin(F.broadcast(probe))
+               .select("fname", "min_day", "max_day", "rows",
+                       ((F.col("probe_day") < F.col("min_day")) |
+                        (F.col("probe_day") > F.col("max_day")))
+                       .alias("prunable"))
+               .orderBy("fname"))
+
+
+def sql_zonemap_audit(glob: str, ts_col: str = "ts") -> str:
+    return f"""
+        WITH per AS (
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+                   CAST(MIN(epoch_us({ts_col}) // 86400000000) AS BIGINT)
+                       AS min_day,
+                   CAST(MAX(epoch_us({ts_col}) // 86400000000) AS BIGINT)
+                       AS max_day,
+                   CAST(COUNT(*) AS BIGINT) AS rows
+            FROM read_parquet('{glob}', filename=true)
+            GROUP BY 1
+        ), probe AS (SELECT MIN(min_day) AS probe_day FROM per)
+        SELECT fname, min_day, max_day, rows,
+               (probe_day < min_day OR probe_day > max_day) AS prunable
+        FROM per CROSS JOIN probe
+        ORDER BY fname
+    """

@@ -25,6 +25,8 @@ family onto the transcript payload.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1347,4 +1349,203 @@ def sql_json_schema_drift(tx_view: str) -> str:
                          ELSE 0 END AS BIGINT) AS share_permille
         FROM per JOIN tot USING (logtype)
         ORDER BY logtype, key
+    """
+
+
+# ---------------------------------------------------------------------------
+# Interaction-shape duplicate conversations (conversation-level dedup)
+# ---------------------------------------------------------------------------
+
+SHAPE_MIN_CONVS = 2
+
+
+def shape_dupes(routed: DataFrame,
+                min_convs: int = SHAPE_MIN_CONVS) -> DataFrame:
+    """Conversations with IDENTICAL interaction shapes — the ordered
+    (role, tool) sequence of their clean turns — across different
+    conv_ids: scripted bots, replayed canned sessions, and template
+    traffic all collapse onto a handful of shapes, while organic
+    conversations spread. The conversation-level sibling of the
+    turn-level dedup family (text hashes differ per run; the SHAPE is
+    what a script repeats).
+
+    Returns (shape_h, len_turns, n_convs) for shapes shared by >=
+    ``min_convs`` conversations, ORDER BY (n_convs DESC, shape_h).
+
+    Plan: one conv_id hash agg collects each conversation's (turn_idx,
+    role, tool) structs (group size = conversation length, the same
+    bound every whole-conversation op here relies on), the shape string
+    is a narrow in-row sort+join, and the dedup is a second hash agg on
+    the 60-bit shape hash — conversation text never moves."""
+    from log_collector_spark.textops import common as C
+    g = (_clean(routed)
+         .select("conv_id", "turn_idx", "role", "tool")
+         .groupBy("conv_id")
+         .agg(F.sort_array(F.collect_list(F.struct(
+             "turn_idx", "role", "tool"))).alias("ts")))
+    shape = F.array_join(
+        F.transform("ts", lambda t: F.concat_ws(
+            "/", t["role"], F.coalesce(t["tool"], F.lit("-")))), "|")
+    per = g.select(C.h60(shape).alias("shape_h"),
+                   F.size("ts").cast("long").alias("len_turns"))
+    return (per.groupBy("shape_h", "len_turns")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+               .filter(F.col("n_convs") >= min_convs)
+               .orderBy(F.desc("n_convs"), "shape_h"))
+
+
+def sql_shape_dupes(tx_view: str,
+                    min_convs: int = SHAPE_MIN_CONVS) -> str:
+    from log_collector_spark.textops import common as C
+    shape = C.sql_h60("shape")
+    return f"""
+        WITH per AS (
+            SELECT conv_id,
+                   string_agg(role || '/' || coalesce(tool, '-'),
+                              '|' ORDER BY turn_idx) AS shape,
+                   CAST(COUNT(*) AS BIGINT) AS len_turns
+            FROM {tx_view}
+            WHERE {SQL_CLEAN}
+            GROUP BY conv_id
+        )
+        SELECT {shape} AS shape_h, len_turns,
+               CAST(COUNT(*) AS BIGINT) AS n_convs
+        FROM per
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_convs}
+        ORDER BY n_convs DESC, shape_h
+    """
+
+
+# ---------------------------------------------------------------------------
+# §2.10 completions: pandas GROUPED_AGG UDAF + Arrow-native grouped map
+# ---------------------------------------------------------------------------
+
+def tool_latency_mad_udaf(routed: DataFrame) -> DataFrame:
+    """Per-tool latency lower-median and MAD (median absolute deviation
+    from it) via pandas GROUPED_AGG UDAFs — the two-pass robust statistic
+    that is genuinely awkward declaratively (the histogram rank-selection
+    in tool_latency_percentiles needs one window PER pass) and one numpy
+    line per group in a UDAF. Completes the §2.10 UDF matrix's aggregate
+    row. Lower-median = value at rank ceil(n/2) — integer-exact, no
+    averaging, so the oracle can rank-select the same value.
+
+    UDAF contract at scale: each group funnels through ONE task, so this
+    form is for BOUNDED-cardinality keys (tools: dozens). Unbounded keys
+    (conv_id, user) must use the histogram/window form instead — that
+    asymmetry is the reason both exist.
+
+    Returns (tool, n_turns, median_ms, mad_ms), ORDER BY tool."""
+    from pyspark.sql.functions import pandas_udf
+
+    # GROUPED_AGG UDAFs cannot mix with built-in aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a UDAF too
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    @pandas_udf("long")
+    def lo_median(v: pd.Series) -> int:
+        import numpy as np
+        a = np.sort(v.to_numpy(dtype="int64"))
+        return int(a[(len(a) + 1) // 2 - 1])
+
+    @pandas_udf("long")
+    def lo_mad(v: pd.Series) -> int:
+        import numpy as np
+        a = np.sort(v.to_numpy(dtype="int64"))
+        med = a[(len(a) + 1) // 2 - 1]
+        d = np.sort(np.abs(a - med))
+        return int(d[(len(d) + 1) // 2 - 1])
+
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    base = (_clean(routed).select("tool", lat.alias("lat"))
+            .filter(F.col("lat").isNotNull() & F.col("tool").isNotNull()))
+    return (base.groupBy("tool")
+            .agg(n_rows("lat").alias("n_turns"),
+                 lo_median("lat").alias("median_ms"),
+                 lo_mad("lat").alias("mad_ms"))
+            .orderBy("tool"))
+
+
+def sql_tool_latency_mad(tx_view: str) -> str:
+    lat = ("TRY_CAST(regexp_extract(text, '\"latency_ms\":(\\d+)', 1) "
+           "AS BIGINT)")
+    return f"""
+        WITH base AS (
+            SELECT tool, {lat} AS lat FROM {tx_view}
+            WHERE {SQL_CLEAN} AND {lat} IS NOT NULL AND tool IS NOT NULL
+        ), med AS (
+            SELECT tool, CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lat END)
+                              AS BIGINT) AS median_ms,
+                   CAST(MAX(n) AS BIGINT) AS n_turns
+            FROM (
+                SELECT tool, lat,
+                       ROW_NUMBER() OVER (PARTITION BY tool
+                                          ORDER BY lat) AS rn,
+                       COUNT(*) OVER (PARTITION BY tool) AS n
+                FROM base
+            ) GROUP BY tool
+        ), dev AS (
+            SELECT b.tool, ABS(b.lat - m.median_ms) AS d
+            FROM base b JOIN med m USING (tool)
+        )
+        SELECT m.tool, m.n_turns, m.median_ms,
+               CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN d END)
+                    AS BIGINT) AS mad_ms
+        FROM (
+            SELECT tool, d,
+                   ROW_NUMBER() OVER (PARTITION BY tool ORDER BY d) AS rn,
+                   COUNT(*) OVER (PARTITION BY tool) AS n
+            FROM dev
+        ) JOIN med m USING (tool)
+        GROUP BY m.tool, m.n_turns, m.median_ms
+        ORDER BY m.tool
+    """
+
+
+def conv_stats_arrow(routed: DataFrame) -> DataFrame:
+    """Per-conversation token stats via ``applyInArrow`` — the
+    Arrow-NATIVE grouped map (no pandas materialization at all: the
+    worker hands the group over as a ``pyarrow.Table`` and pyarrow.compute
+    aggregates columnar buffers in place). Same shuffle contract as
+    applyInPandas (one conv_id exchange, group fits one task), minus the
+    pandas object-boxing overhead — the right grouped-map flavor when the
+    kernel is pure columnar arithmetic. Completes §2.10's Arrow row.
+
+    Returns (conv_id, n_turns, tok_sum, tok_max), ORDER BY conv_id."""
+    tok = F.get_json_object("payload", "$.tokens").cast("long")
+    base = (_clean(routed)
+            .select("conv_id", tok.alias("tok"))
+            .filter(F.col("tok").isNotNull()))
+
+    def stats(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        t = table.column("tok")
+        return pa.table({
+            "conv_id": [table.column("conv_id")[0].as_py()],
+            "n_turns": pa.array([len(t)], pa.int64()),
+            "tok_sum": pa.array([pc.sum(t).as_py()], pa.int64()),
+            "tok_max": pa.array([pc.max(t).as_py()], pa.int64()),
+        })
+
+    out = base.groupBy("conv_id").applyInArrow(
+        stats, schema="conv_id string, n_turns long, "
+                      "tok_sum long, tok_max long")
+    return out.orderBy("conv_id")
+
+
+def sql_conv_stats_arrow(tx_view: str) -> str:
+    tok = ("TRY_CAST(regexp_extract(text, '\"tokens\":(\\d+)', 1) "
+           "AS BIGINT)")
+    return f"""
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM({tok}) AS BIGINT) AS tok_sum,
+               CAST(MAX({tok}) AS BIGINT) AS tok_max
+        FROM {tx_view}
+        WHERE {SQL_CLEAN} AND {tok} IS NOT NULL
+        GROUP BY conv_id
+        ORDER BY conv_id
     """

@@ -540,13 +540,20 @@ def zonemap_audit(df, ts_col: str = "ts"):
     day = (F.unix_micros(F.col(ts_col).cast("timestamp"))
            / F.lit(86_400_000_000)).cast("long")
     fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    from pyspark.sql.window import Window
+
     per = (df.select(fname.alias("fname"), day.alias("day"))
              .groupBy("fname")
              .agg(F.min("day").cast("long").alias("min_day"),
                   F.max("day").cast("long").alias("max_day"),
                   F.count(F.lit(1)).cast("long").alias("rows")))
-    probe = per.agg(F.min("min_day").cast("long").alias("probe_day"))
-    return (per.crossJoin(F.broadcast(probe))
+    # global min as an unpartitioned window over the |files|-row manifest
+    # frame (bounded, single partition is fine) — a separate agg+crossJoin
+    # references `per` twice and Catalyst re-runs the whole DATA scan for
+    # the 1-row probe (plan-audit-tested: exactly one fname exchange)
+    probe = F.min("min_day").over(Window.orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    return (per.withColumn("probe_day", probe.cast("long"))
                .select("fname", "min_day", "max_day", "rows",
                        ((F.col("probe_day") < F.col("min_day")) |
                         (F.col("probe_day") > F.col("max_day")))

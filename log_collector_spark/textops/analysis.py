@@ -2603,7 +2603,8 @@ def quality_calibration(df: DataFrame, group_col: str = "source",
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
     src_tot = per.groupBy(group_col).agg(
         F.sum("n_docs").cast("long").alias("src_n"))
-    return (per.join(src_tot, group_col)
+    # |sources| rows — broadcast, or the report pays a SortMergeJoin
+    return (per.join(F.broadcast(src_tot), group_col)
                .select(group_col, "global_decile", "n_docs",
                        C.permille(F.col("n_docs"), F.col("src_n"))
                         .alias("share_permille"))

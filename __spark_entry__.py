@@ -2023,6 +2023,35 @@ def q_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.simhash_calibration(_docs(spark, sf_dir))
 
 
+def q_tx_cube_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(role_class, tool_category) turn/token rollup — all four
+    grouping combos in one partial-agg pass, grouping_id-disambiguated."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.cube_tool_usage(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_latency_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency by conversation-depth decile — the context-length cost
+    curve; one conv window + a 10-row agg."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.latency_by_depth(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_cold_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool first-call vs later-call latency ratio (cold-start cost);
+    one (conv, tool) window + bounded agg."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.cold_start_ratio(pl.full_pipeline(spark, sf_dir))
+
+
+def q_len_quality_grid_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Joint global length-decile × quality-decile histogram — the
+    cut-line interaction grid; bounded value histograms broadcast back."""
+    from log_collector_spark.textops import analysis as A
+    return A.len_quality_grid(_docs(spark, sf_dir))
+
+
 def q_tx_shape_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level dedup on the interaction SHAPE (ordered
     role/tool sequence): scripted/replayed sessions collapse onto few
@@ -2290,6 +2319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_markov_next_tool": q_tx_markov_next_tool,
         "asof_nearest_events": q_asof_nearest_events,
         "simhash_calibration": q_simhash_calibration,
+        "tx_cube_tool_usage": q_tx_cube_tool_usage,
+        "tx_latency_by_depth": q_tx_latency_by_depth,
+        "tx_cold_start": q_tx_cold_start,
+        "len_quality_grid_documents": q_len_quality_grid_documents,
         "tx_shape_dupes": q_tx_shape_dupes,
         "tx_latency_mad_udaf": q_tx_latency_mad_udaf,
         "tx_conv_stats_arrow": q_tx_conv_stats_arrow,
@@ -3226,6 +3259,10 @@ def oracle_sql() -> dict[str, str]:
             key_col="conv_id", seq_col="turn_idx", type_col="tool"),
         "asof_nearest_events": _sql_asof_nearest_events(),
         "simhash_calibration": _te().sql_simhash_calibration(),
+        "tx_cube_tool_usage": _tx().sql_cube_tool_usage(tx_view),
+        "tx_latency_by_depth": _tx().sql_latency_by_depth(tx_view),
+        "tx_cold_start": _tx().sql_cold_start_ratio(tx_view),
+        "len_quality_grid_documents": _ta().sql_len_quality_grid(),
         "tx_shape_dupes": _tx().sql_shape_dupes(tx_view),
         "tx_latency_mad_udaf": _tx().sql_tool_latency_mad(tx_view),
         "tx_conv_stats_arrow": _tx().sql_conv_stats_arrow(tx_view),

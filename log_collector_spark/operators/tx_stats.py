@@ -1549,3 +1549,182 @@ def sql_conv_stats_arrow(tx_view: str) -> str:
         GROUP BY conv_id
         ORDER BY conv_id
     """
+
+
+# ---------------------------------------------------------------------------
+# CUBE rollup, latency-by-depth, cold-start ratio (serving analytics)
+# ---------------------------------------------------------------------------
+
+def cube_tool_usage(routed: DataFrame) -> DataFrame:
+    """Turn counts and token mass under CUBE(role_class, tool_category) —
+    all four grouping combinations in ONE pass (per-pair, per-role-class,
+    per-tool-category, grand total), the standard OLAP reporting shape on
+    the enriched frame. NULL dimension values from the left-outer lookup
+    are real group keys; the CUBE's own subtotal rows are distinguished
+    by grouping_id, so nothing is ambiguous.
+
+    Returns (gid, role_class, tool_category, n_turns, tok_sum) ordered.
+
+    Plan: Spark expands the cube into a 4-way partial aggregate BEFORE
+    the exchange (one shuffle of 4x the group cardinality — dozens of
+    rows — not 4 passes over the data)."""
+    tok = F.get_json_object("payload", "$.tokens").cast("long")
+    base = (_clean(routed)
+            .select("role_class", "tool_category", tok.alias("tok"))
+            .filter(F.col("tok").isNotNull()))
+    return (base.cube("role_class", "tool_category")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.sum("tok").cast("long").alias("tok_sum"))
+            .select("gid", "role_class", "tool_category",
+                    "n_turns", "tok_sum")
+            .orderBy("gid", "role_class", "tool_category"))
+
+
+def sql_cube_tool_usage(tx_view: str) -> str:
+    tok = ("TRY_CAST(regexp_extract(text, '\"tokens\":(\\d+)', 1) "
+           "AS BIGINT)")
+    return f"""
+        SELECT CAST(GROUPING(rl.role_class) * 2
+                    + GROUPING(tl.tool_category) AS BIGINT) AS gid,
+               rl.role_class, tl.tool_category,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM({tok}) AS BIGINT) AS tok_sum
+        FROM {tx_view} t
+        LEFT JOIN {_SQL_ROLE_LUT} ON rl.role = t.role
+        LEFT JOIN {_SQL_TOOL_LUT} ON tl.tool = t.tool
+        WHERE {SQL_CLEAN} AND {tok} IS NOT NULL
+        GROUP BY CUBE (rl.role_class, tl.tool_category)
+        ORDER BY gid, rl.role_class, tl.tool_category
+    """
+
+
+def latency_by_depth(routed: DataFrame) -> DataFrame:
+    """Does serving latency drift as conversations DEEPEN? Turns are
+    bucketed by their relative depth (turn position permille of the
+    conversation length, in deciles) and each bucket reports turn count,
+    latency sum, and mean — at scale the context grows with depth, so a
+    rising curve here is the context-length cost made visible, and a flat
+    one says the serving layer amortizes it (prefix cache working).
+
+    Returns (depth_decile, n_turns, lat_sum, lat_mean_ms) ordered.
+
+    Plan: one conv_id window (row_number + count share the exchange),
+    then a <=10-row hash agg; integer DIV arithmetic only."""
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    base = (_clean(routed)
+            .select("conv_id", "turn_idx", lat.alias("lat"))
+            .filter(F.col("lat").isNotNull()))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wall = Window.partitionBy("conv_id")
+    g = (base.withColumn("rn", F.row_number().over(w))
+             .withColumn("n", F.count(F.lit(1)).over(wall)))
+    dec = F.least(F.expr("((rn - 1) * 10) DIV n"),
+                  F.lit(9).cast("long")).cast("long")
+    return (g.select(dec.alias("depth_decile"), "lat")
+             .groupBy("depth_decile")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                  F.sum("lat").cast("long").alias("lat_sum"))
+             .withColumn("lat_mean_ms",
+                         F.expr("lat_sum DIV n_turns").cast("long"))
+             .orderBy("depth_decile"))
+
+
+def sql_latency_by_depth(tx_view: str) -> str:
+    lat = ("TRY_CAST(regexp_extract(text, '\"latency_ms\":(\\d+)', 1) "
+           "AS BIGINT)")
+    return f"""
+        WITH base AS (
+            SELECT conv_id, turn_idx, {lat} AS lat
+            FROM {tx_view}
+            WHERE {SQL_CLEAN} AND {lat} IS NOT NULL
+        ), g AS (
+            SELECT lat,
+                   CAST(LEAST(((ROW_NUMBER() OVER (
+                            PARTITION BY conv_id ORDER BY turn_idx) - 1)
+                           * 10) // (COUNT(*) OVER (PARTITION BY conv_id)),
+                          9) AS BIGINT) AS depth_decile
+            FROM base
+        ), agg AS (
+            SELECT depth_decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(lat) AS BIGINT) AS lat_sum
+            FROM g GROUP BY 1
+        )
+        SELECT depth_decile, n_turns, lat_sum,
+               CAST(lat_sum // n_turns AS BIGINT) AS lat_mean_ms
+        FROM agg ORDER BY depth_decile
+    """
+
+
+def cold_start_ratio(routed: DataFrame) -> DataFrame:
+    """Per-tool cold-start cost: mean latency of each tool's FIRST call in
+    a conversation vs all its later calls in that conversation — warm
+    caches/connections show first_mean > rest_mean (ratio permille >
+    1000). Tools with no repeat calls anywhere report rest_n = 0 and a 0
+    ratio rather than dividing by zero.
+
+    Returns (tool, first_n, first_sum, rest_n, rest_sum,
+    cold_ratio_permille) ORDER BY tool; the ratio is
+    (first_sum*rest_n*1000) DIV (first_n*rest_sum) — cross-multiplied so
+    the arithmetic stays integer.
+
+    Plan: one (conv_id, tool) window marks first calls under the shared
+    conv exchange, then a per-tool hash agg (bounded output)."""
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    base = (_clean(routed)
+            .filter(F.col("tool").isNotNull() & (F.col("tool") != "none"))
+            .select("conv_id", "turn_idx", "tool", lat.alias("lat"))
+            .filter(F.col("lat").isNotNull()))
+    w = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    g = base.withColumn("is_first", F.row_number().over(w) == 1)
+    agg = (g.groupBy("tool")
+           .agg(F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+                 .cast("long").alias("first_n"),
+                F.sum(F.when(F.col("is_first"), F.col("lat")).otherwise(0))
+                 .cast("long").alias("first_sum"),
+                F.sum(F.when(~F.col("is_first"), 1).otherwise(0))
+                 .cast("long").alias("rest_n"),
+                F.sum(F.when(~F.col("is_first"), F.col("lat")).otherwise(0))
+                 .cast("long").alias("rest_sum")))
+    ratio = F.when(
+        (F.col("first_n") > 0) & (F.col("rest_sum") > 0),
+        F.expr("first_sum * rest_n * 1000 DIV (first_n * rest_sum)")
+    ).otherwise(0).cast("long")
+    return (agg.withColumn("cold_ratio_permille", ratio)
+               .orderBy("tool"))
+
+
+def sql_cold_start_ratio(tx_view: str) -> str:
+    lat = ("TRY_CAST(regexp_extract(text, '\"latency_ms\":(\\d+)', 1) "
+           "AS BIGINT)")
+    return f"""
+        WITH base AS (
+            SELECT conv_id, turn_idx, tool, {lat} AS lat
+            FROM {tx_view}
+            WHERE {SQL_CLEAN} AND tool IS NOT NULL AND tool <> 'none'
+              AND {lat} IS NOT NULL
+        ), g AS (
+            SELECT tool, lat,
+                   (ROW_NUMBER() OVER (PARTITION BY conv_id, tool
+                                       ORDER BY turn_idx) = 1) AS is_first
+            FROM base
+        ), agg AS (
+            SELECT tool,
+                   CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END)
+                        AS BIGINT) AS first_n,
+                   CAST(SUM(CASE WHEN is_first THEN lat ELSE 0 END)
+                        AS BIGINT) AS first_sum,
+                   CAST(SUM(CASE WHEN is_first THEN 0 ELSE 1 END)
+                        AS BIGINT) AS rest_n,
+                   CAST(SUM(CASE WHEN is_first THEN 0 ELSE lat END)
+                        AS BIGINT) AS rest_sum
+            FROM g GROUP BY tool
+        )
+        SELECT tool, first_n, first_sum, rest_n, rest_sum,
+               CAST(CASE WHEN first_n > 0 AND rest_sum > 0
+                         THEN first_sum * rest_n * 1000
+                              // (first_n * rest_sum)
+                         ELSE 0 END AS BIGINT) AS cold_ratio_permille
+        FROM agg ORDER BY tool
+    """

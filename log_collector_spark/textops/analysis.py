@@ -2716,3 +2716,89 @@ def sql_bigram_coherence(table: str = "documents", id_col: str = "doc_id",
                          ELSE 0 END AS BIGINT) AS coherence_permille
         FROM flagged GROUP BY {id_col}
     """
+
+
+def len_quality_grid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """2-D curation dashboard: joint histogram of GLOBAL length deciles ×
+    GLOBAL quality deciles (both value-defined, same rule as
+    :func:`quality_calibration`) — the grid every cleaning pipeline eyeballs
+    before choosing cut lines, because the two filters interact (dropping
+    short docs already removes most junk-quality mass iff the low-len ×
+    low-q cell is heavy; independent cutoffs double-count).
+
+    Returns (len_decile, q_decile, n_docs, share_permille) ordered; at
+    most 100 rows.
+
+    Plan: both decile maps come from bounded VALUE histograms (distinct
+    token-counts / permilles — metadata-scale single-partition windows),
+    broadcast back onto one narrow doc pass; one 100-row hash agg."""
+    from pyspark.sql import Window
+
+    toks = C.tokens(F.lower(F.col(text_col)))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    base = df.select(F.size(toks).cast("long").alias("ln"),
+                     C.permille(alpha, F.size(toks)).alias("q"))
+
+    def dec_map(col: str) -> DataFrame:
+        hist = base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("n"))
+        w = (Window.orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        tot = hist.agg(F.sum("n").cast("long").alias("t"))
+        return (hist.withColumn("cum_le", F.sum("n").over(w))
+                    .crossJoin(F.broadcast(tot))
+                    .select(col, F.expr("(cum_le - n) * 10 DIV t")
+                                  .cast("long").alias(f"{col}_decile")))
+
+    per = (base.join(F.broadcast(dec_map("ln")), "ln")
+               .join(F.broadcast(dec_map("q")), "q")
+               .groupBy(F.col("ln_decile").alias("len_decile"),
+                        F.col("q_decile"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    tot = per.agg(F.sum("n_docs").cast("long").alias("t"))
+    return (per.crossJoin(F.broadcast(tot))
+               .select("len_decile", "q_decile", "n_docs",
+                       C.permille(F.col("n_docs"), F.col("t"))
+                        .alias("share_permille"))
+               .orderBy("len_decile", "q_decile"))
+
+
+def sql_len_quality_grid(table: str = "documents",
+                         text_col: str = "text") -> str:
+    toks = C.sql_tokens(f"lower({text_col})")
+    alpha = (f"len(list_filter({toks}, "
+             f"t -> regexp_matches(t, '^[a-z]+$')))")
+    quality = C.sql_permille(alpha, f"len({toks})")
+    return f"""
+        WITH base AS (
+            SELECT CAST(len({toks}) AS BIGINT) AS ln, {quality} AS q
+            FROM {table}
+        ), lh AS (
+            SELECT ln, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY ln
+        ), lmap AS (
+            SELECT ln, CAST((SUM(n) OVER (ORDER BY ln
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n) * 10 //
+                            (SELECT SUM(n) FROM lh) AS BIGINT) AS len_decile
+            FROM lh
+        ), qh AS (
+            SELECT q, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY q
+        ), qmap AS (
+            SELECT q, CAST((SUM(n) OVER (ORDER BY q
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n) * 10 //
+                           (SELECT SUM(n) FROM qh) AS BIGINT) AS q_decile
+            FROM qh
+        ), per AS (
+            SELECT lmap.len_decile, qmap.q_decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM base JOIN lmap USING (ln) JOIN qmap USING (q)
+            GROUP BY 1, 2
+        )
+        SELECT len_decile, q_decile, n_docs,
+               CAST(CASE WHEN (SELECT SUM(n_docs) FROM per) > 0
+                         THEN n_docs * 1000 // (SELECT SUM(n_docs) FROM per)
+                         ELSE 0 END AS BIGINT) AS share_permille
+        FROM per
+        ORDER BY len_decile, q_decile
+    """

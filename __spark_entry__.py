@@ -2023,6 +2023,28 @@ def q_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.simhash_calibration(_docs(spark, sf_dir))
 
 
+def q_lsh_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs LSH multiprobe budget (0/2/4/8 plane flips) against one
+    shared brute-force truth scan — the LSH twin of ivf_nprobe_curve."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.lsh_probe_curve(_embs(spark, sf_dir))
+
+
+def q_delete_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE planning: per-file rows touched / write
+    amplification for a deterministic ~5% key deletion list."""
+    from log_collector_spark.operators.order import delete_impact_audit
+    return delete_impact_audit(pl.load_transcripts(spark, sf_dir))
+
+
+def q_boilerplate_source_matrix(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cross-source boilerplate-LINE matrix: distinct shared k-word
+    segments (the line-dedup unit) per source pair."""
+    from log_collector_spark.textops import dedup as D
+    return D.boilerplate_source_matrix(_docs(spark, sf_dir))
+
+
 def q_tx_cube_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(role_class, tool_category) turn/token rollup — all four
     grouping combos in one partial-agg pass, grouping_id-disambiguated."""
@@ -2319,6 +2341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_markov_next_tool": q_tx_markov_next_tool,
         "asof_nearest_events": q_asof_nearest_events,
         "simhash_calibration": q_simhash_calibration,
+        "lsh_probe_curve": q_lsh_probe_curve,
+        "delete_impact_audit": q_delete_impact_audit,
+        "boilerplate_source_matrix": q_boilerplate_source_matrix,
         "tx_cube_tool_usage": q_tx_cube_tool_usage,
         "tx_latency_by_depth": q_tx_latency_by_depth,
         "tx_cold_start": q_tx_cold_start,
@@ -3259,6 +3284,9 @@ def oracle_sql() -> dict[str, str]:
             key_col="conv_id", seq_col="turn_idx", type_col="tool"),
         "asof_nearest_events": _sql_asof_nearest_events(),
         "simhash_calibration": _te().sql_simhash_calibration(),
+        "lsh_probe_curve": _te().sql_lsh_probe_curve(),
+        "delete_impact_audit": _or().sql_delete_impact_audit(tx_glob),
+        "boilerplate_source_matrix": _td().sql_boilerplate_source_matrix(),
         "tx_cube_tool_usage": _tx().sql_cube_tool_usage(tx_view),
         "tx_latency_by_depth": _tx().sql_latency_by_depth(tx_view),
         "tx_cold_start": _tx().sql_cold_start_ratio(tx_view),

@@ -578,3 +578,66 @@ def sql_zonemap_audit(glob: str, ts_col: str = "ts") -> str:
         FROM per CROSS JOIN probe
         ORDER BY fname
     """
+
+
+# ---------------------------------------------------------------------------
+# Deletion-impact audit (GDPR / right-to-be-forgotten DML planning)
+# ---------------------------------------------------------------------------
+
+DELETE_MOD = 20  # deterministic stand-in for the deletion list: h60 % 20 == 0
+
+
+def delete_impact_audit(df, key_col: str = "conv_id",
+                        mod: int = DELETE_MOD):
+    """How expensive is deleting a key set from an immutable-file store?
+    Copy-on-write DELETE rewrites every file containing >= 1 matching row,
+    so the real cost is not |deleted rows| but |rows in touched files| —
+    the write amplification this audit quantifies per file BEFORE running
+    the DML (the Iceberg/Delta planning step; a merge-on-read engine reads
+    the same numbers to size its deletion vectors). The deletion list is
+    the deterministic stand-in ``h60(key) % mod == 0`` (~5% of keys).
+
+    Returns (fname, rows, del_rows, touched, amp_permille) ordered by
+    fname — amp_permille = rows*1000 // del_rows for touched files (how
+    many rows each deleted row drags into the rewrite), 0 otherwise.
+
+    Plan: one map-side per-file agg (manifest-scale output); with the key
+    column clustered into files this report shows few touched files and
+    low amplification — scattered keys touch everything, which is the
+    argument for key-ordered layout the other order.py audits make."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    per = (df.select(fname.alias("fname"), (h % mod == 0).alias("hit"))
+             .groupBy("fname")
+             .agg(F.count(F.lit(1)).cast("long").alias("rows"),
+                  F.sum(F.col("hit").cast("long")).cast("long")
+                   .alias("del_rows")))
+    amp = F.when(F.col("del_rows") > 0,
+                 F.expr("rows * 1000 DIV del_rows")).otherwise(0)
+    return (per.select("fname", "rows", "del_rows",
+                       (F.col("del_rows") > 0).alias("touched"),
+                       amp.cast("long").alias("amp_permille"))
+               .orderBy("fname"))
+
+
+def sql_delete_impact_audit(glob: str, key_col: str = "conv_id",
+                            mod: int = DELETE_MOD) -> str:
+    h = (f"CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15)) "
+         f"AS BIGINT)")
+    return f"""
+        WITH per AS (
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+                   CAST(COUNT(*) AS BIGINT) AS rows,
+                   CAST(SUM(CASE WHEN {h} % {mod} = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS del_rows
+            FROM read_parquet('{glob}', filename=true)
+            GROUP BY 1
+        )
+        SELECT fname, rows, del_rows, del_rows > 0 AS touched,
+               CAST(CASE WHEN del_rows > 0 THEN rows * 1000 // del_rows
+                         ELSE 0 END AS BIGINT) AS amp_permille
+        FROM per ORDER BY fname
+    """

@@ -2156,3 +2156,52 @@ def sql_winnowing_pairs(table: str = "documents", id_col: str = "doc_id",
         GROUP BY 1, 2
         HAVING COUNT(*) >= {min_shared}
     """
+
+
+def boilerplate_source_matrix(df: DataFrame, group_col: str = "source",
+                              text_col: str = "text",
+                              k: int = BOILER_K) -> DataFrame:
+    """Cross-source BOILERPLATE matrix: for every source pair (a < b), how
+    many distinct ``k``-word segments (the line-dedup/boilerplate "line"
+    unit) they share. Where :func:`analysis.source_overlap` measures
+    overlapping-shingle contamination, this counts whole shared LINES —
+    the unit :func:`line_dedup` deletes — so the heaviest cell names the
+    source pair whose mirrored boilerplate the line-dedup pass will
+    collapse first (the cleaning-budget ordering question).
+
+    Returns (src_a, src_b, shared) ordered.
+
+    Plan: one distinct (source, h60(segment)) hash agg — text never
+    moves, only 8-byte hashes — then a hash-keyed self-join whose fan-out
+    per segment is bounded by (#sources choose 2), independent of corpus
+    size."""
+    segs = C.segments(C.tokens(F.col(text_col)), k)
+    d = (df.select(F.col(group_col).alias("g"),
+                   F.explode(segs).alias("s"))
+           .select("g", C.h60(F.col("s")).alias("h"))
+           .distinct())
+    a, b = d.alias("a"), d.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h")) &
+                   (F.col("a.g") < F.col("b.g")))
+             .groupBy(F.col("a.g").alias("src_a"),
+                      F.col("b.g").alias("src_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+             .orderBy("src_a", "src_b"))
+
+
+def sql_boilerplate_source_matrix(table: str = "documents",
+                                  group_col: str = "source",
+                                  text_col: str = "text",
+                                  k: int = BOILER_K) -> str:
+    seg = C.sql_segments(C.sql_tokens(text_col), k)
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT g, {C.sql_h60('s')} AS h
+            FROM (SELECT {group_col} AS g, unnest({seg}) AS s FROM {table})
+        )
+        SELECT a.g AS src_a, b.g AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM d a JOIN d b ON a.h = b.h AND a.g < b.g
+        GROUP BY 1, 2
+        ORDER BY src_a, src_b
+    """

@@ -1069,3 +1069,75 @@ def sql_ivf_nprobe_curve(table: str = "embeddings",
         FROM ({union}) u CROSS JOIN nt
         ORDER BY u.nprobe
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH multiprobe budget curve (the sibling of ivf_nprobe_curve)
+# ---------------------------------------------------------------------------
+
+LSH_FLIP_LEVELS = (0, 2, 4, 8)
+
+
+def lsh_probe_curve(df: DataFrame, vec_col: str = "embedding",
+                    levels: tuple = LSH_FLIP_LEVELS) -> DataFrame:
+    """Recall@k of sign-LSH multiprobe at increasing probe budgets (0, 2,
+    4, 8 plane flips → 1, 3, 5, 9 probed buckets per query) against the
+    exact brute-force top-k — the LSH twin of :func:`ivf_nprobe_curve`,
+    and together they answer THE deployment question: which index family
+    buys more recall per probe on this corpus (rrf_fusion_topk consumes
+    both; this curve says when fusion is worth it).
+
+    Returns (n_flips, n_hits, n_truth, recall_permille) ORDER BY n_flips.
+    Micro-averaged integer recall; monotone in the budget by construction
+    (probe sets are nested), so a non-monotone row is a regression alarm.
+
+    Plan: ONE brute-force exact scan shared across levels (the expensive
+    side); each level is the bucketed candidate join at its budget —
+    |queries|·k-row frames everywhere else."""
+    from log_collector_spark.textops import similarity as S
+
+    truth = S.brute_force_topk(df, vec_col).select(
+        "query_id", F.col("cand_id").alias("truth_id"))
+    n_truth = truth.count()
+    rows = []
+    for fl in levels:
+        lsh = S.lsh_ann_topk(df, vec_col, flips=fl).select(
+            "query_id", F.col("cand_id").alias("lsh_id"))
+        hits = (truth.join(
+            lsh, (truth["query_id"] == lsh["query_id"]) &
+            (truth["truth_id"] == lsh["lsh_id"]))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(F.lit(fl).cast("long").alias("n_flips"), "n_hits"))
+        rows.append(hits)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return (out.select(
+                "n_flips", "n_hits",
+                F.lit(n_truth).cast("long").alias("n_truth"))
+            .withColumn("recall_permille",
+                        C.permille(F.col("n_hits"), F.col("n_truth")))
+            .orderBy("n_flips"))
+
+
+def sql_lsh_probe_curve(table: str = "embeddings",
+                        levels: tuple = LSH_FLIP_LEVELS) -> str:
+    from log_collector_spark.textops import similarity as S
+
+    lvls = ", ".join(
+        f"""flvl{fl} AS (
+            SELECT CAST({fl} AS BIGINT) AS n_flips,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM brute b JOIN ({S.sql_lsh_ann_topk(table, flips=fl)}) l
+              ON l.query_id = b.query_id AND l.cand_id = b.cand_id
+        )""" for fl in levels)
+    union = " UNION ALL ".join(f"SELECT * FROM flvl{fl}" for fl in levels)
+    return f"""
+        WITH brute AS ({S.sql_brute_force_topk(table)}),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM brute),
+        {lvls}
+        SELECT u.n_flips, u.n_hits, nt.n_truth,
+               {C.sql_permille("u.n_hits", "nt.n_truth")} AS recall_permille
+        FROM ({union}) u CROSS JOIN nt
+        ORDER BY u.n_flips
+    """

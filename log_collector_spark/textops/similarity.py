@@ -91,14 +91,18 @@ def sql_brute_force_topk(table: str = "embeddings", k: int = TOP_K,
 
 
 def lsh_ann_topk(df: DataFrame, vec_col: str = "embedding",
-                 k: int = TOP_K, query_mod: int = QUERY_MOD) -> DataFrame:
+                 k: int = TOP_K, query_mod: int = QUERY_MOD,
+                 flips: int | None = None) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket and its Hamming-1 neighbor buckets (multiprobe), then exact
-    integer dot re-rank. Deterministic → construct-equal oracle."""
+    integer dot re-rank. Deterministic → construct-equal oracle.
+    ``flips`` limits multiprobe to the first N plane flips (None = all —
+    the probe-budget dial evalops.lsh_probe_curve sweeps)."""
+    n_flips = len(EMB_PLANES) if flips is None else flips
     q = _quantized(df, vec_col).withColumn("bucket",
                                            _emb_bucket(F.col("q")))
     probes = F.array(*([F.col("bucket")] + [
-        F.col("bucket").bitwiseXOR(1 << j) for j in range(len(EMB_PLANES))]))
+        F.col("bucket").bitwiseXOR(1 << j) for j in range(n_flips)]))
     queries = (q.filter(F.col("vec_id") % query_mod == 0)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("q").alias("qv"),
@@ -210,7 +214,9 @@ def sql_ivf_ann_topk(table: str = "embeddings", k: int = TOP_K,
 
 
 def sql_lsh_ann_topk(table: str = "embeddings", k: int = TOP_K,
-                     query_mod: int = QUERY_MOD) -> str:
+                     query_mod: int = QUERY_MOD,
+                     flips: int | None = None) -> str:
+    n_flips = len(EMB_PLANES) if flips is None else flips
     qe = C.sql_quantized_embedding("embedding")
     bucket_terms = " + ".join(
         "CASE WHEN CAST(list_dot_product(q, {plane}::BIGINT[]) AS BIGINT) > 0 "
@@ -219,7 +225,7 @@ def sql_lsh_ann_topk(table: str = "embeddings", k: int = TOP_K,
         for j, plane in enumerate(EMB_PLANES))
     probe_list = "[bucket" + "".join(
         f", xor(bucket, CAST({1 << j} AS BIGINT))"
-        for j in range(len(EMB_PLANES))) + "]"
+        for j in range(n_flips)) + "]"
     return f"""
         WITH q AS (
             SELECT vec_id, {qe} AS q FROM {table}

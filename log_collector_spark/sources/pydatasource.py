@@ -36,7 +36,9 @@ import json
 import os
 import re
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamWriter, DataSourceWriter,
+                                    InputPartition, WriterCommitMessage)
 from pyspark.sql.types import (LongType, StringType, StructField, StructType)
 
 SCHEMA = StructType([
@@ -109,3 +111,156 @@ class LogDirectorySource(DataSource):
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(LogDirectorySource)
+
+
+# ---------------------------------------------------------------------------
+# `spoolsink` — the WRITE side of the connector story: a Spark 4 Python
+# DataSource sink with the reference's write-then-commit file protocol
+# ---------------------------------------------------------------------------
+#
+# The reference's file-ish sinks write to a temp name and only expose the
+# final name after a durable write (the same effectively-once discipline
+# plans/checkpoint.py implements over spark-native writers). This sink is
+# that protocol as a FIRST-CLASS connector:
+#
+#   df.write.format("spoolsink").option("path", dir)
+#     .option("column", "line").mode("append").save()
+#
+# - each task spools its partition to `_tmp_part-<pid>` (executor-side),
+# - task success returns a WriterCommitMessage (tmp name + row count),
+# - the DRIVER commit renames every tmp to `part-<pid>.log` and writes a
+#   `_SUCCESS.json` manifest with per-file row counts — readers treat the
+#   directory as committed iff the manifest exists,
+# - abort deletes the tmps; a re-run overwrites them idempotently.
+#
+# On a cluster `path` must be shared storage (same contract as every file
+# sink); rename-as-commit assumes a rename-atomic filesystem — for object
+# stores swap the rename for a manifest-only commit (the manifest already
+# carries the file list, so readers need no change).
+#
+# The streaming flavor (`writeStream.format("spoolsink")`) suffixes files
+# with the batch id (`part-<batch>-<pid>.log`) and commits per micro-batch
+# — replaying a batch rewrites the same names (idempotent, the streaming
+# twin of the batch protocol).
+
+SPOOL_MANIFEST = "_SUCCESS.json"
+
+
+class _SpoolCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, pid: int, rows: int):
+        self.tmp = tmp
+        self.pid = pid
+        self.rows = rows
+
+
+class SpoolSinkWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool, batch_id: int | None = None):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("spoolsink requires a 'path' option")
+        self.column = options.get("column", "line")
+        self.overwrite = overwrite
+        self.batch_id = batch_id
+
+    # -- executor side ------------------------------------------------
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # attempt-unique tmp: two speculative attempts of one partition
+        # never clobber each other; only the attempt whose message reaches
+        # commit() gets renamed into place
+        tmp = os.path.join(
+            self.path, f"_tmp_part-{pid:05d}-{ctx.taskAttemptId()}")
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(tmp, "wb") as f:
+            for row in iterator:
+                v = row[self.column]
+                f.write((v if v is not None else "").encode("utf-8"))
+                f.write(b"\n")
+                n += 1
+            f.flush()
+            os.fsync(f.fileno())
+        return _SpoolCommit(tmp, pid, n)
+
+    def _final(self, pid: int) -> str:
+        stem = (f"part-{pid:05d}" if self.batch_id is None
+                else f"part-{self.batch_id:010d}-{pid:05d}")
+        return os.path.join(self.path, f"{stem}.log")
+
+    # -- driver side ---------------------------------------------------
+    def commit(self, messages, *args):
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".log") or name == SPOOL_MANIFEST:
+                    os.remove(os.path.join(self.path, name))
+        counts = {}
+        for m in messages:
+            if m is None:
+                continue
+            final = self._final(m.pid)
+            os.replace(m.tmp, final)
+            counts[os.path.basename(final)] = m.rows
+        manifest = os.path.join(self.path, SPOOL_MANIFEST)
+        previous = {}
+        if os.path.exists(manifest) and not self.overwrite:
+            with open(manifest) as f:
+                previous = json.load(f)
+        previous.update(counts)
+        tmp_manifest = manifest + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(previous, f, sort_keys=True)
+        os.replace(tmp_manifest, manifest)
+
+    def abort(self, messages, *args):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+class SpoolStreamWriter(DataSourceStreamWriter):
+    """Per-micro-batch spool commits: same task write protocol; the final
+    ``part-<batch>-<pid>.log`` names are assigned at COMMIT time (where
+    the engine hands over batchId), so a replayed batch idempotently
+    rewrites exactly its own files."""
+
+    def __init__(self, options):
+        self.options = options
+
+    def write(self, iterator):
+        return SpoolSinkWriter(self.options, overwrite=False).write(iterator)
+
+    def commit(self, messages, batchId):
+        SpoolSinkWriter(self.options, overwrite=False,
+                        batch_id=batchId).commit(messages)
+
+    def abort(self, messages, batchId):
+        SpoolSinkWriter(self.options, overwrite=False,
+                        batch_id=batchId).abort(messages)
+
+
+class SpoolSink(DataSource):
+    """``df.write.format("spoolsink")`` / ``writeStream.format("spoolsink")``.
+
+    Options: ``path`` (required), ``column`` (string column to spool,
+    default ``line``)."""
+
+    @classmethod
+    def name(cls):
+        return "spoolsink"
+
+    def schema(self):
+        return SCHEMA  # unused for sinks; required by the API
+
+    def writer(self, schema, overwrite):
+        return SpoolSinkWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return SpoolStreamWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    """Idempotently register the sink on a session."""
+    spark.dataSource.register(SpoolSink)

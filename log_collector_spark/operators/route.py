@@ -67,3 +67,39 @@ def fanout_write(df: DataFrame, base_path: str, *,
     cols = ["sink"] + (partition_extra or [])
     (df.filter(F.col("sink").isNotNull())
        .write.partitionBy(*cols).mode(mode).format(fmt).save(base_path))
+
+
+def fanout_spool(df: DataFrame, base_path: str,
+                 text_col: str = "text") -> dict[str, int]:
+    """Fan-out through the ``spoolsink`` Python DataSource — the
+    reference-shaped LINE-file output (one text line per routed row,
+    write-then-rename commit + manifest per sink directory), where
+    :func:`fanout_write` is the Spark-native columnar shape.
+
+    One pass per sink over a sink-pruned slice (the routed frame is tiny
+    per sink relative to the scan; at cluster scale prefer fanout_write's
+    single partitioned job unless a downstream consumer requires the
+    reference's line-file + manifest contract). Returns {sink: rows} read
+    back from the committed manifests — the caller can assert it against
+    :func:`sink_tallies` (the effectively-once check).
+    """
+    import json as _json
+    import os as _os
+
+    from log_collector_spark.sources import pydatasource as PD
+
+    spark = df.sparkSession
+    PD.register_sink(spark)
+    sinks = [r["sink"] for r in
+             df.select("sink").filter(F.col("sink").isNotNull())
+               .distinct().collect()]
+    out: dict[str, int] = {}
+    for s in sorted(sinks):
+        path = _os.path.join(base_path, s)
+        (df.filter(F.col("sink") == s)
+           .select(F.col(text_col).alias("line"))
+           .write.format("spoolsink").option("path", path)
+           .mode("overwrite").save())
+        with open(_os.path.join(path, PD.SPOOL_MANIFEST)) as f:
+            out[s] = sum(_json.load(f).values())
+    return out

@@ -84,3 +84,16 @@ def test_stream_writer_batch_suffixed_idempotent(spark, tmp_path):
     assert all(len(n.split("-")) == 3 for n in files)
     man = json.load(open(os.path.join(out, PD.SPOOL_MANIFEST)))
     assert sum(man.values()) == 2
+
+
+def test_fanout_spool_matches_sink_tallies(spark, tmp_path):
+    from log_collector_spark.operators import route as R
+    from log_collector_spark.plans import pipeline as pl
+    routed = pl.full_pipeline(spark, "/root/testdata/sf0.001")
+    want = {r["sink"]: r["n"] for r in R.sink_tallies(routed).collect()}
+    got = R.fanout_spool(routed, str(tmp_path / "sinks"))
+    assert got == want                       # effectively-once, per sink
+    # committed line files only — no temps anywhere
+    for s in got:
+        names = os.listdir(os.path.join(str(tmp_path / "sinks"), s))
+        assert not any(n.startswith("_tmp_") for n in names)

@@ -398,6 +398,34 @@ class VectorizedGrokParser:
             self._rx = re.compile(self.compiled.python_regex)
         return self._rx
 
+    # RE2 fast path: the DEMO-family pattern `[X] [iso-ts] {json}` minus
+    # the two constructs RE2 rejects/changes, each replaced by a STRICTLY
+    # NARROWER form so any fast-path match is provably the same match (and
+    # the same named-group spans) the Python engine would produce at
+    # position 0 — rows the narrow form misses fall back to the exact
+    # Python loop, so behavior is byte-identical by construction:
+    #   (?>dd){1,2} year  → \d{4}   (a 4-digit year followed by '-' never
+    #                                exercises the atomic cut)
+    #   (json)|(-)|()     → \{.*\}$ (first alternative only; leftmost-first
+    #                                would pick it greedily anyway)
+    # plus `^` anchoring (search's leftmost match can't be left of 0) and
+    # an ASCII-only row guard (Python \s is unicode-aware, RE2's is not).
+    _ISO_YEAR = r"(?>\d\d){1,2}"
+    _JSON_TAIL_RX = re.compile(r"\(\?P<(name\d+)>\(\\\{\.\*\\\}\)\|\(-\)\|\(\)\)$")
+
+    def _fast_pattern(self) -> str | None:
+        """RE2 pattern string, or None when this expression isn't in the
+        fast-path family (then every row takes the Python loop)."""
+        pr = self.compiled.python_regex
+        m = self._JSON_TAIL_RX.search(pr)
+        if m is None or self._ISO_YEAR not in pr:
+            return None
+        pr = pr[:m.start()] + f"(?P<{m.group(1)}>\\{{.*\\}})$"
+        pr = "^" + pr.replace(self._ISO_YEAR, r"\d{4}")
+        if "(?>" in pr:   # other atomic groups → not fast-path eligible
+            return None
+        return pr
+
     # -- fragment builders ---------------------------------------------------
 
     def _convert(self, spec: CaptureSpec, v: pd.Series, present: np.ndarray
@@ -562,6 +590,62 @@ class VectorizedGrokParser:
             slots.setdefault(fk, []).append(
                 (has, np.where(has, frag, ""), "replace"))
 
+    # -- matching --------------------------------------------------------------
+
+    _FAST_SENTINEL = object()
+
+    def _match_groups(self, lst: list, n: int, blank: np.ndarray,
+                      rx: re.Pattern, gidx: dict
+                      ) -> tuple[dict[str, pd.Series], np.ndarray]:
+        """(named-group columns, matched mask) for a batch — RE2 fast path
+        + exact-Python fallback. Group values of unmatched/blank rows are
+        None and never read downstream (every consumer masks on
+        ``matched``)."""
+        if not hasattr(self, "_fast"):
+            self._fast = self._fast_pattern()
+        cols: dict[str, np.ndarray] = {
+            name: np.full(n, None, dtype=object) for name in gidx}
+        matched = np.zeros(n, dtype=bool)
+        todo = ~blank
+        if self._fast is not None and n:
+            try:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                arr = pa.array(lst, type=pa.string())
+                ascii_ok = pc.string_is_ascii(arr)
+                st = pc.extract_regex(arr, pattern=self._fast)
+                hit = (pc.and_(ascii_ok, st.is_valid()).to_numpy(
+                    zero_copy_only=False) & todo)
+                if hit.any():
+                    fields = {f.name for f in st.type}
+                    for name in gidx:
+                        if name in fields:
+                            vals = st.field(name).to_numpy(
+                                zero_copy_only=False)
+                            cols[name][hit] = vals[hit]
+                        # groups absent from the fast pattern (e.g. the
+                        # optional timezone) are None on fast rows — the
+                        # narrow pattern only matches rows without them
+                    matched |= hit
+                    todo &= ~hit
+            except Exception:
+                pass  # pyarrow/RE2 unavailable or rejected → full fallback
+        if todo.any():
+            names = list(gidx)
+            idxs = [gidx[name] for name in names]
+            for i in np.nonzero(todo)[0]:
+                x = lst[i]
+                m = rx.search(x) if isinstance(x, str) else None
+                if m is None:
+                    continue
+                matched[i] = True
+                g = m.groups()
+                for name, j in zip(names, idxs):
+                    cols[name][i] = g[j - 1]
+        ext = {name: pd.Series(cols[name], dtype=object) for name in gidx}
+        return ext, matched
+
     # -- main entry ------------------------------------------------------------
 
     def parse_batch(self, text: pd.Series) -> pd.DataFrame:
@@ -570,24 +654,16 @@ class VectorizedGrokParser:
         lst: list = s.tolist()
         blank = np.fromiter((not str(x).strip() for x in lst), bool, count=n) \
             if n else np.zeros(0, dtype=bool)
-        # ONE precompiled-regex pass, direct match loop (faster than any
-        # pandas/Arrow extract wrapper, identical semantics to the reference's
-        # Pattern.matcher(text).find(), Grok.java:296-311)
+        # Matching: RE2 C++ kernel (pyarrow extract_regex) for rows the
+        # strictly-narrower fast pattern covers — ~97% of well-formed
+        # DEMO-family lines — and the exact Python loop (identical
+        # semantics to the reference's Pattern.matcher(text).find(),
+        # Grok.java:296-311) for everything else. Byte-equality with the
+        # pure-Python kernel is preserved by construction (see
+        # _fast_pattern) and enforced by the vectorized-vs-oracle tests.
         rx = self.pattern()
-        matches = [rx.search(x) if isinstance(x, str) else None for x in lst]
-        matched = np.fromiter((m is not None for m in matches), bool, count=n) \
-            & ~blank if n else np.zeros(0, dtype=bool)
-
-        # transpose capture groups once (C-level zip), then per-group columns
-        ngroups = rx.groups
-        empty_t = (None,) * ngroups
-        colt = list(zip(*((m.groups() if m is not None else empty_t)
-                          for m in matches))) if n else \
-            [() for _ in range(ngroups)]
         gidx = rx.groupindex  # name -> 1-based group number
-        ext: dict[str, pd.Series] = {
-            name: pd.Series(colt[i - 1] if n else [], dtype=object)
-            for name, i in gidx.items()}
+        ext, matched = self._match_groups(lst, n, blank, rx, gidx)
 
         # per-key contribution slots, in capture order
         # key -> list of (has: bool ndarray, frag: object ndarray, mode);

@@ -2023,6 +2023,29 @@ def q_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.simhash_calibration(_docs(spark, sf_dir))
 
 
+def q_watermark_bias_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Statistical-watermark screen per source: green-list token share +
+    integer chi-square score; one narrow hash pass, zero joins."""
+    from log_collector_spark.textops import analysis as A
+    return A.watermark_bias(_docs(spark, sf_dir))
+
+
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise signed-cos² histogram over deterministic stride pairs —
+    the anisotropy/representation-collapse audit (sqrt-free, int64-safe
+    by Cauchy-Schwarz)."""
+    from log_collector_spark.textops import similarity as S
+    return S.embedding_isotropy(_embs(spark, sf_dir))
+
+
+def q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerts (5-min AND 1-hour conjunction,
+    integer milli burn); hour rolls up the 5-min partials, one scan."""
+    from log_collector_spark.operators import behavior as B
+    return B.slo_burn_alerts(_events(spark, sf_dir))
+
+
 def q_lsh_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k vs LSH multiprobe budget (0/2/4/8 plane flips) against one
     shared brute-force truth scan — the LSH twin of ivf_nprobe_curve."""
@@ -2341,6 +2364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_markov_next_tool": q_tx_markov_next_tool,
         "asof_nearest_events": q_asof_nearest_events,
         "simhash_calibration": q_simhash_calibration,
+        "watermark_bias_documents": q_watermark_bias_documents,
+        "embedding_isotropy": q_embedding_isotropy,
+        "slo_burn_alerts": q_slo_burn_alerts,
         "lsh_probe_curve": q_lsh_probe_curve,
         "delete_impact_audit": q_delete_impact_audit,
         "boilerplate_source_matrix": q_boilerplate_source_matrix,
@@ -3284,6 +3310,9 @@ def oracle_sql() -> dict[str, str]:
             key_col="conv_id", seq_col="turn_idx", type_col="tool"),
         "asof_nearest_events": _sql_asof_nearest_events(),
         "simhash_calibration": _te().sql_simhash_calibration(),
+        "watermark_bias_documents": _ta().sql_watermark_bias(),
+        "embedding_isotropy": _ts().sql_embedding_isotropy(),
+        "slo_burn_alerts": _bh().sql_slo_burn_alerts(),
         "lsh_probe_curve": _te().sql_lsh_probe_curve(),
         "delete_impact_audit": _or().sql_delete_impact_audit(tx_glob),
         "boilerplate_source_matrix": _td().sql_boilerplate_source_matrix(),

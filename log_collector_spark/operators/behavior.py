@@ -2481,3 +2481,87 @@ def sql_replayed_sequences(table: str = "events",
         FROM groups WHERE n_userdays >= {min_group}
         ORDER BY n_userdays DESC, fp
     """
+
+
+SLO_BUDGET_PERMILLE = 250   # error budget: 25% (the corpus runs ~20% hot)
+SLO_BURN_ALERT = 1000       # alert when burn rate > 1.0x budget
+
+
+def slo_burn_alerts(events: DataFrame,
+                    budget_permille: int = SLO_BUDGET_PERMILLE,
+                    alert_milli: int = SLO_BURN_ALERT) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (the SRE-workbook policy): an
+    alert fires for a 5-minute bucket only when BOTH its own burn rate
+    AND its enclosing hour's burn rate exceed the threshold — the short
+    window gives fast detection, the long window suppresses blips, and
+    the conjunction is what makes the page actionable. Burn =
+    error_share / budget, in integer milli (1000 = burning exactly the
+    budget).
+
+    Returns (bucket_min, err_short, n_short, burn_short_milli,
+    burn_long_milli) for alerting buckets, ORDER BY bucket_min.
+
+    Plan: one 5-min hash agg over events; the hour roll-up re-aggregates
+    the 5-min PARTIALS (12 rows per hour, metadata scale), so the raw
+    table is scanned exactly once; one broadcast join hour→bucket."""
+    m5 = (F.unix_micros(F.col("ts").cast("timestamp"))
+          / F.lit(300_000_000)).cast("long")
+    base = events.select(m5.alias("bucket_min"),
+                         (F.col("event_type") == "error")
+                         .cast("long").alias("err"))
+    short = (base.groupBy("bucket_min")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_short"),
+                  F.sum("err").cast("long").alias("err_short")))
+    hour = (short.withColumn("bucket_hr",
+                             F.expr("bucket_min DIV 12").cast("long"))
+            .groupBy("bucket_hr")
+            .agg(F.sum("n_short").cast("long").alias("n_long"),
+                 F.sum("err_short").cast("long").alias("err_long")))
+    burn_s = F.expr(f"err_short * 1000000 DIV (n_short * {budget_permille})")
+    burn_l = F.expr(f"err_long * 1000000 DIV (n_long * {budget_permille})")
+    j = (short.withColumn("bucket_hr",
+                          F.expr("bucket_min DIV 12").cast("long"))
+         .join(F.broadcast(hour), "bucket_hr")
+         .withColumn("burn_short_milli", burn_s.cast("long"))
+         .withColumn("burn_long_milli", burn_l.cast("long")))
+    return (j.filter((F.col("burn_short_milli") > alert_milli) &
+                     (F.col("burn_long_milli") > alert_milli))
+             .select("bucket_min", "err_short", "n_short",
+                     "burn_short_milli", "burn_long_milli")
+             .orderBy("bucket_min"))
+
+
+def sql_slo_burn_alerts(table: str = "events",
+                        budget_permille: int = SLO_BUDGET_PERMILLE,
+                        alert_milli: int = SLO_BURN_ALERT) -> str:
+    return f"""
+        WITH base AS (
+            SELECT CAST(epoch_us(ts) // 300000000 AS BIGINT) AS bucket_min,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+            FROM {table}
+        ), short AS (
+            SELECT bucket_min,
+                   CAST(COUNT(*) AS BIGINT) AS n_short,
+                   CAST(SUM(err) AS BIGINT) AS err_short
+            FROM base GROUP BY 1
+        ), hour AS (
+            SELECT CAST(bucket_min // 12 AS BIGINT) AS bucket_hr,
+                   CAST(SUM(n_short) AS BIGINT) AS n_long,
+                   CAST(SUM(err_short) AS BIGINT) AS err_long
+            FROM short GROUP BY 1
+        ), j AS (
+            SELECT s.bucket_min, s.err_short, s.n_short,
+                   CAST(s.err_short * 1000000
+                        // (s.n_short * {budget_permille}) AS BIGINT)
+                       AS burn_short_milli,
+                   CAST(h.err_long * 1000000
+                        // (h.n_long * {budget_permille}) AS BIGINT)
+                       AS burn_long_milli
+            FROM short s
+            JOIN hour h ON h.bucket_hr = s.bucket_min // 12
+        )
+        SELECT * FROM j
+        WHERE burn_short_milli > {alert_milli}
+          AND burn_long_milli > {alert_milli}
+        ORDER BY bucket_min
+    """

@@ -2802,3 +2802,62 @@ def sql_len_quality_grid(table: str = "documents",
         FROM per
         ORDER BY len_decile, q_decile
     """
+
+
+
+def watermark_bias(df: DataFrame, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Statistical-watermark screen per source: share of tokens on a
+    hash-derived GREEN LIST (h60(token) even — the Kirchenbauer-style
+    detector with the simplest possible partition; a real deployment
+    plugs its keyed hash in the same slot). Organic text sits at ~500
+    permille; watermarked generations are biased toward green, and the
+    integer test statistic ``chi2_milli = (2·n_green − n_tokens)² * 1000
+    // n_tokens`` (= 4n(p̂−½)²·1000, the one-df chi-square score scaled
+    milli) grows linearly in n under bias — the screen for synthetic
+    (possibly watermarked) text leaking into a pretraining source.
+
+    Returns (source, n_tokens, n_green, green_permille, chi2_milli)
+    ordered.
+
+    Plan: one narrow tokenize+hash pass, one hash agg per source —
+    zero joins, text never shuffles."""
+    tok = df.select(
+        F.col(group_col),
+        F.explode(C.tokens(F.lower(F.col(text_col)))).alias("t"))
+    green = (C.h60(F.col("t")) % 2 == 0).cast("long")
+    agg = (tok.select(group_col, green.alias("g"))
+              .groupBy(group_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                   F.sum("g").cast("long").alias("n_green")))
+    chi2 = F.expr("(2 * n_green - n_tokens) * (2 * n_green - n_tokens)"
+                  " * 1000 DIV n_tokens")
+    return (agg.filter(F.col("n_tokens") > 0)
+               .select(group_col, "n_tokens", "n_green",
+                       C.permille(F.col("n_green"), F.col("n_tokens"))
+                        .alias("green_permille"),
+                       chi2.cast("long").alias("chi2_milli"))
+               .orderBy(group_col))
+
+
+def sql_watermark_bias(table: str = "documents",
+                       group_col: str = "source",
+                       text_col: str = "text") -> str:
+    tok = C.sql_tokens(f"lower({text_col})")
+    return f"""
+        WITH t AS (
+            SELECT {group_col}, unnest({tok}) AS t FROM {table}
+        ), agg AS (
+            SELECT {group_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN {C.sql_h60('t')} % 2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+            FROM t GROUP BY {group_col}
+        )
+        SELECT {group_col}, n_tokens, n_green,
+               {C.sql_permille('n_green', 'n_tokens')} AS green_permille,
+               CAST((2 * n_green - n_tokens) * (2 * n_green - n_tokens)
+                    * 1000 // n_tokens AS BIGINT) AS chi2_milli
+        FROM agg WHERE n_tokens > 0
+        ORDER BY {group_col}
+    """

@@ -871,3 +871,81 @@ def sql_embedding_norm_audit(table: str = "embeddings") -> str:
         FROM hist CROSS JOIN tot
         ORDER BY norm_bin
     """
+
+
+ISO_STRIDE = 17
+ISO_MIN_NORM2 = 1000  # degenerate near-zero vectors excluded (div guard)
+
+
+def embedding_isotropy(df: DataFrame,
+                       vec_col: str = "embedding",
+                       stride: int = ISO_STRIDE) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic pair sample — the
+    isotropy audit: healthy embedding spaces concentrate random-pair
+    cosine near 0 (slightly positive); a hot anisotropic cone (all-pairs
+    cos >> 0, the classic "representation collapse") wrecks both cosine
+    ANN contrast and near-dup thresholds, and THIS is the report that
+    catches it before an index build. Pairs are (vec_id, vec_id+stride)
+    — deterministic, linear count, no sampling RNG.
+
+    The statistic is the integer signed cos²: ``sign(dot) · (dot·dot //
+    n2a) · 1000 // n2b`` — by Cauchy-Schwarz dot² <= n2a·n2b, so the
+    division chain stays in [0, 1000] and inside int64 with NO float
+    (sqrt-free: cos² preserves the concentration shape). Returns
+    (cos2_bin 0..20 over the shifted statistic signed+1000,\n    n_pairs, share_permille) ordered.
+
+    Plan: one self-join on the shifted key (both sides partition on
+    vec_id — AQE reuses one exchange), a narrow in-row dot, an 11·2-bin
+    hash agg."""
+    q = _quantized(df, vec_col).withColumn(
+        "n2", C.int_dot(F.col("q"), F.col("q")))
+    a = q.select(F.col("vec_id").alias("pid"),
+                 F.col("q").alias("qa"), F.col("n2").alias("n2a"))
+    b = q.select((F.col("vec_id") - stride).alias("pid"),
+                 F.col("q").alias("qb"), F.col("n2").alias("n2b"))
+    j = (a.join(b, "pid")
+          .filter((F.col("n2a") >= ISO_MIN_NORM2) &
+                  (F.col("n2b") >= ISO_MIN_NORM2)))
+    dot = C.int_dot(F.col("qa"), F.col("qb"))
+    j = j.withColumn("dot", dot)
+    cos2 = F.expr("(dot * dot DIV n2a) * 1000 DIV n2b")
+    signed = (F.when(F.col("dot") < 0, -cos2).otherwise(cos2)).cast("long")
+    # bin over the SHIFTED statistic (0..2000): Spark DIV truncates toward
+    # zero while DuckDB // floors — they agree only on non-negatives
+    hist = (j.select(((signed + 1000) / 100).cast("long").alias("cos2_bin"))
+             .groupBy("cos2_bin")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    tot = hist.agg(F.sum("n_pairs").cast("long").alias("t"))
+    return (hist.crossJoin(F.broadcast(tot))
+                .select("cos2_bin", "n_pairs",
+                        C.permille(F.col("n_pairs"), F.col("t"))
+                         .alias("share_permille"))
+                .orderBy("cos2_bin"))
+
+
+def sql_embedding_isotropy(table: str = "embeddings",
+                           stride: int = ISO_STRIDE) -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    return f"""
+        WITH q AS (
+            SELECT vec_id, q,
+                   CAST(list_dot_product(q, q) AS BIGINT) AS n2
+            FROM (SELECT vec_id, {qe} AS q FROM {table})
+        ), j AS (
+            SELECT CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+                   a.n2 AS n2a, b.n2 AS n2b
+            FROM q a JOIN q b ON b.vec_id = a.vec_id + {stride}
+            WHERE a.n2 >= {ISO_MIN_NORM2} AND b.n2 >= {ISO_MIN_NORM2}
+        ), binned AS (
+            SELECT CAST(((CASE WHEN dot < 0 THEN -1 ELSE 1 END *
+                          ((dot * dot // n2a) * 1000 // n2b)) + 1000) // 100
+                        AS BIGINT) AS cos2_bin
+            FROM j
+        ), hist AS (
+            SELECT cos2_bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM binned GROUP BY 1
+        ), tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM hist)
+        SELECT cos2_bin, n_pairs,
+               {C.sql_permille('n_pairs', 't')} AS share_permille
+        FROM hist CROSS JOIN tot ORDER BY cos2_bin
+    """

@@ -2023,6 +2023,28 @@ def q_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.simhash_calibration(_docs(spark, sf_dir))
 
 
+def q_tx_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload stats via Spark 4 VARIANT (try_parse_json once +
+    try_variant_get per field) grouped by the payload's embedded tool."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.variant_payload_stats(pl.full_pipeline(spark, sf_dir))
+
+
+def q_ann_mrr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer MRR of the true nearest neighbor inside each ANN path's
+    top-k — rank quality, sharing one brute-force truth scan."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.ann_mrr(_embs(spark, sf_dir))
+
+
+def q_wav_energy_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow flavor of the WAV energy stage (no pandas boxing of the
+    binary column); row-identical to the mapInPandas stage's oracle."""
+    from log_collector_spark.textops import multimodal as TM
+    media = TM.media_wav_from_documents(_docs(spark, sf_dir))
+    return TM.wav_energy_features_arrow(media)
+
+
 def q_watermark_bias_documents(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Statistical-watermark screen per source: green-list token share +
@@ -2364,6 +2386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_markov_next_tool": q_tx_markov_next_tool,
         "asof_nearest_events": q_asof_nearest_events,
         "simhash_calibration": q_simhash_calibration,
+        "tx_variant_stats": q_tx_variant_stats,
+        "ann_mrr_embeddings": q_ann_mrr_embeddings,
+        "wav_energy_arrow": q_wav_energy_arrow,
         "watermark_bias_documents": q_watermark_bias_documents,
         "embedding_isotropy": q_embedding_isotropy,
         "slo_burn_alerts": q_slo_burn_alerts,
@@ -3310,6 +3335,9 @@ def oracle_sql() -> dict[str, str]:
             key_col="conv_id", seq_col="turn_idx", type_col="tool"),
         "asof_nearest_events": _sql_asof_nearest_events(),
         "simhash_calibration": _te().sql_simhash_calibration(),
+        "tx_variant_stats": _tx().sql_variant_payload_stats(tx_view),
+        "ann_mrr_embeddings": _te().sql_ann_mrr(),
+        "wav_energy_arrow": _tm().sql_wav_energy_features(),
         "watermark_bias_documents": _ta().sql_watermark_bias(),
         "embedding_isotropy": _ts().sql_embedding_isotropy(),
         "slo_burn_alerts": _bh().sql_slo_burn_alerts(),

@@ -1728,3 +1728,47 @@ def sql_cold_start_ratio(tx_view: str) -> str:
                          ELSE 0 END AS BIGINT) AS cold_ratio_permille
         FROM agg ORDER BY tool
     """
+
+
+# ---------------------------------------------------------------------------
+# VARIANT-path payload extraction (Spark 4 semi-structured type)
+# ---------------------------------------------------------------------------
+
+def variant_payload_stats(routed: DataFrame) -> DataFrame:
+    """Per-tool payload stats extracted through Spark 4's VARIANT type —
+    ``try_parse_json`` once, ``try_variant_get`` per field — instead of N
+    ``get_json_object`` passes (each of which re-parses the JSON string;
+    the VARIANT parse is once-per-row into a binary-encoded tree, the
+    engine-native path for semi-structured columns). Grouping key is the
+    tool EMBEDDED in the payload, so the query also cross-checks the
+    payload's self-description against the grok route. ``try_`` variants
+    keep the never-throw F3 invariant on malformed JSON.
+
+    Returns (vtool, n_turns, tok_sum, lat_sum) ORDER BY vtool."""
+    v = F.try_parse_json(F.col("payload"))
+    base = (_clean(routed)
+            .select(F.try_variant_get(v, "$.tool", "string").alias("vtool"),
+                    F.try_variant_get(v, "$.tokens", "long").alias("tok"),
+                    F.try_variant_get(v, "$.latency_ms", "long").alias("lat"))
+            .filter(F.col("vtool").isNotNull()))
+    return (base.groupBy("vtool")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.sum("tok").cast("long").alias("tok_sum"),
+                 F.sum("lat").cast("long").alias("lat_sum"))
+            .orderBy("vtool"))
+
+
+def sql_variant_payload_stats(tx_view: str) -> str:
+    tok = "TRY_CAST(regexp_extract(text, '\"tokens\":(\\d+)', 1) AS BIGINT)"
+    lat = ("TRY_CAST(regexp_extract(text, '\"latency_ms\":(\\d+)', 1) "
+           "AS BIGINT)")
+    vtool = "regexp_extract(text, '\"tool\":\"([^\"]*)\"', 1)"
+    return f"""
+        SELECT {vtool} AS vtool,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM({tok}) AS BIGINT) AS tok_sum,
+               CAST(SUM({lat}) AS BIGINT) AS lat_sum
+        FROM {tx_view}
+        WHERE {SQL_CLEAN} AND {vtool} <> ''
+        GROUP BY 1 ORDER BY vtool
+    """

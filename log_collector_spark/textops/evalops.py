@@ -1141,3 +1141,67 @@ def sql_lsh_probe_curve(table: str = "embeddings",
         FROM ({union}) u CROSS JOIN nt
         ORDER BY u.n_flips
     """
+
+
+# ---------------------------------------------------------------------------
+# ANN rank quality: integer MRR for both index families
+# ---------------------------------------------------------------------------
+
+def ann_mrr(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Mean reciprocal rank (integer milli) of the TRUE nearest neighbor
+    inside each ANN path's top-k — the rank-quality companion of
+    recall@k: recall says the truth was retrieved, MRR says how high it
+    surfaced (rank 1 vs rank k matters when only the top hit is used,
+    e.g. dedup canonical selection or 1-NN classification).
+    ``rr_milli = 1000 // rank`` (0 when the truth missed the top-k), so
+    the mean is exact integer arithmetic.
+
+    Returns (ann_path, n_queries, n_hits, mrr_milli) ORDER BY ann_path.
+
+    Plan: the brute top-1 truth is ONE exact scan shared by both paths;
+    each path joins its |queries|·k frame to the |queries|-row truth."""
+    from log_collector_spark.textops import similarity as S
+
+    truth = (S.brute_force_topk(df, vec_col)
+             .filter(F.col("rank") == 1)
+             .select("query_id", F.col("cand_id").alias("truth_id")))
+    rows = []
+    for path, topk in (("ivf", S.ivf_ann_topk(df, vec_col)),
+                       ("lsh", S.lsh_ann_topk(df, vec_col))):
+        r = topk.select("query_id", F.col("cand_id").alias("aid"),
+                        F.col("rank").cast("long").alias("rk"))
+        j = truth.join(r, (truth["query_id"] == r["query_id"]) &
+                       (truth["truth_id"] == r["aid"]), "left")
+        agg = j.agg(
+            F.lit(path).alias("ann_path"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.count("rk").cast("long").alias("n_hits"),
+            F.expr("CAST(sum(coalesce(1000 DIV rk, 0)) DIV count(1)"
+                   " AS BIGINT)").alias("mrr_milli"))
+        rows.append(agg)
+    return rows[0].unionByName(rows[1]).orderBy("ann_path")
+
+
+def sql_ann_mrr(table: str = "embeddings") -> str:
+    from log_collector_spark.textops import similarity as S
+
+    def lvl(path: str, sub: str) -> str:
+        return f"""
+            SELECT '{path}' AS ann_path,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST(COUNT(r.rank) AS BIGINT) AS n_hits,
+                   CAST(SUM(COALESCE(1000 // r.rank, 0)) // COUNT(*)
+                        AS BIGINT) AS mrr_milli
+            FROM truth t LEFT JOIN ({sub}) r
+              ON r.query_id = t.query_id AND r.cand_id = t.truth_id
+        """
+
+    return f"""
+        WITH brute AS ({S.sql_brute_force_topk(table)}),
+        truth AS (
+            SELECT query_id, cand_id AS truth_id FROM brute WHERE rank = 1
+        )
+        SELECT * FROM ({lvl('ivf', S.sql_ivf_ann_topk(table))}
+                       UNION ALL {lvl('lsh', S.sql_lsh_ann_topk(table))})
+        ORDER BY ann_path
+    """

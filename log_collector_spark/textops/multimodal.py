@@ -844,3 +844,28 @@ def sql_ahash_neardup_pairs(table: str = "documents") -> str:
         FROM cand WHERE bit_count(xor(ha, hb)) <= {AHASH_HAM}
         ORDER BY doc_a, doc_b
     """
+
+
+def wav_energy_features_arrow(media: DataFrame) -> DataFrame:
+    """`mapInArrow` flavor of :func:`wav_energy_features` — the iterator
+    hands over raw ``pyarrow.RecordBatch``es, so the binary payloads
+    never round-trip through pandas object boxing (the right map flavor
+    for binary-heavy media columns; grouped-map Arrow lives in
+    tx_stats.conv_stats_arrow). Output is row-for-row identical to the
+    mapInPandas stage and shares its oracle."""
+    import pyarrow as pa
+
+    cols = [f.name for f in ENERGY_FEATURE_SCHEMA.fields[1:]]
+
+    def batches(it):
+        for rb in it:
+            ids = rb.column(0)
+            pays = rb.column(1)
+            rows = [wav_energy(p.as_py()) for p in pays]
+            out = {"media_id": ids}
+            for c in cols:
+                out[c] = pa.array([r[c] for r in rows], pa.int64())
+            yield pa.RecordBatch.from_pydict(out)
+
+    return (media.select("media_id", "payload")
+                 .mapInArrow(batches, ENERGY_FEATURE_SCHEMA))

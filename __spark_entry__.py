@@ -2061,6 +2061,24 @@ def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_isotropy(_embs(spark, sf_dir))
 
 
+
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc permille of token positions covered by a corpus-duplicated
+    k-gram (interval-union coverage, the Lee et al. 2022 dedup report
+    metric); shingle-hash agg + one lead() window over hit positions."""
+    from log_collector_spark.textops import dedup as D
+    return D.dup_ngram_coverage(_docs(spark, sf_dir))
+
+
+def q_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two integer power-iteration steps toward the dominant principal
+    direction of the embedding Gram matrix — Aᵀ(A·v) without
+    materializing the d×d Gram, 64-key dim aggs, one-row broadcast of
+    the direction between steps."""
+    from log_collector_spark.textops import similarity as S
+    return S.pca_power_step(_embs(spark, sf_dir))
+
+
 def q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiwindow SLO burn-rate alerts (5-min AND 1-hour conjunction,
     integer milli burn); hour rolls up the 5-min partials, one scan."""
@@ -2391,6 +2409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_energy_arrow": q_wav_energy_arrow,
         "watermark_bias_documents": q_watermark_bias_documents,
         "embedding_isotropy": q_embedding_isotropy,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
+        "pca_power_step": q_pca_power_step,
         "slo_burn_alerts": q_slo_burn_alerts,
         "lsh_probe_curve": q_lsh_probe_curve,
         "delete_impact_audit": q_delete_impact_audit,
@@ -3340,6 +3360,8 @@ def oracle_sql() -> dict[str, str]:
         "wav_energy_arrow": _tm().sql_wav_energy_features(),
         "watermark_bias_documents": _ta().sql_watermark_bias(),
         "embedding_isotropy": _ts().sql_embedding_isotropy(),
+        "dup_ngram_coverage": _td().sql_dup_ngram_coverage(),
+        "pca_power_step": _ts().sql_pca_power_step(),
         "slo_burn_alerts": _bh().sql_slo_burn_alerts(),
         "lsh_probe_curve": _te().sql_lsh_probe_curve(),
         "delete_impact_audit": _or().sql_delete_impact_audit(tx_glob),

@@ -2205,3 +2205,107 @@ def sql_boilerplate_source_matrix(table: str = "documents",
         GROUP BY 1, 2
         ORDER BY src_a, src_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-n-gram token coverage (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the NearDup/ExactSubstr report metric)
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_coverage(df: DataFrame, text_col: str = "text",
+                       k: int = SHINGLE_K) -> DataFrame:
+    """Per-doc fraction of TOKEN POSITIONS covered by a duplicated
+    ``k``-gram — the canonical corpus-duplication report from the
+    dedup-training-data literature (a shingle is "duplicated" when its
+    hash occurs >= 2 times corpus-wide, within-doc repeats included).
+
+    Unlike :func:`novelty_score` (which counts *shingles* first
+    introduced) this measures positional coverage: a token is covered if
+    ANY of the k shingles overlapping it is duplicated, so the statistic
+    is an interval union — duplicated shingle at position p covers tokens
+    [p, p+k-1], and overlapping hits must not double-count.
+
+    Returns (doc_id, n_tokens, dup_tokens, dup_permille) ordered by
+    doc_id; docs shorter than k tokens report 0 coverage.
+
+    Plan: explode to (doc_id, pos, h60(shingle)) — 24-byte rows, text
+    never shuffles. One hash agg over the 60-bit shingle key finds the
+    duplicated set (count >= 2, map-side combined); an equi-join marks
+    hit positions (the dup side is pre-aggregated to distinct hashes, so
+    key skew is bounded to the occurrence side); the interval union is a
+    single lead() window per doc over ONLY the hit positions —
+    covered_i = min(k, next_pos - pos), last hit contributes k — then a
+    map-side-combined per-doc sum. At 100 TB every stage partitions on a
+    high-cardinality key (shingle hash, then doc_id); no broadcast of
+    anything data-sized."""
+    from pyspark.sql.window import Window
+
+    toks = df.select("doc_id", C.tokens(F.col(text_col)).alias("tok"))
+    ex = (toks.select("doc_id",
+                      F.posexplode(C.shingles(F.col("tok"), k))
+                       .alias("pos", "s"))
+              .select("doc_id", "pos", C.h60(F.col("s")).alias("sh")))
+    dup = (ex.groupBy("sh")
+             .agg(F.count(F.lit(1)).alias("n_occ"))
+             .filter(F.col("n_occ") >= 2)
+             .select("sh"))
+    hits = ex.join(dup, "sh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = hits.select(
+        "doc_id",
+        F.least(F.lit(k),
+                F.coalesce(F.lead("pos").over(w) - F.col("pos"),
+                           F.lit(k))).alias("c"))
+    per = cov.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("dup_tokens"))
+    base = toks.select("doc_id", F.size("tok").cast("long").alias("n_tokens"))
+    return (base.join(per, "doc_id", "left")
+                .select("doc_id", "n_tokens",
+                        F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                         .alias("dup_tokens"))
+                .withColumn("dup_permille",
+                            C.permille(F.col("dup_tokens"),
+                                       F.col("n_tokens")))
+                .orderBy("doc_id"))
+
+
+def sql_dup_ngram_coverage(table: str = "documents",
+                           k: int = SHINGLE_K) -> str:
+    tok = C.sql_tokens("text")
+    shs = C.sql_shingles("tok", k)
+    h = C.sql_h60("s")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tok} AS tok FROM {table}
+        ), sh0 AS (
+            SELECT doc_id, {shs} AS shs FROM toks
+        ), ex AS (
+            SELECT doc_id, i AS pos, {h} AS sh
+            FROM (
+                SELECT doc_id, i, shs[i + 1] AS s
+                FROM sh0, unnest(range(0, len(shs))) AS t(i)
+            )
+        ), dup AS (
+            SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) >= 2
+        ), hits AS (
+            SELECT doc_id, pos FROM ex JOIN dup USING (sh)
+        ), cov AS (
+            SELECT doc_id,
+                   LEAST({k}, COALESCE(
+                       LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       - pos, {k})) AS c
+            FROM hits
+        ), per AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens
+            FROM cov GROUP BY doc_id
+        ), base AS (
+            SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens FROM toks
+        )
+        SELECT b.doc_id, b.n_tokens,
+               CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               {C.sql_permille("COALESCE(p.dup_tokens, 0)", "b.n_tokens")}
+                   AS dup_permille
+        FROM base b LEFT JOIN per p USING (doc_id)
+        ORDER BY doc_id
+    """

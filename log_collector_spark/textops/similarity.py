@@ -949,3 +949,155 @@ def sql_embedding_isotropy(table: str = "embeddings",
                {C.sql_permille('n_pairs', 't')} AS share_permille
         FROM hist CROSS JOIN tot ORDER BY cos2_bin
     """
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA power iteration (dominant principal direction, integer)
+# ---------------------------------------------------------------------------
+
+PCA_SCALE = 1000          # rescaled eigenvector magnitude (max |component|)
+PCA_QMAX_LIMIT = 1_000_000        # guard: per-element quantized magnitude
+PCA_BOUND = (1 << 62) // 1000     # worst intermediate * PCA_SCALE must fit
+
+
+def pca_power_step(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Two distributed power-iteration steps toward the dominant principal
+    direction of the (uncentered) embedding Gram matrix — the building
+    block for PCA whitening / anisotropy removal ("all-but-the-top") and
+    for picking the split dimension of a balanced ANN tree. v0 = all-ones
+    (deterministic, RNG-free); each step computes v' = Aᵀ(A·v) without
+    ever materializing the d×d Gram matrix, then rescales to max
+    |component| = 1000 — so the whole chain is integer-exact and
+    engine-portable (sign(x)·(|x|·1000 div m) truncates identically in
+    Spark DIV and DuckDB // because the operand is non-negative).
+
+    Returns one row per dimension: (dim, component_prev, component) —
+    the rescaled vector after step 1 and step 2, ordered by dim. The
+    prev/next pair doubles as a convergence diagnostic (identical rows =
+    converged direction).
+
+    Plan: per step, the row-side dot x·v is a narrow in-row expression
+    (v is a 64-long array broadcast as a single-row frame —
+    BroadcastNestedLoopJoin over ONE row, constant memory); the dim-side
+    reduction is a posexplode to (dim, q·r) followed by a 64-key hash agg
+    with map-side partials — the only shuffle, 64 rows. Nothing
+    data-sized is ever collected or broadcast.
+
+    int64 headroom: |x·ones| <= d·qmax, so |s_j| <= n·d·qmax²; the row
+    dot against the scaled v1 is descaled by 1000 immediately (div 1000
+    per row) so step 2 obeys the SAME bound. The runtime guard asserts
+    n·qmax² <= 2^62/(1000·d) (for d=64, qmax=1000 that is n <= 7.2·10⁷
+    vectors); beyond it, pre-normalize the embeddings (qmax shrinks the
+    bound quadratically), sample rows for the direction estimate, or
+    widen the two dim-aggs to DECIMAL(38,0)."""
+    q = _quantized(df, vec_col)
+    # guard frame: n rows, max |element|, max dims — one tiny agg,
+    # broadcast everywhere below
+    g = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.coalesce(
+            F.array_max(F.transform("q", lambda x: F.abs(x))),
+            F.lit(0))).cast("long").alias("qmax"),
+        F.max(F.size("q")).cast("long").alias("d"))
+    # division form so the guard's own arithmetic can never overflow
+    # under ANSI mode (qmax is clamped before squaring; n is compared,
+    # never multiplied): n <= BOUND div d div max(qmax,1)^2
+    ok = ((F.col("qmax") <= F.lit(PCA_QMAX_LIMIT)) &
+          F.expr(f"n <= CAST({PCA_BOUND} AS BIGINT) DIV greatest(d, 1) "
+                 f"DIV greatest(least(qmax, {PCA_QMAX_LIMIT}) * "
+                 f"least(qmax, {PCA_QMAX_LIMIT}), 1)"))
+    guard = F.when(ok, F.lit(1)).otherwise(F.raise_error(F.format_string(
+        "pca_power_step int64 headroom exceeded: n=%s qmax=%s d=%s — "
+        "pre-normalize embeddings, sample rows, or widen the dim aggs "
+        "to DECIMAL(38,0)", F.col("n"), F.col("qmax"), F.col("d")))
+        .cast("long")).cast("long")
+    g = g.select(guard.alias("_ok"))
+
+    def _rescale(name: str) -> F.Column:
+        # integer DIV, never float: |x|*1000 can exceed 2^53 where a
+        # double round-trip would silently drop low bits
+        return F.expr(
+            f"CAST(CASE WHEN m <= 0 THEN 0 "
+            f"WHEN {name} < 0 THEN -(abs({name}) * {PCA_SCALE} DIV m) "
+            f"ELSE abs({name}) * {PCA_SCALE} DIV m END AS BIGINT)")
+
+    # step 1: s_j = sum_i q_ij * (q_i . ones)
+    r0 = q.withColumn("r0", F.aggregate(
+        "q", F.lit(0).cast("long"), lambda a, x: a + x))
+    s = (r0.crossJoin(F.broadcast(g))
+           .select(F.posexplode("q").alias("dim", "val"), "r0", "_ok")
+           .groupBy("dim")
+           .agg((F.sum(F.col("val") * F.col("r0") * F.col("_ok")))
+                .cast("long").alias("s")))
+    m1 = s.agg(F.max(F.abs("s")).cast("long").alias("m"))
+    v1 = (s.crossJoin(F.broadcast(m1))
+           .select("dim", _rescale("s").alias("component_prev")))
+    v1a = (v1.agg(F.array_sort(F.collect_list(
+               F.struct("dim", "component_prev"))).alias("a"))
+             .select(F.transform("a", lambda x: x["component_prev"])
+                      .alias("v1arr")))
+
+    # step 2: t_j = sum_i q_ij * ((q_i . v1) div 1000)  — per-row descale
+    # keeps step 2 inside the SAME n*d*qmax^2 bound as step 1
+    r1 = (q.crossJoin(F.broadcast(v1a))
+           .withColumn("d1", C.int_dot(F.col("q"), F.col("v1arr")))
+           .withColumn("r1s", F.expr(
+               "CAST(CASE WHEN d1 < 0 THEN -(abs(d1) DIV 1000) "
+               "ELSE abs(d1) DIV 1000 END AS BIGINT)")))
+    t = (r1.select(F.posexplode("q").alias("dim", "val"), "r1s")
+           .groupBy("dim")
+           .agg(F.sum(F.col("val") * F.col("r1s")).cast("long").alias("t")))
+    m2 = t.agg(F.max(F.abs("t")).cast("long").alias("m"))
+    v2 = (t.crossJoin(F.broadcast(m2))
+           .select("dim", _rescale("t").alias("component")))
+    return (v1.join(v2, "dim")
+              .select(F.col("dim").cast("long").alias("dim"),
+                      "component_prev", "component")
+              .orderBy("dim"))
+
+
+def sql_pca_power_step(table: str = "embeddings") -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    resc = ("CAST(CASE WHEN m <= 0 THEN 0 "
+            "WHEN {x} < 0 THEN -(abs({x}) * 1000 // m) "
+            "ELSE abs({x}) * 1000 // m END AS BIGINT)")
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), r0 AS (
+            SELECT vec_id, q,
+                   CAST(list_aggregate(q, 'sum') AS BIGINT) AS r0
+            FROM q
+        ), s AS (
+            SELECT dim, CAST(SUM(prod) AS BIGINT) AS s
+            FROM (
+                SELECT i AS dim, q[i + 1] * r0 AS prod
+                FROM r0, unnest(range(0, len(q))) AS t(i)
+            ) GROUP BY dim
+        ), m1 AS (SELECT CAST(MAX(abs(s)) AS BIGINT) AS m FROM s),
+        v1 AS (
+            SELECT dim, {resc.format(x='s')} AS component_prev
+            FROM s CROSS JOIN m1
+        ), v1a AS (
+            SELECT list(component_prev ORDER BY dim) AS v1arr FROM v1
+        ), r1 AS (
+            SELECT vec_id, q,
+                   CAST(CASE WHEN d1 < 0 THEN -(abs(d1) // 1000)
+                             ELSE abs(d1) // 1000 END AS BIGINT) AS r1s
+            FROM (
+                SELECT vec_id, q,
+                       CAST(list_dot_product(q, v1arr) AS BIGINT) AS d1
+                FROM q CROSS JOIN v1a
+            )
+        ), tt AS (
+            SELECT dim, CAST(SUM(prod) AS BIGINT) AS t
+            FROM (
+                SELECT i AS dim, q[i + 1] * r1s AS prod
+                FROM r1, unnest(range(0, len(q))) AS t(i)
+            ) GROUP BY dim
+        ), m2 AS (SELECT CAST(MAX(abs(t)) AS BIGINT) AS m FROM tt)
+        SELECT CAST(v1.dim AS BIGINT) AS dim, v1.component_prev,
+               {resc.format(x='t')} AS component
+        FROM tt CROSS JOIN m2 JOIN v1 USING (dim)
+        ORDER BY dim
+    """

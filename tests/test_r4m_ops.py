@@ -1,0 +1,123 @@
+"""Continuation-XIII ops: duplicated-n-gram token coverage (interval
+union), integer PCA power iteration (numpy equality + eigen alignment +
+headroom guard)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from log_collector_spark.textops import dedup as D
+from log_collector_spark.textops import similarity as S
+from log_collector_spark.textops.common import EMB_SCALE
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_dup_ngram_coverage_interval_union(spark):
+    # k = 3: docs 0/1 share shingles "a b c" and "b c d" (hit positions
+    # 0 and 1 -> union covers tokens 0..3 = 4 of 5); doc 4 repeats
+    # "m n o" WITHIN itself (hits at 0 and 4, disjoint -> 6 of 7);
+    # doc 2 is unique, doc 3 is shorter than k.
+    out = {r["doc_id"]: r for r in D.dup_ngram_coverage(_docs(spark, [
+        "a b c d e",
+        "a b c d x",
+        "z y x w v u",
+        "q r",
+        "m n o p m n o",
+    ]), k=3).collect()}
+    assert (out[0]["n_tokens"], out[0]["dup_tokens"],
+            out[0]["dup_permille"]) == (5, 4, 800)
+    assert (out[1]["dup_tokens"], out[1]["dup_permille"]) == (4, 800)
+    assert (out[2]["dup_tokens"], out[2]["dup_permille"]) == (0, 0)
+    assert (out[3]["n_tokens"], out[3]["dup_tokens"]) == (2, 0)
+    assert (out[4]["n_tokens"], out[4]["dup_tokens"]) == (7, 6)
+
+
+def test_dup_ngram_coverage_matches_bruteforce(spark):
+    k = D.SHINGLE_K
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    rows = [(r["doc_id"], r["text"]) for r in
+            docs.select("doc_id", "text").collect()]
+    occ: dict[tuple, int] = {}
+    toks = {}
+    for did, text in rows:
+        t = text.split()
+        toks[did] = t
+        for i in range(max(0, len(t) - k + 1)):
+            sh = tuple(t[i:i + k])
+            occ[sh] = occ.get(sh, 0) + 1
+    expect = {}
+    for did, t in toks.items():
+        covered = set()
+        for i in range(max(0, len(t) - k + 1)):
+            if occ[tuple(t[i:i + k])] >= 2:
+                covered.update(range(i, i + k))
+        expect[did] = (len(t), len(covered))
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+           for r in D.dup_ngram_coverage(docs, k=k).collect()}
+    assert got == expect
+
+
+def _emb_df(spark, mat):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>")
+
+
+def test_pca_power_step_matches_numpy_integer(spark):
+    embs = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    # replicate the EXACT integer chain in numpy int64
+    vecs = np.array([r["embedding"] for r in
+                     embs.select("embedding").collect()], dtype=np.float64)
+    q = np.round(vecs * EMB_SCALE).astype(np.int64)
+
+    def rescale(x):
+        m = np.abs(x).max()
+        if m <= 0:
+            return np.zeros_like(x)
+        return np.sign(x) * (np.abs(x) * 1000 // m)
+
+    s = (q * (q.sum(axis=1)[:, None])).sum(axis=0)
+    v1 = rescale(s)
+    d1 = q @ v1
+    r1s = np.sign(d1) * (np.abs(d1) // 1000)
+    t = (q * r1s[:, None]).sum(axis=0)
+    v2 = rescale(t)
+    got = [(r["dim"], r["component_prev"], r["component"])
+           for r in S.pca_power_step(embs).collect()]
+    assert got == [(i, int(v1[i]), int(v2[i])) for i in range(q.shape[1])]
+
+
+def test_pca_power_step_aligns_with_dominant_eigenvector(spark):
+    # strongly dominant direction + tiny deterministic orthogonal noise:
+    # two steps from all-ones must align almost perfectly
+    rng_free = np.arange(40)
+    base = np.zeros((40, 8))
+    base[:, 2] = 0.9                       # dominant axis
+    base[:, 5] = ((rng_free % 7) - 3) * 0.01   # small zero-mean noise axis
+    out = S.pca_power_step(_emb_df(spark, base)).collect()
+    v = np.array([r["component"] for r in out], dtype=np.float64)
+    w, V = np.linalg.eigh((base * 1000).T @ (base * 1000))
+    top = V[:, np.argmax(w)]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999
+
+
+def test_pca_power_step_guard_raises_on_headroom(spark):
+    # quantized magnitude 2e9 >> PCA_QMAX_LIMIT -> the structural guard
+    # must fail the job rather than silently overflow int64
+    big = np.full((4, 8), 2_000_000.0)
+    with pytest.raises(Exception, match="headroom"):
+        S.pca_power_step(_emb_df(spark, big)).collect()

@@ -2079,6 +2079,23 @@ def q_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pca_power_step(_embs(spark, sf_dir))
 
 
+
+def q_pca_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector squared-cosine histogram against the power-iteration
+    principal direction — the "all-but-the-top" collapse report; per-row
+    bounded integer chain, 11-key agg."""
+    from log_collector_spark.textops import similarity as S
+    return S.pca_alignment(_embs(spark, sf_dir))
+
+
+def q_ann_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-expansion ANN: offline degree-bounded kNN graph from
+    multiprobe LSH candidates; queries probe one bucket + one graph hop
+    (the NSW/HNSW index-effort-for-query-latency trade)."""
+    from log_collector_spark.textops import similarity as S
+    return S.graph_ann_topk(_embs(spark, sf_dir))
+
+
 def q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiwindow SLO burn-rate alerts (5-min AND 1-hour conjunction,
     integer milli burn); hour rolls up the 5-min partials, one scan."""
@@ -2411,6 +2428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_isotropy": q_embedding_isotropy,
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "pca_power_step": q_pca_power_step,
+        "pca_alignment": q_pca_alignment,
+        "ann_topk_graph": q_ann_topk_graph,
         "slo_burn_alerts": q_slo_burn_alerts,
         "lsh_probe_curve": q_lsh_probe_curve,
         "delete_impact_audit": q_delete_impact_audit,
@@ -3362,6 +3381,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_isotropy": _ts().sql_embedding_isotropy(),
         "dup_ngram_coverage": _td().sql_dup_ngram_coverage(),
         "pca_power_step": _ts().sql_pca_power_step(),
+        "pca_alignment": _ts().sql_pca_alignment(),
+        "ann_topk_graph": _ts().sql_graph_ann_topk(),
         "slo_burn_alerts": _bh().sql_slo_burn_alerts(),
         "lsh_probe_curve": _te().sql_lsh_probe_curve(),
         "delete_impact_audit": _or().sql_delete_impact_audit(tx_glob),

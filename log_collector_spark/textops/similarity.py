@@ -1056,13 +1056,14 @@ def pca_power_step(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
               .orderBy("dim"))
 
 
-def sql_pca_power_step(table: str = "embeddings") -> str:
+def _sql_pca_ctes(table: str) -> str:
+    """Shared CTE chain ending at v2(dim, component_prev, component) —
+    used by sql_pca_power_step and sql_pca_alignment."""
     qe = C.sql_quantized_embedding("embedding")
     resc = ("CAST(CASE WHEN m <= 0 THEN 0 "
             "WHEN {x} < 0 THEN -(abs({x}) * 1000 // m) "
             "ELSE abs({x}) * 1000 // m END AS BIGINT)")
-    return f"""
-        WITH q AS (
+    return f"""q AS (
             SELECT vec_id, {qe} AS q FROM {table}
         ), r0 AS (
             SELECT vec_id, q,
@@ -1095,9 +1096,227 @@ def sql_pca_power_step(table: str = "embeddings") -> str:
                 SELECT i AS dim, q[i + 1] * r1s AS prod
                 FROM r1, unnest(range(0, len(q))) AS t(i)
             ) GROUP BY dim
-        ), m2 AS (SELECT CAST(MAX(abs(t)) AS BIGINT) AS m FROM tt)
-        SELECT CAST(v1.dim AS BIGINT) AS dim, v1.component_prev,
-               {resc.format(x='t')} AS component
-        FROM tt CROSS JOIN m2 JOIN v1 USING (dim)
-        ORDER BY dim
+        ), m2 AS (SELECT CAST(MAX(abs(t)) AS BIGINT) AS m FROM tt),
+        v2 AS (
+            SELECT CAST(v1.dim AS BIGINT) AS dim, v1.component_prev,
+                   {resc.format(x='t')} AS component
+            FROM tt CROSS JOIN m2 JOIN v1 USING (dim)
+        )"""
+
+
+def sql_pca_power_step(table: str = "embeddings") -> str:
+    return f"""
+        WITH {_sql_pca_ctes(table)}
+        SELECT dim, component_prev, component FROM v2 ORDER BY dim
+    """
+
+
+def pca_alignment(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Histogram of per-vector squared cosine to the dominant principal
+    direction (the :func:`pca_power_step` vector) — the quantitative
+    "all-but-the-top" / representation-collapse report: healthy embedding
+    spaces put most mass in low cos² bins; a collapsed space piles up at
+    bin 9-10, and THAT is when removing the top component (Mu & Viswanath
+    2018) or re-training is warranted. Pairs with
+    :func:`embedding_isotropy` (pairwise view) by giving the axis-aligned
+    view against an explicit estimated direction.
+
+    Integer chain: cos²·1000 ≈ (ds² · 1000) div ((n2 div 1000) ·
+    (vv div 1000)) with ds = (q·v) div 1000 — every operand is bounded
+    per ROW (≤ ~4·10¹²), so unlike the raw Σd1² formulation this needs NO
+    corpus-size headroom guard beyond the power step's own; least(1000,·)
+    clamps truncation jitter at the top bin. Near-zero vectors
+    (n2 < {ISO_MIN_NORM2}) are excluded like the isotropy audit.
+
+    Returns (cos2_bin 0..10, n_vecs, share_permille) ordered.
+
+    Plan: the direction is a 64-row agg broadcast as ONE array row; the
+    histogram is a narrow map pass + an 11-key hash agg."""
+    v = pca_power_step(df, vec_col)
+    va = (v.agg(F.array_sort(F.collect_list(
+              F.struct("dim", "component"))).alias("a"))
+           .select(F.transform("a", lambda x: x["component"]).alias("varr")))
+    va = va.withColumn("vv", C.int_dot(F.col("varr"), F.col("varr")))
+    q = (_quantized(df, vec_col)
+         .withColumn("n2", C.int_dot(F.col("q"), F.col("q")))
+         .filter(F.col("n2") >= ISO_MIN_NORM2))
+    j = (q.crossJoin(F.broadcast(va))
+          .withColumn("d1", C.int_dot(F.col("q"), F.col("varr")))
+          .withColumn("ds", F.expr("abs(d1) DIV 1000"))
+          .withColumn("cos2", F.expr(
+              "least(CAST(1000 AS BIGINT), (ds * ds * 1000) DIV "
+              "greatest((n2 DIV 1000) * greatest(vv DIV 1000, 1), 1))")))
+    hist = (j.select(F.expr("CAST(cos2 DIV 100 AS BIGINT)").alias("cos2_bin"))
+             .groupBy("cos2_bin")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs")))
+    tot = hist.agg(F.sum("n_vecs").cast("long").alias("t"))
+    return (hist.crossJoin(F.broadcast(tot))
+                .select("cos2_bin", "n_vecs",
+                        C.permille(F.col("n_vecs"), F.col("t"))
+                         .alias("share_permille"))
+                .orderBy("cos2_bin"))
+
+
+def sql_pca_alignment(table: str = "embeddings") -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    return f"""
+        WITH {_sql_pca_ctes(table)},
+        va AS (
+            SELECT varr, CAST(list_dot_product(varr, varr) AS BIGINT) AS vv
+            FROM (SELECT list(component ORDER BY dim) AS varr FROM v2)
+        ), rows_ AS (
+            SELECT CAST(list_dot_product(e.q, va.varr) AS BIGINT) AS d1,
+                   e.n2, va.vv
+            FROM (
+                SELECT q, CAST(list_dot_product(q, q) AS BIGINT) AS n2
+                FROM (SELECT {qe} AS q FROM {table})
+                WHERE CAST(list_dot_product(q, q) AS BIGINT)
+                      >= {ISO_MIN_NORM2}
+            ) e CROSS JOIN va
+        ), binned AS (
+            SELECT CAST(LEAST(1000, (ds * ds * 1000) //
+                        GREATEST((n2 // 1000) * GREATEST(vv // 1000, 1), 1))
+                        // 100 AS BIGINT) AS cos2_bin
+            FROM (SELECT abs(d1) // 1000 AS ds, n2, vv FROM rows_)
+        ), hist AS (
+            SELECT cos2_bin, CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM binned GROUP BY 1
+        ), tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS t FROM hist)
+        SELECT cos2_bin, n_vecs,
+               {C.sql_permille('n_vecs', 't')} AS share_permille
+        FROM hist CROSS JOIN tot ORDER BY cos2_bin
+    """
+
+
+# ---------------------------------------------------------------------------
+# Graph-expansion ANN (NSW/HNSW-family representative)
+# ---------------------------------------------------------------------------
+
+GRAPH_DEGREE = 4
+
+
+def graph_ann_topk(df: DataFrame, vec_col: str = "embedding",
+                   k: int = TOP_K, query_mod: int = QUERY_MOD,
+                   degree: int = GRAPH_DEGREE) -> DataFrame:
+    """Graph-based ANN — the NSW/HNSW-family representative closing the
+    index taxonomy next to LSH (ann_topk_lsh), IVF (ann_topk_ivf), PQ
+    (ann_topk_ivfadc) and fusion (ann_topk_rrf): an OFFLINE k-NN graph is
+    built from multiprobe LSH candidates (each node keeps its ``degree``
+    best same-or-Hamming-1-bucket neighbors by exact integer dot), and a
+    query then probes ONLY its own bucket but expands one hop through the
+    graph — the graph pre-pays the multiprobe fan-out so query-time cost
+    is a single bucket plus ``degree``·|seeds| key lookups, the actual
+    trade HNSW makes (index effort for query latency).
+
+    Returns (query_id, cand_id, dot, rank) like the sibling ANN ops.
+
+    Plan: graph build = bucket/probe equi-join + per-node top-``degree``
+    window (the one shuffled stage — at 100 TB it is built once and
+    PERSISTED as a (src,dst) table partitioned by src); search = seed
+    equi-join on the query's bucket, a hop equi-join seeds→edges on src,
+    a vec_id join to fetch hop vectors, then the per-query top-k window.
+    Queries (the 1% sample) broadcast; the corpus never broadcasts."""
+    n_flips = len(EMB_PLANES)
+    q = _quantized(df, vec_col).withColumn("bucket",
+                                           _emb_bucket(F.col("q")))
+    # --- offline: degree-bounded kNN graph over multiprobe candidates
+    probes = F.array(*([F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(1 << j) for j in range(n_flips)]))
+    src = q.select(F.col("vec_id").alias("src"), F.col("q").alias("sv"),
+                   F.explode(probes).alias("probe"))
+    dst = q.select(F.col("vec_id").alias("dst"), F.col("q").alias("dv"),
+                   F.col("bucket"))
+    we = Window.partitionBy("src").orderBy(F.desc("edot"), F.asc("dst"))
+    edges = (src.join(dst, (F.col("bucket") == F.col("probe")) &
+                           (F.col("src") != F.col("dst")))
+                .select("src", "dst",
+                        C.int_dot(F.col("sv"), F.col("dv")).alias("edot"))
+                .distinct()
+                .withColumn("r", F.row_number().over(we))
+                .filter(F.col("r") <= degree)
+                .select("src", "dst"))
+    # --- query time: own-bucket seeds + one graph hop
+    queries = (q.filter(F.col("vec_id") % query_mod == 0)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("q").alias("qv"),
+                        F.col("bucket").alias("qbucket")))
+    seeds = (dst.join(F.broadcast(queries),
+                      (F.col("bucket") == F.col("qbucket")) &
+                      (F.col("dst") != F.col("query_id")))
+                .select("query_id", F.col("dst").alias("cand_id")))
+    hop = (seeds.join(edges, seeds.cand_id == edges.src)
+                .select("query_id", F.col("dst").alias("cand_id")))
+    cands = (seeds.unionByName(hop).distinct()
+                  .join(F.broadcast(queries.select("query_id", "qv")),
+                        "query_id")
+                  .join(q.select(F.col("vec_id").alias("cand_id"),
+                                 F.col("q").alias("cv")), "cand_id")
+                  .filter(F.col("cand_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cand_id"))
+    return (cands.select("query_id", "cand_id",
+                         C.int_dot(F.col("qv"), F.col("cv")).alias("dot"))
+                 .withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("query_id", "cand_id", "dot",
+                         F.col("rank").cast("int").alias("rank")))
+
+
+def sql_graph_ann_topk(table: str = "embeddings", k: int = TOP_K,
+                       query_mod: int = QUERY_MOD,
+                       degree: int = GRAPH_DEGREE) -> str:
+    n_flips = len(EMB_PLANES)
+    qe = C.sql_quantized_embedding("embedding")
+    bucket_terms = " + ".join(
+        "CASE WHEN CAST(list_dot_product(q, {plane}::BIGINT[]) AS BIGINT) > 0 "
+        "THEN CAST({bit} AS BIGINT) ELSE 0 END".format(
+            plane=str(plane), bit=1 << j)
+        for j, plane in enumerate(EMB_PLANES))
+    probe_list = "[bucket" + "".join(
+        f", xor(bucket, CAST({1 << j} AS BIGINT))"
+        for j in range(n_flips)) + "]"
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), qb AS (
+            SELECT vec_id, q, {bucket_terms} AS bucket FROM q
+        ), src AS (
+            SELECT vec_id AS src, q AS sv, unnest({probe_list}) AS probe
+            FROM qb
+        ), escored AS (
+            SELECT DISTINCT s.src, d.vec_id AS dst,
+                   CAST(list_dot_product(s.sv, d.q) AS BIGINT) AS edot
+            FROM src s JOIN qb d
+              ON d.bucket = s.probe AND d.vec_id <> s.src
+        ), edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst, ROW_NUMBER() OVER (
+                    PARTITION BY src ORDER BY edot DESC, dst) AS r
+                FROM escored
+            ) WHERE r <= {degree}
+        ), queries AS (
+            SELECT vec_id AS query_id, q AS qv, bucket AS qbucket
+            FROM qb WHERE vec_id % {query_mod} = 0
+        ), seeds AS (
+            SELECT qs.query_id, d.vec_id AS cand_id
+            FROM queries qs JOIN qb d
+              ON d.bucket = qs.qbucket AND d.vec_id <> qs.query_id
+        ), hop AS (
+            SELECT s.query_id, e.dst AS cand_id
+            FROM seeds s JOIN edges e ON e.src = s.cand_id
+        ), cands AS (
+            SELECT DISTINCT query_id, cand_id
+            FROM (SELECT * FROM seeds UNION ALL SELECT * FROM hop)
+            WHERE cand_id <> query_id
+        ), scored AS (
+            SELECT c.query_id, c.cand_id,
+                   CAST(list_dot_product(qs.qv, d.q) AS BIGINT) AS dot
+            FROM cands c
+            JOIN queries qs ON qs.query_id = c.query_id
+            JOIN qb d ON d.vec_id = c.cand_id
+        )
+        SELECT query_id, cand_id, dot, CAST(rank AS INT) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY dot DESC, cand_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
     """

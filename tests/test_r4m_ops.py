@@ -121,3 +121,46 @@ def test_pca_power_step_guard_raises_on_headroom(spark):
     big = np.full((4, 8), 2_000_000.0)
     with pytest.raises(Exception, match="headroom"):
         S.pca_power_step(_emb_df(spark, big)).collect()
+
+
+def test_pca_alignment_collapsed_space_hits_top_bin(spark):
+    # every vector on one ray -> cos^2 to the principal direction == 1
+    base = np.zeros((30, 8))
+    base[:, 3] = 0.5 + 0.01 * (np.arange(30) % 5)
+    out = S.pca_alignment(_emb_df(spark, base)).collect()
+    assert len(out) == 1
+    assert out[0]["cos2_bin"] >= 9 and out[0]["share_permille"] == 1000
+
+
+def test_pca_alignment_spread_space_uses_low_bins(spark):
+    embs = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    out = {r["cos2_bin"]: r["share_permille"]
+           for r in S.pca_alignment(embs).collect()}
+    # synthetic corpus is not collapsed: most mass below bin 5
+    assert sum(v for b, v in out.items() if b <= 4) >= 600
+
+
+def test_graph_ann_recall_at_least_bucket_only_lsh(spark):
+    embs = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    truth = {(r["query_id"], r["cand_id"])
+             for r in S.brute_force_topk(embs).collect()}
+    graph = {(r["query_id"], r["cand_id"])
+             for r in S.graph_ann_topk(embs).collect()}
+    lsh0 = {(r["query_id"], r["cand_id"])
+            for r in S.lsh_ann_topk(embs, flips=0).collect()}
+    # the offline graph pre-pays multiprobe: one query-time hop must hit
+    # the exact-truth set at least as often as probing only one bucket
+    assert len(graph & truth) >= len(lsh0 & truth)
+    # contract: ranks are 1..k unique per query
+    rows = S.graph_ann_topk(embs).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+
+
+def test_graph_ann_plan_no_cartesian_or_bnlj(spark):
+    embs = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    plan = S.graph_ann_topk(embs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

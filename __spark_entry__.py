@@ -2096,6 +2096,24 @@ def q_ann_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.graph_ann_topk(_embs(spark, sf_dir))
 
 
+
+def q_tx_context_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-time context depth histogram: per-turn count of trailing
+    turns visible under the token budget — one fixed-offset RANGE frame
+    over the conv token cumsum, no self-join."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.context_depth(pl.full_pipeline(spark, sf_dir))
+
+
+
+def q_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label simplified silhouette (centroid form, integer permille):
+    label-coherence audit before trusting labels for splits/sampling;
+    one (label,dim) agg + in-row distance transforms, no n×L shuffle."""
+    from log_collector_spark.textops import similarity as S
+    return S.silhouette_labels(_embs(spark, sf_dir))
+
+
 def q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiwindow SLO burn-rate alerts (5-min AND 1-hour conjunction,
     integer milli burn); hour rolls up the 5-min partials, one scan."""
@@ -2430,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_power_step": q_pca_power_step,
         "pca_alignment": q_pca_alignment,
         "ann_topk_graph": q_ann_topk_graph,
+        "silhouette_labels": q_silhouette_labels,
         "slo_burn_alerts": q_slo_burn_alerts,
         "lsh_probe_curve": q_lsh_probe_curve,
         "delete_impact_audit": q_delete_impact_audit,
@@ -2542,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_first_response_ms": q_tx_first_response_ms,
         "tx_slow_streaks": q_tx_slow_streaks,
         "tx_context_cutoff": q_tx_context_cutoff,
+        "tx_context_depth": q_tx_context_depth,
         "tx_peak_inflight": q_tx_peak_inflight,
         "tx_latency_inversions": q_tx_latency_inversions,
         "gap_histogram_events": q_gap_histogram,
@@ -2854,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_first_response_ms": _tx().sql_first_response_ms(tx_view),
         "tx_slow_streaks": _tx().sql_slow_streaks(tx_view),
         "tx_context_cutoff": _tx().sql_context_cutoff(tx_view),
+        "tx_context_depth": _tx().sql_context_depth(tx_view),
         "tx_peak_inflight": _tx().sql_peak_inflight(tx_view),
         "tx_latency_inversions": _tx().sql_latency_inversions(tx_view),
         "gap_histogram_events": _bh().sql_gap_histogram("events"),
@@ -3383,6 +3404,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_power_step": _ts().sql_pca_power_step(),
         "pca_alignment": _ts().sql_pca_alignment(),
         "ann_topk_graph": _ts().sql_graph_ann_topk(),
+        "silhouette_labels": _ts().sql_silhouette_labels(),
         "slo_burn_alerts": _bh().sql_slo_burn_alerts(),
         "lsh_probe_curve": _te().sql_lsh_probe_curve(),
         "delete_impact_audit": _or().sql_delete_impact_audit(tx_glob),

@@ -503,6 +503,82 @@ def sql_context_cutoff(tx_view: str, budget: int = CONTEXT_BUDGET) -> str:
     """
 
 
+
+TX_SERVE_BUDGET = 4000  # trailing context budget for the serving-depth view
+
+
+def context_depth(routed: DataFrame,
+                  budget: int = TX_SERVE_BUDGET) -> DataFrame:
+    """Serving-time context DEPTH distribution: for every turn t, how many
+    turns of its conversation are at least partially visible after
+    truncating the history to the trailing ``budget`` tokens — the
+    complement of :func:`context_cutoff` (which measures the PREFIX fit
+    once per conversation, the packing view; this measures the rolling
+    SUFFIX every request actually sees, the serving view).
+
+    A turn j (token span ``(cum_j - tok_j, cum_j]``) overlaps the
+    trailing window ``(cum_t - budget, cum_t]`` iff ``cum_j > cum_t -
+    budget`` — so the per-turn depth is ONE fixed-offset RANGE frame over
+    the token cumsum: ``COUNT(*) OVER (PARTITION BY conv ORDER BY cum
+    RANGE BETWEEN budget-1 PRECEDING AND CURRENT ROW)``. No self-join,
+    no per-row budget arithmetic.
+
+    Returns the global histogram (depth, n_turns, share_permille)
+    ordered by depth.
+
+    Plan: cumsum window + range window share the conv_id partitioning —
+    a single exchange — then an integer-keyed hash agg; at 10^12 turns
+    both windows stream within each conversation partition and the
+    histogram is map-side combined."""
+    from log_collector_spark.textops import common as C
+    tok = F.get_json_object("payload", "$.tokens").cast("long")
+    w_cum = (Window.partitionBy("conv_id").orderBy("turn_idx")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (_clean(routed)
+           .select("conv_id", "turn_idx", tok.alias("tok"))
+           .withColumn("cum", F.sum("tok").over(w_cum)))
+    w_rng = (Window.partitionBy("conv_id").orderBy("cum")
+             .rangeBetween(-(budget - 1), 0))
+    depth = cum.select(
+        F.count(F.lit(1)).over(w_rng).cast("long").alias("depth"))
+    hist = (depth.groupBy("depth")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_turns")))
+    tot = hist.agg(F.sum("n_turns").cast("long").alias("t"))
+    return (hist.crossJoin(F.broadcast(tot))
+                .select("depth", "n_turns",
+                        C.permille(F.col("n_turns"), F.col("t"))
+                         .alias("share_permille"))
+                .orderBy("depth"))
+
+
+def sql_context_depth(tx_view: str, budget: int = TX_SERVE_BUDGET) -> str:
+    from log_collector_spark.textops import common as C
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, turn_idx, {_TOK} AS tok
+            FROM {tx_view} WHERE {SQL_CLEAN}
+        ), cum AS (
+            SELECT conv_id,
+                   SUM(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM clean
+        ), d AS (
+            SELECT CAST(COUNT(*) OVER (
+                       PARTITION BY conv_id ORDER BY cum
+                       RANGE BETWEEN {budget - 1} PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS depth
+            FROM cum
+        ), hist AS (
+            SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_turns
+            FROM d GROUP BY 1
+        ), tot AS (SELECT CAST(SUM(n_turns) AS BIGINT) AS t FROM hist)
+        SELECT depth, n_turns,
+               {C.sql_permille('n_turns', 't')} AS share_permille
+        FROM hist CROSS JOIN tot ORDER BY depth
+    """
+
+
 def peak_inflight(routed: DataFrame) -> DataFrame:
     """Peak CONCURRENT tool calls per conversation — the sweep-line
     max-overlap statistic (interval_coverage measures union length; this

@@ -1320,3 +1320,128 @@ def sql_graph_ann_topk(table: str = "embeddings", k: int = TOP_K,
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette (centroid form) — clustering / labeling quality
+# ---------------------------------------------------------------------------
+
+
+def silhouette_labels(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label simplified silhouette (Kaufman-Rousseeuw, centroid form):
+    for every vector, a = squared L2 to its OWN label centroid, b = min
+    squared L2 to any OTHER label's centroid, s = (b−a)/max(a,b) in
+    permille — the clustering/labeling quality audit that says whether
+    labels are geometrically coherent BEFORE they are trusted for
+    stratified sampling, cluster-granular splits, or kNN-consistency
+    thresholds (its per-point sibling :func:`knn_label_consistency`
+    checks neighbors; this checks global separation at O(n·L) instead of
+    O(n·candidates)).
+
+    All-integer: centroids are sign-split truncating divisions of the
+    per-(label,dim) sums (identical in Spark DIV / DuckDB ``//`` because
+    the operand is non-negative after abs); distances are exact integer
+    squared-L2 over quantized vectors; s uses the branch-split
+    denominator max(a,b) so every division has non-negative operands.
+
+    Returns (label, n_vecs, mean_sil_permille, n_negative) ordered by
+    label — n_negative counts vectors closer to a foreign centroid than
+    to their own (candidate mislabels).
+
+    Plan: centroids = one (label,dim) hash agg (map-side combined);
+    the L-row centroid table folds to ONE array row broadcast to every
+    vector; a/b are in-row transforms over that array (no n×L shuffle,
+    no join back); the report is an L-key hash agg. At 10^9 vectors
+    the corpus is scanned once and only (label, partial) rows move."""
+    q = df.select("label", C.quantized_embedding(F.col(vec_col)).alias("q"))
+    cent = (q.select("label", F.posexplode("q").alias("dim", "v"))
+             .groupBy("label", "dim")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("v").cast("long").alias("s"))
+             .select("label", "dim", F.expr(
+                 "CAST(CASE WHEN s < 0 THEN -(abs(s) DIV n) "
+                 "ELSE abs(s) DIV n END AS BIGINT)").alias("c")))
+    carr = (cent.groupBy("label")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
+                      .alias("a"))
+                .select("label",
+                        F.transform("a", lambda x: x["c"]).alias("cv")))
+    cents = carr.agg(F.array_sort(F.collect_list(
+        F.struct(F.col("label").alias("l"), F.col("cv").alias("cv"))))
+        .alias("cents"))
+
+    def _d2(cv):
+        return F.aggregate(
+            F.zip_with(F.col("q"), cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    j = (q.crossJoin(F.broadcast(cents))
+          .withColumn("dists", F.transform(
+              F.col("cents"),
+              lambda c: F.struct(c["l"].alias("l"), _d2(c["cv"]).alias("d"))))
+          .withColumn("a", F.element_at(
+              F.filter(F.col("dists"),
+                       lambda x: x["l"] == F.col("label")), 1)["d"])
+          .withColumn("b", F.array_min(F.transform(
+              F.filter(F.col("dists"), lambda x: x["l"] != F.col("label")),
+              lambda x: x["d"])))
+          .withColumn("sil", F.expr(
+              "CAST(CASE WHEN b IS NULL THEN 0 "
+              "WHEN b >= a THEN (b - a) * 1000 DIV greatest(b, 1) "
+              "ELSE -((a - b) * 1000 DIV greatest(a, 1)) END AS BIGINT)")))
+    return (j.groupBy("label")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                  F.sum("sil").cast("long").alias("ssum"),
+                  F.sum((F.col("sil") < 0).cast("long")).cast("long")
+                   .alias("n_negative"))
+             .select(F.col("label").cast("long").alias("label"), "n_vecs",
+                     F.expr("CAST(CASE WHEN ssum < 0 "
+                            "THEN -(abs(ssum) DIV n_vecs) "
+                            "ELSE ssum DIV n_vecs END AS BIGINT)")
+                      .alias("mean_sil_permille"),
+                     "n_negative")
+             .orderBy("label"))
+
+
+def sql_silhouette_labels(table: str = "embeddings") -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    return f"""
+        WITH base AS (
+            SELECT vec_id, label, {qe} AS q FROM {table}
+        ), ex AS (
+            SELECT vec_id, label, t.dim AS dim, q[t.dim + 1] AS v
+            FROM base, unnest(range(0, len(q))) AS t(dim)
+        ), cent AS (
+            SELECT label, dim,
+                   CAST(CASE WHEN SUM(v) < 0
+                             THEN -(abs(SUM(v)) // COUNT(*))
+                             ELSE SUM(v) // COUNT(*) END AS BIGINT) AS c
+            FROM ex GROUP BY 1, 2
+        ), dists AS (
+            SELECT e.vec_id, e.label AS own, c.label AS clabel,
+                   CAST(SUM((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS d
+            FROM ex e JOIN cent c USING (dim)
+            GROUP BY 1, 2, 3
+        ), ab AS (
+            SELECT vec_id, own,
+                   MAX(CASE WHEN clabel = own THEN d END) AS a,
+                   MIN(CASE WHEN clabel <> own THEN d END) AS b
+            FROM dists GROUP BY 1, 2
+        ), sil AS (
+            SELECT own AS label,
+                   CAST(CASE WHEN b IS NULL THEN 0
+                             WHEN b >= a THEN (b - a) * 1000 // GREATEST(b, 1)
+                             ELSE -((a - b) * 1000 // GREATEST(a, 1))
+                        END AS BIGINT) AS s
+            FROM ab
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(CASE WHEN SUM(s) < 0
+                         THEN -(abs(SUM(s)) // COUNT(*))
+                         ELSE SUM(s) // COUNT(*) END AS BIGINT)
+                   AS mean_sil_permille,
+               CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_negative
+        FROM sil GROUP BY label ORDER BY label
+    """

@@ -164,3 +164,59 @@ def test_graph_ann_plan_no_cartesian_or_bnlj(spark):
     plan = S.graph_ann_topk(embs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tx_context_depth_trailing_window_semantics(spark):
+    from log_collector_spark.operators import tx_stats as TX
+    rows = [("c1", i + 1, '{"tokens":%d}' % t)
+            for i, t in enumerate([3000, 2000, 1500, 500])]
+    routed = (spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, payload string")
+        .withColumn("parse_ok", F.lit(True))
+        .withColumn("is_oversize", F.lit(False)))
+    # budget 4000, cums 3000/5000/6500/7000:
+    # t1 sees {t1}=1; t2 sees {t1,t2}=2; t3 window (2501,6500] still
+    # overlaps t1's span (..3000] -> 3; t4 window (3001,7000] drops t1 -> 3
+    out = {r["depth"]: r["n_turns"]
+           for r in TX.context_depth(routed, budget=4000).collect()}
+    assert out == {1: 1, 2: 1, 3: 2}
+
+
+def _emb_labeled(spark, mat, labels):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row], int(l))
+         for i, (row, l) in enumerate(zip(mat, labels))],
+        "vec_id long, embedding array<float>, label int")
+
+
+def test_silhouette_separable_clusters_near_1000(spark):
+    # three tight, far-apart clusters labeled correctly -> sil ~ 1000
+    mat, labels = [], []
+    for li, center in enumerate([0.0, 5.0, -5.0]):
+        for j in range(8):
+            v = np.zeros(4)
+            v[0] = center + 0.001 * j
+            v[1] = 0.001 * li
+            mat.append(v)
+            labels.append(li)
+    out = S.silhouette_labels(_emb_labeled(spark, mat, labels)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["mean_sil_permille"] >= 990 and r["n_negative"] == 0
+
+
+def test_silhouette_mixed_partition_scores_near_zero(spark):
+    # silhouette is invariant to renaming whole clusters — incoherence
+    # requires the PARTITION to mix clusters: split every cluster
+    # half/half between the two labels, so both centroids collapse to
+    # the midpoint and separation vanishes
+    mat, labels = [], []
+    for li, center in enumerate([0.0, 10.0]):
+        for j in range(8):
+            v = np.zeros(4)
+            v[0] = center + 0.001 * j
+            mat.append(v)
+            labels.append(j % 2)
+    out = S.silhouette_labels(_emb_labeled(spark, mat, labels)).collect()
+    for r in out:
+        assert r["mean_sil_permille"] < 100  # vs >= 990 when coherent

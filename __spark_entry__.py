@@ -2114,6 +2114,15 @@ def q_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.silhouette_labels(_embs(spark, sf_dir))
 
 
+
+def q_tx_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT dataset assembly: one example per clean assistant turn with
+    prompt/completion token accounting (loss-mask boundary) and a
+    context-budget fit flag; one conv-keyed window, no join."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.sft_examples(pl.full_pipeline(spark, sf_dir))
+
+
 def q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiwindow SLO burn-rate alerts (5-min AND 1-hour conjunction,
     integer milli burn); hour rolls up the 5-min partials, one scan."""
@@ -2562,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_slow_streaks": q_tx_slow_streaks,
         "tx_context_cutoff": q_tx_context_cutoff,
         "tx_context_depth": q_tx_context_depth,
+        "tx_sft_examples": q_tx_sft_examples,
         "tx_peak_inflight": q_tx_peak_inflight,
         "tx_latency_inversions": q_tx_latency_inversions,
         "gap_histogram_events": q_gap_histogram,
@@ -2875,6 +2885,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_slow_streaks": _tx().sql_slow_streaks(tx_view),
         "tx_context_cutoff": _tx().sql_context_cutoff(tx_view),
         "tx_context_depth": _tx().sql_context_depth(tx_view),
+        "tx_sft_examples": _tx().sql_sft_examples(tx_view),
         "tx_peak_inflight": _tx().sql_peak_inflight(tx_view),
         "tx_latency_inversions": _tx().sql_latency_inversions(tx_view),
         "gap_histogram_events": _bh().sql_gap_histogram("events"),

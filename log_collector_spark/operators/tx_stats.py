@@ -579,6 +579,68 @@ def sql_context_depth(tx_view: str, budget: int = TX_SERVE_BUDGET) -> str:
     """
 
 
+
+def sft_examples(routed: DataFrame,
+                 budget: int = CONTEXT_BUDGET) -> DataFrame:
+    """Conversation → SFT training-example assembly: one example per
+    clean ASSISTANT turn, where the prompt is every prior turn of the
+    conversation and the completion is the assistant turn itself — the
+    materialization step that turns a transcript corpus into a
+    supervised fine-tuning dataset, with the token accounting
+    (prompt/completion split = the loss-mask boundary) and a
+    context-budget fit flag that downstream packing/truncation uses.
+
+    Returns per example: (conv_id, turn_idx, prompt_turns,
+    prompt_tokens, completion_tokens, fits_budget).
+
+    Plan: ONE window over (conv_id, turn_idx) with an
+    unboundedPreceding→-1 frame gives both prompt counters; the
+    assistant filter happens after the window so prompts still count
+    user/tool/system turns. Single exchange on conv_id, no join, no
+    explode — at 10^12 turns this streams within conversation
+    partitions exactly like the other tx windows."""
+    tok = F.get_json_object("payload", "$.tokens").cast("long")
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = (_clean(routed)
+            .select("conv_id", "turn_idx", "role", tok.alias("tok"))
+            .withColumn("prompt_turns",
+                        F.count(F.lit(1)).over(w).cast("long"))
+            .withColumn("prompt_tokens",
+                        F.coalesce(F.sum("tok").over(w), F.lit(0))
+                         .cast("long")))
+    return (base.filter(F.col("role") == "assistant")
+                .select("conv_id",
+                        F.col("turn_idx").cast("long").alias("turn_idx"),
+                        "prompt_turns", "prompt_tokens",
+                        F.col("tok").alias("completion_tokens"),
+                        (F.col("prompt_tokens") + F.col("tok")
+                         <= F.lit(budget)).alias("fits_budget")))
+
+
+def sql_sft_examples(tx_view: str, budget: int = CONTEXT_BUDGET) -> str:
+    return f"""
+        WITH clean AS (
+            SELECT conv_id, turn_idx, role, {_TOK} AS tok
+            FROM {tx_view} WHERE {SQL_CLEAN}
+        ), base AS (
+            SELECT conv_id, turn_idx, role, tok,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS prompt_turns,
+                   CAST(COALESCE(SUM(tok) OVER w, 0) AS BIGINT)
+                       AS prompt_tokens
+            FROM clean
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+        )
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               prompt_turns, prompt_tokens,
+               CAST(tok AS BIGINT) AS completion_tokens,
+               prompt_tokens + tok <= {budget} AS fits_budget
+        FROM base WHERE role = 'assistant'
+    """
+
+
 def peak_inflight(routed: DataFrame) -> DataFrame:
     """Peak CONCURRENT tool calls per conversation — the sweep-line
     max-overlap statistic (interval_coverage measures union length; this

@@ -220,3 +220,28 @@ def test_silhouette_mixed_partition_scores_near_zero(spark):
     out = S.silhouette_labels(_emb_labeled(spark, mat, labels)).collect()
     for r in out:
         assert r["mean_sil_permille"] < 100  # vs >= 990 when coherent
+
+
+def test_tx_sft_examples_prompt_accounting_and_clean_filter(spark):
+    from log_collector_spark.operators import tx_stats as TX
+    rows = [
+        ("c1", 1, "user",      '{"tokens":10}', True),
+        ("c1", 2, "assistant", '{"tokens":20}', True),
+        ("c1", 3, "tool",      '{"tokens":5}',  True),
+        ("c1", 4, "user",      'corrupt#x',     False),  # dropped by _clean
+        ("c1", 5, "assistant", '{"tokens":80}', True),
+    ]
+    routed = (spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+              "payload string, parse_ok boolean")
+        .withColumn("is_oversize", F.lit(False)))
+    out = {r["turn_idx"]: r for r in
+           TX.sft_examples(routed, budget=100).collect()}
+    assert set(out) == {2, 5}
+    assert (out[2]["prompt_turns"], out[2]["prompt_tokens"],
+            out[2]["completion_tokens"], out[2]["fits_budget"]) \
+        == (1, 10, 20, True)
+    # the corrupt turn 4 counts in NEITHER the prompt nor the examples
+    assert (out[5]["prompt_turns"], out[5]["prompt_tokens"],
+            out[5]["completion_tokens"], out[5]["fits_budget"]) \
+        == (3, 35, 80, False)

@@ -245,3 +245,32 @@ def test_tx_sft_examples_prompt_accounting_and_clean_filter(spark):
     assert (out[5]["prompt_turns"], out[5]["prompt_tokens"],
             out[5]["completion_tokens"], out[5]["fits_budget"]) \
         == (3, 35, 80, False)
+
+
+def test_dup_ngram_coverage_random_corpus_property(spark):
+    # seeded adversarial corpus: tiny vocab (forced collisions), doc
+    # lengths straddling k, within-doc repeats — Spark must equal the
+    # brute-force interval union on every doc
+    import random
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randint(0, 9)))
+             for _ in range(120)]
+    k = 3
+    occ, toks = {}, {}
+    for did, text in enumerate(texts):
+        t = text.split()
+        toks[did] = t
+        for i in range(max(0, len(t) - k + 1)):
+            occ[tuple(t[i:i + k])] = occ.get(tuple(t[i:i + k]), 0) + 1
+    expect = {}
+    for did, t in toks.items():
+        covered = set()
+        for i in range(max(0, len(t) - k + 1)):
+            if occ[tuple(t[i:i + k])] >= 2:
+                covered.update(range(i, i + k))
+        expect[did] = (len(t), len(covered))
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+           for r in D.dup_ngram_coverage(_docs(spark, texts), k=k).collect()}
+    assert got == expect

@@ -234,3 +234,110 @@ def batch_sessionize_oracle(spark: SparkSession, input_dir: str,
     """The batch gap-rule sessionization the stream must reproduce."""
     gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
     return gap_sessions(spark.read.parquet(input_dir), gap_ms)
+
+
+# ---------------------------------------------------------------------------
+# Streaming SFT example builder (the incremental twin of
+# operators/tx_stats.sft_examples)
+# ---------------------------------------------------------------------------
+
+SFT_OUT_SCHEMA = ("conv_id STRING, turn_idx BIGINT, prompt_turns BIGINT, "
+                  "prompt_tokens BIGINT, completion_tokens BIGINT, "
+                  "fits_budget BOOLEAN")
+_SFT_STATE_SCHEMA = "n_turns BIGINT, n_tokens BIGINT"
+
+
+class SftExampleBuilder(StatefulProcessor):
+    """Incremental SFT dataset builder: per conv_id the state is just the
+    running (prompt_turns, prompt_tokens) pair; every ASSISTANT turn
+    emits one training example the moment it arrives — the streaming
+    twin of ``operators/tx_stats.sft_examples``, so a live transcript
+    feed materializes fine-tuning examples continuously instead of by
+    nightly batch. No timers: the example depends only on the prefix,
+    never on conversation close.
+
+    Rows must arrive turn-ordered per conversation ACROSS batches (the
+    same in-order contract the stateful multiline assembler documents;
+    within a batch any order is fine — the kernel sorts). The batch math
+    is fully vectorized: one cumsum per (conv, batch), no per-row Python.
+
+    State is two BIGINTs per conversation — at 10^12 turns this is the
+    smallest possible keyed state (16 bytes/conv in RocksDB), and rows
+    shuffle once on conv_id per micro-batch."""
+
+    def __init__(self, budget: int):
+        self.budget = budget
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.state = handle.getValueState("prompt_acc", _SFT_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues: TimerValues):
+        import numpy as np
+
+        conv_id = key[0]
+        parts = [df[["turn_idx", "role", "tok"]] for df in rows]
+        batch = pd.concat(parts).sort_values("turn_idx")
+        tok = batch["tok"].to_numpy(dtype="int64")
+        cur = self.state.get()
+        n0, t0 = (cur if cur is not None else (0, 0))
+        prompt_turns = n0 + np.arange(len(batch), dtype="int64")
+        prompt_tokens = t0 + np.concatenate(
+            ([0], np.cumsum(tok)[:-1])).astype("int64")
+        mask = (batch["role"] == "assistant").to_numpy()
+        if mask.any():
+            yield pd.DataFrame({
+                "conv_id": conv_id,
+                "turn_idx": batch["turn_idx"].to_numpy(dtype="int64")[mask],
+                "prompt_turns": prompt_turns[mask],
+                "prompt_tokens": prompt_tokens[mask],
+                "completion_tokens": tok[mask],
+                "fits_budget": (prompt_tokens[mask] + tok[mask]
+                                <= self.budget),
+            })
+        self.state.update((int(n0 + len(batch)), int(t0 + tok.sum())))
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def start_sft_example_stream(spark: SparkSession, input_dir: str,
+                             checkpoint_loc: str, out_dir: str, *,
+                             budget: int = 20000,
+                             max_files_per_trigger: int | None = 1):
+    """Run the incremental SFT builder over the transcript file stream:
+    clean-filter (same predicates as the batch route), extract the token
+    count, and emit one parquet row per assistant turn. protobuf-gated
+    like the sessionizer (the kernel itself is pure pandas and
+    unit-tested against a fake handle)."""
+    try:
+        import google.protobuf  # noqa: F401  (state API wire format)
+    except ImportError as e:  # pragma: no cover - environment gate
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package for "
+            "its state API client: pip install protobuf") from e
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    src = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    clean = (src.filter(
+                 (F.octet_length("text") < 8192) &
+                 (F.trim(F.coalesce(F.col("text"), F.lit(""))) != "") &
+                 (~F.col("text").startswith("corrupt#")))
+                .select("conv_id", "turn_idx", "role",
+                        F.regexp_extract("text", r'"tokens":(\d+)', 1)
+                         .cast("long").alias("tok")))
+    out = (clean.groupBy("conv_id")
+                .transformWithStateInPandas(
+                    SftExampleBuilder(budget),
+                    outputStructType=SFT_OUT_SCHEMA,
+                    outputMode="append",
+                    timeMode="none"))
+    return (out.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_loc)
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out_dir).start())

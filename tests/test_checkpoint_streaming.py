@@ -961,3 +961,50 @@ def test_transform_with_state_sessionizer_matches_batch(spark, tmp_path):
     assert g <= allsess
     # every emitted (conv, first_ms) is emitted exactly once
     assert got.count() == got.select("conv_id", "first_ms").distinct().count()
+
+
+def test_sft_builder_kernel_matches_batch_across_splits(spark):
+    """The streaming SFT builder (fake handle, no JVM state) must emit
+    exactly the batch sft_examples rows even when a conversation is
+    split mid-stream across micro-batches."""
+    import pandas as pd
+
+    from log_collector_spark.operators import tx_stats as TX
+    from log_collector_spark.streaming.conversation_state import (
+        SftExampleBuilder)
+
+    turns = [  # (turn_idx, role, tokens)
+        (1, "user", 10), (2, "assistant", 20), (3, "tool", 5),
+        (4, "assistant", 40), (5, "user", 7), (6, "assistant", 30),
+    ]
+    budget = 70
+
+    p = SftExampleBuilder(budget=budget)
+    h = _FakeHandle()
+    p.init(h)
+    key = ("conv_s",)
+
+    def _b(rows):
+        return pd.DataFrame(rows, columns=["turn_idx", "role", "tok"])
+
+    emitted = []
+    # batch 1 carries turns 1-2, batch 2 (shuffled within) carries 3-6
+    emitted += list(p.handleInputRows(key, iter([_b(turns[:2])]), None))
+    emitted += list(p.handleInputRows(
+        key, iter([_b(turns[4:]), _b(turns[2:4])]), None))
+    got = pd.concat(emitted).sort_values("turn_idx")
+
+    routed = (spark.createDataFrame(
+        [("conv_s", i, r, '{"tokens":%d}' % t) for i, r, t in turns],
+        "conv_id string, turn_idx int, role string, payload string")
+        .withColumn("parse_ok", F.lit(True))
+        .withColumn("is_oversize", F.lit(False)))
+    want = (TX.sft_examples(routed, budget=budget)
+            .orderBy("turn_idx").toPandas())
+
+    assert list(got["turn_idx"]) == list(want["turn_idx"])
+    for col in ("prompt_turns", "prompt_tokens", "completion_tokens",
+                "fits_budget"):
+        assert list(got[col]) == list(want[col]), col
+    # state carries the FULL prefix for any later batch
+    assert h.states["prompt_acc"].get() == (6, 112)

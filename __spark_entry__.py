@@ -2123,6 +2123,46 @@ def q_tx_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.sft_examples(pl.full_pipeline(spark, sf_dir))
 
 
+def q_tx_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair assembly: chosen/rejected assistant turn per
+    conversation by integer token-throughput reward with deterministic
+    symmetric tie-breaks and the reward margin; one conv-keyed exchange
+    (two row_number orders + one agg on the same key)."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.dpo_pairs(pl.full_pipeline(spark, sf_dir))
+
+
+def q_tx_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward length-bias audit: exact Kendall tau-a between completion
+    length and per-token latency per tool category, computed on a 16x16
+    banded grid (constant-size pair join — no global sort, no O(n^2))."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.length_bias(pl.full_pipeline(spark, sf_dir))
+
+
+def q_curriculum_stages_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Curriculum staging: TTR-difficulty value histogram cut into 5
+    equal-population stages with per-stage doc/token accounting — stage
+    assignment on the <= 1001-row histogram, no global sort."""
+    return _ta().curriculum_stages(_tbl(spark, sf_dir, "documents"))
+
+
+def q_judge_agreement_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cohen's kappa (permille, exact integer) between the stopword-rate
+    and word-length quality judges — one scan to a 3x3 contingency grid,
+    margins and kappa on the constant-size grid."""
+    return _ta().judge_agreement(_tbl(spark, sf_dir, "documents"))
+
+
+def q_sq8_recon_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization audit: exact integer reconstruction error
+    per label against corpus-wide per-dim ranges — dim stats fold to one
+    broadcast row, error is in-row zip_with (no join-back shuffle)."""
+    return _ts().sq8_recon_error(_embs(spark, sf_dir))
+
+
 def q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiwindow SLO burn-rate alerts (5-min AND 1-hour conjunction,
     integer milli burn); hour rolls up the 5-min partials, one scan."""
@@ -2572,6 +2612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_context_cutoff": q_tx_context_cutoff,
         "tx_context_depth": q_tx_context_depth,
         "tx_sft_examples": q_tx_sft_examples,
+        "tx_dpo_pairs": q_tx_dpo_pairs,
+        "tx_length_bias": q_tx_length_bias,
+        "curriculum_stages_documents": q_curriculum_stages_documents,
+        "judge_agreement_documents": q_judge_agreement_documents,
+        "sq8_recon_embeddings": q_sq8_recon_embeddings,
         "tx_peak_inflight": q_tx_peak_inflight,
         "tx_latency_inversions": q_tx_latency_inversions,
         "gap_histogram_events": q_gap_histogram,
@@ -2886,6 +2931,11 @@ def oracle_sql() -> dict[str, str]:
         "tx_context_cutoff": _tx().sql_context_cutoff(tx_view),
         "tx_context_depth": _tx().sql_context_depth(tx_view),
         "tx_sft_examples": _tx().sql_sft_examples(tx_view),
+        "tx_dpo_pairs": _tx().sql_dpo_pairs(tx_view),
+        "tx_length_bias": _tx().sql_length_bias(tx_view),
+        "curriculum_stages_documents": _ta().sql_curriculum_stages(),
+        "judge_agreement_documents": _ta().sql_judge_agreement(),
+        "sq8_recon_embeddings": _ts().sql_sq8_recon_error(),
         "tx_peak_inflight": _tx().sql_peak_inflight(tx_view),
         "tx_latency_inversions": _tx().sql_latency_inversions(tx_view),
         "gap_histogram_events": _bh().sql_gap_histogram("events"),

@@ -36,8 +36,13 @@ from pyspark.sql.window import Window
 SQL_CLEAN = ("strlen(text) < 8192 AND trim(coalesce(text, '')) <> '' "
              "AND text NOT LIKE 'corrupt#%'")
 
-_LAT = "CAST(regexp_extract(text, '\"latency_ms\":(\\d+)', 1) AS BIGINT)"
-_TOK = "CAST(regexp_extract(text, '\"tokens\":(\\d+)', 1) AS BIGINT)"
+# TRY_CAST, not CAST: DuckDB fuses stacked WHERE clauses and does not
+# guarantee conjunct order, so a downstream `tok IS NOT NULL` filter can
+# evaluate the cast on 'corrupt#%' rows BEFORE the SQL_CLEAN guard runs
+# (observed on sql_dpo_pairs). On clean rows the capture is all-digits,
+# so TRY_CAST is value-identical.
+_LAT = "TRY_CAST(regexp_extract(text, '\"latency_ms\":(\\d+)', 1) AS BIGINT)"
+_TOK = "TRY_CAST(regexp_extract(text, '\"tokens\":(\\d+)', 1) AS BIGINT)"
 
 # role → (role_class, is_human) / tool → (tool_category, is_side_effecting)
 # inline VALUES for the oracle (sources/transcripts.py lookup rows).
@@ -1909,4 +1914,235 @@ def sql_variant_payload_stats(tx_view: str) -> str:
         FROM {tx_view}
         WHERE {SQL_CLEAN} AND {vtool} <> ''
         GROUP BY 1 ORDER BY vtool
+    """
+
+
+def dpo_pairs(routed: DataFrame, min_candidates: int = 2) -> DataFrame:
+    """DPO preference-pair construction: one (chosen, rejected) pair per
+    conversation with >= ``min_candidates`` clean assistant turns, ranked
+    by an integer reward proxy (token throughput,
+    ``tokens * 1000 DIV latency_ms`` — tokens/sec in permille units).
+    The materialization step that turns a transcript corpus into a
+    preference-optimization dataset: chosen = highest-reward assistant
+    turn, rejected = lowest, with the reward margin downstream filtering
+    thresholds on (pairs with margin 0 carry no preference signal).
+
+    Ties are broken deterministically and symmetrically — chosen prefers
+    the EARLIEST tied turn, rejected the LATEST — so a conversation whose
+    assistant turns all share one reward still yields chosen != rejected
+    whenever n_candidates >= 2 (row_number over a total order; no
+    nondeterministic max_by).
+
+    Plan: one exchange on conv_id serving two row_number windows (same
+    partitioning, two sort orders) + one hash agg on the same key — the
+    standard tx shape; at 10^12 turns only (conv_id, turn_idx, reward)
+    triples move. Reward stays integer: tokens <= 800 so
+    tokens * 1000 < 2^20, and latency_ms >= 1 (DIV on non-negative
+    operands — Spark truncation == DuckDB floor)."""
+    tok = F.get_json_object("payload", "$.tokens").cast("long")
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    base = (_clean(routed)
+            .filter(F.col("role") == "assistant")
+            .select("conv_id",
+                    F.col("turn_idx").cast("long").alias("turn_idx"),
+                    tok.alias("tok"), lat.alias("lat"))
+            .filter(F.col("tok").isNotNull() & (F.col("lat") > 0))
+            .withColumn("reward", F.expr("tok * 1000 DIV lat")))
+    w_best = Window.partitionBy("conv_id").orderBy(
+        F.col("reward").desc(), F.col("turn_idx").asc())
+    w_worst = Window.partitionBy("conv_id").orderBy(
+        F.col("reward").asc(), F.col("turn_idx").desc())
+    ranked = (base
+              .withColumn("rk_b", F.row_number().over(w_best))
+              .withColumn("rk_w", F.row_number().over(w_worst)))
+    agg = (ranked.groupBy("conv_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.max(F.when(F.col("rk_b") == 1, F.col("turn_idx")))
+                 .cast("long").alias("chosen_turn"),
+                F.max(F.when(F.col("rk_b") == 1, F.col("reward")))
+                 .cast("long").alias("chosen_reward"),
+                F.max(F.when(F.col("rk_w") == 1, F.col("turn_idx")))
+                 .cast("long").alias("rejected_turn"),
+                F.max(F.when(F.col("rk_w") == 1, F.col("reward")))
+                 .cast("long").alias("rejected_reward"))
+           .filter(F.col("n_candidates") >= min_candidates))
+    return agg.select(
+        "conv_id", "n_candidates", "chosen_turn", "chosen_reward",
+        "rejected_turn", "rejected_reward",
+        (F.col("chosen_reward") - F.col("rejected_reward"))
+        .cast("long").alias("reward_margin"))
+
+
+def sql_dpo_pairs(tx_view: str, min_candidates: int = 2) -> str:
+    return f"""
+        WITH cand AS (
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   {_TOK} AS tok, {_LAT} AS lat
+            FROM {tx_view}
+            WHERE {SQL_CLEAN} AND role = 'assistant'
+        ), rew AS (
+            SELECT conv_id, turn_idx, tok * 1000 // lat AS reward
+            FROM cand WHERE tok IS NOT NULL AND lat > 0
+        ), rk AS (
+            SELECT conv_id, turn_idx, reward,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id
+                       ORDER BY reward DESC, turn_idx ASC) AS rk_b,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id
+                       ORDER BY reward ASC, turn_idx DESC) AS rk_w
+            FROM rew
+        ), agg AS (
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   CAST(MAX(CASE WHEN rk_b = 1 THEN turn_idx END)
+                        AS BIGINT) AS chosen_turn,
+                   CAST(MAX(CASE WHEN rk_b = 1 THEN reward END)
+                        AS BIGINT) AS chosen_reward,
+                   CAST(MAX(CASE WHEN rk_w = 1 THEN turn_idx END)
+                        AS BIGINT) AS rejected_turn,
+                   CAST(MAX(CASE WHEN rk_w = 1 THEN reward END)
+                        AS BIGINT) AS rejected_reward
+            FROM rk GROUP BY conv_id
+        )
+        SELECT conv_id, n_candidates, chosen_turn, chosen_reward,
+               rejected_turn, rejected_reward,
+               CAST(chosen_reward - rejected_reward AS BIGINT)
+                   AS reward_margin
+        FROM agg WHERE n_candidates >= {min_candidates}
+    """
+
+
+# Kendall tau-a length-bias audit: band caps and the int64 headroom bound.
+# (C - D) * 1000 <= 500 * n^2 must stay under 2^63, so n per group is
+# guarded at 135M (sqrt((2^63-1)/500) ~ 1.358e8); at larger scale compute
+# per-shard taus and combine weighted (docstring).
+KENDALL_BANDS = 16
+KENDALL_MAX_N = 135_000_000
+
+
+def length_bias(routed: DataFrame) -> DataFrame:
+    """Reward/length-bias audit: Kendall tau-a between completion length
+    (token count) and PER-TOKEN latency, per tool_category — the standard
+    check that a throughput-style reward signal is length-confounded
+    before it is trusted for preference ranking (:func:`dpo_pairs`) or
+    best-of-n selection. tau < 0 here means long completions look
+    artificially "fast" per token, i.e. a length-biased reward.
+
+    Computed EXACTLY (integer, cross-engine) on a banded 16x16 grid:
+    x-band = tokens DIV 50 capped, y-band = floor(log2(per-token
+    latency)) capped via binary-string length (both engines compute bit
+    length, no float log). Concordant/discordant pair counts come from
+    the grid's self-join (<= 256x256 constant rows per category,
+    broadcast) — NO global sort and NO O(n^2) pair join, so the plan is
+    one hash agg to the grid + a constant-size join regardless of corpus
+    size. tau_a_permille = (C - D) * 1000 DIV (n(n-1)/2), sign-split so
+    Spark DIV (truncate) and DuckDB // (floor) agree on the negative
+    case. Headroom: guarded at n <= 135M rows per category
+    ((C-D)*1000 < 2^63); beyond that, shard the corpus and combine
+    per-shard taus weighted by pair count."""
+    tok = F.get_json_object("payload", "$.tokens").cast("long")
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    base = (_clean(routed)
+            .filter(F.col("tool").isNotNull())
+            .select("tool_category", tok.alias("tok"), lat.alias("lat"))
+            .filter(F.col("tok").isNotNull() & (F.col("lat") > 0)))
+    banded = (base
+              .withColumn("ptl", F.expr("lat * 1000 DIV tok"))
+              .select("tool_category",
+                      F.least(F.lit(KENDALL_BANDS - 1),
+                              F.expr("tok DIV 50")).alias("xb"),
+                      F.least(F.lit(KENDALL_BANDS - 1),
+                              (F.length(F.bin(F.col("ptl"))) - 1)
+                              .cast("long")).alias("yb")))
+    grid = (banded.groupBy("tool_category", "xb", "yb")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    g1 = grid.select(F.col("tool_category").alias("cat"),
+                     F.col("xb").alias("x1"), F.col("yb").alias("y1"),
+                     F.col("cnt").alias("c1"))
+    g2 = grid.select(F.col("tool_category").alias("cat"),
+                     F.col("xb").alias("x2"), F.col("yb").alias("y2"),
+                     F.col("cnt").alias("c2"))
+    pairs = (g1.join(F.broadcast(g2), "cat")
+             .filter(F.col("x2") > F.col("x1"))
+             .groupBy("cat")
+             .agg(F.sum(F.when(F.col("y2") > F.col("y1"),
+                               F.col("c1") * F.col("c2")).otherwise(0))
+                  .cast("long").alias("concordant"),
+                  F.sum(F.when(F.col("y2") < F.col("y1"),
+                               F.col("c1") * F.col("c2")).otherwise(0))
+                  .cast("long").alias("discordant")))
+    tot = (grid.groupBy(F.col("tool_category").alias("cat"))
+           .agg(F.sum("cnt").cast("long").alias("n_turns")))
+    out = (tot.join(pairs, "cat", "left")
+           .select(F.col("cat").alias("tool_category"),
+                   F.when(F.col("n_turns") <= KENDALL_MAX_N,
+                          F.col("n_turns"))
+                    .otherwise(F.raise_error(F.lit(
+                        "length_bias: group exceeds int64 tau headroom; "
+                        "shard and combine per-shard taus")))
+                    .alias("n_turns"),
+                   F.coalesce("concordant", F.lit(0)).cast("long")
+                    .alias("concordant"),
+                   F.coalesce("discordant", F.lit(0)).cast("long")
+                    .alias("discordant"))
+           .withColumn("pairs_total",
+                       F.expr("n_turns * (n_turns - 1) DIV 2")))
+    return (out.withColumn("tau_permille", F.expr(
+                "CAST(CASE WHEN pairs_total <= 0 THEN 0 "
+                "WHEN concordant >= discordant THEN "
+                "(concordant - discordant) * 1000 DIV pairs_total "
+                "ELSE -((discordant - concordant) * 1000 DIV pairs_total) "
+                "END AS BIGINT)"))
+            .select("tool_category", "n_turns", "concordant",
+                    "discordant", "tau_permille")
+            .orderBy("tool_category"))
+
+
+def sql_length_bias(tx_view: str) -> str:
+    b = KENDALL_BANDS - 1
+    return f"""
+        WITH base AS (
+            SELECT tl.tool_category, {_TOK} AS tok, {_LAT} AS lat
+            FROM {tx_view} t
+            JOIN {_SQL_TOOL_LUT} ON tl.tool = t.tool
+            WHERE {SQL_CLEAN} AND t.tool IS NOT NULL
+        ), banded AS (
+            SELECT tool_category,
+                   LEAST({b}, tok // 50) AS xb,
+                   LEAST({b}, CAST(strlen(bin(
+                         lat * 1000 // tok)) AS BIGINT) - 1) AS yb
+            FROM base WHERE tok IS NOT NULL AND lat > 0
+        ), grid AS (
+            SELECT tool_category AS cat, xb, yb,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM banded GROUP BY 1, 2, 3
+        ), pairs AS (
+            SELECT g1.cat,
+                   CAST(COALESCE(SUM(CASE WHEN g2.yb > g1.yb
+                        THEN g1.cnt * g2.cnt END), 0) AS BIGINT)
+                       AS concordant,
+                   CAST(COALESCE(SUM(CASE WHEN g2.yb < g1.yb
+                        THEN g1.cnt * g2.cnt END), 0) AS BIGINT)
+                       AS discordant
+            FROM grid g1 JOIN grid g2
+              ON g1.cat = g2.cat AND g2.xb > g1.xb
+            GROUP BY 1
+        ), tot AS (
+            SELECT cat, CAST(SUM(cnt) AS BIGINT) AS n_turns
+            FROM grid GROUP BY 1
+        )
+        SELECT t.cat AS tool_category, t.n_turns,
+               COALESCE(p.concordant, 0) AS concordant,
+               COALESCE(p.discordant, 0) AS discordant,
+               CAST(CASE WHEN t.n_turns < 2 THEN 0
+                    WHEN COALESCE(p.concordant, 0)
+                         >= COALESCE(p.discordant, 0)
+                    THEN (COALESCE(p.concordant, 0)
+                          - COALESCE(p.discordant, 0)) * 1000
+                         // (t.n_turns * (t.n_turns - 1) // 2)
+                    ELSE -((COALESCE(p.discordant, 0)
+                            - COALESCE(p.concordant, 0)) * 1000
+                           // (t.n_turns * (t.n_turns - 1) // 2))
+                    END AS BIGINT) AS tau_permille
+        FROM tot t LEFT JOIN pairs p ON p.cat = t.cat
+        ORDER BY tool_category
     """

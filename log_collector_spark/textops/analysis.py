@@ -2861,3 +2861,199 @@ def sql_watermark_bias(table: str = "documents",
         FROM agg WHERE n_tokens > 0
         ORDER BY {group_col}
     """
+
+
+CURRICULUM_STAGES = 5
+# Cohen's kappa int64 headroom: |agree*n - pe_num| * 1000 <= 1000 * n^2
+# must stay under 2^63 -> n <= sqrt((2^63-1)/1000) ~ 9.6e7.
+KAPPA_MAX_N = 95_000_000
+
+
+def curriculum_stages(df: DataFrame, text_col: str = "text",
+                      n_stages: int = CURRICULUM_STAGES) -> DataFrame:
+    """Curriculum-learning staging report: documents ordered by an
+    integer difficulty score (lexical diversity — type/token ratio in
+    permille, the standard "harder text has more distinct words" proxy)
+    and cut into ``n_stages`` equal-population stages, with per-stage
+    doc/token accounting — the schedule a curriculum trainer feeds from
+    (stage 0 = easiest first).
+
+    NO global sort: difficulty is permille-bounded (<= 1001 distinct
+    values), so staging happens on the VALUE HISTOGRAM — one hash agg to
+    <= 1001 rows, a window cumsum over that constant-size frame, and a
+    re-agg. Stage of a value v = least(n_stages-1, cum_before(v) *
+    n_stages DIV total): every doc sharing a difficulty value lands in
+    the same stage (deterministic; boundary ties never split across
+    engines). At 10^12 docs the corpus is scanned once and only
+    (difficulty, count, token_sum) partials move."""
+    t = F.col(text_col)
+    toks = C.tokens(t)
+    per_doc = df.select(
+        F.size(toks).cast("long").alias("n_tokens"),
+        C.permille(F.size(F.array_distinct(toks)).cast("long"),
+                   F.size(toks).cast("long")).alias("difficulty"))
+    hist = (per_doc.groupBy("difficulty")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("token_sum")))
+    w = Window.orderBy("difficulty").rowsBetween(
+        Window.unboundedPreceding, -1)
+    staged = (hist
+              .withColumn("cum_before",
+                          F.coalesce(F.sum("n_docs").over(w), F.lit(0)))
+              .withColumn("total", F.sum("n_docs").over(
+                  Window.partitionBy(F.lit(1))))
+              .withColumn("stage", F.expr(
+                  f"least({n_stages - 1}, "
+                  f"cum_before * {n_stages} DIV total)")))
+    return (staged.groupBy("stage")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("token_sum").cast("long").alias("token_sum"),
+                 F.min("difficulty").cast("long").alias("difficulty_lo"),
+                 F.max("difficulty").cast("long").alias("difficulty_hi"))
+            .select(F.col("stage").cast("long").alias("stage"),
+                    "n_docs", "token_sum", "difficulty_lo",
+                    "difficulty_hi")
+            .orderBy("stage"))
+
+
+def sql_curriculum_stages(table: str = "documents",
+                          n_stages: int = CURRICULUM_STAGES) -> str:
+    tok = C.sql_tokens("text")
+    return f"""
+        WITH per_doc AS (
+            SELECT CAST(len({tok}) AS BIGINT) AS n_tokens,
+                   {C.sql_permille(f"len(list_distinct({tok}))",
+                                   f"len({tok})")} AS difficulty
+            FROM {table}
+        ), hist AS (
+            SELECT difficulty,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS token_sum
+            FROM per_doc GROUP BY 1
+        ), staged AS (
+            SELECT *,
+                   COALESCE(SUM(n_docs) OVER (ORDER BY difficulty
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_before,
+                   SUM(n_docs) OVER () AS total
+            FROM hist
+        )
+        SELECT CAST(LEAST({n_stages - 1},
+                          cum_before * {n_stages} // total)
+                    AS BIGINT) AS stage,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(token_sum) AS BIGINT) AS token_sum,
+               CAST(MIN(difficulty) AS BIGINT) AS difficulty_lo,
+               CAST(MAX(difficulty) AS BIGINT) AS difficulty_hi
+        FROM staged GROUP BY 1 ORDER BY stage
+    """
+
+
+def judge_agreement(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cohen's kappa (permille, exact integer) between two rule-based
+    quality judges over the corpus — the inter-annotator-agreement gate
+    run before trusting heuristic labels for filtering or reward
+    modeling. Judge A bands stopword rate (stopword tokens per 1000
+    tokens: >= 70 natural / >= 48 mixed / else unnatural); judge B bands
+    mean word length (deci-chars per token, n_chars * 10 DIV n_tokens:
+    <= 53 natural / <= 55 mixed / else synthetic — stopwords are short,
+    so both judges target natural-language likeness through disjoint
+    features). kappa = (po - pe) / (1 - pe) computed as
+    (agree*n - pe_num) * 1000 DIV (n*n - pe_num) with pe_num =
+    sum_k rowmargin_k * colmargin_k, sign-split for the negative case
+    (Spark DIV truncates, DuckDB // floors — they agree only on
+    non-negative operands).
+
+    Plan: one scan to a 3x3 contingency grid (hash agg), margins and
+    kappa on the constant-size grid — nothing but 9 rows moves after the
+    first agg. Headroom guard: n <= 95M (|num| * 1000 < 2^63); beyond
+    that compute kappa on deterministic h60 samples per shard."""
+    t = F.col(text_col)
+    toks = C.tokens(t)
+    n_chars = F.length(t).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(
+        toks, lambda x: F.array_contains(
+            F.lit(LANG_STOPWORDS["en"]).cast("array<string>"),
+            F.lower(x)))).cast("long")
+    ps = C.permille(n_stop, n_tokens)
+    # deci-chars per token; floor(a*10/b) on exact small ints == a*10//b
+    cpt = (F.when(n_tokens > 0, F.floor(n_chars * 10 / n_tokens))
+           .otherwise(0).cast("long"))
+    ja = (F.when(ps >= 70, F.lit(2)).when(ps >= 48, F.lit(1))
+          .otherwise(F.lit(0)).cast("long"))
+    jb = (F.when(cpt <= 53, F.lit(2)).when(cpt <= 55, F.lit(1))
+          .otherwise(F.lit(0)).cast("long"))
+    grid = (df.select(ja.alias("ja"), jb.alias("jb"))
+            .groupBy("ja", "jb")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    summ = grid.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ja") == F.col("jb"), F.col("cnt"))
+              .otherwise(0)).cast("long").alias("agree"))
+    rowm = grid.groupBy(F.col("ja").alias("k")).agg(
+        F.sum("cnt").cast("long").alias("ra"))
+    colm = grid.groupBy(F.col("jb").alias("k")).agg(
+        F.sum("cnt").cast("long").alias("cb"))
+    pe = (rowm.join(colm, "k")
+          .agg(F.coalesce(F.sum(F.col("ra") * F.col("cb")), F.lit(0))
+               .cast("long").alias("pe_num")))
+    return (summ.crossJoin(pe)
+            .select(F.when(F.col("n_docs") <= KAPPA_MAX_N,
+                           F.col("n_docs"))
+                     .otherwise(F.raise_error(F.lit(
+                         "judge_agreement: corpus exceeds int64 kappa "
+                         "headroom; shard or sample")))
+                     .alias("n_docs"),
+                    "agree", "pe_num")
+            .withColumn("kappa_permille", F.expr(
+                "CAST(CASE WHEN n_docs * n_docs - pe_num <= 0 THEN "
+                "  CASE WHEN agree = n_docs THEN 1000 ELSE 0 END "
+                "WHEN agree * n_docs >= pe_num THEN "
+                "  (agree * n_docs - pe_num) * 1000 "
+                "  DIV (n_docs * n_docs - pe_num) "
+                "ELSE -((pe_num - agree * n_docs) * 1000 "
+                "       DIV (n_docs * n_docs - pe_num)) "
+                "END AS BIGINT)")))
+
+
+def sql_judge_agreement(table: str = "documents") -> str:
+    tok = C.sql_tokens("text")
+    stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    ps = C.sql_permille(
+        f"len(list_filter({tok}, x -> list_contains([{stop}], lower(x))))",
+        f"len({tok})")
+    cpt = (f"CASE WHEN len({tok}) > 0 "
+           f"THEN length(text) * 10 // len({tok}) ELSE 0 END")
+    return f"""
+        WITH judged AS (
+            SELECT CASE WHEN {ps} >= 70 THEN 2
+                        WHEN {ps} >= 48 THEN 1 ELSE 0 END AS ja,
+                   CASE WHEN {cpt} <= 53 THEN 2
+                        WHEN {cpt} <= 55 THEN 1 ELSE 0 END AS jb
+            FROM {table}
+        ), grid AS (
+            SELECT ja, jb, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM judged GROUP BY 1, 2
+        ), summ AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(CASE WHEN ja = jb THEN cnt END), 0)
+                        AS BIGINT) AS agree
+            FROM grid
+        ), rowm AS (SELECT ja AS k, SUM(cnt) AS ra FROM grid GROUP BY 1),
+        colm AS (SELECT jb AS k, SUM(cnt) AS cb FROM grid GROUP BY 1),
+        pe AS (
+            SELECT CAST(COALESCE(SUM(ra * cb), 0) AS BIGINT) AS pe_num
+            FROM rowm JOIN colm USING (k)
+        )
+        SELECT n_docs, agree, pe_num,
+               CAST(CASE WHEN n_docs * n_docs - pe_num <= 0 THEN
+                      CASE WHEN agree = n_docs THEN 1000 ELSE 0 END
+                    WHEN agree * n_docs >= pe_num THEN
+                      (agree * n_docs - pe_num) * 1000
+                      // (n_docs * n_docs - pe_num)
+                    ELSE -((pe_num - agree * n_docs) * 1000
+                           // (n_docs * n_docs - pe_num))
+                    END AS BIGINT) AS kappa_permille
+        FROM summ CROSS JOIN pe
+    """

@@ -1445,3 +1445,97 @@ def sql_silhouette_labels(table: str = "embeddings") -> str:
                    AS n_negative
         FROM sil GROUP BY label ORDER BY label
     """
+
+
+def sq8_recon_error(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Scalar-quantization (SQ8) audit: quantize every dimension to an
+    8-bit code against the corpus-wide per-dim [min, max] range and
+    report the exact integer reconstruction error per label — the
+    go/no-go check before switching an ANN index to SQ8 storage (the
+    FAISS ``SQ8`` counterpart of :func:`pq_codes`' product quantizer;
+    SQ8 keeps per-dim fidelity, PQ trades it for 8x more compression).
+
+    code  = (q - min_d) * 255 DIV (max_d - min_d)        (0 when flat)
+    recon = min_d + code * (max_d - min_d) DIV 255
+    err   = sum_d (q - recon)^2   over the EMB_SCALE-quantized vector.
+
+    Exactness: operands stay < ~2e6, so floor(a * b / c) on doubles is
+    exactly integer division in both engines (quotient is a rational
+    with denominator <= range; distance to the next integer >= 1/range
+    >> double epsilon) — the same argument ``common.permille`` uses.
+
+    Plan: per-dim min/max = one narrow posexplode + D-row hash agg
+    (map-side combined), folded to ONE broadcast row of (min, range)
+    arrays; the reconstruction error is an in-row zip_with over that
+    array — no join back, no second shuffle; the report is an L-key
+    agg. At 10^9 vectors the corpus is scanned twice (dim stats +
+    error), with only (dim, partial) rows moving."""
+    q = df.select("label", C.quantized_embedding(F.col(vec_col)).alias("q"))
+    dimstats = (q.select(F.posexplode("q").alias("dim", "v"))
+                .groupBy("dim")
+                .agg(F.min("v").cast("long").alias("mn"),
+                     F.max("v").cast("long").alias("mx")))
+    packed = (dimstats
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("dim", "mn", "mx"))).alias("a"))
+              .select(F.transform("a", lambda x: x["mn"]).alias("mn_a"),
+                      F.transform("a", lambda x: x["mx"] - x["mn"])
+                       .alias("rng_a")))
+
+    def _resid(d, r):
+        # d = q - min (>= 0), r = per-dim range; floor-division chain is
+        # exact at these magnitudes (see docstring). greatest(r, 1) keeps
+        # the double path NaN-free on flat dims even if Catalyst CSE lifts
+        # the division out of the when-branch.
+        rs = F.greatest(r, F.lit(1))
+        code = F.floor(d * 255 / rs)
+        return F.when(r > 0, d - F.floor(code * rs / 255)).otherwise(
+            F.lit(0).cast("long"))
+
+    errs = (q.crossJoin(F.broadcast(packed))
+            .withColumn("d_a", F.zip_with("q", "mn_a",
+                                          lambda x, m: x - m))
+            .withColumn("err", F.aggregate(
+                F.zip_with("d_a", "rng_a",
+                           lambda d, r: _resid(d, r) * _resid(d, r)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)))
+    return (errs.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.sum("err").cast("long").alias("err_sum"),
+                 F.max("err").cast("long").alias("err_max"))
+            .select(F.col("label").cast("long").alias("label"),
+                    "n_vecs", "err_sum", "err_max",
+                    F.expr("err_sum DIV n_vecs").alias("err_mean"))
+            .orderBy("label"))
+
+
+def sql_sq8_recon_error(table: str = "embeddings") -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    return f"""
+        WITH base AS (
+            SELECT vec_id, label, {qe} AS q FROM {table}
+        ), ex AS (
+            SELECT vec_id, label, t.dim AS dim, q[t.dim + 1] AS v
+            FROM base, unnest(range(0, len(q))) AS t(dim)
+        ), ds AS (
+            SELECT dim, MIN(v) AS mn, MAX(v) - MIN(v) AS rng
+            FROM ex GROUP BY 1
+        ), resid AS (
+            SELECT e.vec_id, e.label,
+                   CASE WHEN d.rng > 0 THEN
+                        (e.v - d.mn)
+                        - ((e.v - d.mn) * 255 // d.rng) * d.rng // 255
+                   ELSE 0 END AS r
+            FROM ex e JOIN ds d USING (dim)
+        ), err AS (
+            SELECT vec_id, label,
+                   CAST(SUM(r * r) AS BIGINT) AS err
+            FROM resid GROUP BY 1, 2
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(err) AS BIGINT) AS err_sum,
+               CAST(MAX(err) AS BIGINT) AS err_max,
+               CAST(SUM(err) // COUNT(*) AS BIGINT) AS err_mean
+        FROM err GROUP BY 1 ORDER BY label
+    """

@@ -2163,6 +2163,44 @@ def q_sq8_recon_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts().sq8_recon_error(_embs(spark, sf_dir))
 
 
+def q_tx_bestofn_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n sampling gain curve: mean best reward among the first n
+    assistant turns (n in 1/2/4/8, same-population prefix max) — one
+    conv-keyed exchange + a constant-size explode."""
+    from log_collector_spark.operators import tx_stats as TX
+    return TX.bestofn_gain(pl.full_pipeline(spark, sf_dir))
+
+
+def q_contribution_cap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP-style per-user contribution capping audit: events removed and
+    users clipped per day at cap=5 — two count-only hash aggs, no
+    window."""
+    from log_collector_spark.operators import behavior as BH
+    return BH.contribution_cap(_events(spark, sf_dir))
+
+
+def q_dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card row: docs/tokens/mean length/langs/exact
+    dup rate/vocab size — the datasheet header block, two aggs over one
+    projection."""
+    return _ta().dataset_card(_tbl(spark, sf_dir, "documents"))
+
+
+def q_triplet_mining_embeddings(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """FaceNet-taxonomy triplet report per label (hard / semi-hard /
+    easy / no-positive anchors) on exact signed-cos2 integer similarity;
+    corpus side broadcast, IVF-cell candidates at scale."""
+    return _ts().triplet_mining(_embs(spark, sf_dir))
+
+
+def q_index_plan_advisor_embeddings(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """ANN index capacity plan from one stats row: IVF nlist/nprobe,
+    PQ subspaces, per-encoding footprints, rule-based recommendation."""
+    return _ts().index_plan_advisor(_embs(spark, sf_dir))
+
+
 def q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiwindow SLO burn-rate alerts (5-min AND 1-hour conjunction,
     integer milli burn); hour rolls up the 5-min partials, one scan."""
@@ -2617,6 +2655,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_stages_documents": q_curriculum_stages_documents,
         "judge_agreement_documents": q_judge_agreement_documents,
         "sq8_recon_embeddings": q_sq8_recon_embeddings,
+        "tx_bestofn_gain": q_tx_bestofn_gain,
+        "contribution_cap_events": q_contribution_cap_events,
+        "dataset_card_documents": q_dataset_card_documents,
+        "triplet_mining_embeddings": q_triplet_mining_embeddings,
+        "index_plan_advisor_embeddings": q_index_plan_advisor_embeddings,
         "tx_peak_inflight": q_tx_peak_inflight,
         "tx_latency_inversions": q_tx_latency_inversions,
         "gap_histogram_events": q_gap_histogram,
@@ -2936,6 +2979,11 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_stages_documents": _ta().sql_curriculum_stages(),
         "judge_agreement_documents": _ta().sql_judge_agreement(),
         "sq8_recon_embeddings": _ts().sql_sq8_recon_error(),
+        "tx_bestofn_gain": _tx().sql_bestofn_gain(tx_view),
+        "contribution_cap_events": _bh().sql_contribution_cap(),
+        "dataset_card_documents": _ta().sql_dataset_card(),
+        "triplet_mining_embeddings": _ts().sql_triplet_mining(),
+        "index_plan_advisor_embeddings": _ts().sql_index_plan_advisor(),
         "tx_peak_inflight": _tx().sql_peak_inflight(tx_view),
         "tx_latency_inversions": _tx().sql_latency_inversions(tx_view),
         "gap_histogram_events": _bh().sql_gap_histogram("events"),

@@ -2565,3 +2565,72 @@ def sql_slo_burn_alerts(table: str = "events",
           AND burn_long_milli > {alert_milli}
         ORDER BY bucket_min
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-user contribution capping (DP-style preprocessing audit)
+# ---------------------------------------------------------------------------
+
+CONTRIB_CAP = 5
+
+
+def contribution_cap(events: DataFrame, ts_col: str = "ts",
+                     cap: int = CONTRIB_CAP) -> DataFrame:
+    """Per-user contribution-bounding audit: cap every user at ``cap``
+    events per UTC day and report, per day, how much data the cap removes
+    and how many users it touches — the preprocessing step every
+    differential-privacy / user-level-deduplication release runs first
+    (bounding each user's contribution bounds the sensitivity of any
+    downstream count), and the report a privacy review reads to pick the
+    cap.
+
+    kept-per-user = ``least(cnt, cap)`` — no row_number window needed:
+    the audit only requires COUNTS, so the plan is one map-side-combined
+    hash agg to the (user, day) grain followed by a day-grain re-agg.
+    At 10^12 events only (user, day, cnt) triples ever shuffle, and the
+    second agg is metadata-scale (#users x #days). Returns
+    (day, n_events, n_kept, clipped_permille, n_users, n_clipped_users)
+    ORDER BY day, with day as epoch days (BIGINT)."""
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) "
+                 f"div 86400000000").cast("long")
+    per_user = (events
+                .select(day.alias("day"), F.col("user_id").alias("uid"))
+                .groupBy("day", "uid")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    return (per_user.groupBy("day")
+            .agg(F.sum("cnt").cast("long").alias("n_events"),
+                 F.sum(F.least(F.col("cnt"), F.lit(cap).cast("long")))
+                  .cast("long").alias("n_kept"),
+                 F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.sum(F.when(F.col("cnt") > cap, 1).otherwise(0))
+                  .cast("long").alias("n_clipped_users"))
+            .select("day", "n_events", "n_kept",
+                    C.permille(F.col("n_events") - F.col("n_kept"),
+                               F.col("n_events")).alias("clipped_permille"),
+                    "n_users", "n_clipped_users")
+            .orderBy("day"))
+
+
+def sql_contribution_cap(table: str = "events",
+                         cap: int = CONTRIB_CAP) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                   user_id AS uid,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM {table} GROUP BY 1, 2
+        ), agg AS (
+            SELECT day,
+                   CAST(SUM(cnt) AS BIGINT) AS n_events,
+                   CAST(SUM(LEAST(cnt, {cap})) AS BIGINT) AS n_kept,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(COALESCE(SUM(CASE WHEN cnt > {cap} THEN 1 END), 0)
+                        AS BIGINT) AS n_clipped_users
+            FROM per_user GROUP BY 1
+        )
+        SELECT day, n_events, n_kept,
+               {C.sql_permille('n_events - n_kept', 'n_events')}
+                   AS clipped_permille,
+               n_users, n_clipped_users
+        FROM agg ORDER BY day
+    """

@@ -2146,3 +2146,96 @@ def sql_length_bias(tx_view: str) -> str:
         FROM tot t LEFT JOIN pairs p ON p.cat = t.cat
         ORDER BY tool_category
     """
+
+
+BESTOFN_NS = [1, 2, 4, 8]
+
+
+def bestofn_gain(routed: DataFrame,
+                 ns: list[int] | None = None) -> DataFrame:
+    """Best-of-n sampling gain curve: for each n in ``ns``, the mean over
+    conversations of the BEST reward among the first n clean assistant
+    turns (reward = integer token throughput, as in :func:`dpo_pairs`) —
+    the audit that tells a sampling-based serving/RLHF stack how much a
+    larger candidate budget actually buys before it pays for one (the
+    curve's flattening point is the budget to stop at). Only
+    conversations with >= n candidates count toward row n, so each point
+    is an honest same-population prefix max, not censored by short
+    conversations.
+
+    Plan: one exchange on conv_id (row_number window over turn order),
+    ONE per-conv hash agg computing all prefix maxima at once via
+    conditional MAX over rn <= n, then a constant-size explode (|ns| rows
+    per conv) into the final #ns-row agg. At 10^12 turns only
+    (conv_id, rn, reward) move; the stacked frame is |ns| * #convs rows
+    of three BIGINTs. Returns (n, n_convs, sum_best_reward,
+    mean_best_reward) ORDER BY n; rewards are non-negative so DIV
+    truncation equals DuckDB's floor."""
+    ns = ns or BESTOFN_NS
+    tok = F.get_json_object("payload", "$.tokens").cast("long")
+    lat = F.get_json_object("payload", "$.latency_ms").cast("long")
+    base = (_clean(routed)
+            .filter(F.col("role") == "assistant")
+            .select("conv_id",
+                    F.col("turn_idx").cast("long").alias("turn_idx"),
+                    tok.alias("tok"), lat.alias("lat"))
+            .filter(F.col("tok").isNotNull() & (F.col("lat") > 0))
+            .withColumn("reward", F.expr("tok * 1000 DIV lat")))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    rn = base.withColumn("rn", F.row_number().over(w))
+    conv = (rn.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                 *[F.max(F.when(F.col("rn") <= n, F.col("reward")))
+                   .cast("long").alias(f"m{n}") for n in ns]))
+    stacked = (conv
+               .select(F.col("cnt"), F.explode(F.array(*[
+                   F.struct(F.lit(n).cast("long").alias("n"),
+                            F.col(f"m{n}").alias("best"))
+                   for n in ns])).alias("s"))
+               .select("cnt", F.col("s.n").alias("n"),
+                       F.col("s.best").alias("best"))
+               .filter(F.col("cnt") >= F.col("n")))
+    return (stacked.groupBy("n")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_convs"),
+                 F.sum("best").cast("long").alias("sum_best_reward"))
+            .withColumn("mean_best_reward",
+                        F.expr("sum_best_reward DIV n_convs"))
+            .select("n", "n_convs", "sum_best_reward", "mean_best_reward")
+            .orderBy("n"))
+
+
+def sql_bestofn_gain(tx_view: str, ns: list[int] | None = None) -> str:
+    ns = ns or BESTOFN_NS
+    maxes = ",\n                   ".join(
+        f"CAST(MAX(CASE WHEN rn <= {n} THEN reward END) AS BIGINT) AS m{n}"
+        for n in ns)
+    stacked = "\n            UNION ALL ".join(
+        f"SELECT {n} AS n, m{n} AS best FROM conv WHERE cnt >= {n}"
+        for n in ns)
+    return f"""
+        WITH cand AS (
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   {_TOK} AS tok, {_LAT} AS lat
+            FROM {tx_view}
+            WHERE {SQL_CLEAN} AND role = 'assistant'
+        ), rew AS (
+            SELECT conv_id, turn_idx, tok * 1000 // lat AS reward
+            FROM cand WHERE tok IS NOT NULL AND lat > 0
+        ), rn AS (
+            SELECT conv_id, reward,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS rn
+            FROM rew
+        ), conv AS (
+            SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   {maxes}
+            FROM rn GROUP BY conv_id
+        ), stacked AS (
+            {stacked}
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_convs,
+               CAST(SUM(best) AS BIGINT) AS sum_best_reward,
+               CAST(SUM(best) // COUNT(*) AS BIGINT) AS mean_best_reward
+        FROM stacked GROUP BY 1 ORDER BY n
+    """

@@ -3057,3 +3057,87 @@ def sql_judge_agreement(table: str = "documents") -> str:
                     END AS BIGINT) AS kappa_permille
         FROM summ CROSS JOIN pe
     """
+
+
+def dataset_card(df: DataFrame, text_col: str = "text",
+                 group_col: str = "source") -> DataFrame:
+    """Per-source dataset-card row: the header block of a datasheet /
+    data statement for each corpus slice — document and token counts,
+    mean document length, language spread, exact duplicate rate, and
+    vocabulary size — the one table a dataset release ships next to the
+    data and the first thing a consumer reads to decide whether the
+    slice is usable.
+
+    Plan: two aggregations over one projection. (1) The per-doc branch
+    groups (source) with COUNT/SUM plus two count-distincts (lang,
+    h60(text)) — Catalyst expands multi-distinct into one exchange per
+    distinct set, all at (source, value) grain, never wider than the
+    distinct-pair count. (2) The vocab branch explodes per-doc DISTINCT
+    tokens (array_distinct first, so the explode emits each (doc, token)
+    once) and counts distinct tokens per source — the shuffle carries
+    (source, token) pairs, bounded by |sources| x |vocab| after the
+    map-side distinct. The final join is #sources rows. Dup rate uses
+    the exact h60 text fingerprint: dup_permille = (n_docs -
+    distinct_texts) * 1000 DIV n_docs, the same statistic
+    :func:`exact dedup <log_collector_spark.textops.dedup.exact_dedup>`
+    removes. All outputs BIGINT."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(group_col),
+        F.col("lang"),
+        C.h60(t).alias("th"),
+        F.size(C.tokens(t)).cast("long").alias("ntok"),
+        F.array_distinct(C.tokens(t)).alias("utoks"))
+    docs = (base.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("ntok").cast("long").alias("n_tokens"),
+                 F.countDistinct("lang").cast("long").alias("n_langs"),
+                 F.countDistinct("th").cast("long").alias("distinct_texts")))
+    vocab = (base.select(F.col(group_col), F.explode("utoks").alias("tok"))
+             .groupBy(group_col)
+             .agg(F.countDistinct("tok").cast("long").alias("vocab_size")))
+    return (docs.join(vocab, group_col)
+            .select(F.col(group_col),
+                    "n_docs", "n_tokens",
+                    F.expr("CASE WHEN n_docs > 0 THEN n_tokens DIV n_docs "
+                           "ELSE 0 END").cast("long").alias("mean_tokens"),
+                    "n_langs", "distinct_texts",
+                    C.permille(F.col("n_docs") - F.col("distinct_texts"),
+                               F.col("n_docs")).alias("dup_permille"),
+                    "vocab_size")
+            .orderBy(group_col))
+
+
+def sql_dataset_card(table: str = "documents",
+                     group_col: str = "source") -> str:
+    tok = C.sql_tokens("text")
+    th = C.sql_h60("text")
+    return f"""
+        WITH base AS (
+            SELECT {group_col}, lang, {th} AS th,
+                   CAST(len({tok}) AS BIGINT) AS ntok,
+                   list_distinct({tok}) AS utoks
+            FROM {table}
+        ), docs AS (
+            SELECT {group_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(COUNT(DISTINCT th) AS BIGINT) AS distinct_texts
+            FROM base GROUP BY 1
+        ), vocab AS (
+            SELECT {group_col},
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size
+            FROM base, unnest(utoks) AS u(tok)
+            GROUP BY 1
+        )
+        SELECT d.{group_col}, d.n_docs, d.n_tokens,
+               CAST(CASE WHEN d.n_docs > 0 THEN d.n_tokens // d.n_docs
+                         ELSE 0 END AS BIGINT) AS mean_tokens,
+               d.n_langs, d.distinct_texts,
+               {C.sql_permille('d.n_docs - d.distinct_texts', 'd.n_docs')}
+                   AS dup_permille,
+               v.vocab_size
+        FROM docs d JOIN vocab v USING ({group_col})
+        ORDER BY d.{group_col}
+    """

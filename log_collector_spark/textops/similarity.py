@@ -1539,3 +1539,202 @@ def sql_sq8_recon_error(table: str = "embeddings") -> str:
                CAST(SUM(err) // COUNT(*) AS BIGINT) AS err_mean
         FROM err GROUP BY 1 ORDER BY label
     """
+
+
+# ---------------------------------------------------------------------------
+# Triplet mining (semi-hard negatives) + ANN index plan advisor
+# ---------------------------------------------------------------------------
+
+TRIPLET_MARGIN = 100      # semi-hard margin in signed-cos2-permille units
+
+
+def triplet_mining(df: DataFrame, vec_col: str = "embedding",
+                   label_col: str = "label",
+                   margin: int = TRIPLET_MARGIN) -> DataFrame:
+    """Triplet-mining report for metric-learning / contrastive training:
+    for every anchor vector, the hardest positive (max similarity among
+    SAME-label vectors) and hardest negative (max similarity among
+    OTHER-label vectors), classified per the FaceNet taxonomy —
+    ``hard`` (negative >= positive: the anchor's nearest other-class
+    point beats its own class), ``semi_hard`` (negative within
+    ``margin`` below the positive: the informative band a triplet-loss
+    sampler actually wants), ``easy`` (everything else, gradient-dead).
+    Reported per label with a no-positive count (singleton classes can't
+    form triplets) — the pre-training audit that says whether a labeled
+    embedding set has any training signal left.
+
+    Similarity statistic: signed cos^2 in permille
+    (sign(dot) * (dot^2 DIV n2a) * 1000 DIV n2b) — integer-exact and
+    scale-invariant across both engines (same statistic as
+    ``embedding_isotropy``; dot^2 <= n2a*n2b ~ 6.5e16 < 2^63 at the
+    EMB_SCALE quantization). Zero-norm vectors are excluded on both
+    sides (cosine undefined; keeps the DIV ANSI-safe).
+
+    This exact form scores all pairs via a broadcast of the corpus side
+    (the label rides along, so no join-back); at 10^9 vectors the
+    candidate side comes from the anchor's IVF cells exactly as in
+    :func:`knn_label_consistency` — max-over-candidates is unchanged,
+    and only (anchor, pos, neg) triples ever shuffle."""
+    q = (df.select("vec_id",
+                   F.col(label_col).cast("long").alias("label"),
+                   C.quantized_embedding(F.col(vec_col)).alias("q"))
+           .withColumn("n2", C.int_dot(F.col("q"), F.col("q")))
+           .filter(F.col("n2") > 0))
+    corpus = q.select(F.col("vec_id").alias("cand_id"),
+                      F.col("label").alias("cand_label"),
+                      F.col("q").alias("cv"), F.col("n2").alias("cn2"))
+    dot = C.int_dot(F.col("q"), F.col("cv"))
+    scored = (q.join(F.broadcast(corpus),
+                     F.col("cand_id") != F.col("vec_id"))
+               .withColumn("dot", dot)
+               .withColumn("cos2", F.expr(
+                   "(dot * dot DIV n2) * 1000 DIV cn2"))
+               .withColumn("stat",
+                           F.when(F.col("dot") < 0, -F.col("cos2"))
+                            .otherwise(F.col("cos2")).cast("long")))
+    anchors = (scored.groupBy("vec_id", "label")
+               .agg(F.max(F.when(F.col("cand_label") == F.col("label"),
+                                 F.col("stat"))).alias("pos"),
+                    F.max(F.when(F.col("cand_label") != F.col("label"),
+                                 F.col("stat"))).alias("neg")))
+    cls = (anchors.withColumn("kind", F.when(
+                F.col("pos").isNull(), F.lit("no_positive"))
+            .when(F.col("neg").isNull(), F.lit("no_negative"))
+            .when(F.col("neg") >= F.col("pos"), F.lit("hard"))
+            .when(F.col("neg") >= F.col("pos") - margin,
+                  F.lit("semi_hard"))
+            .otherwise(F.lit("easy"))))
+    return (cls.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_anchors"),
+                 *[F.sum(F.when(F.col("kind") == k, 1).otherwise(0))
+                   .cast("long").alias(f"n_{k}")
+                   for k in ("hard", "semi_hard", "easy", "no_positive")])
+            .orderBy("label"))
+
+
+def sql_triplet_mining(table: str = "embeddings",
+                       margin: int = TRIPLET_MARGIN) -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    kinds = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN kind = '{k}' THEN 1 END), 0) "
+        f"AS BIGINT) AS n_{k}"
+        for k in ("hard", "semi_hard", "easy", "no_positive"))
+    return f"""
+        WITH q AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label, q,
+                   CAST(list_dot_product(q, q) AS BIGINT) AS n2
+            FROM (SELECT vec_id, label, {qe} AS q FROM {table})
+        ), qq AS (SELECT * FROM q WHERE n2 > 0),
+        pairs AS (
+            SELECT a.vec_id, a.label, c.label AS cand_label,
+                   CAST(list_dot_product(a.q, c.q) AS BIGINT) AS dot,
+                   a.n2 AS n2a, c.n2 AS n2c
+            FROM qq a JOIN qq c ON c.vec_id <> a.vec_id
+        ), scored AS (
+            SELECT vec_id, label, cand_label,
+                   CASE WHEN dot < 0
+                        THEN -((dot * dot // n2a) * 1000 // n2c)
+                        ELSE (dot * dot // n2a) * 1000 // n2c
+                   END AS stat
+            FROM pairs
+        ), anchors AS (
+            SELECT vec_id, label,
+                   MAX(CASE WHEN cand_label = label THEN stat END) AS pos,
+                   MAX(CASE WHEN cand_label <> label THEN stat END) AS neg
+            FROM scored GROUP BY 1, 2
+        ), cls AS (
+            SELECT label,
+                   CASE WHEN pos IS NULL THEN 'no_positive'
+                        WHEN neg IS NULL THEN 'no_negative'
+                        WHEN neg >= pos THEN 'hard'
+                        WHEN neg >= pos - {margin} THEN 'semi_hard'
+                        ELSE 'easy' END AS kind
+            FROM anchors
+        )
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_anchors, {kinds}
+        FROM cls GROUP BY label ORDER BY label
+    """
+
+
+# Advisor thresholds: below FLAT_MAX a brute-force scan beats any index
+# (one partition's worth of work); above SQ8_MAX the 4x of SQ8 no longer
+# fits a sane memory budget and PQ's extra compression pays for its recall
+# loss. Same spirit as the repo's broadcast_advisor: integer rule table,
+# auditable, engine-portable.
+ADVISOR_FLAT_MAX = 100_000
+ADVISOR_SQ8_MAX = 100_000_000
+
+
+def index_plan_advisor(df: DataFrame,
+                       vec_col: str = "embedding") -> DataFrame:
+    """ANN index-plan advisor: fold the corpus to ONE stats row (count,
+    dimensionality) and derive the index configuration the similarity
+    stack in this module would be built with — IVF cell count, probe
+    budget, PQ subspace count, per-encoding storage footprints, and a
+    rule-based recommendation — the capacity-planning audit run before
+    committing to an index build at 10^9+ vectors (the build itself is
+    hours; the advisor is one scan).
+
+    Integer derivations (both engines, no floats):
+      nlist        = 2^(bit_length(n) DIV 2)   — power-of-two ~ sqrt(n),
+                     the standard IVF sizing rule;
+      nprobe       = greatest(1, nlist DIV 32) — ~3% of cells;
+      pq_m         = greatest(1, dim DIV 8)    — 8-dim subspaces, the
+                     layout :func:`pq_codes` packs;
+      bytes_flat   = n * dim * 4 (float32), bytes_sq8 = n * dim
+                     (:func:`sq8_recon_error`'s encoding),
+                     bytes_pq = n * pq_m DIV 2 (4-bit codes);
+      train_sample = least(n, nlist * 256)     — 256 vectors per
+                     centroid, the k-means training budget;
+      recommended  = FLAT below {flat}, IVF_SQ8 to {sq8}, IVF_PQ above.
+
+    Plan: one map-side-combined global agg (count + max size) — the scan
+    is the entire cost; everything after is a 1-row projection."""
+    stats = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.max(F.size(F.col(vec_col))).cast("long").alias("dim"))
+    return stats.select(
+        "n_vecs", "dim",
+        F.expr("CAST(power(2, length(bin(n_vecs)) DIV 2) AS BIGINT)")
+         .alias("nlist"),
+        F.expr("greatest(1, CAST(power(2, length(bin(n_vecs)) DIV 2) "
+               "AS BIGINT) DIV 32)").alias("nprobe"),
+        F.expr("greatest(1, dim DIV 8)").alias("pq_m"),
+        F.expr("n_vecs * dim * 4").cast("long").alias("bytes_flat"),
+        F.expr("n_vecs * dim").cast("long").alias("bytes_sq8"),
+        F.expr("n_vecs * greatest(1, dim DIV 8) DIV 2").cast("long")
+         .alias("bytes_pq"),
+        F.expr("least(n_vecs, CAST(power(2, length(bin(n_vecs)) DIV 2) "
+               "AS BIGINT) * 256)").cast("long").alias("train_sample"),
+        F.expr(f"CASE WHEN n_vecs <= {ADVISOR_FLAT_MAX} THEN 'FLAT' "
+               f"WHEN n_vecs <= {ADVISOR_SQ8_MAX} THEN 'IVF_SQ8' "
+               f"ELSE 'IVF_PQ' END").alias("recommended"))
+
+
+index_plan_advisor.__doc__ = index_plan_advisor.__doc__.format(
+    flat=ADVISOR_FLAT_MAX, sq8=ADVISOR_SQ8_MAX)
+
+
+def sql_index_plan_advisor(table: str = "embeddings") -> str:
+    nlist = "CAST(2 ** (strlen(bin(n_vecs)) // 2) AS BIGINT)"
+    return f"""
+        WITH stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(MAX(len(embedding)) AS BIGINT) AS dim
+            FROM {table}
+        )
+        SELECT n_vecs, dim,
+               {nlist} AS nlist,
+               GREATEST(1, {nlist} // 32) AS nprobe,
+               GREATEST(1, dim // 8) AS pq_m,
+               CAST(n_vecs * dim * 4 AS BIGINT) AS bytes_flat,
+               CAST(n_vecs * dim AS BIGINT) AS bytes_sq8,
+               CAST(n_vecs * GREATEST(1, dim // 8) // 2 AS BIGINT)
+                   AS bytes_pq,
+               CAST(LEAST(n_vecs, {nlist} * 256) AS BIGINT)
+                   AS train_sample,
+               CASE WHEN n_vecs <= {ADVISOR_FLAT_MAX} THEN 'FLAT'
+                    WHEN n_vecs <= {ADVISOR_SQ8_MAX} THEN 'IVF_SQ8'
+                    ELSE 'IVF_PQ' END AS recommended
+        FROM stats
+    """

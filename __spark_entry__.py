@@ -2201,6 +2201,38 @@ def q_index_plan_advisor_embeddings(spark: SparkSession,
     return _ts().index_plan_advisor(_embs(spark, sf_dir))
 
 
+def q_fim_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM preprocessing accounting: per-source prefix/middle/suffix
+    token sums at deterministic h60 cut points; one scan, one agg."""
+    return _ta().fim_split(_tbl(spark, sf_dir, "documents"))
+
+
+def q_scaling_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chinchilla budget advisor: per model size, token budget,
+    milli-epochs over this corpus, unique-token deficit."""
+    return _ta().scaling_budget_advisor(_tbl(spark, sf_dir, "documents"))
+
+
+def q_epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-loader reshuffle audit: cross-epoch same-shard rate vs
+    chance + epoch-0 shard balance, salted h60 assignment."""
+    return _ta().epoch_shuffle_audit(_tbl(spark, sf_dir, "documents"))
+
+
+def q_inbatch_negatives_embeddings(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """In-batch false-negative collision permille per candidate batch
+    size (hash batching, pair counts from the (batch,label) histogram)."""
+    return _ts().inbatch_negatives(_embs(spark, sf_dir))
+
+
+def q_ab_srm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-ratio-mismatch guardrail per event_type: exposed-user
+    chi-square (milli) on the deterministic 50/50 hash assignment."""
+    from log_collector_spark.operators import behavior as BH
+    return BH.ab_srm(_events(spark, sf_dir))
+
+
 def q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiwindow SLO burn-rate alerts (5-min AND 1-hour conjunction,
     integer milli burn); hour rolls up the 5-min partials, one scan."""
@@ -2660,6 +2692,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card_documents": q_dataset_card_documents,
         "triplet_mining_embeddings": q_triplet_mining_embeddings,
         "index_plan_advisor_embeddings": q_index_plan_advisor_embeddings,
+        "fim_split_documents": q_fim_split_documents,
+        "scaling_budget_documents": q_scaling_budget_documents,
+        "epoch_shuffle_documents": q_epoch_shuffle_documents,
+        "inbatch_negatives_embeddings": q_inbatch_negatives_embeddings,
+        "ab_srm_events": q_ab_srm_events,
         "tx_peak_inflight": q_tx_peak_inflight,
         "tx_latency_inversions": q_tx_latency_inversions,
         "gap_histogram_events": q_gap_histogram,
@@ -2984,6 +3021,11 @@ def oracle_sql() -> dict[str, str]:
         "dataset_card_documents": _ta().sql_dataset_card(),
         "triplet_mining_embeddings": _ts().sql_triplet_mining(),
         "index_plan_advisor_embeddings": _ts().sql_index_plan_advisor(),
+        "fim_split_documents": _ta().sql_fim_split(),
+        "scaling_budget_documents": _ta().sql_scaling_budget_advisor(),
+        "epoch_shuffle_documents": _ta().sql_epoch_shuffle_audit(),
+        "inbatch_negatives_embeddings": _ts().sql_inbatch_negatives(),
+        "ab_srm_events": _bh().sql_ab_srm(),
         "tx_peak_inflight": _tx().sql_peak_inflight(tx_view),
         "tx_latency_inversions": _tx().sql_latency_inversions(tx_view),
         "gap_histogram_events": _bh().sql_gap_histogram("events"),

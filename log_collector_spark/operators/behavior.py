@@ -2634,3 +2634,95 @@ def sql_contribution_cap(table: str = "events",
                n_users, n_clipped_users
         FROM agg ORDER BY day
     """
+
+
+# ---------------------------------------------------------------------------
+# A/B assignment + sample-ratio-mismatch (SRM) audit
+# ---------------------------------------------------------------------------
+
+# chi-square(1 df) critical value at p=0.05, in milli units.
+SRM_CHI2_CRIT_MILLI = 3841
+# |users_c - users_t| bound keeping diff^2 * 1000 under 2^63.
+SRM_MAX_DIFF = 95_000_000
+
+
+def ab_srm(events: DataFrame) -> DataFrame:
+    """A/B experiment health check: assign every user to control /
+    treatment by the deterministic salted hash (h60(user_id) % 2 — the
+    assignment an experimentation platform would persist) and test each
+    event_type's EXPOSED-USER split for sample-ratio mismatch, the
+    standard guardrail that catches broken bucketing, bot traffic, or
+    logging loss before anyone reads the metric movement. For a 50/50
+    design the 1-df chi-square statistic reduces to
+    (u_c - u_t)^2 / (u_c + u_t); reported in milli units with the 0.05
+    critical value (3.841) as a BOOLEAN flag.
+
+    Integer-exact both engines: diff^2 * 1000 needs |diff| <= 9.5e7,
+    guarded with a raise (an SRM audit on a larger imbalance is already
+    a five-alarm fire). Plan: one hash agg to (event_type, arm) with a
+    distinct-user count (Catalyst two-phase distinct at (type, arm,
+    user) grain), then a constant-width conditional re-agg per type."""
+    arm = (C.h60(F.col("user_id").cast("string")) % 2).alias("arm")
+    per_arm = (events
+               .select("event_type", arm, "user_id")
+               .groupBy("event_type", "arm")
+               .agg(F.countDistinct("user_id").cast("long").alias("users"),
+                    F.count(F.lit(1)).cast("long").alias("n_events")))
+    per_type = (per_arm.groupBy("event_type")
+                .agg(*[F.coalesce(F.sum(F.when(F.col("arm") == a, c)),
+                                  F.lit(0)).cast("long").alias(f"{n}_{s}")
+                       for n, c in (("users", F.col("users")),
+                                    ("events", F.col("n_events")))
+                       for a, s in ((0, "control"), (1, "treatment"))]))
+    diff = F.col("users_control") - F.col("users_treatment")
+    tot = F.col("users_control") + F.col("users_treatment")
+    guarded = F.when(F.abs(diff) <= SRM_MAX_DIFF, F.abs(diff)).otherwise(
+        F.raise_error(F.lit(
+            "ab_srm: arm imbalance exceeds int64 chi-square headroom")))
+    chi2 = (F.when(tot > 0, F.floor(guarded * guarded * 1000 / tot))
+            .otherwise(0).cast("long"))
+    return (per_type
+            .select("event_type", "users_control", "users_treatment",
+                    "events_control", "events_treatment",
+                    chi2.alias("srm_chi2_milli"))
+            .withColumn("srm_flag",
+                        F.col("srm_chi2_milli") > SRM_CHI2_CRIT_MILLI)
+            .orderBy("event_type"))
+
+
+def sql_ab_srm(table: str = "events") -> str:
+    h = C.sql_h60("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH per_arm AS (
+            SELECT event_type, {h} % 2 AS arm,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM {table} GROUP BY 1, 2
+        ), per_type AS (
+            SELECT event_type,
+                   CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN users END), 0)
+                        AS BIGINT) AS users_control,
+                   CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN users END), 0)
+                        AS BIGINT) AS users_treatment,
+                   CAST(COALESCE(SUM(CASE WHEN arm = 0
+                                          THEN n_events END), 0)
+                        AS BIGINT) AS events_control,
+                   CAST(COALESCE(SUM(CASE WHEN arm = 1
+                                          THEN n_events END), 0)
+                        AS BIGINT) AS events_treatment
+            FROM per_arm GROUP BY 1
+        )
+        SELECT event_type, users_control, users_treatment,
+               events_control, events_treatment,
+               CAST(CASE WHEN users_control + users_treatment > 0
+                    THEN abs(users_control - users_treatment)
+                         * abs(users_control - users_treatment) * 1000
+                         // (users_control + users_treatment)
+                    ELSE 0 END AS BIGINT) AS srm_chi2_milli,
+               CASE WHEN users_control + users_treatment > 0
+                    THEN abs(users_control - users_treatment)
+                         * abs(users_control - users_treatment) * 1000
+                         // (users_control + users_treatment)
+                    ELSE 0 END > {SRM_CHI2_CRIT_MILLI} AS srm_flag
+        FROM per_type ORDER BY event_type
+    """

@@ -3141,3 +3141,243 @@ def sql_dataset_card(table: str = "documents",
         FROM docs d JOIN vocab v USING ({group_col})
         ORDER BY d.{group_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# FIM split accounting, Chinchilla budget advisor, epoch shuffle audit
+# ---------------------------------------------------------------------------
+
+def fim_split(df: DataFrame, text_col: str = "text",
+              group_col: str = "source") -> DataFrame:
+    """Fill-in-the-middle (FIM) preprocessing accounting: split every
+    eligible document (>= 3 tokens) into prefix / middle / suffix at two
+    deterministic cut points and report, per source, how many tokens land
+    in each segment — the sizing audit run before committing a corpus to
+    FIM-style pretraining (the middle-share controls how much infilling
+    signal the transform actually yields; a skewed cut distribution
+    starves it).
+
+    Cut points are RNG-free and reshuffle-stable (the repo's sampling
+    invariant): with n tokens, cut1 = 1 + h60(doc_id:fim1) % (n-2) in
+    [1, n-2] and cut2 = cut1 + 1 + h60(doc_id:fim2) % (n-1-cut1) in
+    [cut1+1, n-1], so prefix/middle/suffix are all >= 1 token and every
+    eligible doc contributes exactly one split. Both hashes are 60-bit
+    md5 prefixes — identical in Spark and DuckDB, so the oracle replays
+    the exact split.
+
+    Plan: one narrow projection (token count + two hashes per doc) into
+    one map-side-combined hash agg at source grain — nothing but
+    (source, partial sums) shuffles at any corpus size."""
+    n = F.size(C.tokens(F.col(text_col))).cast("long")
+    did = F.col("doc_id").cast("string")
+    h1 = C.h60(F.concat(did, F.lit(":fim1")))
+    h2 = C.h60(F.concat(did, F.lit(":fim2")))
+    base = (df.select(F.col(group_col), n.alias("n"),
+                      h1.alias("h1"), h2.alias("h2"))
+            .withColumn("eligible", F.col("n") >= 3)
+            .withColumn("cut1", F.when(F.col("eligible"),
+                                       1 + F.col("h1") % (F.col("n") - 2)))
+            .withColumn("cut2", F.when(F.col("eligible"),
+                                       F.col("cut1") + 1 +
+                                       F.col("h2") %
+                                       (F.col("n") - 1 - F.col("cut1")))))
+    return (base.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.col("eligible").cast("long")).cast("long")
+                  .alias("n_eligible"),
+                 F.sum(F.when(F.col("eligible"), F.col("cut1"))
+                       .otherwise(0)).cast("long").alias("prefix_tokens"),
+                 F.sum(F.when(F.col("eligible"),
+                              F.col("cut2") - F.col("cut1"))
+                       .otherwise(0)).cast("long").alias("middle_tokens"),
+                 F.sum(F.when(F.col("eligible"), F.col("n") - F.col("cut2"))
+                       .otherwise(0)).cast("long").alias("suffix_tokens"))
+            .select(F.col(group_col), "n_docs", "n_eligible",
+                    "prefix_tokens", "middle_tokens", "suffix_tokens",
+                    C.permille(F.col("middle_tokens"),
+                               F.col("prefix_tokens") +
+                               F.col("middle_tokens") +
+                               F.col("suffix_tokens"))
+                    .alias("middle_share_permille"))
+            .orderBy(group_col))
+
+
+def sql_fim_split(table: str = "documents",
+                  group_col: str = "source") -> str:
+    tok = C.sql_tokens("text")
+    h1 = C.sql_h60("CAST(doc_id AS VARCHAR) || ':fim1'")
+    h2 = C.sql_h60("CAST(doc_id AS VARCHAR) || ':fim2'")
+    return f"""
+        WITH base AS (
+            SELECT {group_col}, CAST(len({tok}) AS BIGINT) AS n,
+                   {h1} AS h1, {h2} AS h2
+            FROM {table}
+        ), cuts AS (
+            SELECT {group_col}, n, h2, n >= 3 AS eligible,
+                   CASE WHEN n >= 3 THEN 1 + h1 % (n - 2) END AS cut1
+            FROM base
+        ), cuts2 AS (
+            SELECT *, CASE WHEN eligible
+                           THEN cut1 + 1 + h2 % (n - 1 - cut1) END AS cut2
+            FROM cuts
+        ), agg AS (
+            SELECT {group_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(CASE WHEN eligible THEN 1 END), 0)
+                        AS BIGINT) AS n_eligible,
+                   CAST(COALESCE(SUM(CASE WHEN eligible THEN cut1 END), 0)
+                        AS BIGINT) AS prefix_tokens,
+                   CAST(COALESCE(SUM(CASE WHEN eligible
+                                          THEN cut2 - cut1 END), 0)
+                        AS BIGINT) AS middle_tokens,
+                   CAST(COALESCE(SUM(CASE WHEN eligible
+                                          THEN n - cut2 END), 0)
+                        AS BIGINT) AS suffix_tokens
+            FROM cuts2 GROUP BY 1
+        )
+        SELECT {group_col}, n_docs, n_eligible, prefix_tokens,
+               middle_tokens, suffix_tokens,
+               {C.sql_permille(
+                   'middle_tokens',
+                   'prefix_tokens + middle_tokens + suffix_tokens')}
+                   AS middle_share_permille
+        FROM agg ORDER BY {group_col}
+    """
+
+
+# Chinchilla-optimal tokens-per-parameter ratio (Hoffmann et al., 2022).
+CHINCHILLA_RATIO = 20
+BUDGET_MODEL_SIZES = [125_000_000, 1_300_000_000,
+                      7_000_000_000, 70_000_000_000]
+
+
+def scaling_budget_advisor(df: DataFrame,
+                           text_col: str = "text",
+                           model_sizes: list[int] | None = None) -> DataFrame:
+    """Compute-budget advisor: fold the corpus to its total token count
+    and, for each candidate model size, report the Chinchilla-optimal
+    token budget (20 tokens/parameter), how many epochs over this corpus
+    that budget implies (milli-epochs, integer), and the unique-token
+    deficit if the corpus is too small to reach it single-epoch — the
+    one-row-per-model planning table a pretraining run starts from.
+
+    All integer: 70B params * 20 * 1000 = 1.4e15 << 2^63, and the corpus
+    count is a SUM of per-doc BIGINTs. Plan: one map-side-combined global
+    agg (the scan is the entire cost), then a constant-size broadcast
+    cross with the model list."""
+    sizes = model_sizes or BUDGET_MODEL_SIZES
+    tot = df.agg(F.sum(F.size(C.tokens(F.col(text_col))).cast("long"))
+                 .cast("long").alias("corpus_tokens"))
+    models = df.sparkSession.createDataFrame(
+        [(int(p),) for p in sizes], "params long")
+    j = (models.crossJoin(F.broadcast(tot))
+         .withColumn("corpus_tokens",
+                     F.coalesce("corpus_tokens", F.lit(0)).cast("long"))
+         .withColumn("tokens_needed",
+                     F.expr(f"params * {CHINCHILLA_RATIO}").cast("long")))
+    return (j.select(
+                "params", "tokens_needed", "corpus_tokens",
+                F.expr("CASE WHEN corpus_tokens > 0 THEN "
+                       "tokens_needed * 1000 DIV corpus_tokens "
+                       "ELSE 0 END").cast("long").alias("epochs_milli"),
+                F.greatest(F.lit(0).cast("long"),
+                           F.expr("tokens_needed - corpus_tokens"))
+                 .cast("long").alias("deficit_tokens"))
+            .orderBy("params"))
+
+
+def sql_scaling_budget_advisor(table: str = "documents",
+                               model_sizes: list[int] | None = None) -> str:
+    sizes = model_sizes or BUDGET_MODEL_SIZES
+    tok = C.sql_tokens("text")
+    vals = ", ".join(f"({p})" for p in sizes)
+    return f"""
+        WITH tot AS (
+            SELECT CAST(COALESCE(SUM(len({tok})), 0) AS BIGINT)
+                       AS corpus_tokens
+            FROM {table}
+        ), models AS (
+            SELECT CAST(params AS BIGINT) AS params
+            FROM (VALUES {vals}) v(params)
+        )
+        SELECT params,
+               CAST(params * {CHINCHILLA_RATIO} AS BIGINT) AS tokens_needed,
+               corpus_tokens,
+               CAST(CASE WHEN corpus_tokens > 0
+                    THEN params * {CHINCHILLA_RATIO} * 1000 // corpus_tokens
+                    ELSE 0 END AS BIGINT) AS epochs_milli,
+               CAST(GREATEST(0, params * {CHINCHILLA_RATIO}
+                                - corpus_tokens) AS BIGINT)
+                   AS deficit_tokens
+        FROM models CROSS JOIN tot
+        ORDER BY params
+    """
+
+
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle_audit(df: DataFrame,
+                        n_shards: int = EPOCH_SHARDS) -> DataFrame:
+    """Data-loader reshuffle audit: assign every document to one of
+    ``n_shards`` shards for epoch 0 and epoch 1 via independent salted
+    h60 hashes and report (a) how many docs land on the SAME shard both
+    epochs (should track the 1/n_shards chance level — a correlated
+    assignment means consecutive epochs replay the same shard locality
+    and the loader's shuffle is broken) and (b) epoch-0 shard balance
+    (min/max shard size) — the two properties a distributed training
+    loader's sharding function must have.
+
+    Deterministic, RNG-free, single scan: per-doc work is two md5
+    prefixes; both reports are one hash agg each over (shard) /
+    (same-flag) — metadata-scale shuffles only."""
+    did = F.col("doc_id").cast("string")
+    s0 = (C.h60(F.concat(did, F.lit(":e0"))) % n_shards).alias("s0")
+    s1 = (C.h60(F.concat(did, F.lit(":e1"))) % n_shards).alias("s1")
+    base = df.select(s0, s1)
+    summ = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("s0") == F.col("s1")).cast("long")).cast("long")
+         .alias("same_shard_docs"))
+    bal = (base.groupBy("s0")
+           .agg(F.count(F.lit(1)).cast("long").alias("c"))
+           .agg(F.max("c").cast("long").alias("shard_max"),
+                F.min("c").cast("long").alias("shard_min")))
+    return (summ.crossJoin(F.broadcast(bal))
+            .select("n_docs", "same_shard_docs",
+                    C.permille(F.col("same_shard_docs"), F.col("n_docs"))
+                     .alias("same_shard_permille"),
+                    F.lit(1000 // n_shards).cast("long")
+                     .alias("expected_permille"),
+                    "shard_max", "shard_min",
+                    C.permille(F.col("shard_min"), F.col("shard_max"))
+                     .alias("balance_permille")))
+
+
+def sql_epoch_shuffle_audit(table: str = "documents",
+                            n_shards: int = EPOCH_SHARDS) -> str:
+    h0 = C.sql_h60("CAST(doc_id AS VARCHAR) || ':e0'")
+    h1 = C.sql_h60("CAST(doc_id AS VARCHAR) || ':e1'")
+    return f"""
+        WITH base AS (
+            SELECT {h0} % {n_shards} AS s0, {h1} % {n_shards} AS s1
+            FROM {table}
+        ), summ AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(CASE WHEN s0 = s1 THEN 1 END), 0)
+                        AS BIGINT) AS same_shard_docs
+            FROM base
+        ), bal AS (
+            SELECT CAST(MAX(c) AS BIGINT) AS shard_max,
+                   CAST(MIN(c) AS BIGINT) AS shard_min
+            FROM (SELECT COUNT(*) AS c FROM base GROUP BY s0)
+        )
+        SELECT n_docs, same_shard_docs,
+               {C.sql_permille('same_shard_docs', 'n_docs')}
+                   AS same_shard_permille,
+               CAST({1000 // n_shards} AS BIGINT) AS expected_permille,
+               shard_max, shard_min,
+               {C.sql_permille('shard_min', 'shard_max')}
+                   AS balance_permille
+        FROM summ CROSS JOIN bal
+    """

@@ -1738,3 +1738,105 @@ def sql_index_plan_advisor(table: str = "embeddings") -> str:
                     ELSE 'IVF_PQ' END AS recommended
         FROM stats
     """
+
+
+INBATCH_SIZES = [16, 64, 256]
+
+
+def inbatch_negatives(df: DataFrame,
+                      label_col: str = "label",
+                      batch_sizes: list[int] | None = None) -> DataFrame:
+    """In-batch-negative collision audit for contrastive / retrieval
+    training: if training batches are formed by hashing vectors into
+    ``n DIV B`` groups, what share of in-batch pairs share a label and
+    would therefore be FALSE negatives under the standard
+    in-batch-negatives loss (InfoNCE treats every other batch member as
+    a negative — same-label members poison the gradient)? Reported per
+    candidate batch size, so the trainer picks the largest B whose
+    false-negative permille is still tolerable (or decides it needs
+    label-aware batching).
+
+    Batching is the repo's RNG-free salted-hash assignment (h60 of the
+    id, modulo batch count) — deterministic, reshuffle-stable, and
+    exactly replayable by the oracle. Pair counts are computed from the
+    (batch, label) histogram, never by materializing pairs: same-label
+    pairs = sum c*(c-1)/2 over (batch, label) cells, total pairs =
+    sum cnt*(cnt-1)/2 over batches. Plan: one narrow projection crossed
+    with the constant |batch_sizes| frame, two hash aggs — the widest
+    shuffle is (bsize, batch, label) counts; per-batch counts are ~B so
+    the pair arithmetic never overflows."""
+    sizes = batch_sizes or INBATCH_SIZES
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    bs = df.sparkSession.createDataFrame([(int(b),) for b in sizes],
+                                         "batch_size long")
+    base = (df.select(F.col("vec_id"),
+                      F.col(label_col).cast("long").alias("label"))
+            .crossJoin(F.broadcast(bs))
+            .crossJoin(F.broadcast(tot))
+            .withColumn("nb", F.expr(
+                "greatest(1, n_vecs DIV batch_size)").cast("long"))
+            .withColumn("batch",
+                        C.h60(F.col("vec_id").cast("string"))
+                        % F.col("nb")))
+    grid = (base.groupBy("batch_size", "batch", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    batches = (grid.groupBy("batch_size", "batch")
+               .agg(F.sum("c").cast("long").alias("cnt"),
+                    F.sum(F.expr("c * (c - 1) DIV 2")).cast("long")
+                     .alias("same_b")))
+    per = (batches.groupBy("batch_size")
+           .agg(F.sum(F.expr("cnt * (cnt - 1) DIV 2")).cast("long")
+                 .alias("total_pairs"),
+                F.sum("same_b").cast("long").alias("same_label_pairs")))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("batch_size",
+                    F.expr("greatest(1, n_vecs DIV batch_size)")
+                     .cast("long").alias("n_batches"),
+                    "total_pairs", "same_label_pairs",
+                    C.permille(F.col("same_label_pairs"),
+                               F.col("total_pairs"))
+                     .alias("false_neg_permille"))
+            .orderBy("batch_size"))
+
+
+def sql_inbatch_negatives(table: str = "embeddings",
+                          batch_sizes: list[int] | None = None) -> str:
+    sizes = batch_sizes or INBATCH_SIZES
+    vals = ", ".join(f"({b})" for b in sizes)
+    h = C.sql_h60("CAST(vec_id AS VARCHAR)")
+    return f"""
+        WITH tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM {table}
+        ), bs AS (
+            SELECT CAST(batch_size AS BIGINT) AS batch_size
+            FROM (VALUES {vals}) v(batch_size)
+        ), base AS (
+            SELECT bs.batch_size,
+                   {h} % GREATEST(1, tot.n_vecs // bs.batch_size) AS batch,
+                   CAST(label AS BIGINT) AS label
+            FROM {table} CROSS JOIN bs CROSS JOIN tot
+        ), grid AS (
+            SELECT batch_size, batch, label,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2, 3
+        ), batches AS (
+            SELECT batch_size, batch,
+                   CAST(SUM(c) AS BIGINT) AS cnt,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS same_b
+            FROM grid GROUP BY 1, 2
+        ), per AS (
+            SELECT batch_size,
+                   CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT)
+                       AS total_pairs,
+                   CAST(SUM(same_b) AS BIGINT) AS same_label_pairs
+            FROM batches GROUP BY 1
+        )
+        SELECT p.batch_size,
+               CAST(GREATEST(1, t.n_vecs // p.batch_size) AS BIGINT)
+                   AS n_batches,
+               p.total_pairs, p.same_label_pairs,
+               {C.sql_permille('p.same_label_pairs', 'p.total_pairs')}
+                   AS false_neg_permille
+        FROM per p CROSS JOIN tot t
+        ORDER BY p.batch_size
+    """

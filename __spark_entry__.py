@@ -2233,6 +2233,32 @@ def q_ab_srm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BH.ab_srm(_events(spark, sf_dir))
 
 
+def q_padding_waste_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length-bucket padding-waste table (dynamic-batching
+    ladder audit); constant-size agg, bit-length bucketing."""
+    return _ta().padding_waste(_tbl(spark, sf_dir, "documents"))
+
+
+def q_order_fingerprint_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-shard order-sensitive data-order checksum over the salted
+    stream order — the loader's reproducibility receipt."""
+    return _ta().data_order_fingerprint(_tbl(spark, sf_dir, "documents"))
+
+
+def q_latesim_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction MaxSim top-k (8x8 sub-vectors,
+    in-row nested max/sum — brute-ANN plan shape)."""
+    return _ts().latesim_topk(_embs(spark, sf_dir))
+
+
+def q_dp_noise_advisor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace noise calibration table per candidate epsilon against the
+    capped mean daily count — contribution_cap's companion."""
+    from log_collector_spark.operators import behavior as BH
+    return BH.dp_noise_advisor(_events(spark, sf_dir))
+
+
 def q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiwindow SLO burn-rate alerts (5-min AND 1-hour conjunction,
     integer milli burn); hour rolls up the 5-min partials, one scan."""
@@ -2697,6 +2723,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_documents": q_epoch_shuffle_documents,
         "inbatch_negatives_embeddings": q_inbatch_negatives_embeddings,
         "ab_srm_events": q_ab_srm_events,
+        "padding_waste_documents": q_padding_waste_documents,
+        "order_fingerprint_documents": q_order_fingerprint_documents,
+        "latesim_topk_embeddings": q_latesim_topk_embeddings,
+        "dp_noise_advisor_events": q_dp_noise_advisor_events,
         "tx_peak_inflight": q_tx_peak_inflight,
         "tx_latency_inversions": q_tx_latency_inversions,
         "gap_histogram_events": q_gap_histogram,
@@ -3026,6 +3056,10 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle_documents": _ta().sql_epoch_shuffle_audit(),
         "inbatch_negatives_embeddings": _ts().sql_inbatch_negatives(),
         "ab_srm_events": _bh().sql_ab_srm(),
+        "padding_waste_documents": _ta().sql_padding_waste(),
+        "order_fingerprint_documents": _ta().sql_data_order_fingerprint(),
+        "latesim_topk_embeddings": _ts().sql_latesim_topk(),
+        "dp_noise_advisor_events": _bh().sql_dp_noise_advisor(),
         "tx_peak_inflight": _tx().sql_peak_inflight(tx_view),
         "tx_latency_inversions": _tx().sql_latency_inversions(tx_view),
         "gap_histogram_events": _bh().sql_gap_histogram("events"),

@@ -2726,3 +2726,98 @@ def sql_ab_srm(table: str = "events") -> str:
                     ELSE 0 END > {SRM_CHI2_CRIT_MILLI} AS srm_flag
         FROM per_type ORDER BY event_type
     """
+
+
+# Candidate privacy budgets, in milli-epsilon (0.1, 0.5, 1.0, 2.0).
+DP_EPS_MILLI = [100, 500, 1000, 2000]
+
+
+def dp_noise_advisor(events: DataFrame, ts_col: str = "ts",
+                     cap: int = CONTRIB_CAP,
+                     eps_milli: list[int] | None = None) -> DataFrame:
+    """Differential-privacy noise calibration advisor — the companion to
+    :func:`contribution_cap`: once per-user contributions are bounded at
+    ``cap``, a Laplace mechanism on daily counts needs scale
+    b = sensitivity/eps = cap/eps, and whether that noise DROWNS the
+    statistic depends on the data. For each candidate epsilon this
+    reports b (milli units) and the expected RELATIVE error against the
+    observed mean daily capped count (Laplace mean |noise| = b), so the
+    privacy review picks the largest epsilon whose error column is still
+    acceptable — a rule table grounded in one data scan.
+
+    Integer math: b_milli = cap * 1e6 DIV eps_milli;
+    rel_error_permille = b_milli DIV mean_daily_kept (both engines,
+    non-negative operands). Plan: the contribution-cap aggregation
+    (two count-only hash aggs) folded to ONE row, crossed with the
+    constant epsilon list."""
+    eps = eps_milli or DP_EPS_MILLI
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) "
+                 f"div 86400000000").cast("long")
+    per_user = (events
+                .select(day.alias("day"), F.col("user_id").alias("uid"))
+                .groupBy("day", "uid")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    per_day = (per_user.groupBy("day")
+               .agg(F.sum(F.least(F.col("cnt"), F.lit(cap).cast("long")))
+                    .cast("long").alias("kept")))
+    stats = per_day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.coalesce(F.sum("kept"), F.lit(0)).cast("long").alias("kept_sum"))
+    epsdf = events.sparkSession.createDataFrame(
+        [(int(e),) for e in eps], "eps_milli long")
+    return (epsdf.crossJoin(F.broadcast(stats))
+            .withColumn("mean_daily_kept",
+                        F.expr("CASE WHEN n_days > 0 THEN "
+                               "kept_sum DIV n_days ELSE 0 END")
+                        .cast("long"))
+            .withColumn("noise_b_milli",
+                        F.expr(f"{cap} * 1000000 DIV eps_milli")
+                        .cast("long"))
+            .select("eps_milli",
+                    F.lit(cap).cast("long").alias("sensitivity"),
+                    "noise_b_milli", "n_days", "mean_daily_kept",
+                    F.expr("CASE WHEN mean_daily_kept > 0 THEN "
+                           "noise_b_milli DIV mean_daily_kept "
+                           "ELSE 0 END").cast("long")
+                    .alias("rel_error_permille"))
+            .orderBy("eps_milli"))
+
+
+def sql_dp_noise_advisor(table: str = "events",
+                         cap: int = CONTRIB_CAP,
+                         eps_milli: list[int] | None = None) -> str:
+    eps = eps_milli or DP_EPS_MILLI
+    vals = ", ".join(f"({e})" for e in eps)
+    return f"""
+        WITH per_user AS (
+            SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+                   user_id AS uid,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM {table} GROUP BY 1, 2
+        ), per_day AS (
+            SELECT day, CAST(SUM(LEAST(cnt, {cap})) AS BIGINT) AS kept
+            FROM per_user GROUP BY 1
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(COALESCE(SUM(kept), 0) AS BIGINT) AS kept_sum
+            FROM per_day
+        ), eps AS (
+            SELECT CAST(eps_milli AS BIGINT) AS eps_milli
+            FROM (VALUES {vals}) v(eps_milli)
+        ), j AS (
+            SELECT eps_milli, n_days,
+                   CASE WHEN n_days > 0 THEN kept_sum // n_days
+                        ELSE 0 END AS mean_daily_kept,
+                   {cap} * 1000000 // eps_milli AS noise_b_milli
+            FROM eps CROSS JOIN stats
+        )
+        SELECT eps_milli,
+               CAST({cap} AS BIGINT) AS sensitivity,
+               CAST(noise_b_milli AS BIGINT) AS noise_b_milli,
+               n_days,
+               CAST(mean_daily_kept AS BIGINT) AS mean_daily_kept,
+               CAST(CASE WHEN mean_daily_kept > 0
+                    THEN noise_b_milli // mean_daily_kept
+                    ELSE 0 END AS BIGINT) AS rel_error_permille
+        FROM j ORDER BY eps_milli
+    """

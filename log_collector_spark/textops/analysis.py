@@ -3381,3 +3381,127 @@ def sql_epoch_shuffle_audit(table: str = "documents",
                    AS balance_permille
         FROM summ CROSS JOIN bal
     """
+
+
+def padding_waste(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length-bucketed padding-waste report for batched serving /
+    training: documents are grouped into power-of-two length buckets
+    (the standard dynamic-batching policy — pad each sequence up to its
+    bucket length) and each bucket reports how many tokens the padding
+    burns — the table that decides the bucket ladder before anyone pays
+    for it in accelerator hours. bucket(len) = smallest power of two
+    >= len (1 for empty/1-token docs), computed via binary-string length
+    (no float log2, identical in both engines).
+
+    Plan: one narrow projection to (bucket, len) + one map-side-combined
+    hash agg at bucket grain (<= ~40 buckets ever exist) — nothing but
+    constant-size partials shuffle. waste_permille = (padded - real) *
+    1000 DIV padded per bucket; the TOTAL row is the consumer's SUM."""
+    n = F.size(C.tokens(F.col(text_col))).cast("long")
+    bucket = F.expr(
+        "CASE WHEN n <= 1 THEN 1 "
+        "ELSE CAST(power(2, length(bin(n - 1))) AS BIGINT) END")
+    agg = (df.select(n.alias("n"))
+           .withColumn("bucket", bucket)
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n").cast("long").alias("token_sum")))
+    return (agg.withColumn("padded_sum",
+                           F.expr("bucket * n_docs").cast("long"))
+            .select("bucket", "n_docs", "token_sum", "padded_sum",
+                    C.permille(F.col("padded_sum") - F.col("token_sum"),
+                               F.col("padded_sum"))
+                     .alias("waste_permille"))
+            .orderBy("bucket"))
+
+
+def sql_padding_waste(table: str = "documents") -> str:
+    tok = C.sql_tokens("text")
+    return f"""
+        WITH base AS (
+            SELECT CAST(len({tok}) AS BIGINT) AS n FROM {table}
+        ), bucketed AS (
+            SELECT n,
+                   CASE WHEN n <= 1 THEN 1
+                        ELSE CAST(2 ** strlen(bin(n - 1)) AS BIGINT)
+                   END AS bucket
+            FROM base
+        ), agg AS (
+            SELECT bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS token_sum
+            FROM bucketed GROUP BY 1
+        )
+        SELECT bucket, n_docs, token_sum,
+               CAST(bucket * n_docs AS BIGINT) AS padded_sum,
+               {C.sql_permille('bucket * n_docs - token_sum',
+                               'bucket * n_docs')} AS waste_permille
+        FROM agg ORDER BY bucket
+    """
+
+
+# Order-fingerprint arithmetic: term = (rank * (h60(doc) % P1)) % P2 with
+# 31-bit P1/P2 keeps every term < 2^31, so SUM stays under 2^63 for up to
+# 2^32 docs per shard.
+FP_P1 = 1_000_003
+FP_P2 = 2_147_483_647
+FP_SHARDS = 8
+
+
+def data_order_fingerprint(df: DataFrame,
+                           n_shards: int = FP_SHARDS) -> DataFrame:
+    """Training-data-order fingerprint: shard documents by salted h60 and
+    fingerprint each shard's READ ORDER (the repo's deterministic salted
+    stream order, same as sequence packing uses) with an order-sensitive
+    checksum — two training runs that claim "same data, same order"
+    compare this table; any insertion, drop, or swap changes the rank of
+    everything after it and hence the sum. This is the reproducibility
+    receipt a data loader logs at epoch start.
+
+    fingerprint = SUM over docs of (rank * (h60(doc_id) % P1)) % P2 —
+    order-sensitive because rank multiplies a per-doc value; every term
+    < 2^31 so the int64 SUM holds to 2^32 docs/shard (guard documented).
+    Plan: one exchange on shard (rank window ordered by the salted order
+    hash), one hash agg — (shard, rank, h) triples are all that move."""
+    did = F.col("doc_id").cast("string")
+    base = df.select(
+        F.col("doc_id"),
+        (C.h60(F.concat(did, F.lit(":shard"))) % n_shards).alias("shard"),
+        C.h60(F.concat(did, F.lit(":ord"))).alias("ord"),
+        (C.h60(did) % FP_P1).alias("h"))
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    ranked = base.withColumn("rank",
+                             F.row_number().over(w).cast("long"))
+    return (ranked
+            .withColumn("term", F.expr(f"(rank * h) % {FP_P2}"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("term").cast("long").alias("order_fingerprint"))
+            .select(F.col("shard").cast("long").alias("shard"),
+                    "n_docs", "order_fingerprint")
+            .orderBy("shard"))
+
+
+def sql_data_order_fingerprint(table: str = "documents",
+                               n_shards: int = FP_SHARDS) -> str:
+    hs = C.sql_h60("CAST(doc_id AS VARCHAR) || ':shard'")
+    ho = C.sql_h60("CAST(doc_id AS VARCHAR) || ':ord'")
+    hd = C.sql_h60("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {hs} % {n_shards} AS shard, {ho} AS ord,
+                   {hd} % {FP_P1} AS h
+            FROM {table}
+        ), ranked AS (
+            SELECT shard, h,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                           ORDER BY ord, doc_id)
+                        AS BIGINT) AS rank
+            FROM base
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM((rank * h) % {FP_P2}) AS BIGINT)
+                   AS order_fingerprint
+        FROM ranked GROUP BY 1 ORDER BY shard
+    """

@@ -1840,3 +1840,88 @@ def sql_inbatch_negatives(table: str = "embeddings",
         FROM per p CROSS JOIN tot t
         ORDER BY p.batch_size
     """
+
+
+# Late-interaction (ColBERT-style MaxSim) retrieval: each vector is read
+# as SUBVECS contiguous sub-vectors ("token embeddings"); score(q, d) =
+# sum_i max_j <q_i, d_j>.
+SUBVECS = 8
+SUBDIM = 8
+
+
+def latesim_topk(df: DataFrame, vec_col: str = "embedding",
+                 k: int = TOP_K, query_mod: int = QUERY_MOD) -> DataFrame:
+    """Late-interaction top-k (ColBERT MaxSim): treat every embedding as
+    ``SUBVECS`` contiguous ``SUBDIM``-dim sub-vectors (the multi-vector /
+    token-embedding layout) and rank candidates by
+    sum_i max_j <q_i, d_j> — the retrieval scorer that keeps per-token
+    granularity a single pooled dot product loses, and the third index
+    family next to the dot-product ANN (:func:`brute_force_topk`) and
+    the quantized ones (:func:`pq_codes`/:func:`sq8_recon_error`).
+
+    The whole MaxSim is computed IN-ROW on the joined pair (nested
+    transform/array_max/aggregate over the two arrays) — no sub-vector
+    explode, so the plan is exactly the brute-ANN shape: one broadcast
+    of the query side, a narrow projection, one top-k window. Integer
+    exact: sub-dots are int64 sums of 8 products of EMB_SCALE-quantized
+    components; the MaxSim adds 8 of them (< 2^40 total). At scale the
+    candidate side comes from an IVF shortlist exactly as in
+    :func:`ivf_ann_topk`; MaxSim then re-ranks the shortlist — the
+    standard two-stage late-interaction serving plan."""
+    q = _quantized(df, vec_col)
+    queries = q.filter(F.col("vec_id") % query_mod == 0) \
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("qv"))
+    corpus = q.select(F.col("vec_id").alias("cand_id"),
+                      F.col("q").alias("cv"))
+
+    def maxsim(qcol, ccol):
+        per_qsub = F.transform(
+            F.sequence(F.lit(0), F.lit(SUBVECS - 1)),
+            lambda i: F.array_max(F.transform(
+                F.sequence(F.lit(0), F.lit(SUBVECS - 1)),
+                lambda j: C.int_dot(F.slice(qcol, i * SUBDIM + 1, SUBDIM),
+                                    F.slice(ccol, j * SUBDIM + 1, SUBDIM)))))
+        return F.aggregate(per_qsub, F.lit(0).cast("long"),
+                           lambda acc, x: acc + x)
+
+    scored = (corpus.join(F.broadcast(queries),
+                          F.col("cand_id") != F.col("query_id"))
+              .select("query_id", "cand_id",
+                      maxsim(F.col("qv"), F.col("cv")).alias("maxsim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"),
+                                               F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "cand_id", "maxsim",
+                          F.col("rank").cast("long").alias("rank")))
+
+
+def sql_latesim_topk(table: str = "embeddings", k: int = TOP_K,
+                     query_mod: int = QUERY_MOD) -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    d = SUBDIM
+    maxsim = (
+        f"CAST(list_sum(list_transform(range(0, {SUBVECS}), i -> "
+        f"list_max(list_transform(range(0, {SUBVECS}), j -> "
+        f"CAST(list_dot_product("
+        f"list_slice(qv, i * {d} + 1, i * {d} + {d}), "
+        f"list_slice(cv, j * {d} + 1, j * {d} + {d})) AS BIGINT)))))"
+        f" AS BIGINT)")
+    return f"""
+        WITH q AS (SELECT vec_id, {qe} AS q FROM {table}),
+        queries AS (
+            SELECT vec_id AS query_id, q AS qv FROM q
+            WHERE vec_id % {query_mod} = 0
+        ), corpus AS (SELECT vec_id AS cand_id, q AS cv FROM q),
+        scored AS (
+            SELECT query_id, cand_id, {maxsim} AS maxsim
+            FROM corpus JOIN queries ON cand_id <> query_id
+        )
+        SELECT query_id, cand_id, maxsim, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY maxsim DESC, cand_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """

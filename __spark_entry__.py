@@ -2037,6 +2037,42 @@ def q_ann_mrr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.ann_mrr(_embs(spark, sf_dir))
 
 
+def q_ann_ndcg_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-averaged integer nDCG@k per ANN path vs the exact top-k —
+    grades the whole returned ranking, not just the best hit."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.ann_ndcg(_embs(spark, sf_dir))
+
+
+def q_kcore_peel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-core peel round (k=2) over the MinHash near-dup graph:
+    whisker removal report (deg0, removed, surviving degree)."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.kcore_peel(_docs(spark, sf_dir))
+
+
+def q_link_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard strength per near-dup edge: family-internal
+    edges vs bridges the clustering step must not merge across."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.link_jaccard(_docs(spark, sf_dir))
+
+
+def q_cusum_changepoint_events(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """CUSUM single-changepoint scan per event type on the hourly count
+    series (exact integer, T-scaled deviations)."""
+    from log_collector_spark.operators import seasonal as SE
+    return SE.cusum_changepoint(_events(spark, sf_dir))
+
+
+def q_bloom_fpr_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom sizing curve: measured vs theoretical FPR per bits/key
+    budget, members = even keys, probes = odd keys (disjoint)."""
+    from log_collector_spark.operators import enrich as en
+    return en.bloom_fpr_curve(_events(spark, sf_dir))
+
+
 def q_wav_energy_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow flavor of the WAV energy stage (no pandas boxing of the
     binary column); row-identical to the mapInPandas stage's oracle."""
@@ -2586,6 +2622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_calibration": q_simhash_calibration,
         "tx_variant_stats": q_tx_variant_stats,
         "ann_mrr_embeddings": q_ann_mrr_embeddings,
+        "ann_ndcg_embeddings": q_ann_ndcg_embeddings,
+        "kcore_peel_documents": q_kcore_peel_documents,
+        "link_jaccard_documents": q_link_jaccard_documents,
+        "cusum_changepoint_events": q_cusum_changepoint_events,
+        "bloom_fpr_curve_events": q_bloom_fpr_curve_events,
         "wav_energy_arrow": q_wav_energy_arrow,
         "watermark_bias_documents": q_watermark_bias_documents,
         "embedding_isotropy": q_embedding_isotropy,
@@ -3582,6 +3623,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash_calibration": _te().sql_simhash_calibration(),
         "tx_variant_stats": _tx().sql_variant_payload_stats(tx_view),
         "ann_mrr_embeddings": _te().sql_ann_mrr(),
+        "ann_ndcg_embeddings": _te().sql_ann_ndcg(),
+        "kcore_peel_documents": _te().sql_kcore_peel(),
+        "link_jaccard_documents": _te().sql_link_jaccard(),
+        "cusum_changepoint_events": _se().sql_cusum_changepoint(),
+        "bloom_fpr_curve_events": _en().sql_bloom_fpr_curve(),
         "wav_energy_arrow": _tm().sql_wav_energy_features(),
         "watermark_bias_documents": _ta().sql_watermark_bias(),
         "embedding_isotropy": _ts().sql_embedding_isotropy(),

@@ -194,3 +194,137 @@ def sql_bloom_prejoin_summary(fact_sql: str, dim_sql: str, key: str,
                n_bloom_pass, n_exact, n_false_pos, fp_permille
         FROM summary
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter sizing curve: simulated vs theoretical FPR per bits/key
+# ---------------------------------------------------------------------------
+
+# (bits_per_key, k_hashes) ladder — k ≈ bits·ln2, the FPR-optimal hash
+# count for each budget. The theoretical rate (1 − e^{−k/b})^k is a pure
+# function of the config, computed ONCE in Python and embedded as the same
+# literal constant in both engines (floats never cross an engine boundary
+# at query time — the IVF_CENTROIDS pattern).
+BLOOM_LADDER = ((8, 6), (12, 8), (16, 11))
+
+
+def _bloom_theo_permille(bits_per_key: int, k: int) -> int:
+    import math
+    return round(1000 * (1 - math.exp(-k / bits_per_key)) ** k)
+
+
+def bloom_fpr_curve(events: DataFrame, key: str = "user_id",
+                    ladder: tuple = BLOOM_LADDER) -> DataFrame:
+    """Bloom-filter SIZING advisor — the tuning curve behind
+    :func:`bloom_prejoin_summary`'s fixed-size audit: for each
+    (bits_per_key, k_hashes) budget on the ladder, build the filter over
+    the member keyset, probe a DISJOINT keyset (guaranteed non-members),
+    and report the measured false-positive rate next to the theoretical
+    (1−e^{−k/b})^k — the evidence for how many bits/key the runtime
+    filter needs before a join prune pays for its broadcast at 100 TB.
+    Members are the even keys, probes the odd keys (disjoint by
+    construction, so every probe hit is a false positive — no exact-side
+    join needed).
+
+    Returns (bits_per_key, k_hashes, n_keys, n_probes, n_fp,
+    fpr_permille, theo_fpr_permille) ORDER BY bits_per_key.
+
+    Plan/scale: per config, the bit table is ≤ k·|keys| (bit) longs built
+    by one distinct; probing is a shuffle equi-join on the bit value
+    grouped per probe key — every frame is O(k·|distinct keys|), never
+    corpus-sized, and m = b·n_keys adapts to the data via one broadcast
+    scalar (no collect)."""
+    from log_collector_spark.textops import common as C
+
+    keys_all = events.select(F.col(key).cast("long").alias("kk")).distinct()
+    members = keys_all.filter(F.col("kk") % 2 == 0)
+    probes = keys_all.filter(F.col("kk") % 2 == 1)
+    nk = members.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+
+    rows = []
+    for b, k in ladder:
+        idx = F.array(*[F.lit(j) for j in range(1, k + 1)])
+        m = (F.col("n_keys") * b).cast("long")
+
+        def positions(df):
+            return (df.crossJoin(F.broadcast(nk))
+                    .select(F.col("kk"), F.col("n_keys"),
+                            F.explode(idx).alias("j"))
+                    .select(F.col("kk"),
+                            (C.h60(F.concat(F.col("kk").cast("string"),
+                                            F.lit(":"),
+                                            F.col("j").cast("string")))
+                             % m).alias("bit")))
+
+        bits = positions(members).select("bit").distinct()
+        fp = (positions(probes).join(bits, "bit")
+              .groupBy("kk").agg(F.count(F.lit(1)).alias("nb"))
+              .filter(F.col("nb") == k)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_fp")))
+        np_ = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+        rows.append(
+            nk.crossJoin(np_).crossJoin(fp)
+            .select(F.lit(b).cast("long").alias("bits_per_key"),
+                    F.lit(k).cast("long").alias("k_hashes"),
+                    "n_keys", "n_probes",
+                    F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"))
+            .withColumn("fpr_permille",
+                        C.permille(F.col("n_fp"), F.col("n_probes")))
+            .withColumn("theo_fpr_permille",
+                        F.lit(_bloom_theo_permille(b, k)).cast("long")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("bits_per_key")
+
+
+def sql_bloom_fpr_curve(table: str = "events", key: str = "user_id",
+                        ladder: tuple = BLOOM_LADDER) -> str:
+    from log_collector_spark.textops import common as C
+
+    def cfg(b: int, k: int) -> str:
+        h = C.sql_h60("CAST(kk AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+        theo = _bloom_theo_permille(b, k)
+        return f"""
+            SELECT CAST({b} AS BIGINT) AS bits_per_key,
+                   CAST({k} AS BIGINT) AS k_hashes,
+                   nk.n_keys,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM probes)
+                       AS n_probes,
+                   CAST(COALESCE((
+                       SELECT COUNT(*) FROM (
+                           SELECT p.kk
+                           FROM (SELECT kk, {h} % (nk2.n_keys * {b}) AS bit
+                                 FROM probes,
+                                      (SELECT unnest(range(1, {k + 1}))
+                                       AS j),
+                                      (SELECT CAST(COUNT(*) AS BIGINT)
+                                       AS n_keys FROM members) nk2) p
+                           JOIN (SELECT DISTINCT
+                                        {h} % (nk3.n_keys * {b}) AS bit
+                                 FROM members m(kk),
+                                      (SELECT unnest(range(1, {k + 1}))
+                                       AS j),
+                                      (SELECT CAST(COUNT(*) AS BIGINT)
+                                       AS n_keys FROM members) nk3) bits
+                             ON bits.bit = p.bit
+                           GROUP BY p.kk HAVING COUNT(*) = {k}
+                       )), 0) AS BIGINT) AS n_fp,
+                   CAST({theo} AS BIGINT) AS theo_fpr_permille
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys
+                  FROM members) nk
+        """
+
+    union = " UNION ALL ".join(cfg(b, k) for b, k in ladder)
+    return f"""
+        WITH keys_all AS (
+            SELECT DISTINCT CAST({key} AS BIGINT) AS kk FROM {table}
+        ),
+        members AS (SELECT kk FROM keys_all WHERE kk % 2 = 0),
+        probes AS (SELECT kk FROM keys_all WHERE kk % 2 = 1),
+        u AS ({union})
+        SELECT bits_per_key, k_hashes, n_keys, n_probes, n_fp,
+               {C.sql_permille('n_fp', 'n_probes')} AS fpr_permille,
+               theo_fpr_permille
+        FROM u ORDER BY bits_per_key
+    """

@@ -292,3 +292,102 @@ def sql_seasonal_naive_error(table: str = "events",
         FROM day WHERE n_hours = 24
         ORDER BY day_idx
     """
+
+
+def cusum_changepoint(events: DataFrame, ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """CUSUM changepoint scan per event type: on the hourly count series
+    x_1..x_T, the cumulative deviation from the series mean is
+    S_t = Σ_{i<=t} (x_i - C/T); the hour maximizing |S_t| is the
+    classic single-changepoint estimate (where the level shifted), and
+    the size of the peak relative to total volume says whether there IS
+    a shift worth investigating — the alert that catches a routing
+    change or source outage that per-hour anomaly z-scores miss because
+    no single hour is extreme.
+
+    Exact integers: everything is scaled by T (d_t = T·cum_t − t·C), so
+    no mean ever materializes as a fraction; |d| is compared exactly and
+    the tie at the max breaks to the EARLIEST hour in both engines.
+    shift_permille = 1000·|d|_max / (T·C) — the normalized CUSUM range
+    (0 = perfectly stationary, larger = sharper level shift).
+
+    Returns (event_type, n_hours, total_events, change_hour, d_abs_max,
+    shift_permille) ORDER BY event_type.
+
+    Plan/scale: the raw stream collapses to (type, hour) counts in one
+    map-side-combined agg; the cumsum + argmax windows run per type on
+    |hours| rows — metadata scale. Overflow: d_t ≤ T·C; a decade of
+    hours (9e4) at 1e12 events still fits BIGINT headroom via the
+    module's documented bound."""
+    hourly = (events
+              .select(F.col(type_col).alias("event_type"),
+                      _hour_idx(ts_col).alias("h"))
+              .groupBy("event_type", "h")
+              .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    wcum = (Window.partitionBy("event_type").orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = (Window.partitionBy("event_type")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    widx = Window.partitionBy("event_type").orderBy("h")
+    scored = (hourly
+              .withColumn("cum", F.sum("x").over(wcum).cast("long"))
+              .withColumn("t_idx", F.row_number().over(widx).cast("long"))
+              .withColumn("n_hours", F.count(F.lit(1)).over(wall)
+                           .cast("long"))
+              .withColumn("total_events", F.sum("x").over(wall)
+                           .cast("long"))
+              .withColumn("d", (F.col("n_hours") * F.col("cum")
+                                - F.col("t_idx") * F.col("total_events"))
+                           .cast("long")))
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("d")).desc(), F.col("h").asc())
+    return (scored.withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+            .select("event_type", "n_hours", "total_events",
+                    F.col("h").alias("change_hour"),
+                    F.abs(F.col("d")).cast("long").alias("d_abs_max"),
+                    C.permille(F.abs(F.col("d")),
+                               F.col("n_hours") * F.col("total_events"))
+                    .alias("shift_permille"))
+            .orderBy("event_type"))
+
+
+def sql_cusum_changepoint(table: str = "events") -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(epoch_ms(ts) // {_HOUR_MS} AS BIGINT) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM {table} GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT event_type, h, x,
+                   CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY h)
+                        AS BIGINT) AS cum,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY h) AS BIGINT) AS t_idx,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_hours,
+                   CAST(SUM(x) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS total_events
+            FROM hourly
+        ),
+        d AS (
+            SELECT event_type, h, n_hours, total_events,
+                   n_hours * cum - t_idx * total_events AS d
+            FROM scored
+        ),
+        pick AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY abs(d) DESC, h) AS rn
+            FROM d
+        )
+        SELECT event_type, n_hours, total_events,
+               h AS change_hour,
+               CAST(abs(d) AS BIGINT) AS d_abs_max,
+               {C.sql_permille('abs(d)', 'n_hours * total_events')}
+                   AS shift_permille
+        FROM pick WHERE rn = 1
+        ORDER BY event_type
+    """

@@ -1205,3 +1205,300 @@ def sql_ann_mrr(table: str = "embeddings") -> str:
                        UNION ALL {lvl('lsh', S.sql_lsh_ann_topk(table))})
         ORDER BY ann_path
     """
+
+
+# ---------------------------------------------------------------------------
+# ANN rank quality II: integer nDCG@k for both index families
+# ---------------------------------------------------------------------------
+
+# discount table in fixed-point micros: round(1e6 / log2(rank+1)), rank 1..k.
+# Computed ONCE in Python (IEEE doubles, deterministic) and embedded as the
+# SAME literal array in the Spark plan and the DuckDB oracle — the pattern
+# IVF_CENTROIDS/EMB_PLANES established: floats never cross an engine
+# boundary at query time.
+import math as _math
+
+
+def _ndcg_tables(k: int) -> tuple[list[int], list[int]]:
+    disc = [round(1_000_000 / _math.log2(r + 1)) for r in range(1, k + 1)]
+    prefix = []
+    s = 0
+    for d in disc:
+        s += d
+        prefix.append(s)
+    return disc, prefix
+
+
+def ann_ndcg(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Micro-averaged integer nDCG@k of each ANN path against the exact
+    brute-force top-k — the third rank-quality lens after recall@k (was
+    the truth retrieved) and MRR (how high did the single best hit
+    surface): nDCG grades the WHOLE returned ranking, rewarding a path
+    that puts every true neighbor early. Relevance is binary membership
+    in the exact top-k; discounts are the standard 1/log2(rank+1) in
+    fixed-point micros (``_ndcg_tables`` — same constants verbatim in
+    both engines), so DCG/IDCG sums and the final permille are exact
+    integer arithmetic.
+
+    Returns (ann_path, n_queries, dcg_micro, idcg_micro, ndcg_permille)
+    ORDER BY ann_path, micro-averaged: permille(sum DCG, sum IDCG).
+
+    Plan: one shared brute-force exact scan (the expensive side, reused
+    across paths exactly like ann_mrr); each path then joins two
+    |queries|·k-row frames — nothing corpus-sized shuffles twice."""
+    from log_collector_spark.textops import similarity as S
+
+    disc, prefix = _ndcg_tables(S.TOP_K)
+    disc_arr = F.lit(disc).cast("array<bigint>")
+    idcg_arr = F.lit(prefix).cast("array<bigint>")
+
+    truth = S.brute_force_topk(df, vec_col).select(
+        "query_id", F.col("cand_id").alias("truth_id"))
+    per_q = (truth.groupBy("query_id")
+             .agg(F.count(F.lit(1)).cast("int").alias("k_truth"))
+             .select("query_id",
+                     F.element_at(idcg_arr, F.col("k_truth"))
+                      .alias("idcg")))
+    rows = []
+    for path, topk in (("ivf", S.ivf_ann_topk(df, vec_col)),
+                       ("lsh", S.lsh_ann_topk(df, vec_col))):
+        r = topk.select("query_id", F.col("cand_id").alias("aid"),
+                        F.col("rank").cast("int").alias("rk"))
+        hits = (truth.join(r, (truth["query_id"] == r["query_id"]) &
+                           (truth["truth_id"] == r["aid"]))
+                .select(truth["query_id"].alias("query_id"),
+                        F.element_at(disc_arr, F.col("rk")).alias("d")))
+        dcg_q = hits.groupBy("query_id").agg(
+            F.sum("d").cast("long").alias("dcg"))
+        agg = (per_q.join(dcg_q, "query_id", "left")
+               .agg(F.lit(path).alias("ann_path"),
+                    F.count(F.lit(1)).cast("long").alias("n_queries"),
+                    F.coalesce(F.sum("dcg"), F.lit(0)).cast("long")
+                     .alias("dcg_micro"),
+                    F.sum("idcg").cast("long").alias("idcg_micro")))
+        rows.append(agg)
+    out = rows[0].unionByName(rows[1])
+    return (out.withColumn("ndcg_permille",
+                           C.permille(F.col("dcg_micro"),
+                                      F.col("idcg_micro")))
+            .orderBy("ann_path"))
+
+
+def sql_ann_ndcg(table: str = "embeddings") -> str:
+    from log_collector_spark.textops import similarity as S
+
+    disc, prefix = _ndcg_tables(S.TOP_K)
+    disc_sql = f"CAST({disc} AS BIGINT[])"
+    idcg_sql = f"CAST({prefix} AS BIGINT[])"
+
+    def lvl(path: str, sub: str) -> str:
+        return f"""
+            SELECT '{path}' AS ann_path,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST(COALESCE(SUM(d.dcg), 0) AS BIGINT) AS dcg_micro,
+                   CAST(SUM(p.idcg) AS BIGINT) AS idcg_micro
+            FROM per_q p LEFT JOIN (
+                SELECT t.query_id,
+                       SUM(list_extract({disc_sql}, r.rank)) AS dcg
+                FROM truth t JOIN ({sub}) r
+                  ON r.query_id = t.query_id AND r.cand_id = t.truth_id
+                GROUP BY t.query_id
+            ) d ON d.query_id = p.query_id
+        """
+
+    return f"""
+        WITH brute AS ({S.sql_brute_force_topk(table)}),
+        truth AS (SELECT query_id, cand_id AS truth_id FROM brute),
+        per_q AS (
+            SELECT query_id,
+                   list_extract({idcg_sql},
+                                CAST(COUNT(*) AS INT)) AS idcg
+            FROM truth GROUP BY query_id
+        ),
+        u AS ({lvl('ivf', S.sql_ivf_ann_topk(table))}
+              UNION ALL {lvl('lsh', S.sql_lsh_ann_topk(table))})
+        SELECT ann_path, n_queries, dcg_micro, idcg_micro,
+               {C.sql_permille('dcg_micro', 'idcg_micro')} AS ndcg_permille
+        FROM u ORDER BY ann_path
+    """
+
+
+# ---------------------------------------------------------------------------
+# k-core peel over the near-dup graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+
+
+def kcore_peel(df: DataFrame, text_col: str = "text",
+               k: int = KCORE_K) -> DataFrame:
+    """One peel round of k-core decomposition (k=2) over the MinHash
+    near-dup graph: nodes of degree < k are removed, surviving degrees
+    recomputed. The k-core separates REAL duplicate families (dense
+    cores survive peeling) from incidental one-off collisions (degree-1
+    whiskers vanish in round one) — the pre-filter that keeps connected
+    components from wiring whisker chains into mega-clusters.
+
+    Per graph node: (doc_id, deg0, removed, deg1) ORDER BY doc_id, where
+    deg0 is the full-graph degree, removed = deg0 < k, and deg1 the
+    degree among survivors (0 for removed nodes). The full decomposition
+    iterates this kernel with the dedup_clusters driver-loop pattern
+    (localCheckpoint per round); one round is the distributed primitive
+    and already the useful whisker report.
+
+    Plan/scale: degrees are (node,1) hash aggs over the EDGE list (edges
+    are threshold-verified pairs — tiny relative to the corpus); the
+    survivor subgraph is two semi-joins of edges against the removed-node
+    set. Text never moves."""
+    from log_collector_spark.textops import dedup as D
+
+    pairs = D.minhash_lsh_pairs(df, text_col)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionAll(pairs.select(F.col("doc_b").alias("src"),
+                                    F.col("doc_a").alias("dst"))))
+    deg0 = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg0"))
+    keep = deg0.filter(F.col("deg0") >= k).select(F.col("doc_id"))
+    surv = (edges.join(keep.withColumnRenamed("doc_id", "src"), "src",
+                       "left_semi")
+            .join(keep.withColumnRenamed("doc_id", "dst"), "dst",
+                  "left_semi"))
+    deg1 = surv.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg1"))
+    return (deg0.join(deg1, "doc_id", "left")
+            .select("doc_id", "deg0",
+                    (F.col("deg0") < k).alias("removed"),
+                    F.coalesce("deg1", F.lit(0)).cast("long").alias("deg1"))
+            .orderBy("doc_id"))
+
+
+def sql_kcore_peel(table: str = "documents", k: int = KCORE_K) -> str:
+    from log_collector_spark.textops import dedup as D
+
+    return f"""
+        WITH pairs AS ({D.sql_minhash_lsh_pairs(table)}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        deg0 AS (
+            SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg0
+            FROM edges GROUP BY src
+        ),
+        keep AS (SELECT doc_id FROM deg0 WHERE deg0 >= {k}),
+        surv AS (
+            SELECT e.src, e.dst FROM edges e
+            WHERE e.src IN (SELECT doc_id FROM keep)
+              AND e.dst IN (SELECT doc_id FROM keep)
+        ),
+        deg1 AS (
+            SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg1
+            FROM surv GROUP BY src
+        )
+        SELECT d0.doc_id, d0.deg0,
+               d0.deg0 < {k} AS removed,
+               CAST(COALESCE(d1.deg1, 0) AS BIGINT) AS deg1
+        FROM deg0 d0 LEFT JOIN deg1 d1 ON d1.doc_id = d0.doc_id
+        ORDER BY d0.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Link-prediction Jaccard: neighborhood overlap per near-dup edge
+# ---------------------------------------------------------------------------
+
+
+def link_jaccard(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Neighborhood-Jaccard strength of every near-dup edge: for edge
+    (a,b), common = |N(a) ∩ N(b)| and union = deg(a)+deg(b)-common-2
+    (endpoints excluded — a ∈ N(b) and b ∈ N(a) by edge existence, and
+    the graph has no self-loops, so the intersection can never contain
+    an endpoint). High-Jaccard edges sit INSIDE a duplicate family
+    (safe to collapse transitively); near-zero edges are bridges between
+    families the clustering step must not merge — the per-edge evidence
+    behind choosing plain CC vs per-edge survivorship in dedup_clusters.
+
+    Returns (doc_a, doc_b, deg_a, deg_b, common_n, union_n,
+    jaccard_permille) ORDER BY doc_a, doc_b.
+
+    Plan/scale: common-neighbor counting is the two-hop equi-join
+    edges⋈adjacency⋈adjacency grouped by the edge — the same shape as
+    triangle_count (each common neighbor IS a triangle through the
+    edge), bounded by candidate-pair fan-out, not corpus size. At web
+    scale orient the adjacency low-degree→high first (arboricity
+    bound), exactly as triangle_count documents."""
+    from log_collector_spark.textops import dedup as D
+
+    pairs = D.minhash_lsh_pairs(df, text_col)
+    edges = pairs.select(F.col("doc_a").alias("a"),
+                         F.col("doc_b").alias("b"))
+    adj = (edges.select(F.col("a").alias("src"), F.col("b").alias("nbr"))
+           .unionAll(edges.select(F.col("b").alias("src"),
+                                  F.col("a").alias("nbr"))))
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("deg"))
+    na = adj.select(F.col("src").alias("ja"), F.col("nbr").alias("ca"))
+    nb = adj.select(F.col("src").alias("jb"), F.col("nbr").alias("cb"))
+    common = (edges
+              .join(na, F.col("a") == F.col("ja"))
+              .join(nb, (F.col("b") == F.col("jb")) &
+                        (F.col("ca") == F.col("cb")))
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).cast("long").alias("common_n")))
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    out = (edges.join(da, "a").join(db, "b")
+           .join(common, ["a", "b"], "left")
+           .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                   "deg_a", "deg_b",
+                   F.coalesce("common_n", F.lit(0)).cast("long")
+                    .alias("common_n"))
+           .withColumn("union_n",
+                       (F.col("deg_a") + F.col("deg_b")
+                        - F.col("common_n") - 2).cast("long")))
+    return (out.withColumn("jaccard_permille",
+                           C.permille(F.col("common_n"), F.col("union_n")))
+            .orderBy("doc_a", "doc_b"))
+
+
+def sql_link_jaccard(table: str = "documents") -> str:
+    from log_collector_spark.textops import dedup as D
+
+    return f"""
+        WITH pairs AS ({D.sql_minhash_lsh_pairs(table)}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        adj AS (
+            SELECT a AS src, b AS nbr FROM edges
+            UNION ALL
+            SELECT b AS src, a AS nbr FROM edges
+        ),
+        deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM adj GROUP BY src
+        ),
+        common AS (
+            SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS common_n
+            FROM edges e
+            JOIN adj na ON na.src = e.a
+            JOIN adj nb ON nb.src = e.b AND nb.nbr = na.nbr
+            GROUP BY e.a, e.b
+        ),
+        j AS (
+            SELECT e.a AS doc_a, e.b AS doc_b,
+                   da.deg AS deg_a, db.deg AS deg_b,
+                   CAST(COALESCE(c.common_n, 0) AS BIGINT) AS common_n,
+                   CAST(da.deg + db.deg - COALESCE(c.common_n, 0) - 2
+                        AS BIGINT) AS union_n
+            FROM edges e
+            JOIN deg da ON da.src = e.a
+            JOIN deg db ON db.src = e.b
+            LEFT JOIN common c ON c.a = e.a AND c.b = e.b
+        )
+        SELECT doc_a, doc_b, deg_a, deg_b, common_n, union_n,
+               {C.sql_permille('common_n', 'union_n')} AS jaccard_permille
+        FROM j ORDER BY doc_a, doc_b
+    """
+
+

@@ -1,0 +1,187 @@
+"""Continuation-XVIII ops: integer nDCG@k (perfect-retrieval exactness +
+discount-table math), k-core peel (constructed triangle + whisker graph),
+link-Jaccard edge strength (triangle edge vs isolated edge), CUSUM
+changepoint (hand-computed level shift), Bloom FPR sizing curve
+(disjoint member/probe invariants + theoretical constants)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from log_collector_spark.operators import enrich as EN
+from log_collector_spark.operators import seasonal as SE
+from log_collector_spark.textops import evalops as EV
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+def _events(spark, rows):
+    """rows: (hour_idx, event_type, user_id) → minimal events frame."""
+    data = [(dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), t, int(u))
+            for h, t, u in rows]
+    return spark.createDataFrame(
+        data, "ts timestamp, event_type string, user_id long")
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts, start=1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+
+# triangle family (docs 1-3 identical), whisker pair (4-5 identical),
+# loner (6) — token vocabularies disjoint across groups so MinHash can
+# only pair within a group.
+_GRAPH_TEXTS = [
+    "alpha beta gamma delta epsilon zeta",
+    "alpha beta gamma delta epsilon zeta",
+    "alpha beta gamma delta epsilon zeta",
+    "omicron pi rho sigma tau upsilon",
+    "omicron pi rho sigma tau upsilon",
+    "one two three four five six seven",
+]
+
+
+# ---------------------------------------------------------------------------
+# ann_ndcg
+# ---------------------------------------------------------------------------
+
+def test_ndcg_tables_math():
+    disc, prefix = EV._ndcg_tables(5)
+    assert disc[0] == 1_000_000                       # 1/log2(2)
+    assert disc[1] == round(1_000_000 / math.log2(3))
+    assert prefix == [sum(disc[:i + 1]) for i in range(5)]
+    assert disc == sorted(disc, reverse=True)
+
+
+def test_ann_ndcg_perfect_retrieval(spark):
+    # identical vectors → one LSH bucket, one IVF cell, ties broken by
+    # cand_id identically in truth and both approx paths → nDCG == 1000.
+    vec = [0.5] * 64
+    df = spark.createDataFrame(
+        [(i, vec, 0) for i in range(6)],
+        "vec_id long, embedding array<float>, label int")
+    rows = {r["ann_path"]: r for r in EV.ann_ndcg(df).collect()}
+    assert set(rows) == {"ivf", "lsh"}
+    _, prefix = EV._ndcg_tables(5)
+    for r in rows.values():
+        assert r["n_queries"] == 1
+        assert r["idcg_micro"] == prefix[4]           # k_truth = 5
+        assert r["dcg_micro"] == r["idcg_micro"]
+        assert r["ndcg_permille"] == 1000
+
+
+def test_ann_ndcg_bounds_on_spread_vectors(spark):
+    # spread vectors: nDCG may be < 1000 but never exceeds it, and DCG
+    # can never exceed IDCG (discounts are positive and decreasing).
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) / 5 for j in range(64)], 0)
+         for i in range(40)],
+        "vec_id long, embedding array<float>, label int")
+    for r in EV.ann_ndcg(df).collect():
+        assert 0 <= r["dcg_micro"] <= r["idcg_micro"]
+        assert 0 <= r["ndcg_permille"] <= 1000
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel
+# ---------------------------------------------------------------------------
+
+def test_kcore_peel_triangle_and_whisker(spark):
+    out = {r["doc_id"]: r for r in
+           EV.kcore_peel(_docs(spark, _GRAPH_TEXTS)).collect()}
+    # loner (6) has no edges → not a graph node at all
+    assert set(out) == {1, 2, 3, 4, 5}
+    for d in (1, 2, 3):                               # triangle survives
+        assert (out[d]["deg0"], out[d]["removed"], out[d]["deg1"]) == \
+            (2, False, 2)
+    for d in (4, 5):                                  # whisker peeled
+        assert (out[d]["deg0"], out[d]["removed"], out[d]["deg1"]) == \
+            (1, True, 0)
+
+
+# ---------------------------------------------------------------------------
+# link_jaccard
+# ---------------------------------------------------------------------------
+
+def test_link_jaccard_triangle_vs_isolated_edge(spark):
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           EV.link_jaccard(_docs(spark, _GRAPH_TEXTS)).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3), (4, 5)}
+    for e in ((1, 2), (1, 3), (2, 3)):
+        r = out[e]
+        # N(a)∩N(b) = the third triangle vertex; union also size 1
+        assert (r["deg_a"], r["deg_b"], r["common_n"], r["union_n"]) == \
+            (2, 2, 1, 1)
+        assert r["jaccard_permille"] == 1000
+    r = out[(4, 5)]
+    # isolated edge: no neighbors besides each other → 0/0 guarded to 0
+    assert (r["deg_a"], r["deg_b"], r["common_n"], r["union_n"]) == \
+        (1, 1, 0, 0)
+    assert r["jaccard_permille"] == 0
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint
+# ---------------------------------------------------------------------------
+
+def test_cusum_level_shift_hand_computed(spark):
+    # type "a": hours 0-3 one event, hours 4-7 five events. T=8, C=24;
+    # d_t = 8*cum - t*24 peaks in |.| at t=4 (d=-64) → change_hour = 3.
+    rows = [(h, "a", 1) for h in range(4)]
+    rows += [(h, "a", 1) for h in range(4, 8) for _ in range(5)]
+    out = SE.cusum_changepoint(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    base_h = int(dt.datetime(2024, 1, 1,
+                             tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert (r["n_hours"], r["total_events"]) == (8, 24)
+    assert r["change_hour"] == base_h + 3
+    assert r["d_abs_max"] == 64
+    assert r["shift_permille"] == 64 * 1000 // (8 * 24)
+
+
+def test_cusum_stationary_is_zero_at_tie_break(spark):
+    # constant series: every d_t = 0; tie breaks to the EARLIEST hour.
+    rows = [(h, "b", 1) for h in range(6)]
+    r = SE.cusum_changepoint(_events(spark, rows)).collect()[0]
+    base_h = int(dt.datetime(2024, 1, 1,
+                             tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert r["d_abs_max"] == 0
+    assert r["shift_permille"] == 0
+    assert r["change_hour"] == base_h
+
+
+# ---------------------------------------------------------------------------
+# bloom_fpr_curve
+# ---------------------------------------------------------------------------
+
+def test_bloom_theo_constants():
+    assert EN._bloom_theo_permille(8, 6) == \
+        round(1000 * (1 - math.exp(-6 / 8)) ** 6)
+    # more bits per key → strictly lower theoretical FPR down the ladder
+    theos = [EN._bloom_theo_permille(b, k) for b, k in EN.BLOOM_LADDER]
+    assert theos == sorted(theos, reverse=True)
+
+
+def test_bloom_fpr_curve_invariants(spark):
+    rows = [(h % 24, "e", u) for h, u in enumerate(range(100))]
+    out = EN.bloom_fpr_curve(_events(spark, rows)).collect()
+    assert [r["bits_per_key"] for r in out] == \
+        [b for b, _ in EN.BLOOM_LADDER]
+    for r, (b, k) in zip(out, EN.BLOOM_LADDER):
+        assert r["k_hashes"] == k
+        assert r["n_keys"] == 50 and r["n_probes"] == 50   # even/odd split
+        assert 0 <= r["n_fp"] <= r["n_probes"]
+        assert r["fpr_permille"] == r["n_fp"] * 1000 // 50
+        assert r["theo_fpr_permille"] == EN._bloom_theo_permille(b, k)

@@ -2073,6 +2073,36 @@ def q_bloom_fpr_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return en.bloom_fpr_curve(_events(spark, sf_dir))
 
 
+def q_temperature_mixture_documents(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Temperature-scaled per-source sampling shares (T=1 / T=2 via exact
+    integer sqrt / uniform) — the multilingual mixing knob."""
+    from log_collector_spark.textops import analysis as TA
+    return TA.temperature_mixture(_docs(spark, sf_dir))
+
+
+def q_rouge_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped ROUGE-1/2 recall over deterministic (even, even+1) doc
+    pairs — the summarization-eval primitive as a corpus op."""
+    from log_collector_spark.textops import analysis as TA
+    return TA.rouge_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_roi_curve_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Pairs fired / docs touched / docs removed per Jaccard threshold —
+    the evidence curve for picking the dedup cut before a 100-TB run."""
+    from log_collector_spark.textops import dedup as TD
+    return TD.dedup_roi_curve(_docs(spark, sf_dir))
+
+
+def q_sq8_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric SQ8 retrieval audit: recall@k + top-1 preservation of
+    reconstructed candidates vs the exact brute-force truth."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.sq8_recall(_embs(spark, sf_dir))
+
+
 def q_wav_energy_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow flavor of the WAV energy stage (no pandas boxing of the
     binary column); row-identical to the mapInPandas stage's oracle."""
@@ -2627,6 +2657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_jaccard_documents": q_link_jaccard_documents,
         "cusum_changepoint_events": q_cusum_changepoint_events,
         "bloom_fpr_curve_events": q_bloom_fpr_curve_events,
+        "temperature_mixture_documents": q_temperature_mixture_documents,
+        "rouge_pairs_documents": q_rouge_pairs_documents,
+        "dedup_roi_curve_documents": q_dedup_roi_curve_documents,
+        "sq8_recall_embeddings": q_sq8_recall_embeddings,
         "wav_energy_arrow": q_wav_energy_arrow,
         "watermark_bias_documents": q_watermark_bias_documents,
         "embedding_isotropy": q_embedding_isotropy,
@@ -3628,6 +3662,10 @@ def oracle_sql() -> dict[str, str]:
         "link_jaccard_documents": _te().sql_link_jaccard(),
         "cusum_changepoint_events": _se().sql_cusum_changepoint(),
         "bloom_fpr_curve_events": _en().sql_bloom_fpr_curve(),
+        "temperature_mixture_documents": _ta().sql_temperature_mixture(),
+        "rouge_pairs_documents": _ta().sql_rouge_pairs(),
+        "dedup_roi_curve_documents": _td().sql_dedup_roi_curve(),
+        "sq8_recall_embeddings": _te().sql_sq8_recall(),
         "wav_energy_arrow": _tm().sql_wav_energy_features(),
         "watermark_bias_documents": _ta().sql_watermark_bias(),
         "embedding_isotropy": _ts().sql_embedding_isotropy(),

@@ -3505,3 +3505,207 @@ def sql_data_order_fingerprint(table: str = "documents",
                    AS order_fingerprint
         FROM ranked GROUP BY 1 ORDER BY shard
     """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (multilingual-sampling knob)
+# ---------------------------------------------------------------------------
+
+
+def temperature_mixture(df: DataFrame, group_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Temperature-scaled sampling shares per source — the knob
+    multilingual / multi-domain pipelines turn to trade natural
+    proportions against coverage (mBERT/XLM-R exponentiated sampling):
+    at T=1 a source's share is its token share; at T=2 shares follow
+    sqrt(tokens), compressing the head and lifting the tail; T→∞ is
+    uniform. The companion of :func:`mixture_weights` (which applies
+    externally-chosen weights; this derives them from the data).
+
+    Integer exactness: sqrt(n_tokens) uses ``common.isqrt`` (double
+    sqrt + one Newton correction — exact, engine-identical), and every
+    share is a floored permille of the corresponding total. Uniform
+    shares are 1000 DIV n_sources.
+
+    Returns (source, n_docs, n_tokens, sqrt_tokens, w_t1_permille,
+    w_t2_permille, w_uniform_permille) ORDER BY source.
+
+    Plan: one map-side-combined hash agg to the #sources-row frame;
+    totals re-aggregate that tiny frame and attach via broadcast —
+    exactly mixture_weights' shape, driver-scale after the first agg."""
+    ntok = F.size(C.tokens(F.col(text_col))).cast("long")
+    per = (df.select(F.col(group_col).alias("source"), ntok.alias("nt"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum("nt").cast("long").alias("n_tokens"))
+             .withColumn("sqrt_tokens", C.isqrt(F.col("n_tokens"))))
+    totals = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n_tokens").cast("long").alias("t_total"),
+        F.sum("sqrt_tokens").cast("long").alias("s_total"))
+    j = per.crossJoin(F.broadcast(totals))
+    return (j.select(
+                "source", "n_docs", "n_tokens", "sqrt_tokens",
+                C.permille(F.col("n_tokens"), F.col("t_total"))
+                 .alias("w_t1_permille"),
+                C.permille(F.col("sqrt_tokens"), F.col("s_total"))
+                 .alias("w_t2_permille"),
+                F.expr("1000 DIV n_sources").cast("long")
+                 .alias("w_uniform_permille"))
+            .orderBy("source"))
+
+
+def sql_temperature_mixture(table: str = "documents",
+                            group_col: str = "source") -> str:
+    tok = C.sql_tokens("text")
+    return f"""
+        WITH per AS (
+            SELECT {group_col} AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({tok})) AS BIGINT) AS n_tokens
+            FROM {table} GROUP BY 1
+        ), per2 AS (
+            SELECT *, {C.sql_isqrt('n_tokens')} AS sqrt_tokens FROM per
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(SUM(n_tokens) AS BIGINT) AS t_total,
+                   CAST(SUM(sqrt_tokens) AS BIGINT) AS s_total
+            FROM per2
+        )
+        SELECT source, n_docs, n_tokens, sqrt_tokens,
+               {C.sql_permille('n_tokens', 't_total')} AS w_t1_permille,
+               {C.sql_permille('sqrt_tokens', 's_total')} AS w_t2_permille,
+               CAST(1000 // n_sources AS BIGINT) AS w_uniform_permille
+        FROM per2 CROSS JOIN tot
+        ORDER BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1/2 recall over deterministic reference/candidate doc pairs
+# ---------------------------------------------------------------------------
+
+
+def rouge_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Clipped ROUGE-1 / ROUGE-2 recall between deterministic document
+    pairs — even doc_id is the REFERENCE, doc_id+1 the CANDIDATE (the
+    pairing a summarization/distillation eval uses when references and
+    system outputs land as adjacent rows of one table). Per n-gram type
+    the match is clipped at the reference count (multiset min, the
+    standard ROUGE/BLEU clipping), recall divides by total reference
+    grams.
+
+    Returns (doc_ref, doc_cand, r1_match, r1_total, rouge1_permille,
+    r2_match, r2_total, rouge2_permille) ORDER BY doc_ref.
+
+    Plan/scale: per-doc gram counts are one explode + hash agg (work
+    linear in corpus tokens); the match join is equi on (pair id, gram)
+    — each gram row shuffles once, nothing quadratic. The pair id is
+    doc_id DIV 2, so co-partitioning by pair is a free repartition key
+    at 100 TB."""
+    tok = C.tokens(F.col(text_col))
+
+    def gram_counts(gram_col, tag):
+        return (df.select(F.col("doc_id"), F.explode(gram_col).alias("g"))
+                .groupBy("doc_id", "g")
+                .agg(F.count(F.lit(1)).cast("long").alias(f"c_{tag}")))
+
+    out = None
+    pairs = (df.filter(F.col("doc_id") % 2 == 0)
+             .select(F.col("doc_id").alias("doc_ref"))
+             .join(df.filter(F.col("doc_id") % 2 == 1)
+                     .select((F.col("doc_id") - 1).alias("doc_ref"),
+                             F.col("doc_id").alias("doc_cand")),
+                   "doc_ref"))
+    for n, tag in ((1, "r1"), (2, "r2")):
+        grams = tok if n == 1 else C.shingles(tok, n)
+        cnt = gram_counts(grams, "x")
+        ref = cnt.select(F.col("doc_id").alias("doc_ref"), "g",
+                         F.col("c_x").alias("c_ref"))
+        cand = cnt.select((F.col("doc_id") - 1).alias("doc_ref"), "g",
+                          F.col("c_x").alias("c_cand")) \
+                  .filter(F.col("doc_ref") % 2 == 0)
+        match = (ref.join(cand, ["doc_ref", "g"])
+                 .groupBy("doc_ref")
+                 .agg(F.sum(F.least("c_ref", "c_cand")).cast("long")
+                      .alias(f"{tag}_match")))
+        total = (ref.groupBy("doc_ref")
+                 .agg(F.sum("c_ref").cast("long").alias(f"{tag}_total")))
+        piece = (total.join(match, "doc_ref", "left")
+                 .select("doc_ref",
+                         F.coalesce(f"{tag}_match", F.lit(0)).cast("long")
+                          .alias(f"{tag}_match"),
+                         F.col(f"{tag}_total")))
+        out = piece if out is None else out.join(piece, "doc_ref", "left")
+    res = (pairs.join(out, "doc_ref", "left")
+           .select("doc_ref", "doc_cand",
+                   F.coalesce("r1_match", F.lit(0)).cast("long")
+                    .alias("r1_match"),
+                   F.coalesce("r1_total", F.lit(0)).cast("long")
+                    .alias("r1_total"),
+                   F.coalesce("r2_match", F.lit(0)).cast("long")
+                    .alias("r2_match"),
+                   F.coalesce("r2_total", F.lit(0)).cast("long")
+                    .alias("r2_total")))
+    return (res.withColumn("rouge1_permille",
+                           C.permille(F.col("r1_match"), F.col("r1_total")))
+            .withColumn("rouge2_permille",
+                        C.permille(F.col("r2_match"), F.col("r2_total")))
+            .select("doc_ref", "doc_cand", "r1_match", "r1_total",
+                    "rouge1_permille", "r2_match", "r2_total",
+                    "rouge2_permille")
+            .orderBy("doc_ref"))
+
+
+def sql_rouge_pairs(table: str = "documents") -> str:
+    tok = C.sql_tokens("text")
+    bi = C.sql_shingles(tok, 2)
+
+    def cnts(gram_expr: str) -> str:
+        return f"""
+            SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest({gram_expr}) AS g FROM {table})
+            GROUP BY doc_id, g
+        """
+
+    def piece(tag: str, cte: str) -> str:
+        return f"""
+        {tag}_match AS (
+            SELECT r.doc_id AS doc_ref,
+                   CAST(SUM(LEAST(r.c, c.c)) AS BIGINT) AS m
+            FROM {cte} r JOIN {cte} c
+              ON c.doc_id = r.doc_id + 1 AND c.g = r.g
+            WHERE r.doc_id % 2 = 0
+            GROUP BY 1
+        ),
+        {tag}_total AS (
+            SELECT doc_id AS doc_ref, CAST(SUM(c) AS BIGINT) AS t
+            FROM {cte} WHERE doc_id % 2 = 0 GROUP BY 1
+        )"""
+
+    return f"""
+        WITH uni AS ({cnts(tok)}),
+        big AS ({cnts(bi)}),
+        pairs AS (
+            SELECT r.doc_id AS doc_ref, c.doc_id AS doc_cand
+            FROM {table} r JOIN {table} c ON c.doc_id = r.doc_id + 1
+            WHERE r.doc_id % 2 = 0
+        ),
+        {piece('r1', 'uni')},
+        {piece('r2', 'big')}
+        SELECT p.doc_ref, p.doc_cand,
+               CAST(COALESCE(m1.m, 0) AS BIGINT) AS r1_match,
+               CAST(COALESCE(t1.t, 0) AS BIGINT) AS r1_total,
+               {C.sql_permille('COALESCE(m1.m, 0)', 'COALESCE(t1.t, 0)')}
+                   AS rouge1_permille,
+               CAST(COALESCE(m2.m, 0) AS BIGINT) AS r2_match,
+               CAST(COALESCE(t2.t, 0) AS BIGINT) AS r2_total,
+               {C.sql_permille('COALESCE(m2.m, 0)', 'COALESCE(t2.t, 0)')}
+                   AS rouge2_permille
+        FROM pairs p
+        LEFT JOIN r1_match m1 ON m1.doc_ref = p.doc_ref
+        LEFT JOIN r1_total t1 ON t1.doc_ref = p.doc_ref
+        LEFT JOIN r2_match m2 ON m2.doc_ref = p.doc_ref
+        LEFT JOIN r2_total t2 ON t2.doc_ref = p.doc_ref
+        ORDER BY p.doc_ref
+    """

@@ -83,6 +83,19 @@ def permille(num: Column, den: Column) -> Column:
              .otherwise(0).cast("long"))
 
 
+def isqrt(col: Column) -> Column:
+    """Exact integer square root of a non-negative BIGINT.
+
+    floor(sqrt(double)) is within ±1 of the true isqrt for n < 2^53 (the
+    double sqrt is correctly rounded, so the error is < 1 ulp before the
+    floor); one Newton-style correction step makes it exact, and the
+    correction compares only integers — identical in both engines."""
+    s0 = F.floor(F.sqrt(col.cast("double"))).cast("long")
+    return (F.when((s0 + 1) * (s0 + 1) <= col, s0 + 1)
+             .when(s0 * s0 > col, s0 - 1)
+             .otherwise(s0).cast("long"))
+
+
 def quantized_embedding(col: Column) -> Column:
     """array<float> → array<bigint> via round(x*1000) (half-up, like DuckDB
     round()); integer dot products are then exact in both engines."""
@@ -130,6 +143,14 @@ def sql_segments(tok_expr: str, k: int) -> str:
 def sql_permille(num: str, den: str) -> str:
     return (f"CAST(CASE WHEN COALESCE({den}, 0) > 0 "
             f"THEN (({num}) * 1000) // ({den}) ELSE 0 END AS BIGINT)")
+
+
+def sql_isqrt(expr: str) -> str:
+    s0 = f"CAST(floor(sqrt(CAST(({expr}) AS DOUBLE))) AS BIGINT)"
+    return (f"CAST(CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({expr}) "
+            f"THEN {s0} + 1 "
+            f"WHEN {s0} * {s0} > ({expr}) THEN {s0} - 1 "
+            f"ELSE {s0} END AS BIGINT)")
 
 
 def sql_quantized_embedding(expr: str) -> str:

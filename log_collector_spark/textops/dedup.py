@@ -2309,3 +2309,102 @@ def sql_dup_ngram_coverage(table: str = "documents",
         FROM base b LEFT JOIN per p USING (doc_id)
         ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Dedup ROI curve: pairs / docs removed per Jaccard threshold
+# ---------------------------------------------------------------------------
+
+ROI_THRESHOLDS = (300, 500, 700, 800, 900)
+
+
+def dedup_roi_curve(df: DataFrame, text_col: str = "text",
+                    thresholds: tuple = ROI_THRESHOLDS,
+                    max_df: int = NGRAM_MAX_DF) -> DataFrame:
+    """Return-on-investment curve for the n-gram dedup threshold: for
+    each candidate Jaccard cut on the ladder, how many pairs fire, how
+    many docs are touched by any pair, and how many the keep-first
+    policy (drop every ``doc_b``) would remove — the one-scan evidence
+    for choosing JACCARD_NUM/DEN before launching the full dedup at
+    100 TB (too low a cut deletes paraphrases, too high leaves template
+    families intact; this shows the knee).
+
+    Thresholds compare EXACTLY (1000·inter >= t·uni — no floored
+    intermediate), so the curve is consistent with what
+    ``ngram_jaccard_pairs(num=t, den=1000)`` would emit at each t.
+
+    Returns (threshold_permille, n_pairs, n_docs_touched,
+    n_docs_removed) ORDER BY threshold_permille.
+
+    Plan/scale: candidate pairs are generated ONCE via the
+    max_df-guarded inverted-index join (the skew-guarded path — one hot
+    shingle never becomes an O(df²) key); the ladder is a tiny
+    cross-join over the |pairs|-row frame. Distinct-doc counts explode
+    pairs ×2 — still pair-scale, never corpus-scale."""
+    pairs = ngram_jaccard_pairs(df, text_col, num=1, den=1000,
+                                max_df=max_df)
+    thr = df.sparkSession.createDataFrame(
+        [(int(t),) for t in thresholds], "threshold_permille long")
+    j = thr.join(pairs,
+                 F.lit(1000) * F.col("inter")
+                 >= F.col("threshold_permille") * F.col("uni"))
+    per = (j.groupBy("threshold_permille")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.countDistinct("doc_b").cast("long")
+                 .alias("n_docs_removed")))
+    touched = (j.select("threshold_permille",
+                        F.explode(F.array("doc_a", "doc_b")).alias("d"))
+               .groupBy("threshold_permille")
+               .agg(F.countDistinct("d").cast("long")
+                    .alias("n_docs_touched")))
+    return (thr.join(per, "threshold_permille", "left")
+            .join(touched, "threshold_permille", "left")
+            .select("threshold_permille",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                     .alias("n_pairs"),
+                    F.coalesce("n_docs_touched", F.lit(0)).cast("long")
+                     .alias("n_docs_touched"),
+                    F.coalesce("n_docs_removed", F.lit(0)).cast("long")
+                     .alias("n_docs_removed"))
+            .orderBy("threshold_permille"))
+
+
+def sql_dedup_roi_curve(table: str = "documents",
+                        thresholds: tuple = ROI_THRESHOLDS,
+                        max_df: int = NGRAM_MAX_DF) -> str:
+    vals = ", ".join(f"({t})" for t in thresholds)
+    return f"""
+        WITH cand AS ({sql_ngram_jaccard_pairs_maxdf(
+            table, num=1, den=1000, max_df=max_df)}),
+        thr AS (SELECT CAST(t AS BIGINT) AS threshold_permille
+                FROM (VALUES {vals}) v(t)),
+        j AS (
+            SELECT thr.threshold_permille, c.doc_a, c.doc_b
+            FROM thr JOIN cand c
+              ON 1000 * c.inter >= thr.threshold_permille * c.uni
+        ),
+        per AS (
+            SELECT threshold_permille,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_removed
+            FROM j GROUP BY 1
+        ),
+        touched AS (
+            SELECT threshold_permille,
+                   CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_touched
+            FROM (SELECT threshold_permille, doc_a AS d FROM j
+                  UNION ALL
+                  SELECT threshold_permille, doc_b FROM j)
+            GROUP BY 1
+        )
+        SELECT t.threshold_permille,
+               CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(tc.n_docs_touched, 0) AS BIGINT)
+                   AS n_docs_touched,
+               CAST(COALESCE(p.n_docs_removed, 0) AS BIGINT)
+                   AS n_docs_removed
+        FROM thr t
+        LEFT JOIN per p USING (threshold_permille)
+        LEFT JOIN touched tc USING (threshold_permille)
+        ORDER BY t.threshold_permille
+    """

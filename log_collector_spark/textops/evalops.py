@@ -1502,3 +1502,161 @@ def sql_link_jaccard(table: str = "documents") -> str:
     """
 
 
+
+
+# ---------------------------------------------------------------------------
+# SQ8 recall: do scalar-quantized candidates keep the exact neighbors?
+# ---------------------------------------------------------------------------
+
+
+def sq8_recall(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Recall@k and top-1 preservation of the asymmetric SQ8 scan — the
+    retrieval-side companion of :func:`similarity.sq8_recon_error`
+    (which prices the compression in reconstruction units; this prices
+    it in the unit that matters: did the NEIGHBORS change?). Queries
+    stay exact, candidates are reconstructed from their 8-bit codes
+    against the corpus per-dim [min,max] grid (asymmetric distance
+    computation, the FAISS SQ8 default), rankings compared to the exact
+    brute-force truth.
+
+    Returns ONE row (n_queries, n_truth, n_hits, recall_permille,
+    top1_preserved).
+
+    Integer exactness: codes/reconstruction use the same floor-division
+    chain sq8_recon_error proves exact at these magnitudes; dots are
+    int64. Plan: per-dim stats are one narrow posexplode agg folded to a
+    broadcast row; both top-k scans are the documented O(|queries|·n)
+    eval pattern with queries broadcast — the corpus never shuffles."""
+    from log_collector_spark.textops import similarity as S
+
+    q = S._quantized(df, vec_col)
+    dimstats = (q.select(F.posexplode("q").alias("dim", "v"))
+                .groupBy("dim")
+                .agg(F.min("v").cast("long").alias("mn"),
+                     F.max("v").cast("long").alias("mx")))
+    packed = (dimstats
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("dim", "mn", "mx"))).alias("a"))
+              .select(F.transform("a", lambda x: x["mn"]).alias("mn_a"),
+                      F.transform("a", lambda x: x["mx"] - x["mn"])
+                       .alias("rng_a")))
+
+    def _recon(d, r):
+        rs = F.greatest(r, F.lit(1))
+        code = F.floor(d * 255 / rs)
+        return F.when(r > 0, F.floor(code * rs / 255)).otherwise(
+            F.lit(0).cast("long"))
+
+    recon = (q.crossJoin(F.broadcast(packed))
+             .select("vec_id",
+                     F.zip_with(
+                         F.zip_with("q", "mn_a", lambda x, m:
+                                    (x - m).cast("long")),
+                         "rng_a",
+                         _recon).alias("rv"),
+                     F.col("mn_a")))
+    recon = recon.select(
+        "vec_id", F.zip_with("rv", "mn_a",
+                             lambda c, m: (c + m).cast("long")).alias("cv"))
+
+    queries = (q.filter(F.col("vec_id") % S.QUERY_MOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("qv")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"),
+                                               F.asc("cand_id"))
+
+    def topk(corpus):
+        scored = (corpus.join(F.broadcast(queries),
+                              F.col("cand_id") != F.col("query_id"))
+                  .select("query_id", "cand_id",
+                          C.int_dot(F.col("qv"), F.col("cv")).alias("dot")))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= S.TOP_K)
+                .select("query_id", "cand_id", "rank"))
+
+    truth = topk(q.select(F.col("vec_id").alias("cand_id"),
+                          F.col("q").alias("cv")))
+    approx = topk(recon.select(F.col("vec_id").alias("cand_id"), "cv"))
+
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    hits = (truth.join(
+        approx.withColumnRenamed("rank", "a_rank"),
+        ["query_id", "cand_id"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+             F.coalesce(F.sum(F.when((F.col("rank") == 1) &
+                                     (F.col("a_rank") == 1), 1)
+                              .otherwise(0)), F.lit(0)).cast("long")
+             .alias("top1_preserved")))
+    return (nq.crossJoin(nt).crossJoin(hits)
+            .withColumn("recall_permille",
+                        C.permille(F.col("n_hits"), F.col("n_truth")))
+            .select("n_queries", "n_truth", "n_hits", "recall_permille",
+                    "top1_preserved"))
+
+
+def sql_sq8_recall(table: str = "embeddings") -> str:
+    from log_collector_spark.textops import similarity as S
+
+    qe = C.sql_quantized_embedding("embedding")
+    k, qm = S.TOP_K, S.QUERY_MOD
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {qe} AS q FROM {table}
+        ), ex AS (
+            SELECT vec_id, t.dim AS dim, q[t.dim + 1] AS v
+            FROM q, unnest(range(0, len(q))) AS t(dim)
+        ), ds AS (
+            SELECT dim, MIN(v) AS mn, MAX(v) - MIN(v) AS rng
+            FROM ex GROUP BY 1
+        ), recon AS (
+            SELECT e.vec_id, e.dim,
+                   CASE WHEN d.rng > 0 THEN
+                        d.mn + ((e.v - d.mn) * 255 // d.rng) * d.rng // 255
+                   ELSE d.mn END AS rv
+            FROM ex e JOIN ds d USING (dim)
+        ), rvec AS (
+            SELECT vec_id,
+                   list_transform(
+                       list_sort(list(struct_pack(dim := dim, rv := rv))),
+                       s -> s.rv) AS cv
+            FROM recon GROUP BY vec_id
+        ), queries AS (
+            SELECT vec_id AS query_id, q AS qv FROM q
+            WHERE vec_id % {qm} = 0
+        ), truth AS (
+            SELECT query_id, cand_id, rank FROM (
+                SELECT qs.query_id, c.vec_id AS cand_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qs.query_id
+                           ORDER BY CAST(list_dot_product(qs.qv, c.q)
+                                         AS BIGINT) DESC, c.vec_id) AS rank
+                FROM queries qs JOIN q c ON c.vec_id <> qs.query_id
+            ) WHERE rank <= {k}
+        ), approx AS (
+            SELECT query_id, cand_id, rank FROM (
+                SELECT qs.query_id, r.vec_id AS cand_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qs.query_id
+                           ORDER BY CAST(list_dot_product(qs.qv, r.cv)
+                                         AS BIGINT) DESC, r.vec_id) AS rank
+                FROM queries qs JOIN rvec r ON r.vec_id <> qs.query_id
+            ) WHERE rank <= {k}
+        ), hits AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(SUM(CASE WHEN t.rank = 1 AND a.rank = 1
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS top1_preserved
+            FROM truth t JOIN approx a
+              ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM queries) AS n_queries,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+               h.n_hits,
+               {C.sql_permille('h.n_hits',
+                               '(SELECT COUNT(*) FROM truth)')}
+                   AS recall_permille,
+               h.top1_preserved
+        FROM hits h
+    """

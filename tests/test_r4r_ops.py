@@ -185,3 +185,118 @@ def test_bloom_fpr_curve_invariants(spark):
         assert 0 <= r["n_fp"] <= r["n_probes"]
         assert r["fpr_permille"] == r["n_fp"] * 1000 // 50
         assert r["theo_fpr_permille"] == EN._bloom_theo_permille(b, k)
+
+
+# ---------------------------------------------------------------------------
+# isqrt primitive
+# ---------------------------------------------------------------------------
+
+def test_isqrt_exact_over_tricky_values(spark):
+    import math as m
+    from log_collector_spark.textops import common as CM
+    vals = [0, 1, 2, 3, 4, 8, 9, 10, 15, 16, 17,
+            10**12, 10**12 - 1, (10**6) ** 2, (10**6) ** 2 - 1,
+            (2**26) ** 2, (2**26) ** 2 - 1, 2**52]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    out = {r["n"]: r["s"] for r in
+           df.select("n", CM.isqrt(F.col("n")).alias("s")).collect()}
+    for v in vals:
+        assert out[v] == m.isqrt(v), v
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture
+# ---------------------------------------------------------------------------
+
+def test_temperature_mixture_hand_values(spark):
+    from log_collector_spark.textops import analysis as A
+    rows = [(1, " ".join(["t"] * 100), "en", "s1", 0),
+            (2, " ".join(["t"] * 400), "en", "s2", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {r["source"]: r for r in A.temperature_mixture(df).collect()}
+    assert (out["s1"]["n_tokens"], out["s2"]["n_tokens"]) == (100, 400)
+    assert (out["s1"]["sqrt_tokens"], out["s2"]["sqrt_tokens"]) == (10, 20)
+    assert (out["s1"]["w_t1_permille"], out["s2"]["w_t1_permille"]) == \
+        (200, 800)
+    assert (out["s1"]["w_t2_permille"], out["s2"]["w_t2_permille"]) == \
+        (333, 666)
+    assert out["s1"]["w_uniform_permille"] == 500
+
+
+# ---------------------------------------------------------------------------
+# rouge_pairs
+# ---------------------------------------------------------------------------
+
+def test_rouge_pairs_hand_values(spark):
+    from log_collector_spark.textops import analysis as A
+    rows = [(2, "a b c a", "en", "s", 0), (3, "a b d", "en", "s", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = A.rouge_pairs(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_ref"], r["doc_cand"]) == (2, 3)
+    # ref multiset {a:2,b:1,c:1}, cand {a:1,b:1,d:1} → clipped match 2/4
+    assert (r["r1_match"], r["r1_total"], r["rouge1_permille"]) == \
+        (2, 4, 500)
+    # ref bigrams {a b, b c, c a}, cand {a b, b d} → match 1/3
+    assert (r["r2_match"], r["r2_total"], r["rouge2_permille"]) == \
+        (1, 3, 333)
+
+
+# ---------------------------------------------------------------------------
+# dedup_roi_curve
+# ---------------------------------------------------------------------------
+
+def test_dedup_roi_curve_hand_values(spark):
+    from log_collector_spark.textops import dedup as D
+    t1 = "w1 w2 w3 w4 w5 w6"
+    t3 = "w1 w2 w3 w4 x y"        # shares 2 of 4 shingles with t1 → 333
+    df = spark.createDataFrame(
+        [(1, t1, "en", "s", 0), (2, t1, "en", "s", 0),
+         (3, t3, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    try:
+        out = {r["threshold_permille"]: r
+               for r in D.dedup_roi_curve(df).collect()}
+    finally:
+        D.unpersist_shingles()
+    # at 300: (1,2)@1000, (1,3)@333, (2,3)@333
+    assert (out[300]["n_pairs"], out[300]["n_docs_touched"],
+            out[300]["n_docs_removed"]) == (3, 3, 2)
+    for t in (500, 700, 800, 900):
+        assert (out[t]["n_pairs"], out[t]["n_docs_touched"],
+                out[t]["n_docs_removed"]) == (1, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# sq8_recall
+# ---------------------------------------------------------------------------
+
+def test_sq8_recall_lossless_on_flat_dims(spark):
+    from log_collector_spark.textops import evalops as EVx
+    vec = [0.5] * 64
+    df = spark.createDataFrame(
+        [(i, vec, 0) for i in range(6)],
+        "vec_id long, embedding array<float>, label int")
+    r = EVx.sq8_recall(df).collect()[0]
+    # flat dims reconstruct exactly → identical ranking
+    assert (r["n_queries"], r["n_truth"], r["n_hits"]) == (1, 5, 5)
+    assert r["recall_permille"] == 1000
+    assert r["top1_preserved"] == 1
+
+
+def test_sq8_recall_bounds_on_spread_vectors(spark):
+    from log_collector_spark.textops import evalops as EVx
+    df = spark.createDataFrame(
+        [(i, [float((i * 5 + j * 7) % 13 - 6) / 6 for j in range(64)], 0)
+         for i in range(30)],
+        "vec_id long, embedding array<float>, label int")
+    r = EVx.sq8_recall(df).collect()[0]
+    assert r["n_queries"] == 1
+    assert 0 <= r["n_hits"] <= r["n_truth"] == 5
+    assert 0 <= r["top1_preserved"] <= r["n_queries"]

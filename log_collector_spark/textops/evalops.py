@@ -35,6 +35,33 @@ from log_collector_spark.textops import common as C
 # ---------------------------------------------------------------------------
 
 
+_PERSISTED_EVAL: list[DataFrame] = []
+
+
+def _persist_eval(df: DataFrame) -> DataFrame:
+    """Persist a shared eval frame (brute-force truth: |queries|·k rows —
+    tiny) so the probe-budget curves and multi-path comparisons compute
+    the expensive exact scan ONCE instead of once per level/path.
+    Tracked like dedup._PERSISTED_SHINGLES; call :func:`unpersist_eval`
+    after the consuming action to release the entries."""
+    df = df.persist()
+    _PERSISTED_EVAL.append(df)
+    return df
+
+
+def unpersist_eval(blocking: bool = False) -> int:
+    """Release every truth cache created by :func:`_persist_eval` since
+    the last call; returns how many frames were unpersisted."""
+    n = len(_PERSISTED_EVAL)
+    for f in _PERSISTED_EVAL:
+        try:
+            f.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped
+    _PERSISTED_EVAL.clear()
+    return n
+
+
 def ann_recall(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-query recall@k of the LSH ANN index against the exact
     brute-force top-k (the evaluation every ANN deployment publishes).
@@ -1017,31 +1044,63 @@ def ivf_nprobe_curve(df: DataFrame, vec_col: str = "embedding",
 
     Returns (nprobe, n_hits, n_truth, recall_permille) ORDER BY nprobe.
 
-    Plan: the brute ground truth is ONE exact scan reused across probe
-    levels (the expensive side); each IVF level is the existing bucketed
-    scan. All joins are |queries|·k-row frames. Monotonicity in nprobe is
-    structural (cells accumulate), making regressions obvious."""
+    Plan: the brute ground truth is ONE exact scan (the expensive side),
+    and — because probe sets are NESTED (cells accumulate) — the
+    candidate generation runs ONCE at the max budget carrying each
+    candidate's discovery rank (which probe found it); every level is
+    then a filter + per-level window over that single |cands| frame
+    instead of its own bucketed scan (was 3 scans → 1; 3.9 s → measured
+    below at sf0.1). Monotonicity in nprobe is structural, making
+    regressions obvious."""
+    from pyspark.sql.window import Window
     from log_collector_spark.textops import similarity as S
 
-    truth = S.brute_force_topk(df, vec_col).select(
-        "query_id", F.col("cand_id").alias("truth_id"))
-    n_truth = truth.count()
-    rows = []
-    for np_ in range(1, max_nprobe + 1):
-        ivf = S.ivf_ann_topk(df, vec_col, nprobe=np_).select(
-            "query_id", F.col("cand_id").alias("ivf_id"))
-        hits = (truth.join(
-            ivf, (truth["query_id"] == ivf["query_id"]) &
-            (truth["truth_id"] == ivf["ivf_id"]))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-            .select(F.lit(np_).cast("long").alias("nprobe"), "n_hits"))
-        rows.append(hits)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return (out.select(
-                "nprobe", "n_hits",
-                F.lit(n_truth).cast("long").alias("n_truth"))
+    truth = _persist_eval(S.brute_force_topk(df, vec_col).select(
+        "query_id", F.col("cand_id").alias("truth_id")))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+
+    q = S._quantized(df, vec_col)
+    scores = S._ivf_cell_scores(F.col("q"))
+    corpus = q.select(F.col("vec_id").alias("cand_id"),
+                      F.col("q").alias("cv"),
+                      F.array_min(scores)["cid"].alias("cell"))
+    queries = (q.filter(F.col("vec_id") % S.QUERY_MOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("qv"),
+                       F.posexplode(F.slice(F.array_sort(scores), 1,
+                                            max_nprobe))
+                       .alias("pos", "p"))
+               .select("query_id", "qv",
+                       F.col("p.cid").alias("probe"),
+                       (F.col("pos") + 1).alias("probe_rank")))
+    cand = (corpus.join(F.broadcast(queries),
+                        (F.col("cell") == F.col("probe")) &
+                        (F.col("cand_id") != F.col("query_id")))
+            .select("query_id", "cand_id", "probe_rank",
+                    C.int_dot(F.col("qv"), F.col("cv")).alias("dot")))
+    # cells are disjoint → each (query, cand) appears exactly once, at
+    # its cell's probe rank; level np keeps candidates with rank <= np.
+    lvls = F.sequence(F.col("probe_rank"),
+                      F.lit(max_nprobe).cast("long"))
+    per_lvl = cand.select("query_id", "cand_id", "dot",
+                          F.explode(lvls).alias("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("dot"), F.asc("cand_id"))
+    topk = (per_lvl.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= S.TOP_K))
+    hits = (topk.join(truth,
+                      (topk["query_id"] == truth["query_id"]) &
+                      (topk["cand_id"] == truth["truth_id"]))
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    base = df.sparkSession.createDataFrame(
+        [(n,) for n in range(1, max_nprobe + 1)], "nprobe long")
+    return (base.join(hits, "nprobe", "left")
+            .crossJoin(F.broadcast(nt))
+            .select(F.col("nprobe"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                     .alias("n_hits"),
+                    "n_truth")
             .withColumn("recall_permille",
                         C.permille(F.col("n_hits"), F.col("n_truth")))
             .orderBy("nprobe"))
@@ -1092,29 +1151,67 @@ def lsh_probe_curve(df: DataFrame, vec_col: str = "embedding",
     (probe sets are nested), so a non-monotone row is a regression alarm.
 
     Plan: ONE brute-force exact scan shared across levels (the expensive
-    side); each level is the bucketed candidate join at its budget —
-    |queries|·k-row frames everywhere else."""
+    side), and — because flip sets are NESTED — ONE bucketed candidate
+    join at the max budget carrying each candidate's discovery index
+    (0 = own bucket, j = plane-j flip, MIN over routes); every level is
+    then a filter + per-level window over that single frame instead of
+    its own bucket join (was 4 joins → 1)."""
+    from pyspark.sql.window import Window
+    from log_collector_spark.textops import dedup as D
     from log_collector_spark.textops import similarity as S
 
-    truth = S.brute_force_topk(df, vec_col).select(
-        "query_id", F.col("cand_id").alias("truth_id"))
-    n_truth = truth.count()
-    rows = []
-    for fl in levels:
-        lsh = S.lsh_ann_topk(df, vec_col, flips=fl).select(
-            "query_id", F.col("cand_id").alias("lsh_id"))
-        hits = (truth.join(
-            lsh, (truth["query_id"] == lsh["query_id"]) &
-            (truth["truth_id"] == lsh["lsh_id"]))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-            .select(F.lit(fl).cast("long").alias("n_flips"), "n_hits"))
-        rows.append(hits)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return (out.select(
-                "n_flips", "n_hits",
-                F.lit(n_truth).cast("long").alias("n_truth"))
+    truth = _persist_eval(S.brute_force_topk(df, vec_col).select(
+        "query_id", F.col("cand_id").alias("truth_id")))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+
+    max_fl = max(levels)
+    q = S._quantized(df, vec_col).withColumn(
+        "bucket", D._emb_bucket(F.col("q")))
+    probes = F.array(*(
+        [F.struct(F.col("bucket").alias("probe"),
+                  F.lit(0).alias("j"))] +
+        [F.struct(F.col("bucket").bitwiseXOR(1 << (j - 1)).alias("probe"),
+                  F.lit(j).alias("j")) for j in range(1, max_fl + 1)]))
+    queries = (q.filter(F.col("vec_id") % S.QUERY_MOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("qv"),
+                       F.explode(probes).alias("p"))
+               .select("query_id", "qv", F.col("p.probe").alias("probe"),
+                       F.col("p.j").alias("j")))
+    corpus = q.select(F.col("vec_id").alias("cand_id"),
+                      F.col("q").alias("cv"), F.col("bucket"))
+    # a candidate can be reachable via several probes: keep the MIN
+    # discovery index (the smallest budget that admits it); dot is
+    # route-independent so max() is just a deterministic pick.
+    cand = (corpus.join(F.broadcast(queries),
+                        (F.col("bucket") == F.col("probe")) &
+                        (F.col("cand_id") != F.col("query_id")))
+            .select("query_id", "cand_id", "j",
+                    C.int_dot(F.col("qv"), F.col("cv")).alias("dot"))
+            .groupBy("query_id", "cand_id")
+            .agg(F.min("j").alias("jmin"), F.max("dot").alias("dot")))
+    lvl_arr = F.lit(list(levels)).cast("array<bigint>")
+    per_lvl = cand.select(
+        "query_id", "cand_id", "dot",
+        F.explode(F.filter(lvl_arr, lambda l: l >= F.col("jmin")))
+        .alias("n_flips"))
+    w = Window.partitionBy("n_flips", "query_id").orderBy(
+        F.desc("dot"), F.asc("cand_id"))
+    topk = (per_lvl.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= S.TOP_K))
+    hits = (topk.join(truth,
+                      (topk["query_id"] == truth["query_id"]) &
+                      (topk["cand_id"] == truth["truth_id"]))
+            .groupBy("n_flips")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    base = df.sparkSession.createDataFrame(
+        [(int(fl),) for fl in levels], "n_flips long")
+    return (base.join(hits, "n_flips", "left")
+            .crossJoin(F.broadcast(nt))
+            .select("n_flips",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                     .alias("n_hits"),
+                    "n_truth")
             .withColumn("recall_permille",
                         C.permille(F.col("n_hits"), F.col("n_truth")))
             .orderBy("n_flips"))
@@ -1162,9 +1259,10 @@ def ann_mrr(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     each path joins its |queries|·k frame to the |queries|-row truth."""
     from log_collector_spark.textops import similarity as S
 
-    truth = (S.brute_force_topk(df, vec_col)
-             .filter(F.col("rank") == 1)
-             .select("query_id", F.col("cand_id").alias("truth_id")))
+    truth = _persist_eval(
+        S.brute_force_topk(df, vec_col)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("cand_id").alias("truth_id")))
     rows = []
     for path, topk in (("ivf", S.ivf_ann_topk(df, vec_col)),
                        ("lsh", S.lsh_ann_topk(df, vec_col))):
@@ -1252,8 +1350,8 @@ def ann_ndcg(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     disc_arr = F.lit(disc).cast("array<bigint>")
     idcg_arr = F.lit(prefix).cast("array<bigint>")
 
-    truth = S.brute_force_topk(df, vec_col).select(
-        "query_id", F.col("cand_id").alias("truth_id"))
+    truth = _persist_eval(S.brute_force_topk(df, vec_col).select(
+        "query_id", F.col("cand_id").alias("truth_id")))
     per_q = (truth.groupBy("query_id")
              .agg(F.count(F.lit(1)).cast("int").alias("k_truth"))
              .select("query_id",

@@ -2103,6 +2103,27 @@ def q_sq8_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.sq8_recall(_embs(spark, sf_dir))
 
 
+def q_benford_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of value-cents vs Benford's
+    law — the fabricated/synthetic-value data-quality screen."""
+    from log_collector_spark.operators import behavior as BH
+    return BH.benford_audit(_events(spark, sf_dir))
+
+
+def q_mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U ('view' vs 'click' values)
+    with integer AUC effect size — the nonparametric A/B test."""
+    from log_collector_spark.operators import behavior as BH
+    return BH.mann_whitney_u(_events(spark, sf_dir))
+
+
+def q_theil_sen_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-pairwise-slopes robust trend per event type over the
+    hourly count series (exact fixed-point, abs-split DIV)."""
+    from log_collector_spark.operators import seasonal as SE
+    return SE.theil_sen_slope(_events(spark, sf_dir))
+
+
 def q_wav_energy_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow flavor of the WAV energy stage (no pandas boxing of the
     binary column); row-identical to the mapInPandas stage's oracle."""
@@ -2661,6 +2682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_pairs_documents": q_rouge_pairs_documents,
         "dedup_roi_curve_documents": q_dedup_roi_curve_documents,
         "sq8_recall_embeddings": q_sq8_recall_embeddings,
+        "benford_audit_events": q_benford_audit_events,
+        "mann_whitney_events": q_mann_whitney_events,
+        "theil_sen_slope_events": q_theil_sen_slope_events,
         "wav_energy_arrow": q_wav_energy_arrow,
         "watermark_bias_documents": q_watermark_bias_documents,
         "embedding_isotropy": q_embedding_isotropy,
@@ -3666,6 +3690,9 @@ def oracle_sql() -> dict[str, str]:
         "rouge_pairs_documents": _ta().sql_rouge_pairs(),
         "dedup_roi_curve_documents": _td().sql_dedup_roi_curve(),
         "sq8_recall_embeddings": _te().sql_sq8_recall(),
+        "benford_audit_events": _bh().sql_benford_audit(),
+        "mann_whitney_events": _bh().sql_mann_whitney_u(),
+        "theil_sen_slope_events": _se().sql_theil_sen_slope(),
         "wav_energy_arrow": _tm().sql_wav_energy_features(),
         "watermark_bias_documents": _ta().sql_watermark_bias(),
         "embedding_isotropy": _ts().sql_embedding_isotropy(),

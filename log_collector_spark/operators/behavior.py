@@ -22,6 +22,8 @@ Scale notes (10^12-event design point):
 
 from __future__ import annotations
 
+import math as _m
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2820,4 +2822,178 @@ def sql_dp_noise_advisor(table: str = "events",
                     THEN noise_b_milli // mean_daily_kept
                     ELSE 0 END AS BIGINT) AS rel_error_permille
         FROM j ORDER BY eps_milli
+    """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fabricated/synthetic-value detector)
+# ---------------------------------------------------------------------------
+
+# Benford expected first-digit shares in permille: round(1000*log10(1+1/d)).
+# Computed once in Python and embedded verbatim in both engines (the
+# IVF_CENTROIDS constant pattern).
+BENFORD_PERMILLE = [round(1000 * _m.log10(1 + 1 / d)) for d in range(1, 10)]
+
+
+def benford_audit(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """First-significant-digit distribution of the value column against
+    Benford's law — the classic fabricated-data / unit-mixup screen a
+    data-quality pass runs on any money-like measure (a source whose
+    values were synthesized uniformly, capped, or double-counted jumps
+    off this table). Values are fixed-pointed to integer cents first
+    (ROUND(v*100) — the repo's money convention), zeros dropped (no
+    first digit), and the first digit read from the BIGINT's decimal
+    string, which both engines format identically.
+
+    Returns per digit 1-9: (digit, n_obs, share_permille,
+    benford_permille, dev_permille = |share − benford|) ORDER BY digit.
+
+    Plan/scale: one narrow projection + 9-key map-side-combined hash
+    agg; the total attaches by a broadcast one-row re-aggregate of the
+    9-row frame. Nothing corpus-sized shuffles."""
+    cents = F.expr(f"CAST(ROUND({value_col} * 100) AS BIGINT)")
+    digit = F.substring(F.abs(F.col("c")).cast("string"), 1, 1).cast("long")
+    per = (events.select(cents.alias("c"))
+           .filter(F.col("c") != 0)
+           .select(digit.alias("digit"))
+           .groupBy("digit")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
+    base = events.sparkSession.createDataFrame(
+        [(d, BENFORD_PERMILLE[d - 1]) for d in range(1, 10)],
+        "digit long, benford_permille long")
+    tot = per.agg(F.coalesce(F.sum("n_obs"), F.lit(0)).cast("long")
+                  .alias("n_total"))
+    j = (base.join(per, "digit", "left")
+         .crossJoin(F.broadcast(tot))
+         .select("digit",
+                 F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+                 "benford_permille", "n_total"))
+    share = C.permille(F.col("n_obs"), F.col("n_total"))
+    return (j.select("digit", "n_obs",
+                     share.alias("share_permille"),
+                     "benford_permille",
+                     F.abs(share - F.col("benford_permille")).cast("long")
+                      .alias("dev_permille"))
+            .orderBy("digit"))
+
+
+def sql_benford_audit(table: str = "events",
+                      value_col: str = "value") -> str:
+    vals = ", ".join(f"({d}, {BENFORD_PERMILLE[d - 1]})"
+                     for d in range(1, 10))
+    share = C.sql_permille("COALESCE(p.n_obs, 0)", "t.n_total")
+    return f"""
+        WITH per AS (
+            SELECT CAST(substr(CAST(abs(c) AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM (SELECT CAST(ROUND({value_col} * 100) AS BIGINT) AS c
+                  FROM {table}) v
+            WHERE c <> 0
+            GROUP BY 1
+        ),
+        base AS (SELECT CAST(d AS BIGINT) AS digit,
+                        CAST(b AS BIGINT) AS benford_permille
+                 FROM (VALUES {vals}) x(d, b)),
+        t AS (SELECT CAST(COALESCE(SUM(n_obs), 0) AS BIGINT) AS n_total
+              FROM per)
+        SELECT base.digit,
+               CAST(COALESCE(p.n_obs, 0) AS BIGINT) AS n_obs,
+               {share} AS share_permille,
+               base.benford_permille,
+               CAST(abs({share} - base.benford_permille) AS BIGINT)
+                   AS dev_permille
+        FROM base LEFT JOIN per p ON p.digit = base.digit
+        CROSS JOIN t
+        ORDER BY base.digit
+    """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) two-sample test between event types
+# ---------------------------------------------------------------------------
+
+MWU_TYPE_A, MWU_TYPE_B = "view", "click"
+
+
+def mann_whitney_u(events: DataFrame, type_col: str = "event_type",
+                   value_col: str = "value",
+                   type_a: str = MWU_TYPE_A,
+                   type_b: str = MWU_TYPE_B) -> DataFrame:
+    """Exact Mann-Whitney U between two event types' value samples — the
+    nonparametric A/B test that needs no normality assumption, reported
+    with its common-language effect size (AUC = P[a > b] + P[tie]/2):
+    the rank-based companion of :func:`ks_drift` (which tests shape;
+    this tests stochastic dominance).
+
+    Tie-exact integers: values fixed-point to cents, midranks carried
+    DOUBLED (``r2 = 2·midrank`` is always an integer: for a tie run
+    [lo, hi] the doubled midrank is lo+hi), so R2 = Σr2, U2 = 2·U =
+    R2_a − n_a(n_a+1), and ``auc_permille = U2·500 DIV (n_a·n_b)`` are
+    all exact in both engines.
+
+    Returns ONE row (n_a, n_b, r2_sum_a, u2, auc_permille).
+
+    Plan/scale: one filter projection, a global rank over the pooled
+    sample (the documented sort — at 100 TB rank the (cents, count)
+    HISTOGRAM instead, tool_latency_percentiles-style, same math), two
+    window functions, one agg."""
+    from pyspark.sql.window import Window
+
+    cents = F.expr(f"CAST(ROUND({value_col} * 100) AS BIGINT)")
+    pool = (events.filter(F.col(type_col).isin([type_a, type_b]))
+            .select(F.col(type_col).alias("t"), cents.alias("v")))
+    w = Window.orderBy("v")
+    wv = Window.partitionBy("v")
+    ranked = (pool.withColumn("rk", F.rank().over(w))
+              .withColumn("nties", F.count(F.lit(1)).over(wv))
+              .withColumn("r2", (2 * F.col("rk") + F.col("nties") - 1)
+                          .cast("long")))
+    return (ranked.agg(
+                F.sum(F.when(F.col("t") == type_a, 1).otherwise(0))
+                 .cast("long").alias("n_a"),
+                F.sum(F.when(F.col("t") == type_b, 1).otherwise(0))
+                 .cast("long").alias("n_b"),
+                F.sum(F.when(F.col("t") == type_a, F.col("r2"))
+                      .otherwise(0)).cast("long").alias("r2_sum_a"))
+            .withColumn("u2", (F.col("r2_sum_a")
+                               - F.col("n_a") * (F.col("n_a") + 1))
+                        .cast("long"))
+            .withColumn("auc_permille",
+                        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                               F.expr("u2 * 500 DIV (n_a * n_b)"))
+                        .otherwise(0).cast("long")))
+
+
+def sql_mann_whitney_u(table: str = "events",
+                       type_a: str = MWU_TYPE_A,
+                       type_b: str = MWU_TYPE_B) -> str:
+    return f"""
+        WITH pool AS (
+            SELECT event_type AS t,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM {table} WHERE event_type IN ('{type_a}', '{type_b}')
+        ),
+        ranked AS (
+            SELECT t,
+                   2 * RANK() OVER (ORDER BY v)
+                     + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+            FROM pool
+        ),
+        agg AS (
+            SELECT CAST(SUM(CASE WHEN t = '{type_a}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN t = '{type_b}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN t = '{type_a}' THEN r2 ELSE 0 END)
+                        AS BIGINT) AS r2_sum_a
+            FROM ranked
+        )
+        SELECT n_a, n_b, r2_sum_a,
+               CAST(r2_sum_a - n_a * (n_a + 1) AS BIGINT) AS u2,
+               CAST(CASE WHEN n_a > 0 AND n_b > 0
+                         THEN (r2_sum_a - n_a * (n_a + 1)) * 500
+                              // (n_a * n_b)
+                         ELSE 0 END AS BIGINT) AS auc_permille
+        FROM agg
     """

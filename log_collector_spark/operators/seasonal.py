@@ -391,3 +391,111 @@ def sql_cusum_changepoint(table: str = "events") -> str:
         FROM pick WHERE rn = 1
         ORDER BY event_type
     """
+
+
+def theil_sen_slope(events: DataFrame, ts_col: str = "ts",
+                    type_col: str = "event_type") -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes of the hourly count series — the estimator that shrugs off
+    the outlier hours that wreck the OLS slope (trend_slope_counts'
+    robust sibling; when the two disagree materially, the series has
+    influential outliers and OLS is the one lying).
+
+    Exact integers with floor-consistency across engines: each pair's
+    slope is fixed-pointed as ``sign(dy) * (|dy|·1000 DIV dx)`` — the
+    abs-split keeps DIV on non-negative operands, where Spark's
+    truncation and DuckDB's floor agree (the repo's DIV invariant). The
+    median element is picked by rank (n+1) DIV 2 under the total order
+    (slope_milli, h1, h2), so equal-slope collisions break identically
+    in both engines.
+
+    Returns (event_type, n_hours, n_pairs, slope_milli) ORDER BY
+    event_type.
+
+    Plan/scale: the corpus collapses to per-(type, hour) counts first
+    (one map-side agg); pairs are a per-type self-join of the HOUR
+    table — |hours|² rows per type, metadata scale (a decade of hours
+    ~9e4 → 8e9 pairs would need the pair-free median-of-slopes sketch;
+    for the monitoring horizon this table targets, |hours| ≤ ~2k, the
+    exact form wins)."""
+    hourly = (events
+              .select(F.col(type_col).alias("event_type"),
+                      _hour_idx(ts_col).alias("h"))
+              .groupBy("event_type", "h")
+              .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    a = hourly.select(F.col("event_type"), F.col("h").alias("h1"),
+                      F.col("x").alias("x1"))
+    b = hourly.select(F.col("event_type"), F.col("h").alias("h2"),
+                      F.col("x").alias("x2"))
+    pairs = (a.join(b, "event_type")
+             .filter(F.col("h1") < F.col("h2"))
+             .select("event_type", "h1", "h2",
+                     (F.col("x2") - F.col("x1")).alias("dy"),
+                     (F.col("h2") - F.col("h1")).alias("dx")))
+    slope = (F.when(F.col("dy") >= 0,
+                    F.expr("(dy * 1000) DIV dx"))
+             .otherwise(-F.expr("((-dy) * 1000) DIV dx"))
+             .cast("long"))
+    w = Window.partitionBy("event_type").orderBy("slope_milli", "h1", "h2")
+    wall = (Window.partitionBy("event_type")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    ranked = (pairs.withColumn("slope_milli", slope)
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n_pairs", F.count(F.lit(1)).over(wall)
+                          .cast("long")))
+    med = ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+    nh = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"))
+    return (nh.join(med.select("event_type", "n_pairs", "slope_milli"),
+                    "event_type", "left")
+            .select("event_type", "n_hours",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                     .alias("n_pairs"),
+                    F.coalesce("slope_milli", F.lit(0)).cast("long")
+                     .alias("slope_milli"))
+            .orderBy("event_type"))
+
+
+def sql_theil_sen_slope(table: str = "events") -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(epoch_ms(ts) // {_HOUR_MS} AS BIGINT) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM {table} GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type, a.h AS h1, b.h AS h2,
+                   b.x - a.x AS dy, b.h - a.h AS dx
+            FROM hourly a JOIN hourly b
+              ON b.event_type = a.event_type AND a.h < b.h
+        ),
+        sl AS (
+            SELECT event_type, h1, h2,
+                   CASE WHEN dy >= 0 THEN (dy * 1000) // dx
+                        ELSE -(((-dy) * 1000) // dx) END AS slope_milli
+            FROM pairs
+        ),
+        ranked AS (
+            SELECT event_type, slope_milli,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY slope_milli, h1, h2) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+            FROM sl
+        ),
+        med AS (
+            SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(slope_milli AS BIGINT) AS slope_milli
+            FROM ranked WHERE rn = (n_pairs + 1) // 2
+        ),
+        nh AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+            FROM hourly GROUP BY 1
+        )
+        SELECT nh.event_type, nh.n_hours,
+               CAST(COALESCE(med.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(med.slope_milli, 0) AS BIGINT) AS slope_milli
+        FROM nh LEFT JOIN med ON med.event_type = nh.event_type
+        ORDER BY nh.event_type
+    """

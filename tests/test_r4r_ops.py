@@ -300,3 +300,62 @@ def test_sq8_recall_bounds_on_spread_vectors(spark):
     assert r["n_queries"] == 1
     assert 0 <= r["n_hits"] <= r["n_truth"] == 5
     assert 0 <= r["top1_preserved"] <= r["n_queries"]
+
+
+# ---------------------------------------------------------------------------
+# benford_audit
+# ---------------------------------------------------------------------------
+
+def test_benford_audit_hand_values(spark):
+    from log_collector_spark.operators import behavior as BH
+    import datetime as dtt
+    vals = [1.00, 0.02, 25.00, 0.00]   # cents: 100→1, 2→2, 2500→2, dropped
+    df = spark.createDataFrame(
+        [(dtt.datetime(2024, 1, 1), "e", 1, v) for v in vals],
+        "ts timestamp, event_type string, user_id long, value double")
+    out = {r["digit"]: r for r in BH.benford_audit(df).collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1]["n_obs"] == 1 and out[2]["n_obs"] == 2
+    assert sum(r["n_obs"] for r in out.values()) == 3
+    assert out[1]["share_permille"] == 333
+    assert out[2]["share_permille"] == 666
+    assert out[1]["benford_permille"] == BH.BENFORD_PERMILLE[0] == 301
+    assert out[1]["dev_permille"] == abs(333 - 301)
+    assert out[9]["n_obs"] == 0 and out[9]["share_permille"] == 0
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u
+# ---------------------------------------------------------------------------
+
+def test_mann_whitney_hand_values(spark):
+    from log_collector_spark.operators import behavior as BH
+    import datetime as dtt
+    rows = [("view", 3.0), ("view", 1.0), ("click", 2.0), ("click", 2.0)]
+    df = spark.createDataFrame(
+        [(dtt.datetime(2024, 1, 1), t, 1, v) for t, v in rows],
+        "ts timestamp, event_type string, user_id long, value double")
+    r = BH.mann_whitney_u(df).collect()[0]
+    # doubled midranks: 100→2, 200/200→5 each, 300→8; R2_a = 2+8 = 10;
+    # U2 = 10 − 2·3 = 4 (U = 2: the 3.0 beats both 2.0s); AUC = 500
+    assert (r["n_a"], r["n_b"], r["r2_sum_a"], r["u2"]) == (2, 2, 10, 4)
+    assert r["auc_permille"] == 500
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_slope
+# ---------------------------------------------------------------------------
+
+def test_theil_sen_ignores_outlier_hour(spark):
+    from log_collector_spark.operators import seasonal as SEx
+    # counts 1,2,3,10 over hours 0-3: median pairwise slope is the clean
+    # +1/hour trend; the outlier hour only shifts the tail of the slope
+    # distribution, not the median.
+    rows = []
+    for h, n in enumerate([1, 2, 3, 10]):
+        rows += [(h, "a", 1)] * n
+    out = SEx.theil_sen_slope(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_hours"], r["n_pairs"]) == (4, 6)
+    assert r["slope_milli"] == 1000

@@ -2124,6 +2124,28 @@ def q_theil_sen_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.theil_sen_slope(_events(spark, sf_dir))
 
 
+def q_token_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user token-bucket limiter replay (sequential applyInPandas
+    kernel; DuckDB replays the recurrence via WITH RECURSIVE)."""
+    from log_collector_spark.operators import behavior as BH
+    return BH.token_bucket(_events(spark, sf_dir))
+
+
+def q_wilson_rates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-value rate per event type with exact-integer Wilson lower
+    bound (z=2) — ranking that resists small-n flukes."""
+    from log_collector_spark.operators import behavior as BH
+    return BH.wilson_rates(_events(spark, sf_dir))
+
+
+def q_crosscorr_types_events(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation between 'error' and 'purchase' hourly
+    series at lags ±6 (exact integer Pearson, isqrt-factor permille)."""
+    from log_collector_spark.operators import seasonal as SE
+    return SE.crosscorr_types(_events(spark, sf_dir))
+
+
 def q_wav_energy_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow flavor of the WAV energy stage (no pandas boxing of the
     binary column); row-identical to the mapInPandas stage's oracle."""
@@ -2685,6 +2707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit_events": q_benford_audit_events,
         "mann_whitney_events": q_mann_whitney_events,
         "theil_sen_slope_events": q_theil_sen_slope_events,
+        "token_bucket_events": q_token_bucket_events,
+        "wilson_rates_events": q_wilson_rates_events,
+        "crosscorr_types_events": q_crosscorr_types_events,
         "wav_energy_arrow": q_wav_energy_arrow,
         "watermark_bias_documents": q_watermark_bias_documents,
         "embedding_isotropy": q_embedding_isotropy,
@@ -3693,6 +3718,9 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit_events": _bh().sql_benford_audit(),
         "mann_whitney_events": _bh().sql_mann_whitney_u(),
         "theil_sen_slope_events": _se().sql_theil_sen_slope(),
+        "token_bucket_events": _bh().sql_token_bucket(),
+        "wilson_rates_events": _bh().sql_wilson_rates(),
+        "crosscorr_types_events": _se().sql_crosscorr_types(),
         "wav_energy_arrow": _tm().sql_wav_energy_features(),
         "watermark_bias_documents": _ta().sql_watermark_bias(),
         "embedding_isotropy": _ts().sql_embedding_isotropy(),

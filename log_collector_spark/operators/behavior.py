@@ -2997,3 +2997,178 @@ def sql_mann_whitney_u(table: str = "events",
                          ELSE 0 END AS BIGINT) AS auc_permille
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate-limiter replay (sequential kernel, applyInPandas)
+# ---------------------------------------------------------------------------
+
+TB_CAP = 5                  # bucket capacity, tokens
+TB_REFILL_US = 60_000_000   # one token per minute, in microseconds
+
+
+def token_bucket(events: DataFrame, ts_col: str = "ts",
+                 cap: int = TB_CAP,
+                 refill_us: int = TB_REFILL_US) -> DataFrame:
+    """Replay a per-user token-bucket rate limiter over the event stream
+    — the capacity-planning question "how many requests WOULD this
+    limiter have rejected" answered from history before the limiter
+    ships. The recurrence (clamp at cap, spend on allow) is genuinely
+    sequential — no window/cumsum reformulation exists because the
+    clamp couples every step to the last — so this is the
+    applyInPandas case SURVEY §2.10 reserves for operators Catalyst
+    cannot express; the DuckDB oracle replays the identical recurrence
+    with WITH RECURSIVE.
+
+    Semantics (integer, engine-identical): state is token-millis,
+    start full (cap·1000); on each event (per user, ordered by
+    (ts, event_id)) first refill ``dt_us·1000 DIV refill_us`` clamped
+    to cap·1000, then allow iff tokens >= 1000 (spend 1000) else
+    reject (no spend).
+
+    Returns per user: (user_id, n_events, n_allowed, n_rejected,
+    tokens_milli_final) ORDER BY user_id.
+
+    Plan/scale: ONE shuffle on user_id, then a linear in-memory pass
+    per user inside an Arrow batch. Per-user history must fit an
+    executor (the Zipf-head bound every sessionizer shares); beyond
+    that, split time into windows whose boundary state is carried by
+    the streaming variant's transformWithState."""
+    import pandas as pd
+
+    us_col = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    src = events.select(F.col("user_id").cast("long").alias("user_id"),
+                        us_col.cast("long").alias("us"),
+                        F.col("event_id").cast("long").alias("event_id"))
+    cap_milli = cap * 1000
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        uid = int(pdf["user_id"].iloc[0])
+        t = cap_milli
+        allowed = 0
+        prev = None
+        for us in pdf["us"]:
+            us = int(us)
+            if prev is not None:
+                t = min(cap_milli, t + (us - prev) * 1000 // refill_us)
+            if t >= 1000:
+                t -= 1000
+                allowed += 1
+            prev = us
+        n = len(pdf)
+        return pd.DataFrame({"user_id": [uid], "n_events": [n],
+                             "n_allowed": [allowed],
+                             "n_rejected": [n - allowed],
+                             "tokens_milli_final": [t]})
+
+    out_schema = ("user_id long, n_events long, n_allowed long, "
+                  "n_rejected long, tokens_milli_final long")
+    return (src.groupBy("user_id").applyInPandas(kernel, out_schema)
+            .orderBy("user_id"))
+
+
+def sql_token_bucket(table: str = "events", cap: int = TB_CAP,
+                     refill_us: int = TB_REFILL_US) -> str:
+    cm = cap * 1000
+    return f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM {table}
+        ),
+        st AS (
+            SELECT user_id, rn, us,
+                   CASE WHEN {cm} >= 1000 THEN 1 ELSE 0 END AS allowed,
+                   {cm} - CASE WHEN {cm} >= 1000 THEN 1000 ELSE 0 END
+                       AS t_after
+            FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn, e.us,
+                   CASE WHEN LEAST({cm}, s.t_after
+                             + (e.us - s.us) * 1000 // {refill_us})
+                             >= 1000 THEN 1 ELSE 0 END,
+                   LEAST({cm}, s.t_after
+                         + (e.us - s.us) * 1000 // {refill_us})
+                   - CASE WHEN LEAST({cm}, s.t_after
+                               + (e.us - s.us) * 1000 // {refill_us})
+                               >= 1000 THEN 1000 ELSE 0 END
+            FROM st s JOIN ev e
+              ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(allowed) AS BIGINT) AS n_allowed,
+               CAST(COUNT(*) - SUM(allowed) AS BIGINT) AS n_rejected,
+               CAST(MAX(CASE WHEN rn = mx THEN t_after END) AS BIGINT)
+                   AS tokens_milli_final
+        FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx FROM st)
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-bound rates per event type
+# ---------------------------------------------------------------------------
+
+WILSON_CENTS_MIN = 10_000   # "high-value" success: value >= 100.00
+
+
+def wilson_rates(events: DataFrame, type_col: str = "event_type",
+                 value_col: str = "value",
+                 cents_min: int = WILSON_CENTS_MIN) -> DataFrame:
+    """High-value rate per event type with its Wilson-score LOWER bound
+    (z = 2, ~95%) — the ranking statistic that stops a 2-of-3 source
+    from outranking a 480-of-1000 source the way the raw rate does
+    (the sorting-by-average fallacy). With z² = 4 the bound reduces to
+    ``(x + 2 − 2·√(x(n−x)/n + 1)) / (n + 4)``, computed in exact milli
+    fixed-point via ``common.isqrt`` — the inner radicand is scaled to
+    micros BEFORE the floor-sqrt (``(x·10⁶ DIV n)·(n−x) + 10⁶``, that
+    multiplication order keeps the intermediate under int64 headroom up
+    to n ≈ 10¹²; the floor placements are part of the definition and
+    identical in both engines).
+
+    Returns (event_type, n, x, p_milli, wilson_lb_milli) ORDER BY
+    event_type.
+
+    Plan: one narrow projection + #types-row map-side-combined agg."""
+    cents = F.expr(f"CAST(ROUND({value_col} * 100) AS BIGINT)")
+    agg = (events
+           .select(F.col(type_col).alias("event_type"),
+                   (cents >= cents_min).cast("long").alias("hit"))
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("hit").cast("long").alias("x")))
+    inner = (F.expr("(x * 1000000 DIV n) * (n - x)") + 1_000_000) \
+        .cast("long")
+    s = C.isqrt(inner)
+    return (agg.withColumn("s_milli", s)
+            .select("event_type", "n", "x",
+                    C.permille(F.col("x"), F.col("n")).alias("p_milli"),
+                    F.expr("CAST(((x + 2) * 1000 - 2 * s_milli)"
+                           " DIV (n + 4) AS BIGINT)")
+                    .alias("wilson_lb_milli"))
+            .orderBy("event_type"))
+
+
+def sql_wilson_rates(table: str = "events",
+                     cents_min: int = WILSON_CENTS_MIN) -> str:
+    inner = "(x * 1000000 // n) * (n - x) + 1000000"
+    s = C.sql_isqrt(inner)
+    return f"""
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN CAST(ROUND(value * 100) AS BIGINT)
+                                      >= {cents_min}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM {table} GROUP BY 1
+        )
+        SELECT event_type, n, x,
+               {C.sql_permille('x', 'n')} AS p_milli,
+               CAST(((x + 2) * 1000 - 2 * {s}) // (n + 4) AS BIGINT)
+                   AS wilson_lb_milli
+        FROM agg ORDER BY event_type
+    """

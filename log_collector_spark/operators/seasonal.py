@@ -499,3 +499,159 @@ def sql_theil_sen_slope(table: str = "events") -> str:
         FROM nh LEFT JOIN med ON med.event_type = nh.event_type
         ORDER BY nh.event_type
     """
+
+
+XCORR_TYPE_X, XCORR_TYPE_Y = "error", "purchase"
+XCORR_MAX_LAG = 6
+
+
+def crosscorr_types(events: DataFrame, ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    type_x: str = XCORR_TYPE_X,
+                    type_y: str = XCORR_TYPE_Y,
+                    max_lag: int = XCORR_MAX_LAG) -> DataFrame:
+    """Cross-correlation between two event types' hourly count series at
+    lags −max_lag..+max_lag — the lead/lag diagnostic behind "do error
+    spikes depress purchases, and with what delay?" (the two-series
+    sibling of :func:`hourly_acf`; positive lag = type_y shifted later,
+    so a peak at lag +2 means x leads y by two hours).
+
+    Exact integers, repo conventions: per lag the Pearson sums run over
+    the OVERLAP of the two zero-filled dense grids; the numerator is
+    the n-scaled form ``n·Σxy − Σx·Σy`` (BIGINT, no rational), and the
+    permille divides by ``isqrt(dx)·isqrt(dy)`` — floor-sqrt FACTORS
+    rather than sqrt of the product, which would overflow int64 at
+    ~1e12; the placement is part of the definition and identical in
+    both engines. Sign handled by abs-split DIV; zero-variance lags
+    report 0.
+
+    Returns (lag, n_overlap, num_scaled, corr_permille) ORDER BY lag.
+
+    Plan/scale: the corpus collapses to two hour-count series in one
+    map-side agg; the dense grid + lag joins run on |hours|·(2L+1)
+    rows — metadata scale (module docstring bound)."""
+    counts = (events
+              .filter(F.col(type_col).isin([type_x, type_y]))
+              .select(F.col(type_col).alias("t"),
+                      _hour_idx(ts_col).alias("h"))
+              .groupBy("t", "h")
+              .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    bounds = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h"))
+    xs = (grid.join(counts.filter(F.col("t") == type_x), "h", "left")
+          .select("h", F.coalesce("x", F.lit(0)).cast("long").alias("xv")))
+    ys = (grid.join(counts.filter(F.col("t") == type_y), "h", "left")
+          .select("h", F.coalesce("x", F.lit(0)).cast("long").alias("yv")))
+    lags = events.sparkSession.createDataFrame(
+        [(l,) for l in range(-max_lag, max_lag + 1)], "lag long")
+    j = (lags.crossJoin(xs)
+         .join(ys.select((F.col("h")).alias("hy"), "yv"),
+               F.col("hy") == F.col("h") + F.col("lag"))
+         .select("lag", "xv", "yv"))
+    agg = (j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy")))
+    num = (F.col("n_overlap") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("long")
+    dx = (F.col("n_overlap") * F.col("sxx")
+          - F.col("sx") * F.col("sx")).cast("long")
+    dy = (F.col("n_overlap") * F.col("syy")
+          - F.col("sy") * F.col("sy")).cast("long")
+    den = C.isqrt(dx) * C.isqrt(dy)
+    # clamp to ±1000: the floor-sqrt FACTOR denominator slightly
+    # underestimates sqrt(dx·dy), so a perfectly-correlated tiny series
+    # could otherwise read above 1000 permille.
+    corr = (F.when(den > 0,
+                   F.greatest(F.lit(-1000).cast("long"),
+                              F.least(F.lit(1000).cast("long"),
+                                      F.when(num >= 0,
+                                             F.expr("(num_scaled * 1000)"
+                                                    " DIV den"))
+                                      .otherwise(
+                                          -F.expr("((-num_scaled) * 1000)"
+                                                  " DIV den"))
+                                      .cast("long"))))
+            .otherwise(0).cast("long"))
+    full = (agg.withColumn("num_scaled", num)
+            .withColumn("den", den)
+            .withColumn("corr_permille", corr)
+            .select("lag", "n_overlap", "num_scaled", "corr_permille"))
+    # a lag whose windows don't overlap at all must still appear (0 row)
+    return (lags.join(full, "lag", "left")
+            .select("lag",
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                     .alias("n_overlap"),
+                    F.coalesce("num_scaled", F.lit(0)).cast("long")
+                     .alias("num_scaled"),
+                    F.coalesce("corr_permille", F.lit(0)).cast("long")
+                     .alias("corr_permille"))
+            .orderBy("lag"))
+
+
+def sql_crosscorr_types(table: str = "events",
+                        type_x: str = XCORR_TYPE_X,
+                        type_y: str = XCORR_TYPE_Y,
+                        max_lag: int = XCORR_MAX_LAG) -> str:
+    den = (f"{C.sql_isqrt('n_overlap * sxx - sx * sx')} * "
+           f"{C.sql_isqrt('n_overlap * syy - sy * sy')}")
+    return f"""
+        WITH counts AS (
+            SELECT event_type AS t,
+                   CAST(epoch_ms(ts) // {_HOUR_MS} AS BIGINT) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM {table}
+            WHERE event_type IN ('{type_x}', '{type_y}')
+            GROUP BY 1, 2
+        ),
+        b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM counts),
+        grid AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+        xs AS (
+            SELECT g.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS xv
+            FROM grid g LEFT JOIN counts c
+              ON c.h = g.h AND c.t = '{type_x}'
+        ),
+        ys AS (
+            SELECT g.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS yv
+            FROM grid g LEFT JOIN counts c
+              ON c.h = g.h AND c.t = '{type_y}'
+        ),
+        lags AS (SELECT CAST(unnest(generate_series(-{max_lag},
+                                                    {max_lag})) AS BIGINT)
+                     AS lag),
+        agg AS (
+            SELECT l.lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_overlap,
+                   CAST(SUM(x.xv) AS BIGINT) AS sx,
+                   CAST(SUM(y.yv) AS BIGINT) AS sy,
+                   CAST(SUM(x.xv * x.xv) AS BIGINT) AS sxx,
+                   CAST(SUM(y.yv * y.yv) AS BIGINT) AS syy,
+                   CAST(SUM(x.xv * y.yv) AS BIGINT) AS sxy
+            FROM lags l
+            JOIN xs x ON TRUE
+            JOIN ys y ON y.h = x.h + l.lag
+            GROUP BY 1
+        ),
+        d AS (
+            SELECT lag, n_overlap,
+                   n_overlap * sxy - sx * sy AS num_scaled,
+                   {den} AS den
+            FROM agg
+        )
+        SELECT l.lag,
+               CAST(COALESCE(d.n_overlap, 0) AS BIGINT) AS n_overlap,
+               CAST(COALESCE(d.num_scaled, 0) AS BIGINT) AS num_scaled,
+               CAST(COALESCE(CASE WHEN d.den > 0 THEN
+                        GREATEST(-1000, LEAST(1000,
+                            CASE WHEN d.num_scaled >= 0
+                                 THEN (d.num_scaled * 1000) // d.den
+                                 ELSE -(((-d.num_scaled) * 1000) // d.den)
+                            END))
+                    ELSE 0 END, 0) AS BIGINT) AS corr_permille
+        FROM lags l LEFT JOIN d ON d.lag = l.lag
+        ORDER BY l.lag
+    """

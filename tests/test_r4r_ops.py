@@ -359,3 +359,80 @@ def test_theil_sen_ignores_outlier_hour(spark):
     r = out[0]
     assert (r["n_hours"], r["n_pairs"]) == (4, 6)
     assert r["slope_milli"] == 1000
+
+
+# ---------------------------------------------------------------------------
+# token_bucket
+# ---------------------------------------------------------------------------
+
+def test_token_bucket_hand_replay(spark):
+    from log_collector_spark.operators import behavior as BH
+    import datetime as dtt
+    base = dtt.datetime(2024, 1, 1)
+    rows = [(base, "e", 1, float(i), i) for i in range(7)]          # burst
+    rows.append((base + dtt.timedelta(seconds=120), "e", 1, 7.0, 7))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, "
+              "value double, event_id long")
+    r = BH.token_bucket(df).collect()[0]
+    # cap 5: burst of 7 → 5 allowed, 2 rejected, bucket empty; +120 s
+    # refills 2000 milli → 8th allowed, 1000 milli left.
+    assert (r["n_events"], r["n_allowed"], r["n_rejected"]) == (8, 6, 2)
+    assert r["tokens_milli_final"] == 1000
+
+
+def test_token_bucket_refill_clamps_at_cap(spark):
+    from log_collector_spark.operators import behavior as BH
+    import datetime as dtt
+    base = dtt.datetime(2024, 1, 1)
+    rows = [(base, "e", 2, 0.0, 1),
+            (base + dtt.timedelta(hours=10), "e", 2, 0.0, 2)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, "
+              "value double, event_id long")
+    r = BH.token_bucket(df).collect()[0]
+    # 10 h would refill 600 tokens; the bucket clamps at cap before the
+    # second spend: 5000 − 1000 + clamp → 5000 − 1000 = 4000 after.
+    assert (r["n_allowed"], r["tokens_milli_final"]) == (2, 4000)
+
+
+# ---------------------------------------------------------------------------
+# wilson_rates
+# ---------------------------------------------------------------------------
+
+def test_wilson_rates_hand_values(spark):
+    from log_collector_spark.operators import behavior as BH
+    import datetime as dtt
+    rows = [(dtt.datetime(2024, 1, 1), "t", 1,
+             150.0 if i < 50 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, value double")
+    r = BH.wilson_rates(df).collect()[0]
+    # x=50, n=100: inner = (50e6//100)*50 + 1e6 = 26e6; isqrt = 5099;
+    # lb = (52*1000 − 2*5099) // 104 = 401 (true Wilson z=2: 0.4019)
+    assert (r["n"], r["x"], r["p_milli"]) == (100, 50, 500)
+    assert r["wilson_lb_milli"] == 401
+    # the bound must sit strictly below the point estimate
+    assert r["wilson_lb_milli"] < r["p_milli"]
+
+
+# ---------------------------------------------------------------------------
+# crosscorr_types
+# ---------------------------------------------------------------------------
+
+def test_crosscorr_identical_series_peaks_at_lag_zero(spark):
+    from log_collector_spark.operators import seasonal as SEx
+    # both types get counts [1,3,1,3] over 4 hours: dx = 4·20−64 = 16
+    # (perfect square) → corr at lag 0 exactly 1000.
+    rows = []
+    for h, n in enumerate([1, 3, 1, 3]):
+        for t in ("error", "purchase"):
+            rows += [(h, t, 1)] * n
+    out = {r["lag"]: r for r in
+           SEx.crosscorr_types(_events(spark, rows)).collect()}
+    assert set(out) == set(range(-6, 7))
+    assert out[0]["n_overlap"] == 4
+    assert out[0]["corr_permille"] == 1000
+    # alternating series anti-correlates at |lag| = 1
+    assert out[1]["corr_permille"] < 0 and out[-1]["corr_permille"] < 0
+    assert all(-1000 <= r["corr_permille"] <= 1000 for r in out.values())

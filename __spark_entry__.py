@@ -2146,6 +2146,28 @@ def q_crosscorr_types_events(spark: SparkSession,
     return SE.crosscorr_types(_events(spark, sf_dir))
 
 
+def q_ann_map_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-averaged integer mAP@k per ANN path — the front-loadedness
+    metric completing recall/MRR/nDCG."""
+    from log_collector_spark.textops import evalops as EV
+    return EV.ann_map(_embs(spark, sf_dir))
+
+
+def q_rake_phrases_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases with data-derived stoplist: degree/frequency word
+    scores, top-20 phrases by summed integer score."""
+    from log_collector_spark.textops import analysis as TA
+    return TA.rake_phrases(_docs(spark, sf_dir))
+
+
+def q_dict_encoding_advisor_events(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Dictionary-vs-plain storage advisor per string column (exact
+    bytes, parquet dictionary model)."""
+    from log_collector_spark.operators import order as OR
+    return OR.dict_encoding_advisor(_events(spark, sf_dir))
+
+
 def q_wav_energy_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow flavor of the WAV energy stage (no pandas boxing of the
     binary column); row-identical to the mapInPandas stage's oracle."""
@@ -2710,6 +2732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bucket_events": q_token_bucket_events,
         "wilson_rates_events": q_wilson_rates_events,
         "crosscorr_types_events": q_crosscorr_types_events,
+        "ann_map_embeddings": q_ann_map_embeddings,
+        "rake_phrases_documents": q_rake_phrases_documents,
+        "dict_encoding_advisor_events": q_dict_encoding_advisor_events,
         "wav_energy_arrow": q_wav_energy_arrow,
         "watermark_bias_documents": q_watermark_bias_documents,
         "embedding_isotropy": q_embedding_isotropy,
@@ -3721,6 +3746,9 @@ def oracle_sql() -> dict[str, str]:
         "token_bucket_events": _bh().sql_token_bucket(),
         "wilson_rates_events": _bh().sql_wilson_rates(),
         "crosscorr_types_events": _se().sql_crosscorr_types(),
+        "ann_map_embeddings": _te().sql_ann_map(),
+        "rake_phrases_documents": _ta().sql_rake_phrases(),
+        "dict_encoding_advisor_events": _od().sql_dict_encoding_advisor(),
         "wav_energy_arrow": _tm().sql_wav_energy_features(),
         "watermark_bias_documents": _ta().sql_watermark_bias(),
         "embedding_isotropy": _ts().sql_embedding_isotropy(),

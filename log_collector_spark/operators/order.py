@@ -641,3 +641,96 @@ def sql_delete_impact_audit(glob: str, key_col: str = "conv_id",
                          ELSE 0 END AS BIGINT) AS amp_permille
         FROM per ORDER BY fname
     """
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-encoding advisor per string column
+# ---------------------------------------------------------------------------
+
+
+def dict_encoding_advisor(events: DataFrame,
+                          cols: tuple = ("event_type", "props")) -> DataFrame:
+    """Storage advisor for string columns: would dictionary encoding
+    beat plain encoding, from one scan? Per column this reports exact
+    UTF-8 plain bytes, the dictionary estimate (distinct-value bytes +
+    one fixed-width index per row, width = 1/2/4 bytes by cardinality —
+    the parquet/arrow dictionary model), and the permille ratio — the
+    evidence a layout pass uses to force or forbid PLAIN encoding per
+    column before a 100-TB rewrite (parquet's own heuristic silently
+    falls back to plain when a page's dictionary overflows; this table
+    predicts that BEFORE writing).
+
+    Returns per column: (col_name, n_rows, n_distinct, plain_bytes,
+    dict_bytes, ratio_permille, recommend_dict) ORDER BY col_name.
+
+    Plan/scale: per column one map-side byte-sum agg + one distinct
+    agg (the distinct shuffles only the column's values). Nothing else
+    moves."""
+    from log_collector_spark.textops import common as C
+
+    outs = []
+    for c in cols:
+        base = events.select(F.col(c).cast("string").alias("v"))
+        tot = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.octet_length("v")), F.lit(0)).cast("long")
+             .alias("plain_bytes"))
+        dis = (base.distinct()
+               .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                    F.coalesce(F.sum(F.octet_length("v")), F.lit(0))
+                     .cast("long").alias("distinct_bytes")))
+        j = (tot.crossJoin(dis)
+             .withColumn("idx_bytes",
+                         F.when(F.col("n_distinct") <= 256, 1)
+                          .when(F.col("n_distinct") <= 65536, 2)
+                          .otherwise(4).cast("long"))
+             .withColumn("dict_bytes",
+                         (F.col("distinct_bytes")
+                          + F.col("n_rows") * F.col("idx_bytes"))
+                         .cast("long")))
+        outs.append(j.select(
+            F.lit(c).alias("col_name"), "n_rows", "n_distinct",
+            "plain_bytes", "dict_bytes",
+            C.permille(F.col("dict_bytes"), F.col("plain_bytes"))
+             .alias("ratio_permille"),
+            (F.col("dict_bytes") < F.col("plain_bytes"))
+             .alias("recommend_dict")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col_name")
+
+
+def sql_dict_encoding_advisor(table: str = "events",
+                              cols: tuple = ("event_type",
+                                             "props")) -> str:
+    from log_collector_spark.textops import common as C
+
+    def one(c: str) -> str:
+        return f"""
+            SELECT '{c}' AS col_name, t.n_rows, d.n_distinct,
+                   t.plain_bytes,
+                   CAST(d.distinct_bytes + t.n_rows *
+                        CASE WHEN d.n_distinct <= 256 THEN 1
+                             WHEN d.n_distinct <= 65536 THEN 2
+                             ELSE 4 END AS BIGINT) AS dict_bytes
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                         CAST(COALESCE(SUM(strlen(CAST({c} AS VARCHAR))),
+                                       0) AS BIGINT) AS plain_bytes
+                  FROM {table}) t,
+                 (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                         CAST(COALESCE(SUM(strlen(v)), 0) AS BIGINT)
+                             AS distinct_bytes
+                  FROM (SELECT DISTINCT CAST({c} AS VARCHAR) AS v
+                        FROM {table})) d
+        """
+
+    union = " UNION ALL ".join(one(c) for c in cols)
+    return f"""
+        SELECT col_name, n_rows, n_distinct, plain_bytes, dict_bytes,
+               {C.sql_permille('dict_bytes', 'plain_bytes')}
+                   AS ratio_permille,
+               dict_bytes < plain_bytes AS recommend_dict
+        FROM ({union})
+        ORDER BY col_name
+    """

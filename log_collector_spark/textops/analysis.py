@@ -3709,3 +3709,140 @@ def sql_rouge_pairs(table: str = "documents") -> str:
         LEFT JOIN r2_total t2 ON t2.doc_ref = p.doc_ref
         ORDER BY p.doc_ref
     """
+
+
+# ---------------------------------------------------------------------------
+# RAKE-lite keyphrase extraction (degree/frequency scores)
+# ---------------------------------------------------------------------------
+
+RAKE_STOP_K = 15    # data-derived stoplist: top-df tokens
+RAKE_TOP_K = 20
+
+
+def rake_phrases(df: DataFrame, text_col: str = "text",
+                 stop_k: int = RAKE_STOP_K,
+                 topk: int = RAKE_TOP_K) -> DataFrame:
+    """RAKE keyphrase extraction, corpus-scale: phrases are maximal runs
+    of non-stopword tokens, each word scores degree/frequency (degree =
+    total length of phrases containing it, the RAKE co-occurrence
+    count), a phrase scores the sum of its words — the classic
+    unsupervised keyphrase baseline (Rose et al. 2010), with the
+    stoplist DERIVED from the data (top ``stop_k`` document-frequency
+    tokens, ties to the lexicographically smaller) so both engines
+    share it without an external word list.
+
+    Integer milli scores: ``word = degree·1000 DIV freq``; phrase =
+    Σ word scores (with multiplicity). Returns the top ``topk``
+    distinct phrases by (score_milli DESC, phrase ASC):
+    (phrase, n_words, n_occurrences, score_milli).
+
+    Plan/scale: one posexplode of the corpus tokens, ONE per-doc window
+    (cumsum of stop flags = phrase id — partitioned by doc, never
+    global), two hash aggs for word stats, one join back on the word,
+    and a TakeOrderedAndProject top-k. Work is linear in corpus tokens;
+    the only wide keys are tokens themselves (Zipf head = the stoplist,
+    which is excluded by construction)."""
+    from pyspark.sql.window import Window
+
+    toks = (df.select("doc_id",
+                      F.posexplode(C.tokens(F.col(text_col)))
+                      .alias("pos", "tok")))
+    docfreq = (toks.select("tok", "doc_id").distinct()
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    wstop = Window.orderBy(F.desc("df"), F.asc("tok"))
+    stops = (docfreq.withColumn("rn", F.row_number().over(wstop))
+             .filter(F.col("rn") <= stop_k).select("tok"))
+    wdoc = (Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tagged = (toks.join(F.broadcast(stops.withColumn("_s", F.lit(1))),
+                        "tok", "left")
+              .withColumn("stop", F.coalesce("_s", F.lit(0)))
+              .withColumn("phrase_id", F.sum("stop").over(wdoc)))
+    members = tagged.filter(F.col("stop") == 0) \
+                    .select("doc_id", "phrase_id", "pos", "tok")
+    wph = Window.partitionBy("doc_id", "phrase_id")
+    members = members.withColumn(
+        "plen", F.count(F.lit(1)).over(wph).cast("long"))
+    wordstats = (members.groupBy("tok")
+                 .agg(F.count(F.lit(1)).cast("long").alias("freq"),
+                      F.sum("plen").cast("long").alias("degree"))
+                 .withColumn("wscore",
+                             F.expr("degree * 1000 DIV freq")))
+    scored = (members.join(wordstats.select("tok", "wscore"), "tok")
+              .groupBy("doc_id", "phrase_id")
+              .agg(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "tok"))),
+                           lambda s: s["tok"]), " ").alias("phrase"),
+                   F.count(F.lit(1)).cast("long").alias("n_words"),
+                   F.sum("wscore").cast("long").alias("score_milli")))
+    return (scored.groupBy("phrase")
+            .agg(F.max("n_words").cast("long").alias("n_words"),
+                 F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                 F.max("score_milli").cast("long").alias("score_milli"))
+            .orderBy(F.desc("score_milli"), F.asc("phrase"))
+            .limit(topk))
+
+
+def sql_rake_phrases(table: str = "documents",
+                     stop_k: int = RAKE_STOP_K,
+                     topk: int = RAKE_TOP_K) -> str:
+    tok = C.sql_tokens("text")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t.pos AS pos, ts[t.pos + 1] AS tok
+            FROM (SELECT doc_id, {tok} AS ts FROM {table}),
+                 unnest(range(0, len(ts))) AS t(pos)
+        ),
+        docfreq AS (
+            SELECT tok, COUNT(*) AS df
+            FROM (SELECT DISTINCT tok, doc_id FROM toks) GROUP BY tok
+        ),
+        stops AS (
+            SELECT tok FROM (
+                SELECT tok, ROW_NUMBER() OVER (ORDER BY df DESC, tok)
+                           AS rn
+                FROM docfreq
+            ) WHERE rn <= {stop_k}
+        ),
+        tagged AS (
+            SELECT t.doc_id, t.pos, t.tok,
+                   CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END AS stop,
+                   SUM(CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY t.doc_id ORDER BY t.pos)
+                       AS phrase_id
+            FROM toks t LEFT JOIN stops s ON s.tok = t.tok
+        ),
+        members AS (
+            SELECT doc_id, phrase_id, pos, tok,
+                   COUNT(*) OVER (PARTITION BY doc_id, phrase_id)
+                       AS plen
+            FROM tagged WHERE stop = 0
+        ),
+        wordstats AS (
+            SELECT tok,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS degree
+            FROM members GROUP BY tok
+        ),
+        scored AS (
+            SELECT m.doc_id, m.phrase_id,
+                   array_to_string(list_transform(
+                       list_sort(list(struct_pack(pos := m.pos,
+                                                  tok := m.tok))),
+                       s -> s.tok), ' ') AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(w.degree * 1000 // w.freq) AS BIGINT)
+                       AS score_milli
+            FROM members m JOIN wordstats w ON w.tok = m.tok
+            GROUP BY m.doc_id, m.phrase_id
+        )
+        SELECT phrase,
+               CAST(MAX(n_words) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MAX(score_milli) AS BIGINT) AS score_milli
+        FROM scored GROUP BY phrase
+        ORDER BY score_milli DESC, phrase
+        LIMIT {topk}
+    """

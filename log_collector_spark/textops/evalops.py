@@ -1758,3 +1758,89 @@ def sql_sq8_recall(table: str = "embeddings") -> str:
                h.top1_preserved
         FROM hits h
     """
+
+
+# ---------------------------------------------------------------------------
+# ANN rank quality III: integer mean average precision (mAP)
+# ---------------------------------------------------------------------------
+
+
+def ann_map(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Micro-averaged integer mAP@k per ANN path against the exact
+    brute-force top-k — completes the retrieval-metric set (recall@k:
+    was it found; MRR: how high was the best; nDCG: how good is the
+    whole ranking; AP: how FRONT-LOADED are the hits). Per query, hits
+    at approx ranks r_1<…<r_m give precision i/r_i at the i-th hit;
+    ``ap_milli = (Σ i·1000 DIV r_i) DIV k_truth`` (floors are part of
+    the definition, identical in both engines), and
+    ``map_milli = Σ ap_milli DIV n_queries``.
+
+    Returns (ann_path, n_queries, map_milli) ORDER BY ann_path.
+
+    Plan: one shared persisted brute truth; per path a |queries|·k join
+    + two tiny windows."""
+    from pyspark.sql.window import Window
+    from log_collector_spark.textops import similarity as S
+
+    truth = _persist_eval(S.brute_force_topk(df, vec_col).select(
+        "query_id", F.col("cand_id").alias("truth_id")))
+    per_q = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_truth"))
+    rows = []
+    for path, topk in (("ivf", S.ivf_ann_topk(df, vec_col)),
+                       ("lsh", S.lsh_ann_topk(df, vec_col))):
+        r = topk.select("query_id", F.col("cand_id").alias("aid"),
+                        F.col("rank").cast("long").alias("rk"))
+        hits = (truth.join(r, (truth["query_id"] == r["query_id"]) &
+                           (truth["truth_id"] == r["aid"]))
+                .select(truth["query_id"].alias("query_id"), "rk"))
+        wh = Window.partitionBy("query_id").orderBy("rk")
+        ap = (hits.withColumn("i", F.row_number().over(wh).cast("long"))
+              .groupBy("query_id")
+              .agg(F.sum(F.expr("i * 1000 DIV rk")).cast("long")
+                   .alias("ap_num")))
+        agg = (per_q.join(ap, "query_id", "left")
+               .select(F.expr("CAST(coalesce(ap_num, 0) DIV k_truth"
+                              " AS BIGINT)").alias("ap_milli"))
+               .agg(F.lit(path).alias("ann_path"),
+                    F.count(F.lit(1)).cast("long").alias("n_queries"),
+                    F.expr("CAST(sum(ap_milli) DIV count(1) AS BIGINT)")
+                    .alias("map_milli")))
+        rows.append(agg)
+    return rows[0].unionByName(rows[1]).orderBy("ann_path")
+
+
+def sql_ann_map(table: str = "embeddings") -> str:
+    from log_collector_spark.textops import similarity as S
+
+    def lvl(path: str, sub: str) -> str:
+        return f"""
+            SELECT '{path}' AS ann_path,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST(SUM(COALESCE(a.ap_num, 0) // p.k_truth)
+                        // COUNT(*) AS BIGINT) AS map_milli
+            FROM per_q p LEFT JOIN (
+                SELECT query_id, CAST(SUM(i * 1000 // rk) AS BIGINT)
+                           AS ap_num
+                FROM (
+                    SELECT t.query_id, r.rank AS rk,
+                           ROW_NUMBER() OVER (PARTITION BY t.query_id
+                                              ORDER BY r.rank) AS i
+                    FROM truth t JOIN ({sub}) r
+                      ON r.query_id = t.query_id
+                     AND r.cand_id = t.truth_id
+                ) GROUP BY query_id
+            ) a ON a.query_id = p.query_id
+        """
+
+    return f"""
+        WITH brute AS ({S.sql_brute_force_topk(table)}),
+        truth AS (SELECT query_id, cand_id AS truth_id FROM brute),
+        per_q AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_truth
+            FROM truth GROUP BY query_id
+        )
+        SELECT * FROM ({lvl('ivf', S.sql_ivf_ann_topk(table))}
+                       UNION ALL {lvl('lsh', S.sql_lsh_ann_topk(table))})
+        ORDER BY ann_path
+    """

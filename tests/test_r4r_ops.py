@@ -436,3 +436,69 @@ def test_crosscorr_identical_series_peaks_at_lag_zero(spark):
     # alternating series anti-correlates at |lag| = 1
     assert out[1]["corr_permille"] < 0 and out[-1]["corr_permille"] < 0
     assert all(-1000 <= r["corr_permille"] <= 1000 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# ann_map
+# ---------------------------------------------------------------------------
+
+def test_ann_map_perfect_retrieval(spark):
+    from log_collector_spark.textops import evalops as EVx
+    vec = [0.5] * 64
+    df = spark.createDataFrame(
+        [(i, vec, 0) for i in range(6)],
+        "vec_id long, embedding array<float>, label int")
+    rows = {r["ann_path"]: r for r in EVx.ann_map(df).collect()}
+    assert set(rows) == {"ivf", "lsh"}
+    for r in rows.values():
+        # hits at ranks 1..5: AP = (Σ i·1000//i)//5 = 1000
+        assert (r["n_queries"], r["map_milli"]) == (1, 1000)
+
+
+# ---------------------------------------------------------------------------
+# rake_phrases
+# ---------------------------------------------------------------------------
+
+def test_rake_phrases_hand_values(spark):
+    from log_collector_spark.textops import analysis as A
+    texts = ["aa red apple aa green pear", "aa red apple", "aa solo"]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", 0) for i, t in enumerate(texts, 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = A.rake_phrases(df, stop_k=1).collect()
+    rows = {r["phrase"]: r for r in out}
+    # stoplist = {aa} (df 3, strictly top); words red/apple/green/pear all
+    # score degree·1000/freq = 2000, solo scores 1000
+    assert (rows["red apple"]["n_occurrences"],
+            rows["red apple"]["score_milli"]) == (2, 4000)
+    assert (rows["green pear"]["n_occurrences"],
+            rows["green pear"]["score_milli"]) == (1, 4000)
+    assert rows["solo"]["score_milli"] == 1000
+    # ordering: ties by phrase ASC
+    assert [r["phrase"] for r in out] == ["green pear", "red apple", "solo"]
+
+
+# ---------------------------------------------------------------------------
+# dict_encoding_advisor
+# ---------------------------------------------------------------------------
+
+def test_dict_encoding_advisor_hand_bytes(spark):
+    from log_collector_spark.operators import order as ORx
+    import datetime as dtt
+    rows = [(dtt.datetime(2024, 1, 1), t, 1, 0.0, "xxxxxxxxxx")
+            for t in ["aa", "aa", "bb", "bb"]]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, "
+              "value double, props string")
+    out = {r["col_name"]: r for r in
+           ORx.dict_encoding_advisor(df).collect()}
+    et = out["event_type"]
+    # plain 8 B; dict = 4 B distinct + 4·1 B idx = 8 B → not worth it
+    assert (et["n_rows"], et["n_distinct"], et["plain_bytes"],
+            et["dict_bytes"]) == (4, 2, 8, 8)
+    assert not et["recommend_dict"]
+    pr = out["props"]
+    # plain 40 B; dict = 10 + 4 = 14 B → clear win
+    assert (pr["plain_bytes"], pr["dict_bytes"]) == (40, 14)
+    assert pr["recommend_dict"] and pr["ratio_permille"] == 350

@@ -2703,8 +2703,36 @@ def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_rebalance_audit(_docs(spark, sf_dir))
 
 
+def q_good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass + bias-corrected Chao1 vocabulary-size
+    estimate from the token frequency-of-frequencies (one row)."""
+    return _ta().good_turing_vocab(_docs(spark, sf_dir))
+
+
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl concentration of per-source token shares + effective
+    source count — the corpus-monoculture dashboard (one row)."""
+    return _ta().source_concentration(_docs(spark, sf_dir))
+
+
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 sign-projection (64→16) distance
+    distortion histogram over query×corpus pairs, permille deciles."""
+    return _te().jl_distortion(_embs(spark, sf_dir))
+
+
+def q_column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column value-distribution profile of the events feed (nulls,
+    distincts, modal value/share, candidate-key verdict)."""
+    return _or().column_profile(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "good_turing_vocab": q_good_turing_vocab,
+        "source_concentration": q_source_concentration,
+        "jl_distortion": q_jl_distortion,
+        "column_profile_events": q_column_profile_events,
         "bm25_topk_documents": q_bm25_topk_documents,
         "quality_calibration_documents": q_quality_calibration_documents,
         "winnowing_pairs_documents": q_winnowing_pairs_documents,
@@ -3051,6 +3079,10 @@ def oracle_sql() -> dict[str, str]:
              ELSE 'events_etl' END
     """
     return {
+        "good_turing_vocab": _ta().sql_good_turing_vocab(),
+        "source_concentration": _ta().sql_source_concentration(),
+        "jl_distortion": _te().sql_jl_distortion(),
+        "column_profile_events": _or().sql_column_profile(),
         "bm25_topk_documents": _ta().sql_bm25_topk(),
         "quality_calibration_documents": _ta().sql_quality_calibration(),
         "winnowing_pairs_documents": _td().sql_winnowing_pairs(),

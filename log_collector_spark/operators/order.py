@@ -734,3 +734,90 @@ def sql_dict_encoding_advisor(table: str = "events",
         FROM ({union})
         ORDER BY col_name
     """
+
+
+def column_profile(events: DataFrame,
+                   cols: tuple = ("event_type", "user_id",
+                                  "props")) -> DataFrame:
+    """Single-pass-per-column value-distribution profile (the Deequ /
+    great-expectations "analyze" stage, distributed): per column the row
+    count, null count, exact distinct count, the modal value with its
+    count and share of the non-null rows, and a candidate-key verdict
+    (unique + null-free). The profiling census a pipeline runs on a new
+    feed before writing parse/route rules for it — the engine-side
+    counterpart of the reference's grok *discovery* step
+    (grok/discovery.py), which guesses patterns; this measures the value
+    geometry those patterns will face.
+
+    Returns (col_name, n_rows, n_nulls, n_distinct, top_value, top_n,
+    top_share_permille, is_candidate_key) ORDER BY col_name.
+
+    Plan/scale: per column ONE value-keyed partial agg (map-side
+    combined — the shuffle moves |distinct| rows, not |rows|), then a
+    constant-size agg; the modal value rides an argmin struct, never a
+    sort. Ties break to the smallest value in both engines."""
+    from log_collector_spark.textops import common as C
+
+    outs = []
+    for c in cols:
+        vc = (events.select(F.col(c).cast("string").alias("v"))
+              .groupBy("v").agg(F.count(F.lit(1)).alias("n")))
+        top = F.min(F.when(F.col("v").isNotNull(),
+                           F.struct((-F.col("n")).alias("neg"),
+                                    F.col("v").alias("v"))))
+        agg = vc.agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col("v").isNull(), F.col("n"))),
+                       F.lit(0)).cast("long").alias("n_nulls"),
+            F.count(F.col("v")).cast("long").alias("n_distinct"),
+            top.alias("top"))
+        outs.append(agg.select(
+            F.lit(c).alias("col_name"), "n_rows", "n_nulls", "n_distinct",
+            F.coalesce(F.col("top.v"), F.lit("")).alias("top_value"),
+            F.coalesce(-F.col("top.neg"), F.lit(0)).cast("long")
+             .alias("top_n"),
+            C.permille(F.coalesce(-F.col("top.neg"), F.lit(0)),
+                       F.col("n_rows") - F.col("n_nulls"))
+             .alias("top_share_permille"),
+            ((F.col("n_nulls") == 0) &
+             (F.col("n_distinct") == F.col("n_rows")))
+             .alias("is_candidate_key")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col_name")
+
+
+def sql_column_profile(table: str = "events",
+                       cols: tuple = ("event_type", "user_id",
+                                      "props")) -> str:
+    from log_collector_spark.textops import common as C
+
+    def one(c: str) -> str:
+        return f"""
+            SELECT '{c}' AS col_name,
+                   CAST(a.n_rows AS BIGINT) AS n_rows,
+                   CAST(a.n_nulls AS BIGINT) AS n_nulls,
+                   CAST(a.n_distinct AS BIGINT) AS n_distinct,
+                   COALESCE(t.v, '') AS top_value,
+                   CAST(COALESCE(t.n, 0) AS BIGINT) AS top_n,
+                   {C.sql_permille('COALESCE(t.n, 0)',
+                                   'a.n_rows - a.n_nulls')}
+                       AS top_share_permille,
+                   a.n_nulls = 0 AND a.n_distinct = a.n_rows
+                       AS is_candidate_key
+            FROM (SELECT COUNT(*) AS n_rows,
+                         COUNT(*) - COUNT({c}) AS n_nulls,
+                         COUNT(DISTINCT CAST({c} AS VARCHAR))
+                             AS n_distinct
+                  FROM {table}) a
+            LEFT JOIN (
+                SELECT v, n FROM (
+                    SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS n
+                    FROM {table} WHERE {c} IS NOT NULL GROUP BY 1
+                ) ORDER BY n DESC, v LIMIT 1
+            ) t ON TRUE
+        """
+
+    union = " UNION ALL ".join(one(c) for c in cols)
+    return f"SELECT * FROM ({union}) ORDER BY col_name"

@@ -3846,3 +3846,146 @@ def sql_rake_phrases(table: str = "documents",
         ORDER BY score_milli DESC, phrase
         LIMIT {topk}
     """
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing / Chao1 vocabulary advisor (unseen-mass + species richness)
+# ---------------------------------------------------------------------------
+
+
+def good_turing_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unseen-vocabulary advisor from the frequency-of-frequencies: the
+    Good-Turing estimate of the probability mass on tokens NEVER seen
+    (``P0 = N1/N``, the leave-one-out classic) plus the bias-corrected
+    Chao1 species-richness estimate of the TRUE vocabulary size
+    (``V + N1*(N1-1)/(2*(N2+1))``, Chao 1984) — the pair that answers
+    "how much of the long tail has this corpus not sampled yet", the
+    go/no-go for freezing a tokenizer vocab on a growing crawl.
+
+    One token-keyed partial-agg shuffle (the same vocab frame every other
+    corpus stat pays), then a constant-size agg; output is ONE row.
+    Integer throughout: permilles floor, Chao1's product is guarded by a
+    DIVISION-form headroom check (N1 <= isqrt bound) so the multiply can
+    never ANSI-overflow first. Reference parity: the reference has no
+    corpus stats — this extends its aggregate stage (SURVEY.md §2.5) to
+    the curation ops a training pipeline needs."""
+    tok = df.select(F.explode(C.tokens(F.col(text_col))).alias("tok"))
+    per_tok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    agg = per_tok.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+         .cast("long").alias("n_singletons"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+         .cast("long").alias("n_doubletons"))
+    n1, n2 = F.col("n_singletons"), F.col("n_doubletons")
+    # n1*(n1-1) must stay in int64: n1 <= 3e9 (division-form bound; a
+    # 100-TB crawl has ~1e9 singleton types — at the bound, shard first).
+    n1_ok = F.when(n1 <= F.lit(3_000_000_000), n1).otherwise(
+        F.raise_error(F.lit("good_turing_vocab: n_singletons beyond int64 "
+                            "headroom; shard the corpus")))
+    unseen = C.permille(n1_ok, F.col("n_tokens"))
+    chao1 = (F.col("n_types")
+             + F.expr("n_singletons * (n_singletons - 1) "
+                      "DIV (2 * (n_doubletons + 1))")).cast("long")
+    return agg.select(
+        "n_tokens", "n_types", "n_singletons", "n_doubletons",
+        unseen.alias("unseen_mass_permille"),
+        (F.lit(1000) - unseen).cast("long").alias("coverage_permille"),
+        chao1.alias("chao1_vocab"))
+
+
+def sql_good_turing_vocab(table: str = "documents",
+                          text_col: str = "text") -> str:
+    tok = C.sql_tokens(text_col)
+    return f"""
+        WITH per_tok AS (
+            SELECT t.tok, COUNT(*) AS freq
+            FROM {table}, unnest({tok}) AS t(tok)
+            GROUP BY t.tok
+        ), agg AS (
+            SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_singletons,
+                   CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_doubletons
+            FROM per_tok
+        )
+        SELECT n_tokens, n_types, n_singletons, n_doubletons,
+               CAST(CASE WHEN n_tokens > 0
+                         THEN n_singletons * 1000 // n_tokens
+                         ELSE 0 END AS BIGINT) AS unseen_mass_permille,
+               CAST(1000 - (CASE WHEN n_tokens > 0
+                                 THEN n_singletons * 1000 // n_tokens
+                                 ELSE 0 END) AS BIGINT)
+                   AS coverage_permille,
+               CAST(n_types + n_singletons * (n_singletons - 1)
+                    // (2 * (n_doubletons + 1)) AS BIGINT) AS chao1_vocab
+        FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Source concentration (HHI + effective source count)
+# ---------------------------------------------------------------------------
+
+
+def source_concentration(df: DataFrame, group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Corpus concentration audit: the Herfindahl-Hirschman index of
+    per-source TOKEN shares (micro units: sum of squared permille shares,
+    1e6 = single-source monoculture) and its inverse — the effective
+    number of equally-sized sources (milli units) — plus the largest
+    single source's share. The one-row dashboard that catches a crawl
+    silently collapsing onto one domain before mixture weighting runs.
+
+    One (source)-keyed partial agg (map-side combined; |sources| rows),
+    then a constant-size agg. Shares floor to permille independently per
+    source, so the HHI is exactly reproducible cross-engine."""
+    per_src = (df.select(F.col(group_col).alias("src"),
+                         F.size(C.tokens(F.col(text_col)))
+                          .cast("long").alias("n_tok"))
+               .groupBy("src").agg(F.sum("n_tok").alias("tok_s")))
+    tot = per_src.agg(F.sum("tok_s").alias("t_total"))
+    shared = per_src.crossJoin(F.broadcast(tot)).select(
+        C.permille(F.col("tok_s"), F.col("t_total")).alias("share_pm"))
+    agg = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.col("share_pm") * F.col("share_pm"))
+         .cast("long").alias("hhi_micro"),
+        F.max("share_pm").cast("long").alias("top_share_permille"))
+    return agg.select(
+        "n_sources", "hhi_micro", "top_share_permille",
+        F.when(F.col("hhi_micro") > 0,
+               F.expr("1000000000 DIV hhi_micro"))
+         .otherwise(0).cast("long").alias("eff_sources_milli"))
+
+
+def sql_source_concentration(table: str = "documents",
+                             group_col: str = "source",
+                             text_col: str = "text") -> str:
+    tok = C.sql_tokens(text_col)
+    return f"""
+        WITH per_src AS (
+            SELECT {group_col} AS src,
+                   SUM(len({tok})) AS tok_s
+            FROM {table} GROUP BY {group_col}
+        ), tot AS (SELECT SUM(tok_s) AS t_total FROM per_src),
+        shared AS (
+            SELECT CASE WHEN t.t_total > 0
+                        THEN p.tok_s * 1000 // t.t_total
+                        ELSE 0 END AS share_pm
+            FROM per_src p, tot t
+        ), agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(SUM(share_pm * share_pm) AS BIGINT) AS hhi_micro,
+                   CAST(MAX(share_pm) AS BIGINT) AS top_share_permille
+            FROM shared
+        )
+        SELECT n_sources, hhi_micro, top_share_permille,
+               CAST(CASE WHEN hhi_micro > 0
+                         THEN 1000000000 // hhi_micro
+                         ELSE 0 END AS BIGINT) AS eff_sources_milli
+        FROM agg
+    """

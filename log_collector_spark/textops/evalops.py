@@ -1844,3 +1844,98 @@ def sql_ann_map(table: str = "embeddings") -> str:
                        UNION ALL {lvl('lsh', S.sql_lsh_ann_topk(table))})
         ORDER BY ann_path
     """
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign-projection distortion audit
+# ---------------------------------------------------------------------------
+
+JL_K = 16  # projected dimensions (64 -> 16, the 4x bandwidth saving)
+_rng_jl = __import__("random").Random(424242)
+# fixed seeded ±1 sign matrix (Achlioptas 2001: database-friendly random
+# projections) — embedded verbatim into the oracle SQL like EMB_PLANES
+JL_SIGNS = [[_rng_jl.choice((-1, 1)) for _ in range(64)]
+            for _ in range(JL_K)]
+
+
+def jl_distortion(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Distance-distortion histogram of a ±1 sign projection (Achlioptas
+    / Johnson-Lindenstrauss, 64 → ``JL_K`` dims): for every (query,
+    candidate) pair, the ratio of projected to exact squared L2 distance
+    — ``E[‖P(q−c)‖²] = JL_K·‖q−c‖²`` for a ±1 matrix, so the unbiased
+    ratio_permille centers on 1000 — bucketed into deciles. The audit a
+    pipeline runs before swapping full vectors for projected ones in a
+    first-pass retrieval tier: how fat are the distortion tails at THIS
+    corpus's geometry?
+
+    Plan/scale: each side projects ONCE (a 16-term transform over the
+    quantized vector — pure Catalyst), then the documented
+    O(|queries|·n) eval join (queries broadcast, QUERY_MOD-sampled)
+    computes both distances from the projected/full arrays; output is a
+    constant-size histogram. Integer throughout: quantized vectors,
+    integer sign matrix, permille ratio by integer DIV — exact DuckDB
+    oracle from the same constants."""
+    sq = C.quantized_embedding(F.col(vec_col))
+    proj = F.transform(
+        F.array(*[F.lit(r).cast("array<bigint>") for r in JL_SIGNS]),
+        lambda r: C.int_dot(r, F.col("q")))
+    q = (df.select("vec_id", sq.alias("q"))
+           .select("vec_id", "q", proj.alias("p")))
+    queries = (q.filter(F.col("vec_id") % 100 == 0)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("q").alias("qv"), F.col("p").alias("qp")))
+    pairs = (q.select(F.col("vec_id").alias("cand_id"),
+                      F.col("q").alias("cv"), F.col("p").alias("cp"))
+             .join(F.broadcast(queries),
+                   F.col("cand_id") != F.col("query_id")))
+    d2 = F.aggregate(F.zip_with(F.col("qv"), F.col("cv"),
+                                lambda a, b: (a - b) * (a - b)),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    p2 = F.aggregate(F.zip_with(F.col("qp"), F.col("cp"),
+                                lambda a, b: (a - b) * (a - b)),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    ratio = F.expr(f"p2 * 1000 DIV ({JL_K} * d2)")
+    scored = (pairs.select(d2.alias("d2"), p2.alias("p2"))
+              .filter(F.col("d2") > 0)
+              .select(ratio.alias("ratio_pm")))
+    return (scored.groupBy(F.expr("ratio_pm DIV 100").cast("long")
+                           .alias("ratio_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.expr("SUM(ratio_pm) DIV COUNT(*)").cast("long")
+                  .alias("mean_ratio_pm"))
+            .orderBy("ratio_bucket"))
+
+
+def sql_jl_distortion(table: str = "embeddings") -> str:
+    qe = C.sql_quantized_embedding("embedding")
+    signs = ", ".join(f"({j}, {r}::BIGINT[])"
+                      for j, r in enumerate(JL_SIGNS))
+    return f"""
+        WITH q0 AS (SELECT vec_id, {qe} AS q FROM {table}),
+        signs(j, r) AS (VALUES {signs}),
+        q AS (
+            SELECT q0.vec_id, ANY_VALUE(q0.q) AS q,
+                   list(CAST(list_dot_product(s.r, q0.q) AS BIGINT)
+                        ORDER BY s.j) AS p
+            FROM q0, signs s GROUP BY q0.vec_id
+        ), pairs AS (
+            SELECT CAST(list_sum(list_transform(
+                       list_zip(qs.q, c.q),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)
+                       AS d2,
+                   CAST(list_sum(list_transform(
+                       list_zip(qs.p, c.p),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)
+                       AS p2
+            FROM q qs JOIN q c ON c.vec_id <> qs.vec_id
+            WHERE qs.vec_id % 100 = 0
+        ), scored AS (
+            SELECT p2 * 1000 // ({JL_K} * d2) AS ratio_pm
+            FROM pairs WHERE d2 > 0
+        )
+        SELECT CAST(ratio_pm // 100 AS BIGINT) AS ratio_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(ratio_pm) // COUNT(*) AS BIGINT) AS mean_ratio_pm
+        FROM scored
+        GROUP BY 1 ORDER BY 1
+    """

@@ -2703,6 +2703,26 @@ def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_rebalance_audit(_docs(spark, sf_dir))
 
 
+def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """System-R left-deep join-order decision table from measured
+    count/distinct stats over customer–orders–lineitem (CBO parity)."""
+    return _an().join_order_advisor(_tbl(spark, sf_dir, "customer"),
+                                    _tbl(spark, sf_dir, "orders"),
+                                    _tbl(spark, sf_dir, "lineitem"))
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-variance (Neyman) stratified sample allocation across
+    sources vs proportional allocation — integer moments + exact isqrt."""
+    return _ta().neyman_allocation(_docs(spark, sf_dir))
+
+
+def q_selectivity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence-assumption selectivity error per (event_type,
+    value-band) cell — the multi-column-stats evidence table."""
+    return _or().selectivity_correlation_audit(_events(spark, sf_dir))
+
+
 def q_good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing unseen-mass + bias-corrected Chao1 vocabulary-size
     estimate from the token frequency-of-frequencies (one row)."""
@@ -2729,6 +2749,9 @@ def q_column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "join_order_advisor": q_join_order_advisor,
+        "neyman_allocation": q_neyman_allocation,
+        "selectivity_correlation": q_selectivity_correlation,
         "good_turing_vocab": q_good_turing_vocab,
         "source_concentration": q_source_concentration,
         "jl_distortion": q_jl_distortion,
@@ -3079,6 +3102,10 @@ def oracle_sql() -> dict[str, str]:
              ELSE 'events_etl' END
     """
     return {
+        "join_order_advisor": _an().sql_join_order_advisor(),
+        "neyman_allocation": _ta().sql_neyman_allocation(),
+        "selectivity_correlation":
+            _or().sql_selectivity_correlation_audit(),
         "good_turing_vocab": _ta().sql_good_turing_vocab(),
         "source_concentration": _ta().sql_source_concentration(),
         "jl_distortion": _te().sql_jl_distortion(),

@@ -1148,3 +1148,110 @@ def sql_market_share(market_region: str = MARKET_REGION,
         FROM agg
         ORDER BY o_year
     """
+
+
+# ---------------------------------------------------------------------------
+# System-R left-deep join-order advisor (measured-stats CBO parity)
+# ---------------------------------------------------------------------------
+
+_JO_BOUND = 9_000_000_000_000_000_000  # int64 headroom for |A|*|B|
+
+
+def join_order_advisor(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame) -> DataFrame:
+    """Cost-based join-order advisor over the customer–orders–lineitem
+    chain, from MEASURED stats (row counts + distinct join keys) and the
+    System-R / Catalyst-CBO estimator ``|A⋈B| = |A|·|B| / max(d_A,d_B)``:
+    one row per left-deep order with its estimated intermediate size —
+    the quantity a 100-TB planner minimizes — and a recommendation. The
+    third candidate (customer×lineitem first) shares no key, so its
+    "join" is the cross product the estimator correctly prices out.
+
+    Why engine-side: Catalyst's CBO does this internally when ANALYZE
+    stats exist; on raw parquet feeds there are none, so a pipeline
+    computes the same decision table itself (one narrow agg per table)
+    and pins the join order / broadcast hints from evidence. Output is
+    engine-agnostic arithmetic → exact DuckDB oracle.
+
+    Plan/scale: three map-side count/distinct aggs (each shuffles only
+    the key column), a 1-row stats crossJoin, constant-size output. The
+    |A|·|B| products carry DIVISION-form int64 headroom guards (counts
+    beyond ~3e9 each side → use sampled stats instead, as every real
+    CBO does)."""
+    sc = customer.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.countDistinct("c_custkey").alias("dc_ck"))
+    so = orders.agg(
+        F.count(F.lit(1)).alias("no"),
+        F.countDistinct("o_custkey").alias("do_ck"),
+        F.countDistinct("o_orderkey").alias("do_ok"))
+    sl = lineitem.agg(
+        F.count(F.lit(1)).alias("nl"),
+        F.countDistinct("l_orderkey").alias("dl_ok"))
+    stats = sc.crossJoin(so).crossJoin(sl)
+
+    def _guarded_mul(a: str, b: str) -> Column:
+        ok = F.expr(f"{b} <= {_JO_BOUND} DIV GREATEST({a}, 1)")
+        return (F.when(ok, F.expr(f"{a} * {b}"))
+                .otherwise(F.raise_error(F.lit(
+                    "join_order_advisor: table sizes beyond int64 "
+                    "estimator headroom; use sampled stats"))))
+
+    # integer DIV on NAMED product columns (never float /: drops low bits
+    # past 2^53); operands are non-negative so Spark DIV == DuckDB //
+    prods = stats.select(
+        "*",
+        _guarded_mul("nc", "no").cast("long").alias("p_co"),
+        _guarded_mul("no", "nl").cast("long").alias("p_ol"),
+        _guarded_mul("nc", "nl").cast("long").alias("p_cl"))
+    co = F.expr("p_co DIV GREATEST(dc_ck, do_ck, 1)").cast("long")
+    ol = F.expr("p_ol DIV GREATEST(do_ok, dl_ok, 1)").cast("long")
+    cl = F.col("p_cl")                             # keyless: cross product
+    plans = prods.select(F.explode(F.array(
+        F.struct(F.lit("customer*orders->lineitem").alias("join_order"),
+                 co.alias("est_step1_rows")),
+        F.struct(F.lit("orders*lineitem->customer").alias("join_order"),
+                 ol.alias("est_step1_rows")),
+        F.struct(F.lit("customer*lineitem->orders").alias("join_order"),
+                 cl.alias("est_step1_rows")),
+    )).alias("p")).select("p.join_order", "p.est_step1_rows")
+    best = plans.agg(F.min("est_step1_rows").alias("best_cost"))
+    return (plans.crossJoin(F.broadcast(best))
+            .select("join_order", "est_step1_rows",
+                    (F.col("est_step1_rows") == F.col("best_cost"))
+                    .alias("recommended"))
+            .orderBy("join_order"))
+
+
+def sql_join_order_advisor() -> str:
+    return f"""
+        WITH sc AS (SELECT COUNT(*) AS nc,
+                           COUNT(DISTINCT c_custkey) AS dc_ck
+                    FROM customer),
+        so AS (SELECT COUNT(*) AS no_,
+                      COUNT(DISTINCT o_custkey) AS do_ck,
+                      COUNT(DISTINCT o_orderkey) AS do_ok
+               FROM orders),
+        sl AS (SELECT COUNT(*) AS nl,
+                      COUNT(DISTINCT l_orderkey) AS dl_ok
+               FROM lineitem),
+        plans AS (
+            SELECT 'customer*orders->lineitem' AS join_order,
+                   CAST(nc * no_ // GREATEST(dc_ck, do_ck, 1) AS BIGINT)
+                       AS est_step1_rows
+            FROM sc, so, sl
+            UNION ALL
+            SELECT 'orders*lineitem->customer',
+                   CAST(no_ * nl // GREATEST(do_ok, dl_ok, 1) AS BIGINT)
+            FROM sc, so, sl
+            UNION ALL
+            SELECT 'customer*lineitem->orders',
+                   CAST(nc * nl AS BIGINT)
+            FROM sc, so, sl
+        )
+        SELECT join_order, est_step1_rows,
+               est_step1_rows = (SELECT MIN(est_step1_rows) FROM plans)
+                   AS recommended
+        FROM plans
+        ORDER BY join_order
+    """

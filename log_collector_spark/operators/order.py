@@ -821,3 +821,90 @@ def sql_column_profile(table: str = "events",
 
     union = " UNION ALL ".join(one(c) for c in cols)
     return f"SELECT * FROM ({union}) ORDER BY col_name"
+
+
+SEL_BAND_CENTS = 500  # $5 value bands for the selectivity grid
+_SEL_BOUND = 9_000_000_000_000_000_000
+
+
+def selectivity_correlation_audit(events: DataFrame,
+                                  band_cents: int = SEL_BAND_CENTS
+                                  ) -> DataFrame:
+    """Independence-assumption error audit — the CBO blind spot
+    measured: for every observed (event_type, value-band) cell, the
+    actual row count vs the System-R estimate ``n_type · n_band / n``
+    (what any optimizer without multi-column stats predicts), the
+    permille error, and whether the estimator UNDER-estimates (the
+    dangerous direction: an underestimated join side silently becomes a
+    broadcast OOM at 100 TB). High errors are the evidence for creating
+    multi-column stats / avoiding correlated-predicate pushdown bets.
+
+    Money as integer cents (ROUND(value·100), both engines; negative
+    values are excluded so integer DIV banding is floor-consistent
+    cross-engine); one
+    (type, band) agg + two broadcast marginal joins — marginals are
+    |types| and |bands| rows, nothing else moves. DIVISION-form int64
+    headroom guard on the marginal product."""
+    from log_collector_spark.textops import common as C
+
+    base = (events.filter(F.expr("value IS NOT NULL AND value >= 0"))
+            .select(
+        F.col("event_type"),
+        F.expr(f"CAST(ROUND(value * 100) AS BIGINT) DIV {band_cents}")
+         .alias("value_band")))
+    cells = (base.groupBy("event_type", "value_band")
+             .agg(F.count(F.lit(1)).alias("n_actual")))
+    by_t = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    by_b = base.groupBy("value_band").agg(F.count(F.lit(1)).alias("n_b"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    j = (cells.join(F.broadcast(by_t), "event_type")
+         .join(F.broadcast(by_b), "value_band")
+         .crossJoin(F.broadcast(tot)))
+    ok = F.expr(f"n_b <= {_SEL_BOUND} DIV GREATEST(n_t, 1)")
+    exp = (F.when(ok, F.expr("n_t * n_b DIV n"))
+           .otherwise(F.raise_error(F.lit(
+               "selectivity_correlation_audit: marginal product beyond "
+               "int64 headroom; use permille shares"))))
+    out = (j.withColumn("n_expected", exp.cast("long"))
+           .withColumn("err_permille",
+                       F.expr("abs(n_actual - n_expected) * 1000 "
+                              "DIV GREATEST(n_expected, 1)").cast("long"))
+           .withColumn("underestimated",
+                       F.col("n_actual") > F.col("n_expected")))
+    return (out.select("event_type", "value_band",
+                       F.col("n_actual").cast("long").alias("n_actual"),
+                       "n_expected", "err_permille", "underestimated")
+            .orderBy("event_type", "value_band"))
+
+
+def sql_selectivity_correlation_audit(table: str = "events",
+                                      band_cents: int = SEL_BAND_CENTS
+                                      ) -> str:
+    return f"""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) // {band_cents}
+                       AS value_band
+            FROM {table}
+            WHERE value IS NOT NULL AND value >= 0
+        ), cells AS (
+            SELECT event_type, value_band, COUNT(*) AS n_actual
+            FROM base GROUP BY 1, 2
+        ), by_t AS (
+            SELECT event_type, COUNT(*) AS n_t FROM base GROUP BY 1
+        ), by_b AS (
+            SELECT value_band, COUNT(*) AS n_b FROM base GROUP BY 1
+        ), tot AS (SELECT COUNT(*) AS n FROM base)
+        SELECT c.event_type, c.value_band,
+               CAST(c.n_actual AS BIGINT) AS n_actual,
+               CAST(t.n_t * b.n_b // tot.n AS BIGINT) AS n_expected,
+               CAST(abs(c.n_actual - t.n_t * b.n_b // tot.n) * 1000
+                    // GREATEST(t.n_t * b.n_b // tot.n, 1) AS BIGINT)
+                   AS err_permille,
+               c.n_actual > t.n_t * b.n_b // tot.n AS underestimated
+        FROM cells c
+        JOIN by_t t USING (event_type)
+        JOIN by_b b USING (value_band)
+        CROSS JOIN tot
+        ORDER BY c.event_type, c.value_band
+    """

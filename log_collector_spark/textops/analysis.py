@@ -3989,3 +3989,94 @@ def sql_source_concentration(table: str = "documents",
                          ELSE 0 END AS BIGINT) AS eff_sources_milli
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation (minimum-variance stratified sampling advisor)
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000
+_NEYMAN_BOUND = 9_000_000_000_000_000_000
+
+
+def neyman_allocation(df: DataFrame, group_col: str = "source",
+                      size_col: str = "n_chars",
+                      budget: int = NEYMAN_BUDGET) -> DataFrame:
+    """Minimum-variance sample allocation across strata (Neyman 1934):
+    give stratum h a share of the audit budget proportional to
+    ``N_h · S_h`` (population size × within-stratum std-dev of the size
+    column), against the naive proportional allocation shown alongside —
+    the advisor for "we can hand-label B docs; how many from each
+    source?" that beats proportional sampling exactly where sources have
+    unequal spread.
+
+    Integer throughout: population variance via the moment identity
+    ``(N·Σx² − (Σx)²) / N²`` with a DIVISION-form int64 headroom guard,
+    std-dev by exact :func:`common.isqrt`, allocations by integer DIV
+    (floored, so Σ alloc ≤ budget — the remainder is the caller's
+    tie-break). One (group)-keyed moment agg, |groups| output rows; at
+    100 TB moments combine per-shard, nothing else moves."""
+    g = (df.select(F.col(group_col).alias("stratum"),
+                   F.col(size_col).cast("long").alias("x"))
+         .groupBy("stratum")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("x").alias("sum_x"),
+              F.sum(F.col("x") * F.col("x")).alias("sum_x2")))
+    ok = F.expr(f"sum_x2 <= {_NEYMAN_BOUND} DIV GREATEST(n_docs, 1)")
+    varnum = (F.when(ok, F.expr("n_docs * sum_x2 - sum_x * sum_x"))
+              .otherwise(F.raise_error(F.lit(
+                  "neyman_allocation: moments beyond int64 headroom; "
+                  "pre-aggregate per shard"))))
+    g = (g.withColumn("varnum", F.greatest(varnum, F.lit(0)))
+          .withColumn("sd", C.isqrt(F.expr("varnum DIV (n_docs * n_docs)")))
+          .withColumn("w", F.expr("n_docs * sd")))
+    tot = g.agg(F.sum("w").alias("tot_w"),
+                F.sum("n_docs").alias("tot_n"))
+    out = g.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sd").cast("long").alias("sd_chars"),
+        F.when(F.col("tot_w") > 0,
+               F.expr(f"least({budget} * w DIV tot_w, n_docs)"))
+         .otherwise(0).cast("long").alias("neyman_alloc"),
+        F.when(F.col("tot_n") > 0,
+               F.expr(f"least({budget} * n_docs DIV tot_n, n_docs)"))
+         .otherwise(0).cast("long").alias("prop_alloc"))
+    return out.orderBy("stratum")
+
+
+def sql_neyman_allocation(table: str = "documents",
+                          group_col: str = "source",
+                          size_col: str = "n_chars",
+                          budget: int = NEYMAN_BUDGET) -> str:
+    isq = C.sql_isqrt("GREATEST(n_docs * sum_x2 - sum_x * sum_x, 0) "
+                      "// (n_docs * n_docs)")
+    return f"""
+        WITH g AS (
+            SELECT {group_col} AS stratum,
+                   COUNT(*) AS n_docs,
+                   SUM(CAST({size_col} AS BIGINT)) AS sum_x,
+                   SUM(CAST({size_col} AS BIGINT)
+                       * CAST({size_col} AS BIGINT)) AS sum_x2
+            FROM {table} GROUP BY {group_col}
+        ), s AS (
+            SELECT stratum, n_docs, CAST({isq} AS BIGINT) AS sd
+            FROM g
+        ), w AS (
+            SELECT stratum, n_docs, sd, n_docs * sd AS w FROM s
+        ), tot AS (
+            SELECT SUM(w) AS tot_w, SUM(n_docs) AS tot_n FROM w
+        )
+        SELECT w.stratum,
+               CAST(w.n_docs AS BIGINT) AS n_docs,
+               CAST(w.sd AS BIGINT) AS sd_chars,
+               CAST(CASE WHEN t.tot_w > 0
+                         THEN LEAST({budget} * w.w // t.tot_w, w.n_docs)
+                         ELSE 0 END AS BIGINT) AS neyman_alloc,
+               CAST(CASE WHEN t.tot_n > 0
+                         THEN LEAST({budget} * w.n_docs // t.tot_n,
+                                    w.n_docs)
+                         ELSE 0 END AS BIGINT) AS prop_alloc
+        FROM w, tot t
+        ORDER BY w.stratum
+    """

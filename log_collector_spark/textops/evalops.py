@@ -762,17 +762,27 @@ def ivfadc_recall(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     from log_collector_spark.textops import similarity as S
     from pyspark.sql.window import Window
 
-    q = S._quantized(df, vec_col)
+    # ONE quantize+cell+code pass, persisted (n rows of small arrays);
+    # the three rankings below branch off it instead of re-deriving the
+    # quantization / cell assignment / PQ codes per path (was 3 full
+    # re-computations — the slowest eval query in the suite before).
+    scores = S._ivf_cell_scores(F.col("q"))
+    base = _persist_eval(
+        S._quantized(df, vec_col).select(
+            "vec_id", "q",
+            F.array_min(scores)["cid"].alias("cell"),
+            S._pq_corpus_code().alias("pq_code")))
+
     c2 = C.int_dot(F.col("cv"), F.col("cv"))
-    queries = (q.filter(F.col("vec_id") % S.QUERY_MOD == 0)
-                .select(F.col("vec_id").alias("query_id"),
-                        F.col("q").alias("qv")))
+    queries = (base.filter(F.col("vec_id") % S.QUERY_MOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("qv")))
     dist = (c2 - 2 * C.int_dot(F.col("qv"), F.col("cv"))).alias("dist")
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"),
                                                F.asc("cand_id"))
 
-    corpus_all = q.select(F.col("vec_id").alias("cand_id"),
-                          F.col("q").alias("cv"))
+    corpus_all = base.select(F.col("vec_id").alias("cand_id"),
+                             F.col("q").alias("cv"))
     truth = (corpus_all.join(F.broadcast(queries),
                              F.col("cand_id") != F.col("query_id"))
              .select("query_id", "cand_id", dist)
@@ -780,26 +790,33 @@ def ivfadc_recall(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
              .filter(F.col("rank") <= S.TOP_K)
              .select("query_id", F.col("cand_id").alias("truth_id")))
 
-    scores = S._ivf_cell_scores(F.col("q"))
-    corpus_cells = q.select(F.col("vec_id").alias("cand_id"),
-                            F.col("q").alias("cv"),
-                            F.array_min(scores)["cid"].alias("cell"))
-    probes = (q.filter(F.col("vec_id") % S.QUERY_MOD == 0)
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("q").alias("qv"),
-                       F.explode(F.slice(F.array_sort(scores), 1,
-                                         S.IVF_NPROBE)).alias("p"))
-               .select("query_id", "qv", F.col("p.cid").alias("probe")))
-    in_cells = (corpus_cells.join(F.broadcast(probes),
-                                  (F.col("cell") == F.col("probe")) &
-                                  (F.col("cand_id") != F.col("query_id")))
-                .select("query_id", "cand_id", dist)
+    # one probed-cell pool carrying BOTH scores: exact dist (the coarse-
+    # quantizer ceiling) and the ADC estimate (what the PQ scan serves)
+    probes = (base.filter(F.col("vec_id") % S.QUERY_MOD == 0)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("q").alias("qv"),
+                      S._pq_lut(F.col("q")).alias("lut"),
+                      F.explode(F.slice(F.array_sort(scores), 1,
+                                        S.IVF_NPROBE)).alias("p"))
+              .select("query_id", "qv", "lut",
+                      F.col("p.cid").alias("probe")))
+    pool = (base.select(F.col("vec_id").alias("cand_id"),
+                        F.col("q").alias("cv"), "cell", "pq_code")
+            .join(F.broadcast(probes),
+                  (F.col("cell") == F.col("probe")) &
+                  (F.col("cand_id") != F.col("query_id")))
+            .select("query_id", "cand_id", dist,
+                    S._pq_adc_dist().alias("adc_dist")))
+    in_cells = (pool
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= S.TOP_K)
                 .select("query_id", F.col("cand_id").alias("cell_id")))
 
-    adc = S.ivfadc_ann_topk(df, vec_col).select(
-        "query_id", F.col("cand_id").alias("adc_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                                   F.asc("cand_id"))
+    adc = (pool.withColumn("rank", F.row_number().over(w_adc))
+           .filter(F.col("rank") <= S.TOP_K)
+           .select("query_id", F.col("cand_id").alias("adc_id")))
 
     per_q = truth.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("k_truth"))

@@ -47,8 +47,13 @@ _IVF_C2 = [sum(x * x for x in c) for c in IVF_CENTROIDS]
 
 
 def _quantized(df: DataFrame, vec_col: str) -> DataFrame:
-    return df.select("vec_id",
-                     C.quantized_embedding(F.col(vec_col)).alias("q"))
+    # ONE F.expr string instead of Column-API composition: building the
+    # lambda tree through py4j cost ~0.8 s of DRIVER time per plan (every
+    # .lit/.cast/operator is a JVM round-trip); the parsed-SQL form is one
+    # call and produces the identical expression.
+    return df.select("vec_id", F.expr(
+        f"transform({vec_col}, x -> cast(round(cast(x as double)"
+        f" * {C.EMB_SCALE}, 0) as bigint))").alias("q"))
 
 
 def brute_force_topk(df: DataFrame, vec_col: str = "embedding",
@@ -122,25 +127,29 @@ def lsh_ann_topk(df: DataFrame, vec_col: str = "embedding",
                           F.col("rank").cast("int").alias("rank")))
 
 
-def _ivf_cell_scores(qcol: Column) -> Column:
-    """array<struct<dist,cid>> of the vector's distance term to every
-    centroid; ``array_min``/``array_sort`` order by (dist, cid) — the same
-    tie-break as the oracle's ROW_NUMBER ORDER BY dist, cid.
+def _ivf_cell_scores(qcol: Column | None = None) -> Column:
+    """array<struct<dist,cid>> of the quantized vector column ``q``'s
+    distance term to every centroid; ``array_min``/``array_sort`` order by
+    (dist, cid) — the same tie-break as the oracle's ROW_NUMBER ORDER BY
+    dist, cid. ``qcol`` is accepted for backward compatibility but the
+    expression is always bound to the column named ``q`` (every caller).
 
     Shaped as ONE ``transform`` over a nested centroid-array literal rather
     than 16 unrolled dot-product subtrees: the unrolled form compiled for
     ~4 s per job (whole-stage codegen over 16 aggregate/zip_with chains)
     before a 0.8 s execution — the loop form keeps the expression tree tiny
-    and the runtime identical."""
-    cents = F.array(*[F.lit(c).cast("array<bigint>")
-                      for c in IVF_CENTROIDS])
-    c2s = F.lit(_IVF_C2).cast("array<bigint>")
-    return F.transform(
-        cents,
-        lambda c, i: F.struct(
-            (F.element_at(c2s, i + 1)
-             - F.lit(2) * C.int_dot(qcol, c)).alias("dist"),
-            i.cast("long").alias("cid")))
+    and the runtime identical. Built as ONE F.expr string (the Column-API
+    form cost ~0.8 s of driver py4j time per plan)."""
+    cents = ", ".join(
+        "array(" + ", ".join(f"{v}L" for v in c) + ")"
+        for c in IVF_CENTROIDS)
+    c2s = "array(" + ", ".join(f"{x}L" for x in _IVF_C2) + ")"
+    return F.expr(
+        f"transform(array({cents}), (c, i) -> named_struct("
+        f"'dist', element_at({c2s}, cast(i + 1 as int)) - 2L * "
+        f"aggregate(zip_with(q, c, (x, y) -> x * y), 0L,"
+        f" (acc, x) -> acc + x), "
+        f"'cid', cast(i as bigint)))")
 
 
 def ivf_ann_topk(df: DataFrame, vec_col: str = "embedding",
@@ -384,21 +393,20 @@ PQ_CODEBOOKS = [[[_rng_pq.randrange(-500, 501) for _ in range(PQ_DSUB)]
                  for _ in range(PQ_KS)] for _ in range(PQ_M)]
 
 
-def _pq_packed_best(qcol: Column, m: int) -> Column:
+def _pq_packed_best(qcol: Column | None, m: int) -> Column:
     """Packed (dist * PQ_KS + cid) of subspace ``m``'s nearest codebook
-    centroid — min over the packed int = lexicographic (dist, cid)."""
-    cents = F.array(*[
-        F.struct(
-            F.lit(c).alias("cid"),
-            F.array(*[F.lit(v) for v in PQ_CODEBOOKS[m][c]]).alias("cv"))
-        for c in range(PQ_KS)])
-    sub = F.slice(qcol, m * PQ_DSUB + 1, PQ_DSUB)
-    return F.array_min(F.transform(
-        cents,
-        lambda s: F.aggregate(
-            F.zip_with(sub, s["cv"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x,
-        ) * PQ_KS + s["cid"]))
+    centroid — min over the packed int = lexicographic (dist, cid).
+    Always bound to the quantized column named ``q`` (every caller);
+    one F.expr string to keep plan construction off the py4j hot path."""
+    cents = ", ".join(
+        f"named_struct('cid', {c}, 'cv', array("
+        + ", ".join(str(v) for v in PQ_CODEBOOKS[m][c]) + "))"
+        for c in range(PQ_KS))
+    return F.expr(
+        f"array_min(transform(array({cents}), s -> "
+        f"aggregate(zip_with(slice(q, {m * PQ_DSUB + 1}, {PQ_DSUB}),"
+        f" s.cv, (x, y) -> (x - y) * (x - y)), 0L,"
+        f" (acc, x) -> acc + x) * {PQ_KS} + s.cid))")
 
 
 def _sql_pq_best(m: int) -> str:
@@ -681,6 +689,40 @@ def sql_rrf_fusion_topk(table: str = "embeddings", k: int = TOP_K,
 # ---------------------------------------------------------------------------
 
 
+def _pq_corpus_code() -> Column:
+    """int64-packed 8×4-bit PQ code of the quantized vector column ``q``."""
+    code = sum((_pq_packed_best(F.col("q"), m) % PQ_KS) * (PQ_KS ** m)
+               for m in range(PQ_M))
+    return code.cast("long")
+
+
+def _pq_lut(qcol: Column | None = None) -> Column:
+    """128-entry ADC lookup table for the query vector column ``q``:
+    entry i (0-based) is ‖q_sub_m − codebook_m[c]‖² with m = i >> 4,
+    c = i % 16. One F.expr string (py4j-cheap plan construction)."""
+    arrs = ", ".join(
+        "array(" + ", ".join(f"{v}L" for v in PQ_CODEBOOKS[m][c]) + ")"
+        for m in range(PQ_M) for c in range(PQ_KS))
+    diff = [
+        f"(element_at(q, cast(shiftright(i, 4) * {PQ_DSUB} + {d + 1}"
+        f" as int)) - element_at(cv, {d + 1}))"
+        for d in range(PQ_DSUB)]
+    body = " + ".join(f"{t} * {t}" for t in diff)
+    return F.expr(
+        f"transform(array({arrs}), (cv, i) -> cast({body} as bigint))")
+
+
+def _pq_adc_dist() -> Column:
+    """ADC distance from columns ``pq_code`` (candidate) + ``lut`` (query)."""
+    adc = None
+    for m in range(PQ_M):
+        nib = F.expr(f"(pq_code DIV {PQ_KS ** m}) % {PQ_KS}")
+        term = F.element_at(F.col("lut"),
+                            (F.lit(m * PQ_KS + 1) + nib).cast("int"))
+        adc = term if adc is None else adc + term
+    return adc.cast("long")
+
+
 def ivfadc_ann_topk(df: DataFrame, vec_col: str = "embedding",
                     k: int = TOP_K, query_mod: int = QUERY_MOD,
                     nprobe: int = IVF_NPROBE) -> DataFrame:
@@ -706,41 +748,18 @@ def ivfadc_ann_topk(df: DataFrame, vec_col: str = "embedding",
     oracle from the same constants."""
     q = _quantized(df, vec_col)
     scores = _ivf_cell_scores(F.col("q"))
-    code = sum((_pq_packed_best(F.col("q"), m) % PQ_KS) * (PQ_KS ** m)
-               for m in range(PQ_M))
     corpus = q.select(F.col("vec_id").alias("cand_id"),
                       F.array_min(scores)["cid"].alias("cell"),
-                      code.cast("long").alias("pq_code"))
-
-    cents_flat = F.array(*[F.lit(PQ_CODEBOOKS[m][c]).cast("array<bigint>")
-                           for m in range(PQ_M) for c in range(PQ_KS)])
-
-    def _lut(qcol: Column) -> Column:
-        # entry i (0-based): subspace m = i >> 4, centroid c = i % 16;
-        # squared L2 between the query subvector and that centroid.
-        def ent(cv: Column, i: Column) -> Column:
-            base = F.shiftright(i, 4) * PQ_DSUB
-            diffs = [F.element_at(qcol, (base + d + 1).cast("int"))
-                     - F.element_at(cv, d + 1) for d in range(PQ_DSUB)]
-            out = diffs[0] * diffs[0]
-            for t in diffs[1:]:
-                out = out + t * t
-            return out.cast("long")
-        return F.transform(cents_flat, ent)
+                      _pq_corpus_code().alias("pq_code"))
 
     probes = F.slice(F.array_sort(scores), 1, nprobe)
     queries = (q.filter(F.col("vec_id") % query_mod == 0)
                .select(F.col("vec_id").alias("query_id"),
-                       _lut(F.col("q")).alias("lut"),
+                       _pq_lut(F.col("q")).alias("lut"),
                        F.explode(probes).alias("p"))
                .select("query_id", "lut", F.col("p.cid").alias("probe")))
 
-    adc = None
-    for m in range(PQ_M):
-        nib = F.expr(f"(pq_code DIV {PQ_KS ** m}) % {PQ_KS}")
-        term = F.element_at(F.col("lut"),
-                            (F.lit(m * PQ_KS + 1) + nib).cast("int"))
-        adc = term if adc is None else adc + term
+    adc = _pq_adc_dist()
     scored = (corpus.join(F.broadcast(queries),
                           (F.col("cell") == F.col("probe")) &
                           (F.col("cand_id") != F.col("query_id")))

@@ -2703,6 +2703,12 @@ def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_rebalance_audit(_docs(spark, sf_dir))
 
 
+def q_readability_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Flesch reading-ease band histogram (vowel-group syllable
+    proxy) — the no-model prose-vs-legalese curation screen."""
+    return _ta().readability_census(_docs(spark, sf_dir))
+
+
 def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """System-R left-deep join-order decision table from measured
     count/distinct stats over customer–orders–lineitem (CBO parity)."""
@@ -2749,6 +2755,7 @@ def q_column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "readability_census": q_readability_census,
         "join_order_advisor": q_join_order_advisor,
         "neyman_allocation": q_neyman_allocation,
         "selectivity_correlation": q_selectivity_correlation,
@@ -3102,6 +3109,7 @@ def oracle_sql() -> dict[str, str]:
              ELSE 'events_etl' END
     """
     return {
+        "readability_census": _ta().sql_readability_census(),
         "join_order_advisor": _an().sql_join_order_advisor(),
         "neyman_allocation": _ta().sql_neyman_allocation(),
         "selectivity_correlation":

@@ -4080,3 +4080,87 @@ def sql_neyman_allocation(table: str = "documents",
         FROM w, tot t
         ORDER BY w.stratum
     """
+
+
+# ---------------------------------------------------------------------------
+# Readability census (integer Flesch reading-ease bands)
+# ---------------------------------------------------------------------------
+
+
+def readability_census(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus readability histogram: per-document Flesch reading ease
+    computed in MILLI units from integer counts (206835 − 1015·words/
+    sentence − 84600·syllables/word, the 1948 formula ×1000), bucketed
+    into the standard bands (90+ very-easy … <30 very-confusing, banded
+    by score DIV 10000). Syllables use the deterministic vowel-group
+    proxy (runs of [aeiouy], min 1 per word); sentences are [.!?]+
+    boundaries, min 1 per doc. The curation screen for "is this source
+    textbook prose or legalese" that needs no model and runs at scan
+    speed — and its bands are stable under the proxy because every
+    input to the formula is an exact count.
+
+    Zero shuffles until the ~15-row histogram agg: counts are three
+    regexp projections per row (JVM regexp, whole-stage codegen). The
+    two quotients stay FLOAT on purpose (the repo's no-float-rescale
+    rule targets >2^53 integers; here every numerator is < 1e9, exact
+    in a double, and both engines evaluate the identical IEEE
+    expression tree — int/int is double division in Spark and DuckDB
+    alike — so the final FLOOR agrees bit-for-bit).
+    """
+    toks = C.tokens(F.col(text_col))
+    words = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    # sentences: runs of terminators; min 1
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)),
+        F.lit(1)).cast("long")
+    # syllable proxy: vowel-group count, floored at one per word
+    vgroups = F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                          F.lit(r"[aeiouy]+"), 0))
+    syl = F.greatest(vgroups.cast("long"), words)
+    score = (F.lit(206835)
+             - F.lit(1015) * words / sents
+             - F.lit(84600) * syl / words)
+    per_doc = df.select(
+        F.floor(score).cast("long").alias("flesch_milli"))
+    band = F.expr("""CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
+                          WHEN flesch_milli >= 70000 THEN 'easy'
+                          WHEN flesch_milli >= 50000 THEN 'medium'
+                          WHEN flesch_milli >= 30000 THEN 'hard'
+                          ELSE 'very_confusing' END""")
+    return (per_doc.groupBy(band.alias("band"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("flesch_milli").cast("long").alias("min_milli"),
+                 F.max("flesch_milli").cast("long").alias("max_milli"))
+            .orderBy("band"))
+
+
+def sql_readability_census(table: str = "documents",
+                           text_col: str = "text") -> str:
+    tok = C.sql_tokens(text_col)
+    return f"""
+        WITH counts AS (
+            SELECT GREATEST(len({tok}), 1) AS words,
+                   GREATEST(len(regexp_extract_all({text_col},
+                                                   '[.!?]+')), 1)
+                       AS sents,
+                   len(regexp_extract_all(lower({text_col}),
+                                          '[aeiouy]+')) AS vgroups
+            FROM {table}
+        ), per_doc AS (
+            SELECT CAST(FLOOR(206835
+                        - 1015 * words / sents
+                        - 84600 * GREATEST(vgroups, words) / words)
+                        AS BIGINT) AS flesch_milli
+            FROM counts
+        )
+        SELECT CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
+                    WHEN flesch_milli >= 70000 THEN 'easy'
+                    WHEN flesch_milli >= 50000 THEN 'medium'
+                    WHEN flesch_milli >= 30000 THEN 'hard'
+                    ELSE 'very_confusing' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(flesch_milli) AS BIGINT) AS min_milli,
+               CAST(MAX(flesch_milli) AS BIGINT) AS max_milli
+        FROM per_doc
+        GROUP BY 1 ORDER BY 1
+    """

@@ -167,3 +167,29 @@ def test_column_profile_all_null_column(spark):
     assert (r["top_value"], r["top_n"], r["top_share_permille"]) == \
         ("", 0, 0)
     assert r["is_candidate_key"] is False
+
+
+# ---------------------------------------------------------------------------
+# readability_census
+# ---------------------------------------------------------------------------
+
+def test_readability_hand_score(spark):
+    # "go now. stop it." → words 4, sentences 2, vowel groups: o,o,o,i
+    # = 4 → syl = max(4, 4) = 4
+    # score = 206835 - 1015*4/2 - 84600*4/4 = 206835 - 2030 - 84600
+    #       = 120205 → very_easy
+    df = _docs(spark, [(1, "go now. stop it.", "s")])
+    r = A.readability_census(df).collect()
+    assert len(r) == 1
+    assert r[0]["band"] == "very_easy"
+    assert r[0]["min_milli"] == r[0]["max_milli"] == 120205
+
+
+def test_readability_no_punctuation_single_sentence(spark):
+    # no terminators → sentences floor to 1; long polysyllabic words
+    # push the score down into the confusing band
+    df = _docs(spark, [(1, "onomatopoeia audiovisualization "
+                           "bureaucratization", "s")])
+    r = A.readability_census(df).collect()
+    assert len(r) == 1
+    assert r[0]["band"] == "very_confusing"

@@ -2341,8 +2341,13 @@ def dedup_roi_curve(df: DataFrame, text_col: str = "text",
     shingle never becomes an O(df²) key); the ladder is a tiny
     cross-join over the |pairs|-row frame. Distinct-doc counts explode
     pairs ×2 — still pair-scale, never corpus-scale."""
+    # the candidate frame feeds BOTH aggregates below and the
+    # threshold theta-join replicates it — persist the (tiny,
+    # pair-scale) frame so the inverted-index join runs ONCE
+    # (tracked in _PERSISTED_SHINGLES; unpersist_shingles releases)
     pairs = ngram_jaccard_pairs(df, text_col, num=1, den=1000,
-                                max_df=max_df)
+                                max_df=max_df).persist()
+    _PERSISTED_SHINGLES.append(pairs)
     thr = df.sparkSession.createDataFrame(
         [(int(t),) for t in thresholds], "threshold_permille long")
     j = thr.join(pairs,

@@ -377,7 +377,7 @@ def neardup_degree_histogram(df: DataFrame,
     a second tiny agg."""
     from log_collector_spark.textops import dedup as D
 
-    pairs = D.minhash_lsh_pairs(df, text_col)
+    pairs = _persist_eval(D.minhash_lsh_pairs(df, text_col))
     deg = (pairs.select(F.col("doc_a").alias("doc_id"))
            .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
            .groupBy("doc_id")
@@ -434,7 +434,7 @@ def pagerank_step(df: DataFrame, text_col: str = "text",
     from log_collector_spark.textops import dedup as D
 
     if pairs is None:
-        pairs = D.minhash_lsh_pairs(df, text_col)
+        pairs = _persist_eval(D.minhash_lsh_pairs(df, text_col))
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionAll(pairs.select(F.col("doc_b").alias("src"),
@@ -500,8 +500,11 @@ def triangle_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     is bounded by the arboricity, not the max degree."""
     from log_collector_spark.textops import dedup as D
 
-    edges = (D.ngram_jaccard_pairs(df, text_col)
-              .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
+    # the edge table is self-joined twice and unioned for the node set;
+    # persist the pair-scale frame so the inverted-index join runs ONCE
+    edges = _persist_eval(
+        D.ngram_jaccard_pairs(df, text_col)
+         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     paths = e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -667,8 +670,11 @@ def clustering_coefficient(df: DataFrame, text_col: str = "text"
     documents."""
     from log_collector_spark.textops import dedup as D
 
-    und = (D.ngram_jaccard_pairs(df, text_col)
-            .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
+    # referenced 5x below (sym x2 + the three-way triangle join);
+    # persist the pair-scale frame so pair-gen runs ONCE
+    und = _persist_eval(
+        D.ngram_jaccard_pairs(df, text_col)
+         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
     sym = und.unionAll(und.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("doc_id")).agg(
@@ -1467,7 +1473,9 @@ def kcore_peel(df: DataFrame, text_col: str = "text",
     set. Text never moves."""
     from log_collector_spark.textops import dedup as D
 
-    pairs = D.minhash_lsh_pairs(df, text_col)
+    # the edge list is referenced by deg0 AND both survivor semi-joins;
+    # persist the pair-scale frame so LSH pair-gen runs ONCE
+    pairs = _persist_eval(D.minhash_lsh_pairs(df, text_col))
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionAll(pairs.select(F.col("doc_b").alias("src"),
@@ -1546,7 +1554,9 @@ def link_jaccard(df: DataFrame, text_col: str = "text") -> DataFrame:
     bound), exactly as triangle_count documents."""
     from log_collector_spark.textops import dedup as D
 
-    pairs = D.minhash_lsh_pairs(df, text_col)
+    # edges feed adjacency (x2), degrees, and the two-hop join —
+    # persist the pair-scale frame so LSH pair-gen runs ONCE
+    pairs = _persist_eval(D.minhash_lsh_pairs(df, text_col))
     edges = pairs.select(F.col("doc_a").alias("a"),
                          F.col("doc_b").alias("b"))
     adj = (edges.select(F.col("a").alias("src"), F.col("b").alias("nbr"))

@@ -2703,6 +2703,13 @@ def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_rebalance_audit(_docs(spark, sf_dir))
 
 
+def q_hourly_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly feed-completeness census per event type: present/missing
+    hour buckets over the type's own span + longest silent stretch."""
+    from log_collector_spark.operators import seasonal as SE
+    return SE.hourly_gap_census(_events(spark, sf_dir))
+
+
 def q_readability_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer Flesch reading-ease band histogram (vowel-group syllable
     proxy) — the no-model prose-vs-legalese curation screen."""
@@ -2755,6 +2762,7 @@ def q_column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "hourly_gap_census": q_hourly_gap_census,
         "readability_census": q_readability_census,
         "join_order_advisor": q_join_order_advisor,
         "neyman_allocation": q_neyman_allocation,
@@ -3109,6 +3117,9 @@ def oracle_sql() -> dict[str, str]:
              ELSE 'events_etl' END
     """
     return {
+        "hourly_gap_census": __import__(
+            "log_collector_spark.operators.seasonal",
+            fromlist=["seasonal"]).sql_hourly_gap_census(),
         "readability_census": _ta().sql_readability_census(),
         "join_order_advisor": _an().sql_join_order_advisor(),
         "neyman_allocation": _ta().sql_neyman_allocation(),

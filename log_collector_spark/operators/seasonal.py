@@ -655,3 +655,82 @@ def sql_crosscorr_types(table: str = "events",
         FROM lags l LEFT JOIN d ON d.lag = l.lag
         ORDER BY l.lag
     """
+
+
+# ---------------------------------------------------------------------------
+# Hourly feed-completeness census (missing hours + longest outage)
+# ---------------------------------------------------------------------------
+
+
+def hourly_gap_census(events: DataFrame, ts_col: str = "ts",
+                      group_col: str = "event_type") -> DataFrame:
+    """Feed-completeness audit per event type: over the type's own
+    [first, last] hour span, how many hourly buckets carry at least one
+    event, how many are MISSING, and the single longest silent stretch —
+    the monitor that distinguishes "the crawler was down for six hours"
+    from "this type is just sparse" before a backfill is ordered. The
+    feed-level complement of ``tx_stats.turn_holes`` (which audits
+    per-conversation sequence gaps).
+
+    Returns (event_type, span_hours, present_hours, missing_hours,
+    missing_permille, longest_gap_hours) ORDER BY event_type.
+
+    Plan/scale: ONE distinct (type, hour) agg — the only corpus-wide
+    shuffle, map-side combined to |types|·|hours| rows — then a lag
+    window per type over those distinct hours (tiny frame). Epoch-hour
+    integer arithmetic (module docstring), no calendar scaffold table:
+    gaps fall out of consecutive-hour differences, so nothing is ever
+    exploded to the full hour range."""
+    from pyspark.sql.window import Window
+
+    hours = (events.select(F.col(group_col).alias("event_type"),
+                           _hour_idx(ts_col).alias("h"))
+             .groupBy("event_type", "h")
+             .agg(F.count(F.lit(1)).alias("_n")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    gap = (F.col("h") - F.lag("h").over(w) - 1)
+    per = (hours.withColumn("gap", F.coalesce(gap, F.lit(0)))
+           .groupBy("event_type")
+           .agg(F.min("h").alias("h0"), F.max("h").alias("h1"),
+                F.count(F.lit(1)).cast("long").alias("present_hours"),
+                F.max("gap").cast("long").alias("longest_gap_hours")))
+    span = (F.col("h1") - F.col("h0") + 1).cast("long")
+    missing = (span - F.col("present_hours")).cast("long")
+    return (per.select(
+        "event_type", span.alias("span_hours"), "present_hours",
+        missing.alias("missing_hours"),
+        C.permille(missing, span).alias("missing_permille"),
+        "longest_gap_hours")
+        .orderBy("event_type"))
+
+
+def sql_hourly_gap_census(table: str = "events") -> str:
+    return f"""
+        WITH hours AS (
+            SELECT event_type,
+                   CAST(epoch_ms(ts) // {_HOUR_MS} AS BIGINT) AS h
+            FROM {table}
+            GROUP BY 1, 2
+        ), gaps AS (
+            SELECT event_type, h,
+                   COALESCE(h - lag(h) OVER (PARTITION BY event_type
+                                             ORDER BY h) - 1, 0) AS gap
+            FROM hours
+        ), per AS (
+            SELECT event_type,
+                   MIN(h) AS h0, MAX(h) AS h1,
+                   CAST(COUNT(*) AS BIGINT) AS present_hours,
+                   CAST(MAX(gap) AS BIGINT) AS longest_gap_hours
+            FROM gaps GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(h1 - h0 + 1 AS BIGINT) AS span_hours,
+               present_hours,
+               CAST(h1 - h0 + 1 - present_hours AS BIGINT)
+                   AS missing_hours,
+               {C.sql_permille('h1 - h0 + 1 - present_hours',
+                               'h1 - h0 + 1')} AS missing_permille,
+               longest_gap_hours
+        FROM per
+        ORDER BY event_type
+    """

@@ -11,6 +11,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from log_collector_spark.operators import analytics as AN
+from log_collector_spark.operators import seasonal as SE
 from log_collector_spark.operators import order as OR
 from log_collector_spark.textops import analysis as A
 
@@ -104,3 +105,32 @@ def test_selectivity_correlation_excludes_negative_and_null(spark):
     out = OR.selectivity_correlation_audit(df).collect()
     assert len(out) == 1
     assert out[0]["n_actual"] == 1       # only the non-negative row
+
+
+# ---------------------------------------------------------------------------
+# hourly_gap_census
+# ---------------------------------------------------------------------------
+
+def _events_hours(spark, rows):
+    """rows: (hour_idx, event_type)."""
+    import datetime as dt
+    data = [(dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), t)
+            for h, t in rows]
+    return spark.createDataFrame(data, "ts timestamp, event_type string")
+
+
+def test_hourly_gap_census_hand_gaps(spark):
+    # type 'a': hours 0,1,5 → span 6, present 3, missing 3,
+    #           longest gap = hours 2-4 = 3
+    # type 'b': hours 2,3 → span 2, complete, no gap
+    rows = [(0, "a"), (0, "a"), (1, "a"), (5, "a"), (2, "b"), (3, "b")]
+    out = {r["event_type"]: r for r in
+           SE.hourly_gap_census(_events_hours(spark, rows)).collect()}
+    a = out["a"]
+    assert (a["span_hours"], a["present_hours"], a["missing_hours"]) == \
+        (6, 3, 3)
+    assert a["missing_permille"] == 500
+    assert a["longest_gap_hours"] == 3
+    b = out["b"]
+    assert (b["span_hours"], b["missing_hours"],
+            b["longest_gap_hours"]) == (2, 0, 0)

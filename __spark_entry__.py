@@ -1708,6 +1708,17 @@ def q_pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_codes(_embs(spark, sf_dir))
 
 
+def q_kcenter_select_embeddings(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-first) coreset selection over
+    the embedding space: 8 mutually-farthest exemplars + the maxmin
+    radius curve + final coverage d2 — per round one narrow scan +
+    TakeOrdered(1) with the chosen centers inlined as literals (no
+    shuffle, no join, stateless per-round plans)."""
+    from log_collector_spark.textops import similarity as S
+    return S.k_center_select(_embs(spark, sf_dir))
+
+
 def q_mixture_weights_documents(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Data-mixing rates: per-source token shares vs hash-derived target
@@ -3130,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_score_documents": q_contamination_score_documents,
         "mad_outliers_events": q_mad_outliers_events,
         "pq_codes_embeddings": q_pq_codes_embeddings,
+        "kcenter_select_embeddings": q_kcenter_select_embeddings,
         "mixture_weights_documents": q_mixture_weights_documents,
         "kmeans_step_embeddings": q_kmeans_step_embeddings,
         "bpe_pair_counts_documents": q_bpe_pair_counts_documents,
@@ -3808,6 +3820,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_score_documents": _td().sql_contamination_score(),
         "mad_outliers_events": _bh().sql_mad_outliers(),
         "pq_codes_embeddings": _ts().sql_pq_codes(),
+        "kcenter_select_embeddings": _ts().sql_k_center_select(),
         "mixture_weights_documents": _ta().sql_mixture_weights(),
         "kmeans_step_embeddings": _ts().sql_kmeans_step(),
         "bpe_pair_counts_documents": _ta().sql_bpe_pair_counts(),

@@ -1945,3 +1945,113 @@ def sql_latesim_topk(table: str = "embeddings", k: int = TOP_K,
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy (Gonzalez farthest-first) — coreset / diversity selection
+# ---------------------------------------------------------------------------
+
+K_CENTER_K = 8
+
+
+def _min_d2_expr(centers: list[list[int]]) -> "Column":
+    """min squared-L2 from the quantized column ``q`` to a literal center
+    set — ONE F.expr (array-of-arrays literal + transform), the same
+    py4j-cheap loop form as the IVF/PQ constants."""
+    cents = ", ".join(
+        "array(" + ", ".join(f"{v}L" for v in c) + ")" for c in centers)
+    return F.expr(
+        f"array_min(transform(array({cents}), c -> "
+        f"aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0L,"
+        f" (acc, x) -> acc + x)))")
+
+
+def k_center_select(df: DataFrame, vec_col: str = "embedding",
+                    k: int = K_CENTER_K) -> DataFrame:
+    """Greedy k-center selection (Gonzalez farthest-first, the classic
+    2-approximation to the metric k-center problem) over the quantized
+    embedding space — the coreset / diversity-sampling primitive: pick
+    the k mutually-farthest exemplars, the selection rule behind
+    facility-location-style subset selection for finetuning data and
+    eval-set construction.
+
+    Deterministic: seed = smallest vec_id; each round picks the vector
+    maximizing min-d² to the chosen set (ties → smallest vec_id);
+    integer squared-L2 end-to-end, so both engines agree exactly.
+
+    Returns k+1 rows: (round, center_id, sel_d2) for rounds 0..k-1 —
+    sel_d2 is the maxmin distance that elected the center, the k-center
+    "radius curve" whose knee says how many exemplars the corpus needs —
+    plus a final row (k, -1, coverage d²_max after all k centers).
+
+    Plan/scale: k driver rounds, each ONE narrow scan + TakeOrdered(1)
+    over (vec_id, q) with the ≤k chosen centers inlined as an
+    expression literal (no shuffle, no join, no lineage growth — every
+    round builds a fresh stateless plan, so no localCheckpoint is
+    needed); O(k²·n) integer dot work total with k=8. This is the
+    textbook distributed Gonzalez: at 10^12 vectors each round is one
+    map-reduce max, and the centers (k rows) always fit the driver.
+    Reference parity: none (the reference has no vector ops) — extends
+    SURVEY §2.10's curation family like the ANN/PQ suite."""
+    q = _quantized(df, vec_col)
+    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    rows = [(0, int(seed["vec_id"]), 0)]
+    centers = [[int(v) for v in seed["q"]]]
+    for r in range(1, k):
+        top = (q.select("vec_id", "q", _min_d2_expr(centers).alias("d2"))
+                .orderBy(F.desc("d2"), F.asc("vec_id")).limit(1)
+                .collect()[0])
+        rows.append((r, int(top["vec_id"]), int(top["d2"])))
+        centers.append([int(v) for v in top["q"]])
+    cov = (q.select(_min_d2_expr(centers).alias("d2"))
+            .agg(F.max("d2")).collect()[0][0])
+    rows.append((k, -1, int(cov)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "round bigint, center_id bigint, sel_d2 bigint") \
+        .orderBy("round")
+
+
+def sql_k_center_select(table: str = "embeddings",
+                        k: int = K_CENTER_K) -> str:
+    """DuckDB oracle: the same greedy unrolled into k CTE stages (exact
+    integer d² via list_dot_product identity a·a - 2a·b + b·b)."""
+    qe = C.sql_quantized_embedding("embedding")
+    d2 = ("CAST(list_dot_product(e.q, e.q) AS BIGINT) "
+          "- 2 * CAST(list_dot_product(e.q, c.q) AS BIGINT) "
+          "+ CAST(list_dot_product(c.q, c.q) AS BIGINT)")
+    # AS MATERIALIZED is load-bearing: each stage references the previous
+    # one twice (join + NOT IN), so inlined CTEs re-evaluate the whole
+    # prefix and the plan goes exponential in k (observed: stage 8 hung).
+    parts = [f"e AS MATERIALIZED (SELECT vec_id, {qe} AS q FROM {table})",
+             "ch0 AS MATERIALIZED (SELECT 0 AS round, vec_id, "
+             "0::BIGINT AS sel_d2, q FROM e ORDER BY vec_id LIMIT 1)"]
+    for r in range(1, k):
+        parts.append(f"""s{r} AS MATERIALIZED (
+            SELECT e.vec_id, e.q, MIN({d2}) AS mind2
+            FROM e JOIN ch{r - 1} c ON true
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM ch{r - 1})
+            GROUP BY e.vec_id, e.q
+        )""")
+        parts.append(f"""ch{r} AS MATERIALIZED (
+            SELECT * FROM ch{r - 1}
+            UNION ALL
+            SELECT {r} AS round, vec_id, mind2 AS sel_d2, q FROM (
+                SELECT * FROM s{r}
+                ORDER BY mind2 DESC, vec_id LIMIT 1)
+        )""")
+    parts.append(f"""cov AS (
+        SELECT {k} AS round, CAST(-1 AS BIGINT) AS center_id,
+               MAX(mind2) AS sel_d2 FROM (
+            SELECT e.vec_id, MIN({d2}) AS mind2
+            FROM e JOIN ch{k - 1} c ON true
+            GROUP BY e.vec_id)
+    )""")
+    return ("WITH " + ",\n".join(parts) + f"""
+        SELECT round, CAST(vec_id AS BIGINT) AS center_id,
+               CAST(sel_d2 AS BIGINT) AS sel_d2
+        FROM ch{k - 1}
+        UNION ALL SELECT round, center_id, CAST(sel_d2 AS BIGINT)
+        FROM cov
+        ORDER BY round
+    """)

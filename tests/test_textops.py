@@ -951,6 +951,27 @@ def test_png_unfilter_golden_and_gray_rgba():
         M.decode_image(b"\xff\xd8\xff\xe0jpeg...")
 
 
+def test_kcenter_greedy_semantics(spark):
+    """Gonzalez farthest-first invariants on the sf0.001 embeddings:
+    seed is the smallest vec_id, centers are distinct, the maxmin radius
+    curve is non-increasing (greedy never elects a farther point after a
+    nearer one existed), and the final coverage radius is <= the last
+    elected distance."""
+    from log_collector_spark.textops import similarity as S
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {r["round"]: r for r in S.k_center_select(df).collect()}
+    k = S.K_CENTER_K
+    assert set(rows) == set(range(k + 1))
+    assert rows[0]["center_id"] == df.agg({"vec_id": "min"}).collect()[0][0]
+    ids = [rows[r]["center_id"] for r in range(k)]
+    assert len(set(ids)) == k
+    curve = [rows[r]["sel_d2"] for r in range(1, k)]
+    assert all(a >= b for a, b in zip(curve, curve[1:])), curve
+    assert rows[k]["center_id"] == -1
+    assert rows[k]["sel_d2"] <= curve[-1]
+
+
 def test_pagerank_step_fixed_point_semantics(spark):
     """Hand graph: path 1-2-3 (2 is the hub). One damped iteration from a
     uniform start: leaves get 150k + 850*(1e6//2)//1000; the hub gets

@@ -280,3 +280,53 @@ def test_gini_histogram_form_equals_sorted_definition(xs):
     got = (2 * six_hist - (n + 1) * sx) * 1000 // (n * sx)
     assert got == expected
     assert 0 <= got < 1000
+
+
+@given(st.integers(1, 12), st.integers(1, 10), st.integers(1, 4),
+       st.data())
+@settings(max_examples=60, deadline=None)
+def test_png_unfilter_inverts_an_independent_filter(w, h, channels, data):
+    """PNG filter/unfilter as a PROPERTY: arbitrary pixels + arbitrary
+    per-row filter types, filtered by an in-test implementation written
+    straight from the spec (independent of the package encoder, so a
+    matched encoder/decoder sign error cannot cancel), must decode back
+    to the original bytes through the package's decode_png."""
+    import struct
+    import zlib
+
+    from log_collector_spark.textops import multimodal as M
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    px = bytes(data.draw(st.integers(0, 255)) for _ in range(h * stride))
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        row = px[y * stride:(y + 1) * stride]
+        ft = filters[y]
+        raw.append(ft)
+        for x in range(stride):
+            a = row[x - channels] if x >= channels else 0
+            b = prior[x]
+            c = prior[x - channels] if x >= channels else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                    4: paeth(a, b, c)}[ft]
+            raw.append((row[x] - pred) & 0xFF)
+        prior = row
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    png = (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+           + M._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + M._png_chunk(b"IEND", b""))
+    f = M.decode_png(png)
+    assert (f["width"], f["height"], f["channels"]) == (w, h, channels)
+    assert f["pixel_sum"] == sum(px)
+    assert f["pixel_min"] == min(px)
+    assert f["pixel_max"] == max(px)

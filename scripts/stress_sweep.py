@@ -40,6 +40,8 @@ HEAVY = [
     "simhash_calibration", "substring_span_pairs", "kcore_peel_documents",
     "dedup_roi_curve_documents", "dedup_clusters_star",
     "line_dedup_documents", "minhash_lsh_pairs", "exact_dedup_documents",
+    "decode_png_documents", "png_ahash_documents",
+    "kcenter_select_embeddings",
 ]
 
 

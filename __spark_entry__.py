@@ -1708,6 +1708,18 @@ def q_pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_codes(_embs(spark, sf_dir))
 
 
+def q_dsir_importance_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (hashed-bigram importance weights vs a
+    target domain, Xie et al.): top-50 raw docs that look most like the
+    target slice. The 1024-bucket feature table is constant-size at any
+    corpus scale (broadcast score join, never a vocab shuffle); log
+    ratios in whole bits via the bit-length log, no products, overflow-
+    free by construction."""
+    from log_collector_spark.textops import lm_proxy as LM
+    return LM.dsir_importance(_docs(spark, sf_dir))
+
+
 def q_kcenter_select_embeddings(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Greedy k-center (Gonzalez farthest-first) coreset selection over
@@ -3142,6 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_events": q_mad_outliers_events,
         "pq_codes_embeddings": q_pq_codes_embeddings,
         "kcenter_select_embeddings": q_kcenter_select_embeddings,
+        "dsir_importance_documents": q_dsir_importance_documents,
         "mixture_weights_documents": q_mixture_weights_documents,
         "kmeans_step_embeddings": q_kmeans_step_embeddings,
         "bpe_pair_counts_documents": q_bpe_pair_counts_documents,
@@ -3821,6 +3834,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers_events": _bh().sql_mad_outliers(),
         "pq_codes_embeddings": _ts().sql_pq_codes(),
         "kcenter_select_embeddings": _ts().sql_k_center_select(),
+        "dsir_importance_documents": _lm().sql_dsir_importance(),
         "mixture_weights_documents": _ta().sql_mixture_weights(),
         "kmeans_step_embeddings": _ts().sql_kmeans_step(),
         "bpe_pair_counts_documents": _ta().sql_bpe_pair_counts(),

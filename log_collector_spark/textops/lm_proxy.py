@@ -23,7 +23,7 @@ per-doc agg. Three shuffles total, all on high-cardinality keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from log_collector_spark.textops import common as C
@@ -100,4 +100,127 @@ def sql_bigram_surprisal(table: str = "documents", id_col: str = "doc_id",
                     THEN p.bits_sum * 1000 // p.n_bigrams
                     ELSE 0 END AS BIGINT) AS surprisal_millibits
         FROM {table} d LEFT JOIN per p ON p.{id_col} = d.{id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al., "Data Selection for
+# Language Models via Importance Resampling") — hashed n-gram importance
+# weights, the widely-used LM-free way to pick raw-corpus documents that
+# look like a target domain.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCE = "src0"
+DSIR_TOP_K = 50
+
+
+def dsir_importance(df: DataFrame, target_source: str = DSIR_TARGET_SOURCE,
+                    n_buckets: int = DSIR_BUCKETS,
+                    top_k: int = DSIR_TOP_K) -> DataFrame:
+    """Top-k raw documents by hashed-bigram importance weight against a
+    target domain (here: the ``source == target_source`` slice).
+
+    DSIR's estimator: hash n-gram features into a FIXED number of
+    buckets, estimate target and raw unigram-of-buckets distributions,
+    and score each document by Σ_f log(p_target(f) / p_raw(f)) over its
+    features. The bucket table is what makes it scale: B=1024 rows no
+    matter how big the corpus, so the score join is a broadcast, never a
+    vocabulary shuffle (compare bigram_surprisal, which joins the full
+    vocab — DSIR trades resolution for a constant-size model).
+
+    Integer end-to-end: log ratios in whole bits via the bit-length log
+    (λ_f = [bitlen(n_t+1) − bitlen(T+1)] − [bitlen(n_r+1) − bitlen(R+1)]
+    — add-one smoothing, no products, so nothing can overflow at any
+    corpus size), per-doc mean ×1000 (millibits), ties on the top-k
+    broken by doc_id.
+
+    Returns (rank, doc_id, source, n_bigrams, imp_millibits), rank 1..k.
+
+    Plan/scale: one bigram explode, two B-bucket hash aggs (map-side
+    combined, B rows out), one broadcast join of the λ table onto the
+    exploded frame, one per-doc agg, one TakeOrdered(k). The explode is
+    the only data-sized shuffle."""
+    bitlen = lambda c: F.length(F.bin(c)).cast("long")
+    ex = (df.select("doc_id", "source",
+                    F.explode(_bigrams("text")).alias("bg"))
+            .withColumn("bucket", C.h60(F.col("bg")) % n_buckets)
+            .drop("bg"))
+    raw = ex.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_r"))
+    tgt = (ex.filter(F.col("source") == target_source)
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_t")))
+    lam = (raw.join(tgt, "bucket", "left")
+              .withColumn("n_t", F.coalesce("n_t", F.lit(0)))
+              .crossJoin(F.broadcast(
+                  raw.agg(F.sum("n_r").cast("long").alias("R"))))
+              .crossJoin(F.broadcast(
+                  tgt.agg(F.sum("n_t").cast("long").alias("T"))))
+              .select("bucket",
+                      ((bitlen(F.col("n_t") + 1) - bitlen(F.col("T") + 1))
+                       - (bitlen(F.col("n_r") + 1) - bitlen(F.col("R") + 1))
+                       ).alias("lam")))
+    per_doc = (ex.join(F.broadcast(lam), "bucket")
+                 .groupBy("doc_id", "source")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                      F.sum("lam").cast("long").alias("lam_sum")))
+    scored = per_doc.select(
+        "doc_id", "source", "n_bigrams",
+        F.expr("lam_sum * 1000 DIV n_bigrams").alias("imp_millibits"))
+    # top-k FIRST (distributed TakeOrdered — per-partition heads merged
+    # on the driver), rank AFTER: a global row_number window before the
+    # limit would drag the whole per-doc frame through one task
+    top = scored.orderBy(F.desc("imp_millibits"), F.asc("doc_id")) \
+                .limit(top_k)
+    w = Window.orderBy(F.desc("imp_millibits"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+               .select(F.col("rank").cast("int").alias("rank"),
+                       "doc_id", "source", "n_bigrams", "imp_millibits")
+               .orderBy("rank"))
+
+
+def sql_dsir_importance(table: str = "documents",
+                        target_source: str = DSIR_TARGET_SOURCE,
+                        n_buckets: int = DSIR_BUCKETS,
+                        top_k: int = DSIR_TOP_K) -> str:
+    bg = _sql_bigrams("text")
+    h = C.sql_h60("bg")
+    return f"""
+        WITH ex AS (
+            SELECT doc_id, source, {h} % {n_buckets} AS bucket
+            FROM (SELECT doc_id, source, unnest({bg}) AS bg FROM {table})
+        ), raw AS (
+            SELECT bucket, COUNT(*) AS n_r FROM ex GROUP BY bucket
+        ), tgt AS (
+            SELECT bucket, COUNT(*) AS n_t FROM ex
+            WHERE source = '{target_source}' GROUP BY bucket
+        ), tot AS (
+            SELECT (SELECT CAST(SUM(n_r) AS BIGINT) FROM raw) AS R,
+                   (SELECT CAST(COALESCE(SUM(n_t), 0) AS BIGINT)
+                    FROM tgt) AS T
+        ), lam AS (
+            SELECT r.bucket,
+                   (length(bin(COALESCE(t.n_t, 0) + 1))
+                    - length(bin(tot.T + 1)))
+                   - (length(bin(r.n_r + 1)) - length(bin(tot.R + 1)))
+                       AS lam
+            FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket
+            CROSS JOIN tot
+        ), per_doc AS (
+            SELECT e.doc_id, e.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(l.lam) AS BIGINT) AS lam_sum
+            FROM ex e JOIN lam l ON l.bucket = e.bucket
+            GROUP BY e.doc_id, e.source
+        )
+        SELECT CAST(rank AS INT) AS rank, doc_id, source, n_bigrams,
+               CAST(imp_millibits AS BIGINT) AS imp_millibits
+        FROM (
+            SELECT doc_id, source, n_bigrams,
+                   lam_sum * 1000 // n_bigrams AS imp_millibits,
+                   ROW_NUMBER() OVER (
+                       ORDER BY lam_sum * 1000 // n_bigrams DESC,
+                                doc_id) AS rank
+            FROM per_doc)
+        WHERE rank <= {top_k}
+        ORDER BY rank
     """

@@ -442,3 +442,16 @@ def test_rrf_and_ahash_join_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in _plan(S.rrf_fusion_topk(embs))
     plan = _plan(TM.ahash_neardup_pairs(docs))
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dsir_topk_is_takeordered_not_global_window(spark):
+    """DSIR's top-k must be a distributed TakeOrdered over the per-doc
+    scores; a global row_number window BEFORE the limit would drag the
+    whole corpus-sized frame through one task. The rank window runs only
+    on the <= k post-limit rows."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["dsir_importance_documents"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the lambda table joins broadcast — the vocab never shuffles
+    assert "BroadcastHashJoin" in plan, plan
